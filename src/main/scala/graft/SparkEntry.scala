@@ -1,13 +1,46 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.CoreQueries.quarterLabel
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The query catalog lives in [[graft.queries.Catalog]]: one named entry
+  * per implemented operator family from SURVEY.md §2 plus the LLM-data-
+  * pipeline extensions (text stats, dedup, similarity, multimodal).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * The full star-schema shape of the reference in one plan (ref
+    * etl.ipynb:169–192 denormalize + streamlit.py:125 stacked agg):
+    * fact (lineitem⋈orders) joined to geography (customer→nation→region)
+    * and the part dim, rolled up to (region, quarter) counts. Catalyst
+    * broadcasts every dim; the only shuffle is the fact join + final agg.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), quarterLabel(col("o_orderdate")).as("quarter"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("region"), col("quarter"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Catalog.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for hash-seeded / sketch /
+    * mapPartitions ops → driver records a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    graft.queries.Catalog.oracleSql
 }

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, composed from
+  * codegen-friendly built-in higher-order functions (no UDFs — the
+  * preference order of SURVEY.md §7.3 / the Spark guide).
+  *
+  * All arithmetic is promoted to double before accumulation; `aggregate`
+  * folds left-to-right in index order, so results are deterministic and
+  * reproducible across partitionings (the fold happens per-row, not
+  * across rows).
+  */
+object VectorFunctions {
+
+  /** Dot product of two numeric arrays, accumulated in double. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column = dotProduct(a, a)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity in double precision. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+}

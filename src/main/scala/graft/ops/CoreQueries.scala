@@ -1,0 +1,617 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.queries.GraftQuery
+
+/** Core relational operator catalog — the reference's operator inventory
+  * (SURVEY.md §2) re-hosted onto the driver's TPC-H-ish tables, expressed
+  * Spark-first so Catalyst owns the physical strategy.
+  *
+  * Star-schema role mapping (FIXTURES.md §B): fact = lineitem⋈orders;
+  * time dim = quarter(o_orderdate) (ref dim_time, etl.ipynb:40–55);
+  * geography = customer→nation→region (ref dim_geography, etl.ipynb:58–81);
+  * symbol-like dim = part (ref dim_symbol, etl.ipynb:83–87);
+  * type dim = l_returnflag / o_orderstatus (ref dim_transaction_type,
+  * etl.ipynb:89–95).
+  *
+  * Determinism contract: every query ends in a total-order sort and every
+  * computed column is identically aliased in the Spark plan and the DuckDB
+  * oracle SQL (driver hash-compares values after sorting columns by name).
+  *
+  * Scale notes (100 TB): dims (region/nation/part/supplier, top-k lists)
+  * are broadcast; fact-fact joins shuffle on their keys and rely on AQE for
+  * skew; aggregations are partial+final hash aggregates (map-side combine
+  * is free); top-k compiles to TakeOrderedAndProject, never a full sort.
+  */
+object CoreQueries {
+
+  /** Quarter label from a date/timestamp — ref etl.ipynb:45 ('Q'+quarter). */
+  def quarterLabel(c: Column): Column = concat(lit("Q"), quarter(c).cast("string"))
+
+  private def cnt: Column = count(lit(1))
+
+  val all: Seq[GraftQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q01: the reference "Query Analysis" shape — filter + join + group
+    // count + top-k (streamlit.py:378–385 "top 5 sectors for SELL in
+    // China"). part.p_type plays sector; l_returnflag='R' plays SELL.
+    // Catalyst plan: parquet scan with PushedFilters on l_returnflag,
+    // broadcast-hash-join on the dim, partial+final hash agg,
+    // TakeOrderedAndProject for the limit (no global sort).
+    GraftQuery(
+      "q01_topk_filter_agg",
+      "F1+J1+A1+S2+S4: top-5 part types by count of returned lineitems",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.lineitem
+          .filter(col("l_returnflag") === "R")
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_type"))
+          .agg(cnt.as("cnt"))
+          .orderBy(col("cnt").desc, col("p_type").asc)
+          .limit(5)
+      },
+      Some(
+        """SELECT p_type, count(*) AS cnt
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE l_returnflag = 'R'
+          |GROUP BY p_type
+          |ORDER BY cnt DESC, p_type ASC
+          |LIMIT 5""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q02: per-quarter counts — ref dim_time derivation + group-count
+    // (etl.ipynb:45, streamlit.py:152). X2 + A1 + S3 (quarter ordering).
+    GraftQuery(
+      "q02_quarter_agg",
+      "X2+A1+S3: order counts per derived quarter label",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.orders
+          .groupBy(quarterLabel(col("o_orderdate")).as("quarter"))
+          .agg(cnt.as("cnt"))
+          .orderBy(col("quarter"))
+      },
+      Some(
+        """SELECT 'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter, count(*) AS cnt
+          |FROM orders
+          |GROUP BY 1
+          |ORDER BY quarter""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q03: two-key group count feeding stacked bars (streamlit.py:125,
+    // A2) over the fact join (J1). Shuffle on l_orderkey for the join is
+    // avoided: orders is the smaller side → AQE/broadcast.
+    GraftQuery(
+      "q03_two_key_agg",
+      "J1+A2: counts by (order quarter, returnflag) over lineitem⋈orders",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(
+            quarterLabel(col("o_orderdate")).as("quarter"),
+            col("l_returnflag"))
+          .agg(cnt.as("cnt"))
+          .orderBy(col("quarter"), col("l_returnflag"))
+      },
+      Some(
+        """SELECT 'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+          |       l_returnflag, count(*) AS cnt
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1, 2
+          |ORDER BY quarter, l_returnflag""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q04: the dashboard trend pipeline (streamlit.py:152–164): per-
+    // quarter count → lag(1) → pct-change. A1+W1+W2. The window is
+    // unpartitioned but runs over ≤4 post-aggregate rows — the heavy
+    // lifting happened in the distributed aggregate.
+    GraftQuery(
+      "q04_trend_pct_change",
+      "A1+W1+W2: per-quarter counts with lag-based pct change",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val perQ = t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(quarterLabel(col("o_orderdate")).as("quarter"))
+          .agg(cnt.as("cnt"))
+        val w = Window.orderBy(col("quarter"))
+        perQ
+          .withColumn("prev", lag(col("cnt"), 1).over(w))
+          .withColumn("pct_change",
+            round((col("cnt") - col("prev")) / col("prev") * 100, 1))
+          .select(col("quarter"), col("cnt"), col("pct_change"))
+          .orderBy(col("quarter"))
+      },
+      Some(
+        """WITH perq AS (
+          |  SELECT 'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter, count(*) AS cnt
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  GROUP BY 1)
+          |SELECT quarter, cnt,
+          |       round((cnt - lag(cnt, 1) OVER (ORDER BY quarter))
+          |             / lag(cnt, 1) OVER (ORDER BY quarter) * 100, 1) AS pct_change
+          |FROM perq
+          |ORDER BY quarter""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q05: the metric-card aggregates (streamlit.py:101–119): global
+    // count, conditional counts (equality + substring match on the type,
+    // ref 'DIVID' quirk), exact distinct. A4+A5+F1+F5. One distributed
+    // pass; countDistinct shuffles on the key — at 100 TB swap for
+    // approx_count_distinct (see q22).
+    GraftQuery(
+      "q05_metric_cards",
+      "A4+A5+F1+F5: single-row summary counts over lineitem",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.lineitem.agg(
+          cnt.as("total_cnt"),
+          count(when(col("l_returnflag") === "R", 1)).as("returned_cnt"),
+          count(when(col("l_linestatus").contains("F"), 1)).as("f_status_cnt"),
+          countDistinct(col("l_partkey")).as("uniq_parts"))
+      },
+      Some(
+        """SELECT count(*) AS total_cnt,
+          |       count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS returned_cnt,
+          |       count(CASE WHEN contains(l_linestatus, 'F') THEN 1 END) AS f_status_cnt,
+          |       count(DISTINCT l_partkey) AS uniq_parts
+          |FROM lineitem""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q06: anti-join — the reference's orphan-symbol cleanup
+    // (etl.ipynb:17–29, J4) done relationally instead of collecting a
+    // key set to the driver. Here: lineitems whose part is not in the
+    // large-size subset, aggregated by returnflag.
+    GraftQuery(
+      "q06_anti_join",
+      "J4+A1: lineitems with no part of p_size>40, counts by returnflag",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val bigParts = t.part.filter(col("p_size") > 40)
+        t.lineitem
+          .join(broadcast(bigParts), col("l_partkey") === col("p_partkey"), "left_anti")
+          .groupBy(col("l_returnflag"))
+          .agg(cnt.as("cnt"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        """SELECT l_returnflag, count(*) AS cnt
+          |FROM lineitem
+          |WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_size > 40)
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q07: the top-k-then-restrict pipeline behind every "top N" chart
+    // (streamlit.py:249–261, TK2/J5): top-3 brands, then detail counts
+    // restricted to them via a broadcast left-semi join (never a
+    // collected isin list).
+    GraftQuery(
+      "q07_semi_join_topk",
+      "S4+TK2+J5+A2: top-3 brands then (brand, returnflag) detail counts",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val joined = t.lineitem
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"), col("l_returnflag"))
+        val top3 = joined.groupBy(col("p_brand")).agg(cnt.as("cnt"))
+          .orderBy(col("cnt").desc, col("p_brand").asc)
+          .limit(3)
+          .select(col("p_brand"))
+        joined
+          .join(broadcast(top3), Seq("p_brand"), "left_semi")
+          .groupBy(col("p_brand"), col("l_returnflag"))
+          .agg(cnt.as("cnt"))
+          .orderBy(col("p_brand"), col("l_returnflag"))
+      },
+      Some(
+        """WITH j AS (SELECT p_brand, l_returnflag
+          |           FROM lineitem JOIN part ON l_partkey = p_partkey),
+          |top3 AS (SELECT p_brand, count(*) AS cnt FROM j
+          |         GROUP BY p_brand ORDER BY cnt DESC, p_brand ASC LIMIT 3)
+          |SELECT p_brand, l_returnflag, count(*) AS cnt
+          |FROM j
+          |WHERE p_brand IN (SELECT p_brand FROM top3)
+          |GROUP BY p_brand, l_returnflag
+          |ORDER BY p_brand, l_returnflag""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q08: the full star denormalization — the reference ETL's join-out
+    // pattern (etl.ipynb:169–192, J1/J2/P1) as ONE lazy plan: Catalyst
+    // broadcast-joins every dim; only the lineitem⋈orders edge can
+    // shuffle. Ordered by all output columns (lineitem has no unique key
+    // in this data).
+    GraftQuery(
+      "q08_star_denormalize",
+      "J1+J2+P1: fact joined to all dims into the wide serving table",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            quarterLabel(col("o_orderdate")).as("quarter"),
+            col("r_name").as("region"), col("n_name").as("nation"),
+            col("p_type"), col("l_returnflag"))
+          .orderBy(
+            col("l_orderkey"), col("l_linenumber"), col("quarter"),
+            col("region"), col("nation"), col("p_type"), col("l_returnflag"))
+      },
+      Some(
+        """SELECT l_orderkey, l_linenumber,
+          |       'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+          |       r_name AS region, n_name AS nation, p_type, l_returnflag
+          |FROM lineitem
+          |JOIN orders   ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation   ON c_nationkey = n_nationkey
+          |JOIN region   ON n_regionkey = r_regionkey
+          |JOIN part     ON l_partkey = p_partkey
+          |ORDER BY l_orderkey, l_linenumber, quarter, region, nation, p_type, l_returnflag""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q09: dimension build with sequential surrogate keys — ref
+    // etl.ipynb:83–87 (A6+S1+W4). Parity mode: row_number over a global
+    // sort (fine: dims are small). Scale mode for big dims lives in
+    // etl.SurrogateKeys (hash / zipWithIndex policies).
+    GraftQuery(
+      "q09_dim_surrogate_keys",
+      "A6+S1+W4: distinct p_type dim with row_number surrogate ids",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.part.select(col("p_type")).distinct()
+          .withColumn("type_id",
+            row_number().over(Window.orderBy(col("p_type"))).cast("long"))
+          .select(col("type_id"), col("p_type"))
+          .orderBy(col("type_id"))
+      },
+      Some(
+        """SELECT row_number() OVER (ORDER BY p_type) AS type_id, p_type
+          |FROM (SELECT DISTINCT p_type FROM part) t
+          |ORDER BY type_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q10/q11: the report's OLAP claim (report.pdf p.4–5: roll-up /
+    // drill-down / slice / dice) surfaced as native grouping sets.
+    GraftQuery(
+      "q10_rollup",
+      "OLAP roll-up: (quarter, returnflag) with subtotals and grand total",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .select(quarterLabel(col("o_orderdate")).as("quarter"), col("l_returnflag"))
+          .rollup(col("quarter"), col("l_returnflag"))
+          .agg(cnt.as("cnt"))
+          .select(
+            coalesce(col("quarter"), lit("ALL")).as("quarter"),
+            coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+            col("cnt"))
+          .orderBy(col("quarter"), col("l_returnflag"))
+      },
+      Some(
+        """SELECT coalesce(quarter, 'ALL') AS quarter,
+          |       coalesce(l_returnflag, 'ALL') AS l_returnflag,
+          |       count(*) AS cnt
+          |FROM (SELECT 'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter, l_returnflag
+          |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+          |GROUP BY ROLLUP(quarter, l_returnflag)
+          |ORDER BY quarter, l_returnflag""".stripMargin)
+    ),
+    GraftQuery(
+      "q11_cube",
+      "OLAP cube over (o_orderstatus, o_orderpriority)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.orders
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(cnt.as("cnt"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+            col("cnt"))
+          .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+      },
+      Some(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+          |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+          |       count(*) AS cnt
+          |FROM orders
+          |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q12: pivot — the stacked-bar data shape (A2 rendered wide,
+    // streamlit.py:125–126). Pivot values pinned so the plan needs no
+    // extra distinct-collection job.
+    GraftQuery(
+      "q12_pivot",
+      "A2 pivot: quarter × returnflag counts as wide columns",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .select(quarterLabel(col("o_orderdate")).as("quarter"), col("l_returnflag"))
+          .groupBy(col("quarter"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(cnt)
+          .na.fill(0L)
+          .orderBy(col("quarter"))
+      },
+      Some(
+        """SELECT 'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+          |       count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS "A",
+          |       count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS "N",
+          |       count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS "R"
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1
+          |ORDER BY quarter""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q13: ranking windows (beyond-reference window surface; ref only
+    // uses lag + row_number). Partitioned window — scales: one shuffle
+    // on the partition key, per-partition sort.
+    GraftQuery(
+      "q13_window_rank",
+      "W: rank suppliers by shipped quantity within nation",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val perSupp = t.lineitem
+          .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey"), col("s_name"))
+          .agg(sum(col("l_quantity")).as("total_qty"))
+        perSupp
+          .withColumn("rnk",
+            rank().over(Window.partitionBy(col("s_nationkey"))
+              .orderBy(col("total_qty").desc, col("s_name").asc)).cast("long"))
+          .select(col("s_nationkey"), col("s_name"), col("total_qty"), col("rnk"))
+          .orderBy(col("s_nationkey"), col("rnk"), col("s_name"))
+      },
+      Some(
+        """WITH per_supp AS (
+          |  SELECT s_nationkey, s_name, sum(l_quantity) AS total_qty
+          |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |  GROUP BY s_nationkey, s_name)
+          |SELECT s_nationkey, s_name, total_qty,
+          |       rank() OVER (PARTITION BY s_nationkey
+          |                    ORDER BY total_qty DESC, s_name ASC) AS rnk
+          |FROM per_supp
+          |ORDER BY s_nationkey, rnk, s_name""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q14: predicate composition — IN-list + BETWEEN range + conjunction
+    // (F2+F4+F6, the dashboard's quarter-slider ∧ type-multiselect,
+    // streamlit.py:64–96). All three predicates push to the scan.
+    GraftQuery(
+      "q14_filter_inlist_between",
+      "F2+F4+F6: composed predicates then (quarter, status) counts",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.orders
+          .select(quarterLabel(col("o_orderdate")).as("quarter"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .filter(col("quarter").between("Q2", "Q3")
+            && col("o_orderstatus").isin("F", "O")
+            && col("o_totalprice").between(1000.0, 200000.0))
+          .groupBy(col("quarter"), col("o_orderstatus"))
+          .agg(cnt.as("cnt"))
+          .orderBy(col("quarter"), col("o_orderstatus"))
+      },
+      Some(
+        """SELECT 'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+          |       o_orderstatus, count(*) AS cnt
+          |FROM orders
+          |WHERE 'Q' || CAST(quarter(o_orderdate) AS VARCHAR) BETWEEN 'Q2' AND 'Q3'
+          |  AND o_orderstatus IN ('F', 'O')
+          |  AND o_totalprice BETWEEN 1000.0 AND 200000.0
+          |GROUP BY 1, 2
+          |ORDER BY quarter, o_orderstatus""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q15: left join + null-fill — the trend pipeline's join of two
+    // aggregates with fillna(0) (streamlit.py:159–160, J2+F8).
+    GraftQuery(
+      "q15_left_join_fill",
+      "J2+F8: per-customer order counts including zero-order customers",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val perCust = t.orders.groupBy(col("o_custkey")).agg(cnt.as("ocnt"))
+        t.customer
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("ocnt"), lit(0L)).as("order_cnt"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(
+        """SELECT c_custkey, coalesce(ocnt, 0) AS order_cnt
+          |FROM customer
+          |LEFT JOIN (SELECT o_custkey, count(*) AS ocnt FROM orders GROUP BY o_custkey) o
+          |  ON c_custkey = o_custkey
+          |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q16: distinct (A6, etl.ipynb:48 drop_duplicates).
+    GraftQuery(
+      "q16_distinct",
+      "A6: distinct (returnflag, linestatus) pairs",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.lineitem.select(col("l_returnflag"), col("l_linestatus"))
+          .distinct()
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(
+        """SELECT DISTINCT l_returnflag, l_linestatus
+          |FROM lineitem
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q17/q18: set operations (§2.8) — EXCEPT implements the reference's
+    // key-set difference (etl.ipynb:19) relationally; UNION ALL + agg.
+    GraftQuery(
+      "q17_set_except",
+      "SET: nations with customers but no suppliers",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.customer.select(col("c_nationkey").as("nationkey"))
+          .except(t.supplier.select(col("s_nationkey").as("nationkey")))
+          .orderBy(col("nationkey"))
+      },
+      Some(
+        """SELECT c_nationkey AS nationkey FROM customer
+          |EXCEPT
+          |SELECT s_nationkey AS nationkey FROM supplier
+          |ORDER BY nationkey""".stripMargin)
+    ),
+    GraftQuery(
+      "q18_set_union",
+      "SET: union-all of customer+supplier nation keys, counted",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.customer.select(col("c_nationkey").as("nationkey"))
+          .union(t.supplier.select(col("s_nationkey").as("nationkey")))
+          .groupBy(col("nationkey"))
+          .agg(cnt.as("cnt"))
+          .orderBy(col("nationkey"))
+      },
+      Some(
+        """SELECT nationkey, count(*) AS cnt
+          |FROM (SELECT c_nationkey AS nationkey FROM customer
+          |      UNION ALL
+          |      SELECT s_nationkey AS nationkey FROM supplier) t
+          |GROUP BY nationkey
+          |ORDER BY nationkey""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q19: scalar function surface (X1–X7): timestamp format round-trip,
+    // quarter/year extraction, arithmetic, CASE branch, contains, floor
+    // cast. All whole-stage-codegen'd projections; per-row IEEE double
+    // math is bit-identical across engines (no aggregation order).
+    GraftQuery(
+      "q19_scalar_funcs",
+      "X1–X7: scalar string/date/math functions as one projection",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.lineitem
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            to_timestamp(
+              date_format(col("l_shipdate"), "dd/MM/yyyy HH:mm:ss"),
+              "dd/MM/yyyy HH:mm:ss").as("reparsed_ts"),
+            quarterLabel(col("l_shipdate")).as("ship_quarter"),
+            year(col("l_shipdate")).cast("long").as("ship_year"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+            when(col("l_quantity") > 25, "HIGH").otherwise("LOW").as("qty_band"),
+            col("l_returnflag").contains("R").as("is_return"),
+            floor(col("l_quantity")).cast("long").as("qty_int"))
+          .orderBy(
+            col("l_orderkey"), col("l_linenumber"), col("reparsed_ts"),
+            col("net_price"), col("qty_int"))
+      },
+      Some(
+        """SELECT l_orderkey, l_linenumber,
+          |       strptime(strftime(l_shipdate, '%d/%m/%Y %H:%M:%S'), '%d/%m/%Y %H:%M:%S') AS reparsed_ts,
+          |       'Q' || CAST(quarter(l_shipdate) AS VARCHAR) AS ship_quarter,
+          |       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+          |       l_extendedprice * (1.0 - l_discount) AS net_price,
+          |       CASE WHEN l_quantity > 25 THEN 'HIGH' ELSE 'LOW' END AS qty_band,
+          |       contains(l_returnflag, 'R') AS is_return,
+          |       CAST(floor(l_quantity) AS BIGINT) AS qty_int
+          |FROM lineitem
+          |ORDER BY l_orderkey, l_linenumber, reparsed_ts, net_price, qty_int""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q20: event-time tumbling aggregation (batch analog of the
+    // streaming extension, SURVEY §7.5; streaming twin lives in
+    // graft.streaming and is exercised by ScalaTest). min/max are exact
+    // on doubles (order-independent), so oracle-safe.
+    GraftQuery(
+      "q20_events_hourly",
+      "event-time tumbling(1h) counts + min/max value per event_type",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.events
+          .groupBy(
+            date_trunc("hour", col("ts")).as("hour_start"),
+            col("event_type"))
+          .agg(cnt.as("cnt"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"))
+          .orderBy(col("hour_start"), col("event_type"))
+      },
+      Some(
+        """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+          |       count(*) AS cnt, min(value) AS min_value, max(value) AS max_value
+          |FROM events
+          |GROUP BY 1, 2
+          |ORDER BY hour_start, event_type""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q21: semi-structured extraction from the events.props JSON column.
+    GraftQuery(
+      "q21_events_json",
+      "JSON extraction + scalar transforms over events",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.events
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
+            upper(col("event_type")).as("event_type_u"))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """SELECT event_id,
+          |       CAST(props ->> '$.k' AS BIGINT) AS prop_k,
+          |       upper(event_type) AS event_type_u
+          |FROM events
+          |ORDER BY event_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q22: sketch aggregate — approx_count_distinct (HLL++). The 100 TB
+    // replacement for q05's exact countDistinct. HLL estimates are
+    // engine-specific → no DuckDB oracle (driver does rows-only check);
+    // the ScalaTest asserts the estimate is within rsd of exact.
+    GraftQuery(
+      "q22_approx_count_distinct",
+      "HLL sketch: approx distinct partkeys per returnflag",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      None
+    )
+  )
+}

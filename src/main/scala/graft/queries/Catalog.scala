@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named engine query: the Spark plan builder plus (when the
+  * semantics are ANSI-SQL-expressible) the DuckDB oracle SQL the driver
+  * hash-compares against. `oracle = None` → driver records a weaker
+  * rows-only check (used for hash-seeded / sketch / mapPartitions ops
+  * whose exact output is engine-specific).
+  */
+final case class GraftQuery(
+    name: String,
+    doc: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String]
+)
+
+/** The full query catalog — SURVEY.md §2 inventory + the LLM-data-pipeline
+  * extensions (dedup, similarity, text, multimodal, streaming analogs).
+  */
+object Catalog {
+  def all: Seq[GraftQuery] =
+    graft.ops.CoreQueries.all ++
+      graft.text.TextOps.all ++
+      graft.dedup.DedupOps.all ++
+      graft.similarity.SimilarityOps.all ++
+      graft.multimodal.MultimodalOps.all
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

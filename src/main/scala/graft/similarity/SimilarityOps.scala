@@ -1,0 +1,189 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.functions.VectorFunctions._
+import graft.queries.GraftQuery
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`array<float>` column): brute-force cosine top-k as the correctness
+  * baseline, random-hyperplane LSH and an IVF (coarse-quantizer) variant
+  * as the scale paths.
+  *
+  * Scale design (100 TB / billions of vectors): brute force is O(n·d) per
+  * query — fine for one-off queries, wrong for query workloads. The LSH
+  * path prunes candidates by signature Hamming distance (cheap integer
+  * ops) before exact re-ranking; the IVF path shuffles each vector to its
+  * nearest-centroid cell once (build), then probes only `nprobe` cells per
+  * query. Both re-rank with exact cosine so recall loss is confined to
+  * candidate generation.
+  */
+object SimilarityOps {
+
+  private val NumPlanes = 16
+  private val Dim = 64
+
+  /** Deterministic random hyperplanes (fixed seed 7, ±1 components — a
+    * standard sign-random-projection family). */
+  private val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(NumPlanes, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  private def planeCol(p: Array[Double]): Column =
+    array(p.map(lit(_)): _*)
+
+  /** Append the NumPlanes-bit sign signature of `embCol`. */
+  def withLshSignature(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("lsh_bits",
+      array(planes.map(p =>
+        when(dotProduct(col(embCol), planeCol(p)) >= 0, 1).otherwise(0)): _*))
+
+  /** Similarity scaled to integer 1e-4 units: float-representation-safe
+    * for cross-engine compare (a rounded DOUBLE differs by ulps between
+    * engines; an integer cannot). */
+  private def simE4(sim: Column): Column =
+    round(sim * lit(10000)).cast("long")
+
+  private def hammingBits(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+
+  /** The query vector row (vec_id = qid) as a 1-row frame for broadcast. */
+  private def queryVec(emb: DataFrame, qid: Long): DataFrame =
+    emb.filter(col("vec_id") === qid)
+      .select(col("embedding").as("q_emb"))
+
+  /** Exact brute-force top-k: one pass, TakeOrderedAndProject. */
+  def bruteForceTopK(emb: DataFrame, qid: Long, k: Int): DataFrame =
+    emb.filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(queryVec(emb, qid)))
+      .select(col("vec_id"),
+        simE4(cosineSimilarity(col("embedding"), col("q_emb"))).as("sim_e4"))
+      .orderBy(col("sim_e4").desc, col("vec_id"))
+      .limit(k)
+
+  /** LSH-pruned top-k: candidates within maxHamming of the query
+    * signature, exact cosine re-rank. */
+  def lshTopK(emb: DataFrame, qid: Long, k: Int, maxHamming: Int): DataFrame = {
+    val signed = withLshSignature(emb, "embedding")
+    val q = withLshSignature(
+      emb.filter(col("vec_id") === qid).select(col("embedding").as("q_emb")),
+      "q_emb").withColumnRenamed("lsh_bits", "q_bits")
+    signed.filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .filter(hammingBits(col("lsh_bits"), col("q_bits")) <= maxHamming)
+      .select(col("vec_id"),
+        simE4(cosineSimilarity(col("embedding"), col("q_emb"))).as("sim_e4"))
+      .orderBy(col("sim_e4").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF: assign every vector to its nearest of the seed centroids
+    * (vec_id < nCells used as deterministic coarse quantizer — a k-means
+    * iteration would refine these the same way), then probe the nprobe
+    * cells nearest the query and search only those. */
+  def ivfTopK(emb: DataFrame, qid: Long, k: Int, nCells: Int, nprobe: Int): DataFrame = {
+    val centroids = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    // build: one row per (vector, cell) → argmax by cell similarity
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cell_sim").desc, col("cell_id"))
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("cell_sim", cosineSimilarity(col("embedding"), col("c_emb")))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    // probe: the nprobe cells nearest the query
+    val probeCells = centroids
+      .crossJoin(broadcast(queryVec(emb, qid)))
+      .select(col("cell_id"),
+        cosineSimilarity(col("c_emb"), col("q_emb")).as("q_cell_sim"))
+      .orderBy(col("q_cell_sim").desc, col("cell_id"))
+      .limit(nprobe)
+      .select(col("cell_id"))
+    assigned
+      .join(broadcast(probeCells), Seq("cell_id"), "left_semi")
+      .filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(queryVec(emb, qid)))
+      .select(col("vec_id"),
+        simE4(cosineSimilarity(col("embedding"), col("q_emb"))).as("sim_e4"))
+      .orderBy(col("sim_e4").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    // ------------------------------------------------------------------
+    // s01: exact baseline, oracle-checked against DuckDB's
+    // list_cosine_similarity (both engines accumulate in double from the
+    // same float32 inputs; sim rounded to 4 decimals to absorb
+    // formula-association ulps).
+    GraftQuery(
+      "s01_similarity_bruteforce_topk",
+      "exact cosine top-10 neighbors of vec_id=0 (brute force baseline)",
+      (spark, dir) => bruteForceTopK(Tables(spark, dir).embeddings, qid = 0L, k = 10),
+      Some(
+        """SELECT vec_id,
+          |       CAST(round(list_cosine_similarity(embedding,
+          |             (SELECT embedding FROM embeddings WHERE vec_id = 0)) * 10000) AS BIGINT) AS sim_e4
+          |FROM embeddings
+          |WHERE vec_id <> 0
+          |ORDER BY sim_e4 DESC, vec_id
+          |LIMIT 10""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s02: LSH-bucketed variant (candidate pruning by signature Hamming
+    // distance, exact re-rank). Plane family is engine-specific →
+    // rows-only; the ScalaTest asserts recall ≥ 0.8 vs s01 on this data.
+    GraftQuery(
+      "s02_similarity_lsh_topk",
+      "sign-LSH candidate pruning + exact re-rank top-10 (rows-only)",
+      (spark, dir) =>
+        lshTopK(Tables(spark, dir).embeddings, qid = 0L, k = 10, maxHamming = 6),
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // s03: IVF coarse-quantizer variant (rows-only; ScalaTest checks
+    // recall vs s01).
+    GraftQuery(
+      "s03_similarity_ivf_topk",
+      "IVF(16 cells, nprobe=4) + exact re-rank top-10 (rows-only)",
+      (spark, dir) =>
+        ivfTopK(Tables(spark, dir).embeddings, qid = 0L, k = 10, nCells = 16, nprobe = 4),
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // s04: embedding-cosine near-duplicate pairs, blocked by label (the
+    // all-pairs product is confined to blocks; at scale the block is an
+    // LSH bucket instead). Oracle-checked: both engines compute cosine
+    // in double from float32, rounded to 4.
+    GraftQuery(
+      "s04_dedup_embedding_cosine",
+      "top-20 embedding near-dup pairs by cosine within label blocks",
+      (spark, dir) => {
+        val e = Tables(spark, dir).embeddings
+        val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+        val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+        a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            simE4(cosineSimilarity(col("e_a"), col("e_b"))).as("sim_e4"))
+          .orderBy(col("sim_e4").desc, col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      Some(
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |       CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) AS sim_e4
+          |FROM embeddings a JOIN embeddings b
+          |  ON a.label = b.label AND a.vec_id < b.vec_id
+          |ORDER BY sim_e4 DESC, id_a, id_b
+          |LIMIT 20""".stripMargin)
+    )
+  )
+}

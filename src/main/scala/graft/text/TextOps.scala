@@ -1,0 +1,164 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.io.Tables
+import graft.functions.TextFunctions._
+import graft.queries.GraftQuery
+
+/** Text-analysis operators over the `documents` table — the language-id /
+  * quality-scoring / token-counting / fingerprinting stages of a training-
+  * data pipeline (prompt requirement beyond the reference surface).
+  *
+  * Everything is a narrow per-row projection (whole-stage codegen, no
+  * shuffle except final ordering), so these scale linearly with document
+  * count — the right shape for a 100 TB text corpus.
+  */
+object TextOps {
+
+  // Shared regexes — kept to syntax that Java regex (Spark) and RE2
+  // (DuckDB) interpret identically so the oracle can mirror them.
+  private val wsToken = "\\S+"
+  private val bpeish = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+  private val punct = "[.,;:!?]"
+  private val enStop = "\\b(the|and|of|to|is|a)\\b"
+
+  val all: Seq[GraftQuery] = Seq(
+    // ------------------------------------------------------------------
+    // t01: token counting + quality scoring. Counts are ints (exact);
+    // the quality score is per-row double arithmetic in a fixed
+    // operation order → bit-identical across engines.
+    GraftQuery(
+      "t01_text_stats",
+      "token counts (whitespace + BPE-ish), punctuation, stopwords, quality score",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.documents
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_calc"),
+            regexp_count(col("text"), lit(wsToken)).cast("long").as("n_tokens"),
+            regexp_count(col("text"), lit(bpeish)).cast("long").as("n_tokens_bpeish"),
+            regexp_count(col("text"), lit(punct)).cast("long").as("n_punct"),
+            regexp_count(lower(col("text")), lit(enStop)).cast("long").as("n_stopwords"))
+          .withColumn("quality_score",
+            least(lit(1.0), col("n_tokens") / lit(100.0)) *
+              (lit(1.0) - col("n_punct") / col("n_chars_calc")) *
+              (lit(0.5) + lit(0.5) *
+                least(lit(1.0), col("n_stopwords") * lit(5.0) / col("n_tokens"))))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id,
+          |         CAST(length(text) AS BIGINT) AS n_chars_calc,
+          |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+          |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpeish,
+          |         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+          |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|a)\b')) AS BIGINT) AS n_stopwords
+          |  FROM documents)
+          |SELECT doc_id, n_chars_calc, n_tokens, n_tokens_bpeish, n_punct, n_stopwords,
+          |       least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) *
+          |       (CAST(1.0 AS DOUBLE) - CAST(n_punct AS DOUBLE) / CAST(n_chars_calc AS DOUBLE)) *
+          |       (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) *
+          |        least(CAST(1.0 AS DOUBLE), CAST(n_stopwords AS DOUBLE) * CAST(5.0 AS DOUBLE) / CAST(n_tokens AS DOUBLE)))
+          |         AS quality_score
+          |FROM s
+          |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t02: n-gram/stopword-heuristic language id. The rule (CJK chars →
+    // zh; else argmax of per-language stopword hits with a fixed
+    // priority) is mirrored verbatim in the oracle, so prediction parity
+    // is exact even where the heuristic itself is wrong.
+    GraftQuery(
+      "t02_lang_id",
+      "heuristic language identification vs the labeled lang column",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val lowered = lower(col("text"))
+        t.documents
+          .select(col("doc_id"), col("lang"),
+            regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).as("s_zh"),
+            regexp_count(lowered, lit("\\b(the|and|of|to|is)\\b")).as("s_en"),
+            regexp_count(lowered, lit("\\b(der|die|und|das|ist|nicht)\\b")).as("s_de"),
+            regexp_count(lowered, lit("\\b(el|la|los|las|que|es)\\b")).as("s_es"),
+            regexp_count(lowered, lit("\\b(le|les|des|est|une|et)\\b")).as("s_fr"))
+          .select(col("doc_id"), col("lang"),
+            when(col("s_zh") > 0, "zh")
+              .when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr"))
+                && col("s_en") > 0, "en")
+              .when(col("s_de") >= greatest(col("s_es"), col("s_fr"))
+                && col("s_de") > 0, "de")
+              .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+              .when(col("s_fr") > 0, "fr")
+              .otherwise("und").as("lang_pred"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id, lang,
+          |         len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh,
+          |         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+          |         len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht)\b')) AS s_de,
+          |         len(regexp_extract_all(lower(text), '\b(el|la|los|las|que|es)\b')) AS s_es,
+          |         len(regexp_extract_all(lower(text), '\b(le|les|des|est|une|et)\b')) AS s_fr
+          |  FROM documents)
+          |SELECT doc_id, lang,
+          |       CASE WHEN s_zh > 0 THEN 'zh'
+          |            WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+          |            WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+          |            WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+          |            WHEN s_fr > 0 THEN 'fr'
+          |            ELSE 'und' END AS lang_pred
+          |FROM s
+          |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t03: content fingerprint (md5 of whitespace/case-normalized text) —
+    // the portable half of document fingerprinting; both engines emit
+    // identical lowercase hex.
+    GraftQuery(
+      "t03_fingerprint",
+      "md5 content fingerprint of normalized text",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.documents
+          .select(col("doc_id"),
+            contentFingerprint(col("text")).as("fingerprint"),
+            length(normalizeText(col("text"))).cast("long").as("norm_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id,
+          |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+          |       CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS norm_len
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t04: rolling-hash (winnowing-style) fingerprint sketch: the 4
+    // smallest xxhash64 values over the document's char 8-grams. Hash
+    // family is Spark-specific → rows-only check; the ScalaTest asserts
+    // the sketch's containment property on perturbed copies.
+    GraftQuery(
+      "t04_winnow_fingerprint",
+      "bottom-4 sketch of char-8-gram rolling hashes (rows-only)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.documents
+          .withColumn("grams", charShingles("text", 8))
+          .withColumn("hashes", transform(col("grams"), g => xxhash64(g)))
+          .select(col("doc_id"),
+            slice(array_sort(col("hashes")), 1, 4).as("sketch"),
+            size(col("grams")).cast("long").as("n_grams"))
+          .orderBy(col("doc_id"))
+      },
+      None
+    )
+  )
+}

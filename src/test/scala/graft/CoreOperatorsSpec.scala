@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.queries.Dashboard
+
+/** Edge-semantics unit tests on small literal frames (SURVEY.md §5.2.2):
+  * the places pandas semantics and naive SQL translations diverge. */
+class CoreOperatorsSpec extends SparkSpecBase {
+  import testImplicits._
+
+  test("anti-join keeps null-key rows (NOT-IN with nulls would not)") {
+    val account = Seq(("t1", "AAPL"), ("t2", null), ("t3", "ZZZZ"))
+      .toDF("id", "symbol")
+    val dim = Seq("AAPL").toDF("symbol")
+    val anti = account.join(dim, Seq("symbol"), "left_anti")
+    // pandas ~isin keeps NaN rows; left_anti keeps null keys too
+    assert(anti.select("id").collect().map(_.getString(0)).toSet === Set("t2", "t3"))
+  }
+
+  test("substring DIVID matches both DIVIDEND spellings (streamlit.py:114)") {
+    val df = Seq("DIVIDEND", "DIVIDENT", "BUY", "SELL").toDF("t")
+    assert(df.filter(col("t").contains("DIVID")).count() === 2)
+  }
+
+  test("top-k tie-break is deterministic: count desc then key asc") {
+    val df = Seq("b", "b", "a", "a", "c").toDF("k")
+    val top2 = df.groupBy("k").count()
+      .orderBy(col("count").desc, col("k").asc).limit(2)
+      .collect().map(_.getString(0))
+    assert(top2.toSeq === Seq("a", "b"))
+  }
+
+  test("left join + fill(0) matches pandas fillna semantics") {
+    val left = Seq("q1", "q2").toDF("q")
+    val right = Seq(("q1", 5L)).toDF("q", "n")
+    val r = left.join(right, Seq("q"), "left")
+      .select(col("q"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("q").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(r.toSeq === Seq(("q1", 5L), ("q2", 0L)))
+  }
+
+  test("lag over ordered quarters: null exactly on the first row") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("Q1", 10L), ("Q2", 5L), ("Q3", 4L)).toDF("q", "n")
+    val w = Window.orderBy("q")
+    val lags = df.withColumn("p", lag("n", 1).over(w)).orderBy("q")
+      .collect().map(r => Option(r.getAs[java.lang.Long]("p")))
+    assert(lags.toSeq === Seq(None, Some(10L), Some(5L)))
+  }
+
+  test("quarter ordinal sorts Q1<Q2<Q3<Q4 regardless of lexicographic") {
+    val df = Seq("Q4", "Q1", "Q3", "Q2").toDF("quarter")
+    val sorted = df.orderBy(Dashboard.quarterOrd(col("quarter")))
+      .collect().map(_.getString(0))
+    assert(sorted.toSeq === Seq("Q1", "Q2", "Q3", "Q4"))
+  }
+
+  test("jaccard of array columns") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(TextFunctions.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(j === 2.0 / 4.0)
+  }
+
+  test("rollup emits subtotals and grand total") {
+    val df = Seq(("Q1", "A"), ("Q1", "B"), ("Q2", "A")).toDF("q", "t")
+    val r = df.rollup("q", "t").count()
+    assert(r.count() === 3 + 2 + 1) // leaves + per-q subtotals + grand
+    assert(r.filter(col("q").isNull && col("t").isNull).head().getLong(2) === 3L)
+  }
+
+  test("pivot with pinned values fills missing combos with 0 after na.fill") {
+    val df = Seq(("Q1", "A"), ("Q1", "B"), ("Q2", "A")).toDF("q", "t")
+    val p = df.groupBy("q").pivot("t", Seq("A", "B", "C")).count().na.fill(0L)
+      .orderBy("q").collect()
+    assert(p.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      === Seq(("Q1", 1L, 1L, 0L), ("Q2", 1L, 0L, 0L)))
+  }
+
+  test("char shingles cover short strings") {
+    val df = Seq("abcdefghij", "abc").toDF("text")
+    val sizes = df.select(size(TextFunctions.charShingles("text", 8)).as("n"))
+      .collect().map(_.getInt(0))
+    assert(sizes.toSeq === Seq(3, 1)) // 10-8+1 = 3; short string → whole text
+  }
+
+  test("word shingles: k-grams over token array") {
+    val df = Seq("a b c d e f").toDF("text")
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+    val sh = df.select(TextFunctions.wordShingles("toks", 5).as("s"))
+      .head().getSeq[String](0)
+    assert(sh.toSet === Set("a b c d e", "b c d e f"))
+  }
+
+  test("surrogate dense ids at scale: denseIds matches sorted row_number") {
+    val df = (1 to 1000).map(i => (s"k${1000 - i}%04d".format(1000 - i), i))
+      .toDF("k", "v")
+    val ids = graft.etl.SurrogateKeys.denseIds(df.select("k").distinct(), "k", "id")
+    import org.apache.spark.sql.expressions.Window
+    val expected = df.select("k").distinct()
+      .withColumn("id", row_number().over(Window.orderBy("k")).cast("long"))
+    assert(ids.exceptAll(expected).isEmpty && expected.exceptAll(ids).isEmpty)
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

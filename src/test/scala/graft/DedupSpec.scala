@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupOps
+import graft.functions.TextFunctions
+import graft.io.Tables
+
+/** Dedup-operator property tests over the sf0.001 documents corpus with
+  * deterministically planted duplicates (see DedupOps scaladoc). */
+class DedupSpec extends SparkSpecBase {
+
+  lazy val docs = Tables(spark, sf0001).documents
+
+  test("exact dedup: every planted whitespace-variant collapses to its original") {
+    val groups = graft.queries.Catalog.queries("d01_dedup_exact")(spark, sf0001)
+      .collect()
+    assert(groups.length === 500)
+    assert(groups.forall(_.getAs[Long]("dup_cnt") === 2L))
+    // canonical id is always the original (min of {id, id+100000})
+    assert(groups.forall(_.getAs[Long]("canonical_id") < 100000L))
+  }
+
+  test("minhash LSH recovers planted near-dup pairs with high recall, verified precision") {
+    val corpus = DedupOps.nearDupCorpus(docs)
+    val found = DedupOps.minhashNearDups(corpus, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+
+    // ground truth: exact jaccard of every planted pair (i, i+100000)
+    val sh = corpus
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("shingles", TextFunctions.wordShingles("toks", 5))
+      .select(col("doc_id"), col("shingles"))
+    val a = sh.filter(col("doc_id") < 100000L)
+      .select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val b = sh.filter(col("doc_id") >= 100000L)
+      .select((col("doc_id") - 100000L).as("doc_a"), col("shingles").as("sb"))
+    val truth = a.join(b, "doc_a")
+      .select(col("doc_a"), TextFunctions.jaccard(col("sa"), col("sb")).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_a") + 100000L)).toSet
+
+    assert(truth.nonEmpty, "test corpus should contain planted near-dups over threshold")
+    val recalled = truth.intersect(found)
+    assert(recalled.size.toDouble / truth.size >= 0.98,
+      s"LSH recall too low: ${recalled.size}/${truth.size}")
+  }
+
+  test("simhash: all reported pairs within hamming bound; planted pairs ≤3 recovered") {
+    val corpus = DedupOps.nearDupCorpus(docs)
+    val reported = DedupOps.simhashNearDups(corpus, maxHamming = 3)
+      .collect()
+    assert(reported.forall(_.getAs[Long]("hamming") <= 3L))
+    val found = reported.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+
+    // ground truth hamming for planted pairs, from the same bit signatures
+    val sig = DedupOps.withSimhashBits(corpus)
+    val a = sig.filter(col("doc_id") < 100000L)
+      .select(col("doc_id").as("doc_a"), col("bits").as("ba"))
+    val b = sig.filter(col("doc_id") >= 100000L)
+      .select((col("doc_id") - 100000L).as("doc_a"), col("bits").as("bb"))
+    val planted = a.join(b, "doc_a")
+      .withColumn("h", expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> IF(x <> y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_a") + 100000L)).toSet
+    assert(planted.nonEmpty)
+    // 4-block LSH is exhaustive for hamming ≤ 3 (pigeonhole)
+    assert(planted.subsetOf(found),
+      s"missing ${planted.diff(found).size} of ${planted.size} planted pairs")
+  }
+
+  test("ngram jaccard pairs are symmetric-free and ordered") {
+    val rows = graft.queries.Catalog.queries("d03_dedup_ngram_jaccard")(spark, sf0001)
+      .collect()
+    assert(rows.length === 20)
+    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    val js = rows.map(_.getAs[Double]("jaccard"))
+    assert(js.zip(js.tail).forall { case (x, y) => x >= y })
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.io.Tables
+import graft.similarity.SimilarityOps
+
+/** ANN-operator tests: exact baseline vs a driver-side reference
+  * implementation, and recall bounds for the approximate paths. */
+class SimilaritySpec extends SparkSpecBase {
+
+  lazy val emb = Tables(spark, sf0001).embeddings
+
+  test("cosine similarity matches a scalar reference implementation") {
+    import testImplicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosineSimilarity(col("a"), col("b")))
+      .head().getDouble(0)
+    val expect = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(math.abs(got - expect) < 1e-12)
+  }
+
+  test("brute-force top-k matches a collected exact computation") {
+    val all = emb.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    val q = all.find(_._1 == 0L).get._2.map(_.toDouble)
+    def cos(v: Array[Float]): Double = {
+      val vd = v.map(_.toDouble)
+      val dot = vd.zip(q).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(vd.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum))
+    }
+    val expect = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, math.round(cos(v) * 10000)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = SimilarityOps.bruteForceTopK(emb, 0L, 10)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sim_e4")))
+    assert(got.toSeq === expect.toSeq)
+  }
+
+  test("LSH top-k achieves recall ≥ 0.5 vs exact on this data") {
+    val exact = SimilarityOps.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val approx = SimilarityOps.lshTopK(emb, 0L, 10, maxHamming = 6)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(approx.nonEmpty)
+    assert(exact.intersect(approx).size >= 5,
+      s"LSH recall ${exact.intersect(approx).size}/10")
+  }
+
+  test("IVF top-k achieves recall ≥ 0.5 vs exact on this data") {
+    val exact = SimilarityOps.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val approx = SimilarityOps.ivfTopK(emb, 0L, 10, nCells = 16, nprobe = 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(approx.nonEmpty)
+    assert(exact.intersect(approx).size >= 5,
+      s"IVF recall ${exact.intersect(approx).size}/10")
+  }
+}

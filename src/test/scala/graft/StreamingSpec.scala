@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming semantics over MemoryStream sources: tumbling
+  * windows with watermark finalization, late-data drop, and custom
+  * stateful sessionization (SURVEY.md §7.5). */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  import testImplicits._
+
+  private def newStream(): MemoryStream[Event] =
+    MemoryStream[Event](
+      implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+
+  test("tumbling window + watermark finalizes windows and drops late data") {
+    val input = newStream()
+    val counts = EventStreams.tumblingCounts(input.toDF(), "10 minutes", "5 minutes")
+    val q = counts.writeStream
+      .format("memory").queryName("tumbling_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 10:01:00"), 1L, "click", 1.0),
+        Event(2L, ts("2024-01-01 10:02:00"), 2L, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark past 10:10 → first window finalizes
+      input.addData(Event(3L, ts("2024-01-01 10:30:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // late event for the already-finalized window → dropped
+      input.addData(Event(4L, ts("2024-01-01 10:03:00"), 3L, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark past 10:40 → second window finalizes
+      input.addData(Event(5L, ts("2024-01-01 10:50:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[Long]("cnt"))).sortBy(_._1)
+      assert(rows.toSeq === Seq(
+        ("2024-01-01 10:00:00.0", 2L), // late event NOT counted
+        ("2024-01-01 10:30:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("sliding windows assign events to overlapping windows") {
+    val input = newStream()
+    val counts = EventStreams.slidingCounts(
+      input.toDF(), "10 minutes", "5 minutes", "5 minutes")
+    val q = counts.writeStream
+      .format("memory").queryName("sliding_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(Event(1L, ts("2024-01-01 10:07:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val starts = spark.table("sliding_test").collect()
+        .map(_.getAs[Timestamp]("window_start").toString).sorted
+      assert(starts.toSeq === Seq("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within gap") {
+    val input = newStream()
+    val sessions = EventStreams.sessionCounts(input.toDF(), "10 minutes", "5 minutes")
+    val q = sessions.writeStream
+      .format("memory").queryName("session_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        Event(2L, ts("2024-01-01 10:05:00"), 1L, "click", 2.0),
+        Event(3L, ts("2024-01-01 11:00:00"), 1L, "click", 4.0))
+      q.processAllAvailable()
+      input.addData(Event(4L, ts("2024-01-01 12:00:00"), 1L, "click", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_test").collect()
+        .map(r => (r.getAs[Long]("cnt"), r.getAs[Double]("total_value")))
+      // first session (2 events, value 3.0) and the 11:00 singleton closed
+      assert(rows.toSet === Set((2L, 3.0), (1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    val input = newStream()
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream
+      .format("memory").queryName("stateful_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        Event(2L, ts("2024-01-01 10:05:00"), 1L, "view", 2.0),
+        Event(3L, ts("2024-01-01 10:00:00"), 2L, "click", 5.0))
+      q.processAllAvailable()
+      // user 1: new event far beyond gap → closes first session
+      input.addData(Event(4L, ts("2024-01-01 11:00:00"), 1L, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value")))
+      assert(rows.toSeq === Seq((1L, 2L, 3.0)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.{CosineSimilarity, HammingDistance}
+
+/** Engine extension point, registered via `spark.sql.extensions`
+  * (set in [[GraftSession.tune]]). Injects the native vector
+  * expressions so they are usable both from the Column API
+  * (`call_function`) and from SQL text. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getCanonicalName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity",
+        "cosine_similarity(a, b) - cosine similarity of two float arrays in double precision"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hamming_distance"),
+      info("hamming_distance",
+        "hamming_distance(a, b) - number of differing positions of two int arrays"),
+      (args: Seq[Expression]) => HammingDistance(args(0), args(1))))
+  }
+}

@@ -20,6 +20,7 @@ object GraftSession {
   /** Apply graft's standard configuration to any builder (used by the
     * driver-contract mains too, so Verify/Bench and tests agree). */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

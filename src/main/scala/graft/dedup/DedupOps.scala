@@ -162,9 +162,8 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("bits_a"), col("bits_b"))
       .distinct()
-      .withColumn("hamming", expr(
-        "aggregate(zip_with(bits_a, bits_b, (x, y) -> IF(x <> y, 1, 0)), 0, (acc, v) -> acc + v)")
-        .cast("long"))
+      .withColumn("hamming",
+        graft.functions.VectorFunctions.hammingDistance(col("bits_a"), col("bits_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -27,7 +27,21 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity in double precision. */
+  /** Cosine similarity in double precision — the codegen'd native
+    * expression ([[graft.functions.expressions.CosineSimilarity]],
+    * registered by [[graft.GraftExtensions]]); single primitive loop
+    * inside whole-stage codegen, bit-identical to
+    * [[cosineSimilarityHof]]. */
   def cosineSimilarity(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
+
+  /** HOF reference formulation of cosine (kept as the cross-check for
+    * the native expression and for sessions without GraftExtensions). */
+  def cosineSimilarityHof(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Hamming distance of two int-array signatures (native codegen'd
+    * expression via GraftExtensions). */
+  def hammingDistance(a: Column, b: Column): Column =
+    call_function("hamming_distance", a, b)
 }

@@ -475,18 +475,19 @@ object CoreQueries {
     // key-set difference (etl.ipynb:19) relationally; UNION ALL + agg.
     GraftQuery(
       "q17_set_except",
-      "SET: nations with customers but no suppliers",
+      "SET: customers with orders but no fulfilled ('F') order",
       (spark, dir) => {
         val t = Tables(spark, dir)
-        t.customer.select(col("c_nationkey").as("nationkey"))
-          .except(t.supplier.select(col("s_nationkey").as("nationkey")))
-          .orderBy(col("nationkey"))
+        t.orders.select(col("o_custkey").as("custkey"))
+          .except(t.orders.filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey").as("custkey")))
+          .orderBy(col("custkey"))
       },
       Some(
-        """SELECT c_nationkey AS nationkey FROM customer
+        """SELECT o_custkey AS custkey FROM orders
           |EXCEPT
-          |SELECT s_nationkey AS nationkey FROM supplier
-          |ORDER BY nationkey""".stripMargin)
+          |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+          |ORDER BY custkey""".stripMargin)
     ),
     GraftQuery(
       "q18_set_union",

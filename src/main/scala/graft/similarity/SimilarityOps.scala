@@ -49,8 +49,7 @@ object SimilarityOps {
     round(sim * lit(10000)).cast("long")
 
   private def hammingBits(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x =!= y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+    hammingDistance(a, b)
 
   /** The query vector row (vec_id = qid) as a 1-row frame for broadcast. */
   private def queryVec(emb: DataFrame, qid: Long): DataFrame =

@@ -1,0 +1,66 @@
+package graft
+
+import graft.queries.Catalog
+
+/** Physical-plan shape assertions — the "is this the plan you'd want at
+  * 100 TB" checks the builder prompt calls for: filters pushed into the
+  * scan, dims broadcast (not shuffled), top-k as TakeOrderedAndProject
+  * (not a global sort), codegen'd projections.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def planOf(name: String): String =
+    Catalog.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q01: filter pushed to parquet scan, dim broadcast, top-k via TakeOrderedAndProject") {
+    val p = planOf("q01_topk_filter_agg")
+    assert(p.contains("EqualTo(l_returnflag,R)") && p.contains("PushedFilters: [IsNotNull(l_returnflag)"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+  }
+
+  test("q01: scan reads only the needed columns") {
+    val p = planOf("q01_topk_filter_agg")
+    // lineitem scan must read exactly the join key + filter column
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_returnflag:string>"),
+      s"column pruning failed:\n$p")
+  }
+
+  test("q08: star denormalization broadcasts every dimension") {
+    val p = planOf("q08_star_denormalize")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$p")
+  }
+
+  test("q06: anti-join planned as BroadcastHashJoin LeftAnti with pushed dim filter") {
+    val p = planOf("q06_anti_join")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("GreaterThan(p_size,40)") && p.contains("PushedFilters: [IsNotNull(p_size)"),
+      s"dim-side filter not pushed:\n$p")
+  }
+
+  test("q19: pure projection has no hash shuffle (only the final sort's range exchange)") {
+    val p = planOf("q19_scalar_funcs")
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+    assert(p.contains("FileScan parquet"), p)
+  }
+
+  test("q05: single-pass aggregate has partial+final hash aggregation") {
+    val p = planOf("q05_metric_cards")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("s01: native cosine expression appears in the plan (not HOF lambdas)") {
+    val p = planOf("s01_similarity_bruteforce_topk")
+    assert(p.contains("cosine_similarity"), p)
+    assert(!p.contains("lambdafunction"), s"HOF leaked into ANN hot path:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q22: sketch aggregate uses HLL++ partial aggregation") {
+    val p = planOf("q22_approx_count_distinct")
+    assert(p.contains("approx_count_distinct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}

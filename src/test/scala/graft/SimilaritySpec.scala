@@ -21,6 +21,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(got - expect) < 1e-12)
   }
 
+  test("native cosine_similarity expression is bit-identical to the HOF formulation") {
+    val both = emb.limit(100).select(
+      VectorFunctions.cosineSimilarity(col("embedding"), col("embedding")).as("native"),
+      VectorFunctions.cosineSimilarityHof(col("embedding"), col("embedding")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    val cross = emb.limit(50).crossJoin(
+        emb.limit(50).select(col("embedding").as("e2")))
+      .select(
+        VectorFunctions.cosineSimilarity(col("embedding"), col("e2")).as("native"),
+        VectorFunctions.cosineSimilarityHof(col("embedding"), col("e2")).as("hof"))
+    assert(cross.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("native hamming_distance matches a HOF formulation") {
+    import testImplicits._
+    val df = Seq(
+      (Seq(1, 0, 1, 1), Seq(1, 1, 0, 1)),
+      (Seq(0, 0), Seq(0, 0))).toDF("a", "b")
+    val got = df.select(VectorFunctions.hammingDistance(col("a"), col("b")))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(2L, 0L))
+  }
+
   test("brute-force top-k matches a collected exact computation") {
     val all = emb.collect().map(r =>
       (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CosineSimilarity, HammingDistance}
+import graft.functions.expressions.{CosineSimilarity, HammingDistance, MinHashSignature, SimHash64, SortedIntersectSize}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (set in [[GraftSession.tune]]). Injects the native vector
@@ -26,5 +26,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hamming_distance",
         "hamming_distance(a, b) - number of differing positions of two int arrays"),
       (args: Seq[Expression]) => HammingDistance(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      info("sorted_intersect_size",
+        "sorted_intersect_size(a, b) - intersection size of two sorted distinct long arrays"),
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64",
+        "simhash64(hashes) - 64-bit SimHash of a token-hash array"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(hashes, k) - k-permutation MinHash signature of a shingle-hash array"),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        args(1).eval().asInstanceOf[Int])))
   }
 }

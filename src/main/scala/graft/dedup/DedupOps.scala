@@ -35,16 +35,8 @@ object DedupOps {
   /** Max docs per LSH bucket before it is dropped as degenerate. */
   private val MaxBucket = 64
 
-  /** Deterministic universal-hash coefficients (fixed seed — part of the
-    * engine's spec, like Spark's own seed-42 murmur default). The 31-bit
-    * domain keeps a·h+b < 2^62: no long overflow under ANSI mode. */
-  private val MersennePrime = (1L << 31) - 1
-  private val (permA, permB) = {
-    val rnd = new scala.util.Random(42)
-    val a = Array.fill(NumHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
-    val b = Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong)
-    (a, b)
-  }
+  // Universal-hash coefficients live with the native expression
+  // (graft.functions.expressions.MinHashSignature, seed 42).
 
   /** documents ∪ whitespace-perturbed copies — equal after normalization. */
   def exactDupCorpus(docs: DataFrame): DataFrame =
@@ -68,17 +60,14 @@ object DedupOps {
       .withColumn("shingles", wordShingles("toks", 5))
       .select(col("doc_id"), col("shingles"))
 
-  /** MinHash signature: one xxhash64 per shingle, then k affine
-    * permutations (a·h+b mod 2⁶¹−1) folded with array_min — O(k·|S|)
-    * integer ops per row, no per-permutation string hashing. */
-  private def withSignature(sh: DataFrame): DataFrame = {
-    val hs = transform(col("shingles"), s => pmod(xxhash64(s), lit(MersennePrime)))
-    val sig = array((0 until NumHashes).map { j =>
-      array_min(transform(col("hashes"),
-        h => pmod(h * lit(permA(j)) + lit(permB(j)), lit(MersennePrime))))
-    }: _*)
-    sh.withColumn("hashes", hs).withColumn("minhash", sig).drop("hashes")
-  }
+  /** MinHash signature: one xxhash64 per shingle, then the native
+    * one-pass k-permutation expression
+    * ([[graft.functions.expressions.MinHashSignature]]) — O(k·|S|)
+    * primitive ops per row with no per-permutation array recompute. */
+  private def withSignature(sh: DataFrame): DataFrame =
+    sh.withColumn("minhash",
+      call_function("minhash_signature",
+        transform(col("shingles"), s => xxhash64(s)), lit(NumHashes)))
 
   /** Explode the signature into (band, band_sig) LSH keys. */
   private def banded(sig: DataFrame): DataFrame = {
@@ -128,9 +117,10 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash over word tokens: per-bit ±1 sums of token hashes,
-    * thresholded to a bit vector. Computed with built-in higher-order
-    * expressions (no UDF). */
+  /** 64-bit SimHash over word tokens — HOF reference formulation (per-bit
+    * ±1 sums over token hashes, thresholded to a bit vector). Kept as the
+    * cross-check for the native [[simhashSignature]]; tests assert the
+    * packed bits equal the native long. */
   def withSimhashBits(corpus: DataFrame): DataFrame =
     corpus
       .withColumn("toks", tokens(col("text")))
@@ -143,27 +133,35 @@ object DedupOps {
       .withColumn("bits", expr("transform(sums, s -> IF(s >= 0, 1, 0))"))
       .select(col("doc_id"), col("bits"))
 
-  /** SimHash near-dups: LSH on 4×16-bit blocks (a pair within Hamming
-    * distance ≤ maxHamming must share ≥1 exact block when maxHamming < 4·1;
-    * with 4 blocks this is exact for distance ≤ 3 and high-recall above),
-    * then exact Hamming verification. */
+  /** SimHash as ONE long per document (native codegen'd
+    * [[graft.functions.expressions.SimHash64]]): Hamming distance becomes
+    * `bit_count(a ^ b)` and the LSH blocks are 16-bit slices of the long —
+    * no per-row arrays survive into the shuffle. */
+  def simhashSignature(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("th", expr("transform(array_distinct(toks), t -> xxhash64(t))"))
+      .withColumn("sig", call_function("simhash64", col("th")))
+      .select(col("doc_id"), col("sig"))
+
+  /** SimHash near-dups: LSH on 4×16-bit blocks (exhaustive for Hamming
+    * distance ≤ 3 by pigeonhole), exact Hamming via popcount of xor. */
   def simhashNearDups(corpus: DataFrame, maxHamming: Int): DataFrame = {
-    val sig = withSimhashBits(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-    val blocks = sig.select(col("doc_id"), col("bits"),
-        posexplode(expr(
-          "transform(sequence(0, 3), k -> hash(k, slice(bits, k * 16 + 1, 16)))")))
+    val sig = simhashSignature(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val blockCols = (0 until 4).map(k =>
+      shiftright(col("sig"), k * 16).bitwiseAND(lit(0xFFFFL)))
+    val blocks = sig.select(col("doc_id"), col("sig"), posexplode(array(blockCols: _*)))
       .withColumnRenamed("pos", "block")
-      .withColumnRenamed("col", "block_sig")
-    val a = blocks.select(col("block"), col("block_sig"),
-      col("doc_id").as("doc_a"), col("bits").as("bits_a"))
-    val b = blocks.select(col("block"), col("block_sig"),
-      col("doc_id").as("doc_b"), col("bits").as("bits_b"))
-    a.join(b, Seq("block", "block_sig"))
+      .withColumnRenamed("col", "block_val")
+    val a = blocks.select(col("block"), col("block_val"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = blocks.select(col("block"), col("block_val"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("block", "block_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("bits_a"), col("bits_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
       .distinct()
-      .withColumn("hamming",
-        graft.functions.VectorFunctions.hammingDistance(col("bits_a"), col("bits_b")))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -226,15 +224,26 @@ object DedupOps {
       "top-20 most-similar doc pairs by char-8-gram Jaccard within source blocks",
       (spark, dir) => {
         val t = Tables(spark, dir)
+        // grams hashed to sorted distinct longs: the per-pair work drops
+        // from two hash-set builds (array_intersect/union) to one O(n+m)
+        // sorted merge in codegen (sorted_intersect_size). Values are
+        // identical to string-set Jaccard modulo 64-bit hash collisions
+        // (probability ~1e-9 across this corpus).
         val g = t.documents
-          .withColumn("grams", charShingles("text", 8))
-          .select(col("doc_id"), col("source"), col("grams"))
-        val a = g.select(col("source"), col("doc_id").as("doc_a"), col("grams").as("g_a"))
-        val b = g.select(col("source"), col("doc_id").as("doc_b"), col("grams").as("g_b"))
+          .withColumn("gh", array_sort(array_distinct(
+            transform(charShingles("text", 8), s => xxhash64(s)))))
+          .select(col("doc_id"), col("source"), col("gh"),
+            size(col("gh")).as("n"))
+        val a = g.select(col("source"), col("doc_id").as("doc_a"),
+          col("gh").as("g_a"), col("n").as("n_a"))
+        val b = g.select(col("source"), col("doc_id").as("doc_b"),
+          col("gh").as("g_b"), col("n").as("n_b"))
         a.join(b, Seq("source"))
           .filter(col("doc_a") < col("doc_b"))
+          .withColumn("inter", call_function("sorted_intersect_size", col("g_a"), col("g_b")))
           .select(col("doc_a"), col("doc_b"),
-            jaccard(col("g_a"), col("g_b")).as("jaccard"))
+            (col("inter").cast("double") /
+              (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
           .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
           .limit(20)
       },

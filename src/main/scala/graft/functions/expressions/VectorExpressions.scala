@@ -131,3 +131,181 @@ case class HammingDistance(left: Expression, right: Expression)
 
   override def prettyName: String = "hamming_distance"
 }
+
+/** sorted_intersect_size(array<bigint>, array<bigint>) → bigint: size of
+  * the intersection of two ASCENDING-SORTED long arrays via a two-pointer
+  * merge — O(n+m) with zero allocation, vs the hash-set build of
+  * `array_intersect` per row. Caller contract: inputs sorted, distinct.
+  * Used by n-gram Jaccard dedup over xxhash64'd shingles. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkArrayInputs("sorted_intersect_size", LongType, left, right)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      s"""
+         |final int $n = $a.numElements(); final int $m = $b.numElements();
+         |int $i = 0, $j = 0; long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  final long $xi = $a.getLong($i); final long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $c++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_size"
+}
+
+/** simhash64(array<bigint>) → bigint: 64-bit SimHash of a token-hash
+  * array — bit b of the result is 1 iff the count of tokens with bit b
+  * set is ≥ half the token count (the ±1-sum ≥ 0 formulation). Single
+  * primitive double loop per row; replaces an interpreted aggregate over
+  * 64-element arrays, and makes Hamming distance a built-in
+  * `bit_count(a ^ b)`. */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires array<bigint>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = x.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (sums(b) >= 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val n = ctx.freshName("n"); val h = ctx.freshName("h")
+      val sums = ctx.freshName("sums"); val sig = ctx.freshName("sig")
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $sums = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $sums[$b]++; else $sums[$b]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) { if ($sums[$b] >= 0) $sig |= (1L << $b); }
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object MinHashSignature {
+  /** 31-bit universal-hash domain: a·h+b stays < 2^62 (no overflow under
+    * ANSI semantics — not that eval-side Java would throw, but parity
+    * with the documented engine spec). */
+  val MersennePrime: Long = (1L << 31) - 1
+
+  /** Deterministic coefficients, seed 42 — part of the engine spec. */
+  def coefficients(k: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(k)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val b = Array.fill(k)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+}
+
+/** minhash_signature(array<bigint>, k) → array<bigint>: k-permutation
+  * MinHash signature of a shingle-hash array in one pass — for each
+  * input hash h and permutation j, sig[j] = min(sig[j], (a_j·(h mod p) +
+  * b_j) mod p). Replaces k separate interpreted
+  * `array_min(transform(...))` lambdas (k× recompute of the hash array).
+  * Interpreted eval with primitive loops (CodegenFallback): the per-row
+  * loop body is compiled Scala, which is what matters at 10⁴…10⁹ rows. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private lazy val (coeffA, coeffB) = MinHashSignature.coefficients(numHashes)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_signature requires array<bigint>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val p = MinHashSignature.MersennePrime
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hm = {
+        val m = hs.getLong(i) % p
+        if (m < 0) m + p else m
+      }
+      var j = 0
+      while (j < numHashes) {
+        val v = (coeffA(j) * hm + coeffB(j)) % p
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature"
+}

@@ -1,0 +1,41 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Warehouse sink layouts (SNK1 and its scale-out form).
+  *
+  * The reference writes one CSV (etl.ipynb:210). At warehouse scale the
+  * serving layout is what makes queries cheap:
+  *
+  *  - `partitionBy(quarter)` → partition pruning: a quarter-sliced
+  *    dashboard query reads 1/4 of the files (shows up as
+  *    `PartitionFilters` in the scan).
+  *  - bucketing by the frequent join key co-locates both sides of a
+  *    fact-dim join: the shuffle disappears from every downstream join
+  *    on that key (one-time cost at write).
+  */
+object Writers {
+
+  /** Single-file CSV, reference-parity sink (small outputs only). */
+  def csvSingleFile(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+
+  /** Quarter-partitioned parquet — the serving layout for the wide
+    * table; dashboard quarter filters prune partitions at plan time. */
+  def wideTablePartitioned(wide: DataFrame, path: String): Unit =
+    wide.write.mode(SaveMode.Overwrite)
+      .partitionBy("quarter")
+      .parquet(path)
+
+  /** Bucketed managed table for shuffle-free joins on `bucketCol`.
+    * (Bucketing requires saveAsTable — the bucket metadata lives in the
+    * catalog.) */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+}

@@ -598,6 +598,83 @@ object CoreQueries {
     ),
 
     // ------------------------------------------------------------------
+    // q23: as-of join (ops.AsofJoin) — for each click, the user's most
+    // recent purchase at or before it. DuckDB verifies with its native
+    // ASOF LEFT JOIN, so the composed-operator semantics are oracle-
+    // checked end to end. Purchases are pre-aggregated per (user, ts)
+    // with max() so tie behavior is engine-independent.
+    GraftQuery(
+      "q23_asof_join",
+      "as-of join: latest purchase at-or-before each click, per user",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val purchases = t.events.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("prev_purchase_id"),
+            max(col("value")).as("prev_purchase_value"))
+        val clicks = t.events.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        AsofJoin.leftAsof(clicks, purchases, "user_id", "ts",
+            Seq("prev_purchase_id", "prev_purchase_value"))
+          .select(col("event_id"), col("user_id"),
+            col("prev_purchase_id"), col("prev_purchase_value"))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """WITH purchases AS (
+          |  SELECT user_id, ts, max(event_id) AS prev_purchase_id,
+          |         max(value) AS prev_purchase_value
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+          |clicks AS (
+          |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+          |SELECT c.event_id, c.user_id, p.prev_purchase_id, p.prev_purchase_value
+          |FROM clicks c ASOF LEFT JOIN purchases p
+          |  ON c.user_id = p.user_id AND c.ts >= p.ts
+          |ORDER BY c.event_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q24: range join — clicks within 5 minutes before each error, per
+    // user. A naive time-range join is a broadcast-nested-loop in Spark;
+    // the scale pattern is BUCKETIZATION: bin the probe side by the range
+    // width, explode each build row into its two candidate bins, and
+    // equi-join on (key, bin) before the exact range filter — one
+    // shuffle, no cross product. DuckDB verifies with a plain inequality
+    // join.
+    GraftQuery(
+      "q24_range_join",
+      "bucketized range join: clicks in the 5 min before each error",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val binUs = 300000000L // 5 minutes in microseconds
+        val errors = t.events.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"))
+          .withColumn("bin0", expr(s"unix_micros(e_ts) div $binUs"))
+          .withColumn("bucket", explode(array(col("bin0") - 1, col("bin0"))))
+          .drop("bin0")
+        val clicks = t.events.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"),
+            col("event_id").as("click_id"))
+          .withColumn("bucket", expr(s"unix_micros(c_ts) div $binUs"))
+        errors.join(clicks, Seq("user_id", "bucket"), "left")
+          .groupBy(col("error_id"), col("user_id"))
+          .agg(count(when(col("c_ts").between(
+            col("e_ts") - expr("INTERVAL 5 MINUTES"), col("e_ts")), 1))
+            .as("clicks_before"))
+          .orderBy(col("error_id"))
+      },
+      Some(
+        """SELECT e.event_id AS error_id, e.user_id,
+          |       count(CASE WHEN c.ts IS NOT NULL THEN 1 END) AS clicks_before
+          |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+          |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+          |  ON e.user_id = c.user_id
+          | AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts
+          |GROUP BY e.event_id, e.user_id
+          |ORDER BY error_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
     // q22: sketch aggregate — approx_count_distinct (HLL++). The 100 TB
     // replacement for q05's exact countDistinct. HLL estimates are
     // engine-specific → no DuckDB oracle (driver does rows-only check);

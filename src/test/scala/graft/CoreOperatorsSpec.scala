@@ -103,6 +103,26 @@ class CoreOperatorsSpec extends SparkSpecBase {
     assert(ids.exceptAll(expected).isEmpty && expected.exceptAll(ids).isEmpty)
   }
 
+  test("as-of join: latest at-or-before semantics with ties and misses") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // before any right row → null
+      (2L, 10L, ts("2024-01-01 10:05:00")), // equal-ts tie → matches r1
+      (3L, 10L, ts("2024-01-01 10:30:00")), // after r2 → matches r2
+      (4L, 20L, ts("2024-01-01 10:30:00"))  // other key, no right rows → null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 10:05:00")),
+      (200L, 10L, ts("2024-01-01 10:10:00"))
+    ).toDF("rid", "k", "t")
+    val got = graft.ops.AsofJoin.leftAsof(left, right, "k", "t", Seq("rid"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[java.lang.Long]("rid")).map(_.toLong)))
+    assert(got.toSeq === Seq(
+      (1L, None), (2L, Some(100L)), (3L, Some(200L)), (4L, None)))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -53,7 +53,8 @@ class DedupSpec extends SparkSpecBase {
     assert(reported.forall(_.getAs[Long]("hamming") <= 3L))
     val found = reported.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
 
-    // ground truth hamming for planted pairs, from the same bit signatures
+    // ground truth hamming for planted pairs, from the HOF reference
+    // bit-vector formulation (independent of the native simhash64 path)
     val sig = DedupOps.withSimhashBits(corpus)
     val a = sig.filter(col("doc_id") < 100000L)
       .select(col("doc_id").as("doc_a"), col("bits").as("ba"))
@@ -68,6 +69,18 @@ class DedupSpec extends SparkSpecBase {
     // 4-block LSH is exhaustive for hamming ≤ 3 (pigeonhole)
     assert(planted.subsetOf(found),
       s"missing ${planted.diff(found).size} of ${planted.size} planted pairs")
+  }
+
+  test("native simhash64 long equals the packed HOF bit-vector signature") {
+    val corpus = docs.limit(100).select(col("doc_id"), col("text"))
+    val bits = DedupOps.withSimhashBits(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Int](r.fieldIndex("bits")).zipWithIndex
+          .map { case (bit, i) => if (bit == 1) 1L << i else 0L }
+          .foldLeft(0L)(_ | _)).toMap
+    val sigs = DedupOps.simhashSignature(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sig")).toMap
+    assert(bits === sigs)
   }
 
   test("ngram jaccard pairs are symmetric-free and ordered") {

@@ -10,6 +10,17 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up one-time JVM costs (codegen compiler, parquet reader,
+    // broadcast machinery, shuffle system) so they don't land on the
+    // alphabetically-first measured query.
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val pt = spark.read.parquet(s"$sfDir/part.parquet")
+      li.join(org.apache.spark.sql.functions.broadcast(pt),
+          li("l_partkey") === pt("p_partkey"))
+        .groupBy("l_returnflag").count()
+        .write.mode("overwrite").format("noop").save()
+    } catch { case _: Throwable => () }
     // noop sink forces full evaluation of every operator in the plan
     // (a bare count() would let Catalyst prune projections and sorts).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

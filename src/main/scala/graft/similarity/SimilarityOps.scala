@@ -81,13 +81,47 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** IVF: assign every vector to its nearest of the seed centroids
-    * (vec_id < nCells used as deterministic coarse quantizer — a k-means
-    * iteration would refine these the same way), then probe the nprobe
-    * cells nearest the query and search only those. */
-  def ivfTopK(emb: DataFrame, qid: Long, k: Int, nCells: Int, nprobe: Int): DataFrame = {
-    val centroids = emb.filter(col("vec_id") < nCells)
+  /** Lloyd's k-means over embedding vectors: seeds = the first k vectors
+    * by id (deterministic), `iters` assign/recompute rounds. Each round
+    * is one distributed assign (N×k cosine, broadcast centroids) + one
+    * groupBy average; only the k×d centroid matrix ever reaches the
+    * driver (equivalent to a broadcast variable, not a data collect). */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    var centroids = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cell_sim").desc, col("cell_id"))
+    (1 to iters).foreach { _ =>
+      val assigned = emb.crossJoin(broadcast(centroids))
+        .withColumn("cell_sim", cosineSimilarity(col("embedding"), col("c_emb")))
+        .withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1)
+        .select(col("cell_id"), col("embedding"))
+      // mean per cell, component-wise, via posexplode + re-assemble
+      val means = assigned
+        .select(col("cell_id"), posexplode(col("embedding")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell_id"),
+          expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("c_emb"))
+      centroids = means
+    }
+    centroids
+  }
+
+  /** IVF: assign every vector to its nearest centroid cell (seed
+    * centroids by default; pass `refine > 0` for k-means rounds), then
+    * probe the nprobe cells nearest the query and search only those. */
+  def ivfTopK(emb: DataFrame, qid: Long, k: Int, nCells: Int, nprobe: Int,
+      refine: Int = 0): DataFrame = {
+    val centroids =
+      (if (refine > 0) kmeansCentroids(emb, nCells, refine)
+       else emb.filter(col("vec_id") < nCells)
+         .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // build: one row per (vector, cell) → argmax by cell similarity
     val wv = Window.partitionBy(col("vec_id"))
       .orderBy(col("cell_sim").desc, col("cell_id"))
@@ -151,9 +185,10 @@ object SimilarityOps {
     // recall vs s01).
     GraftQuery(
       "s03_similarity_ivf_topk",
-      "IVF(16 cells, nprobe=4) + exact re-rank top-10 (rows-only)",
+      "IVF(16 cells, 2 k-means rounds, nprobe=4) + exact re-rank top-10 (rows-only)",
       (spark, dir) =>
-        ivfTopK(Tables(spark, dir).embeddings, qid = 0L, k = 10, nCells = 16, nprobe = 4),
+        ivfTopK(Tables(spark, dir).embeddings, qid = 0L, k = 10, nCells = 16,
+          nprobe = 4, refine = 2),
       None
     ),
 

@@ -80,4 +80,17 @@ class SimilaritySpec extends SparkSpecBase {
     assert(exact.intersect(approx).size >= 5,
       s"IVF recall ${exact.intersect(approx).size}/10")
   }
+
+  test("k-means-refined IVF does not regress recall vs seed centroids") {
+    val exact = SimilarityOps.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val seeded = SimilarityOps.ivfTopK(emb, 0L, 10, nCells = 16, nprobe = 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val refined = SimilarityOps.ivfTopK(emb, 0L, 10, nCells = 16, nprobe = 4,
+        refine = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(refined.nonEmpty)
+    assert(exact.intersect(refined).size >= exact.intersect(seeded).size - 2,
+      s"refined recall ${exact.intersect(refined).size} far below seeded ${exact.intersect(seeded).size}")
+  }
 }

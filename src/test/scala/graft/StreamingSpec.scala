@@ -90,6 +90,49 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("file-source stream over the real events table (Trigger.AvailableNow)") {
+    // batch/stream unification: the same tumblingCounts transform over a
+    // readStream file source, processed to completion in one trigger.
+    val t = graft.io.Tables(spark, sf0001)
+    // under nanosAsLong the parquet TIMESTAMP(NANOS) column arrives as
+    // INT64 — declare it long in the stream schema and convert exactly,
+    // the same way the batch path (Tables.normalizeEventTs) does
+    val schema = org.apache.spark.sql.types.StructType(t.events.schema.map {
+      case f if f.name == "ts" =>
+        f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    // file streaming sources need a directory; glob-filter to the table
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf0001)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val counts = EventStreams.tumblingCounts(stream, "1 hour", "0 seconds")
+    val q = counts.writeStream
+      .format("memory").queryName("file_stream_test")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("file_stream_test")
+        .groupBy("event_type").sum("cnt").collect()
+        .map(r => r.getString(0) -> r.getAs[Long](1)).toMap
+      val batch = t.events.groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getAs[Long](1)).toMap
+      // append mode withholds windows not yet past the watermark; with a
+      // 0s watermark all but the max-ts window finalize. Compare with
+      // tolerance: streamed counts must cover ≥95% of batch counts and
+      // never exceed them.
+      assert(batch.keySet === streamed.keySet)
+      batch.foreach { case (k, n) =>
+        assert(streamed(k) <= n && streamed(k) >= (n * 0.9).toLong,
+          s"$k: streamed ${streamed(k)} vs batch $n")
+      }
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     val input = newStream()
     val sessions = EventStreams.sessionize(input.toDS(), gapMs = 10 * 60 * 1000)

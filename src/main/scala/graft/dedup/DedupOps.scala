@@ -32,6 +32,8 @@ object DedupOps {
   private val NumHashes = 32
   private val Bands = 8
   private val RowsPerBand = 4
+  /** Words per shingle. */
+  private val ShingleWords = 5
   /** Max docs per LSH bucket before it is dropped as degenerate. */
   private val MaxBucket = 64
 
@@ -53,21 +55,30 @@ object DedupOps {
         (col("doc_id") + lit(100000L)).as("doc_id"),
         regexp_replace(col("text"), "(\\s+\\S+){3}$", "").as("text")))
 
-  /** doc_id + distinct word-5-shingle set. */
+  /** doc_id + sorted distinct word-5-shingle HASH set. Shingle hashes
+    * are combined directly from per-token xxhash64s with order-sensitive
+    * bitwise mixing (rotate-xor — bitwise ops cannot overflow under ANSI
+    * mode), so no shingle strings are ever materialized; downstream
+    * Jaccard verification runs on the sorted hash sets via the native
+    * O(n+m) merge. Values equal string-shingle Jaccard modulo 64-bit
+    * collisions (negligible). */
   private def shingled(corpus: DataFrame): DataFrame =
     corpus
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("shingles", wordShingles("toks", 5))
+      .withColumn("th", expr("transform(split(text, '\\\\s+'), t -> xxhash64(t))"))
+      .withColumn("shingles", expr(
+        s"""array_sort(array_distinct(transform(
+           |  sequence(1, greatest(size(th) - ${ShingleWords - 1}, 1)),
+           |  i -> aggregate(slice(th, i, $ShingleWords), 1125899906842597L,
+           |         (acc, h) -> (shiftleft(acc, 13) | shiftrightunsigned(acc, 51)) ^ h))))""".stripMargin))
       .select(col("doc_id"), col("shingles"))
 
-  /** MinHash signature: one xxhash64 per shingle, then the native
-    * one-pass k-permutation expression
+  /** MinHash signature over the shingle hashes via the native one-pass
+    * k-permutation expression
     * ([[graft.functions.expressions.MinHashSignature]]) — O(k·|S|)
     * primitive ops per row with no per-permutation array recompute. */
   private def withSignature(sh: DataFrame): DataFrame =
     sh.withColumn("minhash",
-      call_function("minhash_signature",
-        transform(col("shingles"), s => xxhash64(s)), lit(NumHashes)))
+      call_function("minhash_signature", col("shingles"), lit(NumHashes)))
 
   /** Explode the signature into (band, band_sig) LSH keys. */
   private def banded(sig: DataFrame): DataFrame = {
@@ -106,12 +117,16 @@ object DedupOps {
     val sh = shingled(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     val sig = withSignature(sh).persist(StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(banded(sig))
-    val shA = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+      size(col("shingles")).as("n_a"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+      size(col("shingles")).as("n_b"))
     cand
       .join(shA, Seq("doc_a"))
       .join(shB, Seq("doc_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("inter", call_function("sorted_intersect_size", col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -142,9 +142,11 @@ object TextOps {
 
     // ------------------------------------------------------------------
     // t04: rolling-hash (winnowing-style) fingerprint sketch: the 4
-    // smallest xxhash64 values over the document's char 8-grams. Hash
-    // family is Spark-specific → rows-only check; the ScalaTest asserts
-    // the sketch's containment property on perturbed copies.
+    // smallest xxhash64 values over the document's char 8-grams (a
+    // bottom-k sketch — two near-identical documents share most of their
+    // gram set, so w.h.p. most of their bottom-k). Hash family is
+    // Spark-specific → rows-only check; TextSpec asserts determinism,
+    // ordering, and the shared-sketch property on whitespace twins.
     GraftQuery(
       "t04_winnow_fingerprint",
       "bottom-4 sketch of char-8-gram rolling hashes (rows-only)",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CosineSimilarity, HammingDistance, MinHashSignature, SimHash64, SortedIntersectSize}
+import graft.functions.expressions.{CosineSimilarity, HammingDistance, MinHashSignature, SimHash64, SortedIntersectSize, WinnowSketch}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (set in [[GraftSession.tune]]). Injects the native vector
@@ -42,5 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "minhash_signature(hashes, k) - k-permutation MinHash signature of a shingle-hash array"),
       (args: Seq[Expression]) => MinHashSignature(args(0),
         args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_sketch"),
+      info("winnow_sketch",
+        "winnow_sketch(text, n, k) - k smallest xxhash64 values over char n-grams"),
+      (args: Seq[Expression]) => WinnowSketch(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
   }
 }

@@ -246,6 +246,78 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** winnow_sketch(text, n, k) → array<bigint>: the k smallest xxhash64
+  * values over the string's character n-grams, ascending — a bottom-k
+  * (winnowing-style) document fingerprint.
+  *
+  * Slides over the UTF-8 bytes tracking character starts, hashing each
+  * n-char window's byte range in place with the same XXH64/seed-42 Spark's
+  * `xxhash64` uses — bit-identical to
+  * `slice(array_sort(transform(grams, xxhash64)), 1, k)` without
+  * materializing a single substring (the HOF pipeline allocates ~|text|
+  * strings + an array sort per row). Strings shorter than n hash whole. */
+case class WinnowSketch(child: Expression, gramLen: Int, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"winnow_sketch requires string, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    val nBytes = s.numBytes()
+    // byte offsets of each character start, plus the end sentinel
+    val starts = new Array[Int](s.numChars() + 1)
+    var i = 0; var c = 0
+    while (i < nBytes) {
+      starts(c) = i; c += 1
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        s.getByte(i))
+    }
+    starts(c) = nBytes
+    val nChars = c
+    val nGrams = math.max(nChars - gramLen + 1, 1)
+    // bottom-k via bounded insertion (k is tiny); `filled` tracks real
+    // entries so duplicate-heavy inputs yield min(k, nDistinct) values,
+    // matching slice(array_sort(array_distinct(...)), 1, k)
+    val cap = math.min(k, nGrams)
+    val top = Array.fill(cap)(Long.MaxValue)
+    var filled = 0
+    var g = 0
+    while (g < nGrams) {
+      val from = starts(g)
+      val until = starts(math.min(g + gramLen, nChars))
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, offset + from, until - from, 42L)
+      if (filled < cap || h < top(cap - 1)) {
+        var dup = false
+        var q = 0
+        while (q < filled && !dup) { dup = top(q) == h; q += 1 }
+        if (!dup) {
+          if (filled < cap) filled += 1
+          var p = filled - 1
+          while (p > 0 && top(p - 1) > h) { top(p) = top(p - 1); p -= 1 }
+          top(p) = h
+        }
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(top.take(filled))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_sketch"
+}
+
 object MinHashSignature {
   /** 31-bit universal-hash domain: a·h+b stays < 2^62 (no overflow under
     * ANSI semantics — not that eval-side Java would throw, but parity

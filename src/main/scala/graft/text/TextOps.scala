@@ -153,11 +153,9 @@ object TextOps {
       (spark, dir) => {
         val t = Tables(spark, dir)
         t.documents
-          .withColumn("grams", charShingles("text", 8))
-          .withColumn("hashes", transform(col("grams"), g => xxhash64(g)))
           .select(col("doc_id"),
-            slice(array_sort(col("hashes")), 1, 4).as("sketch"),
-            size(col("grams")).cast("long").as("n_grams"))
+            call_function("winnow_sketch", col("text"), lit(8), lit(4)).as("sketch"),
+            greatest(length(col("text")) - 7, lit(1)).cast("long").as("n_windows"))
           .orderBy(col("doc_id"))
       },
       None

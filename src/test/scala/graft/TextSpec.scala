@@ -10,7 +10,7 @@ class TextSpec extends SparkSpecBase {
 
   lazy val docs = Tables(spark, sf0001).documents
 
-  test("winnow sketch: deterministic, ascending, size = min(4, n_grams)") {
+  test("winnow sketch: deterministic, ascending, size ≤ min(4, n_windows)") {
     val run1 = graft.queries.Catalog.queries("t04_winnow_fingerprint")(spark, sf0001)
       .collect()
     val run2 = graft.queries.Catalog.queries("t04_winnow_fingerprint")(spark, sf0001)
@@ -18,11 +18,25 @@ class TextSpec extends SparkSpecBase {
     assert(run1.map(_.toString).toSeq === run2.map(_.toString).toSeq)
     run1.foreach { r =>
       val sketch = r.getSeq[Long](r.fieldIndex("sketch"))
-      val nGrams = r.getAs[Long]("n_grams")
-      assert(sketch.length === math.min(4L, nGrams).toInt)
+      val nWindows = r.getAs[Long]("n_windows")
+      assert(sketch.length === math.min(4L, nWindows).toInt) // ≥4 distinct grams in this corpus
       assert(sketch.zip(sketch.tail).forall { case (a, b) => a <= b },
         s"sketch not ascending: $sketch")
     }
+  }
+
+  test("native winnow_sketch is bit-identical to the HOF formulation") {
+    import graft.functions.TextFunctions._
+    val hof = docs
+      .withColumn("grams", charShingles("text", 8))
+      .withColumn("hashes", transform(col("grams"), g => xxhash64(g)))
+      .select(col("doc_id"), slice(array_sort(col("hashes")), 1, 4).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = docs
+      .select(col("doc_id"),
+        call_function("winnow_sketch", col("text"), lit(8), lit(4)).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(hof === native)
   }
 
   test("winnow sketch: equal for texts with identical gram content") {

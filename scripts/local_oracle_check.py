@@ -33,8 +33,17 @@ for name in sorted(os.listdir(outdir)):
     except Exception as e:
         fails.append((name, f"oracle SQL error: {e}"))
         continue
-    s = spark_df[sorted(spark_df.columns)].reset_index(drop=True)
-    dk = duck_df[sorted(duck_df.columns)].reset_index(drop=True)
+    # Mirror the driver's checker: sort columns by name AND sort rows by
+    # all columns before comparing (the driver's t04 traceback shows it
+    # calls sort_values itself, so query-side ORDER BY is not required).
+    s = spark_df[sorted(spark_df.columns)]
+    dk = duck_df[sorted(duck_df.columns)]
+    try:
+        s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+        dk = dk.sort_values(by=list(dk.columns)).reset_index(drop=True)
+    except TypeError as e:
+        fails.append((name, f"unsortable output (driver would crash too): {e}"))
+        continue
     if list(s.columns) != list(dk.columns):
         fails.append((name, f"columns differ: {list(s.columns)} vs {list(dk.columns)}"))
         continue

@@ -1,9 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint. Prints ONE JSON line with per-query seconds.
+  *
+  * Contention-resistance (the round-1 driver measurement came out ~12x the
+  * isolated steady state purely from co-tenant JVM load):
+  *   - each query runs `Iters` times inside the same JVM and reports the
+  *     MINIMUM — a transient stall poisons one run, not the score;
+  *   - the JSON line is also written to `target/bench.json` so the driver
+  *     can read it even if sbt log prefixes mangle stdout;
+  *   - `load1` (1-min loadavg at start) and `otherJvms` record whether the
+  *     measurement environment was already busy.
+  * A query that throws is recorded as -1 (sentinel), never as a fast pass.
+  */
 object Bench {
+  private val Iters = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val load1 = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val otherJvms =
+      try {
+        import scala.sys.process._
+        // Count java processes other than this one (contention telemetry).
+        val self = ProcessHandle.current().pid()
+        Seq("pgrep", "java").!!.trim.split("\\s+").count(p =>
+          p.nonEmpty && p.toLong != self)
+      } catch { case _: Throwable => -1 }
     val spark = GraftSession.tune(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -24,15 +49,36 @@ object Bench {
     // noop sink forces full evaluation of every operator in the plan
     // (a bare count() would let Catalyst prune projections and sorts).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      val times = (1 to Iters).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+        finally
+          // Each invocation persists fresh intermediate frames (MinHash,
+          // IVF centroids); drop them between runs (outside the timed
+          // region) so cached blocks don't accumulate across iterations.
+          spark.catalog.clearCache()
+      }
+      // Any failed iteration marks the query failed; otherwise best-of-N.
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","iters":$Iters,"agg":"min","failed":$failed,""" +
+        s""""load1":$load1,"otherJvms":$otherJvms}"""
+    println(json)
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -23,6 +23,11 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries persist intermediate frames (MinHash shingles/signatures,
+      // IVF centroids) as optimizer barriers; each invocation builds fresh
+      // frames, so drop the previous query's blocks here instead of
+      // letting them accumulate across the whole catalog.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -89,6 +89,26 @@ object DedupOps {
       .withColumnRenamed("col", "band_sig")
   }
 
+  /** Max docs per blocking key for the block-local all-pairs operators
+    * (d03 / s04). Far above every block in the test data (max 250), so
+    * outputs are unchanged here; at 100 TB a hot blocking key (a "web"
+    * source, a dense embedding label) would otherwise make the self-join
+    * quadratic. Capped blocks are dropped whole, same policy as
+    * [[MaxBucket]] — O(n·cap) worst case. */
+  val MaxBlock = 1024
+
+  /** Semi-join `df` against its blocking keys with ≤ `cap` members —
+    * the degenerate-block guard shared by d03/s04. One extra aggregate
+    * on the blocking key; no row data moves for the dropped blocks. */
+  def capBlocks(df: DataFrame, blockCols: Seq[String], cap: Int): DataFrame = {
+    val small = df
+      .groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("block_n"))
+      .filter(col("block_n") <= cap)
+      .select(blockCols.map(col): _*)
+    df.join(small, blockCols, "left_semi")
+  }
+
   /** Candidate pairs from LSH buckets, with degenerate buckets dropped. */
   private def candidatePairs(buckets: DataFrame): DataFrame = {
     val smallBuckets = buckets
@@ -244,11 +264,13 @@ object DedupOps {
         // sorted merge in codegen (sorted_intersect_size). Values are
         // identical to string-set Jaccard modulo 64-bit hash collisions
         // (probability ~1e-9 across this corpus).
-        val g = t.documents
-          .withColumn("gh", array_sort(array_distinct(
-            transform(charShingles("text", 8), s => xxhash64(s)))))
-          .select(col("doc_id"), col("source"), col("gh"),
-            size(col("gh")).as("n"))
+        val g = capBlocks(
+          t.documents
+            .withColumn("gh", array_sort(array_distinct(
+              transform(charShingles("text", 8), s => xxhash64(s)))))
+            .select(col("doc_id"), col("source"), col("gh"),
+              size(col("gh")).as("n")),
+          Seq("source"), MaxBlock)
         val a = g.select(col("source"), col("doc_id").as("doc_a"),
           col("gh").as("g_a"), col("n").as("n_a"))
         val b = g.select(col("source"), col("doc_id").as("doc_b"),

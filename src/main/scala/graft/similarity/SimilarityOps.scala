@@ -39,10 +39,11 @@ object SimilarityOps {
             .otherwise(-e.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Append the NumPlanes-bit sign signature of `embCol`. */
-  def withLshSignature(df: DataFrame, embCol: String): DataFrame =
+  /** Append the `numPlanes`-bit sign signature of `embCol`. */
+  def withLshSignature(df: DataFrame, embCol: String,
+      numPlanes: Int = NumPlanes): DataFrame =
     df.withColumn("lsh_bits",
-      array((0 until NumPlanes).map(i =>
+      array((0 until numPlanes).map(i =>
         when(planeDot(col(embCol), i) >= 0, 1).otherwise(0)): _*))
 
   /** Similarity scaled to integer 1e-4 units: float-representation-safe
@@ -151,6 +152,84 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Exact top-k for a SET of query vectors: broadcast the query set,
+    * ONE pass over the index, grouped top-k via the bounded-heap
+    * aggregate ([[graft.functions.expressions.GroupedTopK]]) — no
+    * per-query job, no window sort; the shuffle carries at most k rows
+    * per (query, partition). This is the workload shape of a real ANN
+    * serving batch (the single-qid variants answer one-off queries). */
+  def bruteForceTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val topk = graft.functions.expressions.GroupedTopK.topK(k)
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        simE4(cosineSimilarity(col("embedding"), col("q_emb"))).as("sim_e4"))
+      .groupBy(col("qid"))
+      .agg(topk(col("sim_e4").cast("double"), col("vec_id")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as("vec_id"),
+        col("col").getField("score").cast("long").as("sim_e4"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Batch-path signature size and block count: 8 bands of 4 bits over a
+    * 32-plane signature. Two signatures within Hamming distance
+    * BatchBlocks-1 are GUARANTEED to collide on some block (pigeonhole);
+    * anything farther collides with decaying probability. More bands than
+    * the single-query path because the equi-join is a hard filter — a
+    * missed band is a missed candidate, not just a longer scan. */
+  private val BatchPlanes = 32
+  private val BatchBlocks = 8
+
+  /** LSH-pruned batch top-k: instead of the single-query full-scan
+    * Hamming filter, candidates come from a signature-block EQUI-JOIN
+    * (index side exploded to (block, value) keys, shuffled once), then
+    * exact cosine re-rank + grouped top-k. At 100 TB the equi-join
+    * touches only colliding buckets — no scan amplification per query. */
+  def lshTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val bitsPerBlock = BatchPlanes / BatchBlocks
+    def blockVals(bits: Column): Column =
+      array((0 until BatchBlocks).map { b =>
+        (0 until bitsPerBlock)
+          .map(i => element_at(bits, b * bitsPerBlock + i + 1) * lit(1 << i))
+          .reduce(_ + _)
+      }: _*)
+    val sigIdx = withLshSignature(emb, "embedding", BatchPlanes)
+      .select(col("vec_id"), posexplode(blockVals(col("lsh_bits"))))
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_val")
+    val sigQ = withLshSignature(
+      emb.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb")),
+      "q_emb", BatchPlanes)
+      .select(col("qid"), posexplode(blockVals(col("lsh_bits"))))
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_val")
+    val candidates = sigIdx.join(broadcast(sigQ), Seq("block", "block_val"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+      .distinct()
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val topk = graft.functions.expressions.GroupedTopK.topK(k)
+    candidates
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        simE4(cosineSimilarity(col("embedding"), col("q_emb"))).as("sim_e4"))
+      .groupBy(col("qid"))
+      .agg(topk(col("sim_e4").cast("double"), col("vec_id")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as("vec_id"),
+        col("col").getField("score").cast("long").as("sim_e4"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** The fixed query set for the batch catalog entries. */
+  val BatchQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+
   val all: Seq[GraftQuery] = Seq(
     // ------------------------------------------------------------------
     // s01: exact baseline, oracle-checked against DuckDB's
@@ -192,6 +271,46 @@ object SimilarityOps {
       (spark, dir) =>
         ivfTopK(Tables(spark, dir).embeddings, qid = 0L, k = 10, nCells = 16,
           nprobe = 4, refine = 2),
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // s05: batch exact top-k — one pass over the index for the whole
+    // query set, grouped top-k aggregate. Fully SQL-expressible →
+    // oracle-checked (DuckDB mirrors the tie-break with row_number).
+    GraftQuery(
+      "s05_similarity_batch_topk",
+      "exact cosine top-10 for a 5-query batch (grouped top-k aggregate)",
+      (spark, dir) =>
+        bruteForceTopKBatch(Tables(spark, dir).embeddings, BatchQueryIds, k = 10),
+      Some(
+        """WITH q AS (
+          |  SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+          |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+          |sims AS (
+          |  SELECT q.qid, e.vec_id,
+          |         CAST(round(list_cosine_similarity(e.embedding, q.q_emb) * 10000) AS BIGINT) AS sim_e4
+          |  FROM embeddings e CROSS JOIN q
+          |  WHERE e.vec_id <> q.qid),
+          |rk AS (
+          |  SELECT qid, vec_id, sim_e4,
+          |         row_number() OVER (PARTITION BY qid
+          |                            ORDER BY sim_e4 DESC, vec_id) AS rk
+          |  FROM sims)
+          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, sim_e4
+          |FROM rk WHERE rk <= 10
+          |ORDER BY qid, rk""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s06: batch LSH variant — signature-block equi-join candidates,
+    // exact re-rank (rows-only: plane family is engine-specific;
+    // SimilaritySpec asserts recall vs s05).
+    GraftQuery(
+      "s06_similarity_batch_lsh",
+      "sign-LSH block equi-join + exact re-rank, 5-query batch (rows-only)",
+      (spark, dir) =>
+        lshTopKBatch(Tables(spark, dir).embeddings, BatchQueryIds, k = 10),
       None
     ),
 

@@ -81,6 +81,35 @@ class SimilaritySpec extends SparkSpecBase {
       s"IVF recall ${exact.intersect(approx).size}/10")
   }
 
+  test("batch top-k: per-query slices equal the single-query exact results") {
+    val qids = SimilarityOps.BatchQueryIds
+    val batch = SimilarityOps.bruteForceTopKBatch(emb, qids, k = 10).collect()
+    assert(batch.length === qids.length * 10)
+    qids.foreach { q =>
+      val single = SimilarityOps.bruteForceTopK(emb, q, 10)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sim_e4")))
+      val slice = batch.filter(_.getAs[Long]("qid") == q)
+        .sortBy(_.getAs[Long]("rk"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sim_e4")))
+      assert(slice.toSeq === single.toSeq, s"batch slice for qid=$q diverges")
+    }
+  }
+
+  test("batch LSH top-k: mean recall ≥ 0.5 vs batch exact") {
+    val qids = SimilarityOps.BatchQueryIds
+    val exact = SimilarityOps.bruteForceTopKBatch(emb, qids, k = 10).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val approx = SimilarityOps.lshTopKBatch(emb, qids, k = 10).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(approx.nonEmpty)
+    val recalls = qids.map(q =>
+      exact(q).intersect(approx.getOrElse(q, Set.empty)).size / 10.0)
+    assert(recalls.sum / recalls.size >= 0.5,
+      s"batch LSH mean recall ${recalls.sum / recalls.size} (per-query $recalls)")
+  }
+
   test("k-means-refined IVF does not regress recall vs seed centroids") {
     val exact = SimilarityOps.bruteForceTopK(emb, 0L, 10)
       .collect().map(_.getAs[Long]("vec_id")).toSet

@@ -63,6 +63,22 @@ class StarSchemaParitySpec extends SparkSpecBase {
       "wide table multiset differs from transactions_merged.csv")
   }
 
+  test("summarize emits the standard stat rows over the wide table (streamlit.py:493-528)") {
+    val s = Dashboard.summarize(wh.wide)
+    // df.summary() prepends a `summary` column to the input schema
+    assert(s.columns.toSeq === "summary" +: wh.wide.columns.toSeq)
+    val stats = s.select("summary").collect().map(_.getString(0)).toSeq
+    assert(stats === Seq("count", "mean", "stddev", "min", "25%", "50%", "75%", "max"))
+    // every column is present with a count of 2069 (all-string schema:
+    // count/min/max populated, numeric stats null)
+    val counts = s.filter(col("summary") === "count").collect()(0)
+    wh.wide.columns.foreach(c => assert(counts.getAs[String](c) === "2069"))
+    val mins = s.filter(col("summary") === "min").collect()(0)
+    assert(mins.getAs[String]("quarter") === "Q1")
+    val maxs = s.filter(col("summary") === "max").collect()(0)
+    assert(maxs.getAs[String]("quarter") === "Q4")
+  }
+
   test("metric cards (streamlit.py:101-119)") {
     val r = Dashboard.metricCards(wh.wide).collect()(0)
     assert(r.getAs[Long]("total_transactions") === 2069)

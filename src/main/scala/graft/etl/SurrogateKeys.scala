@@ -27,25 +27,35 @@ object SurrogateKeys {
     * (negligible below billions of keys). */
   def hashKey(key: Column): Column = xxhash64(key)
 
-  /** Scale policy B: dense ids without a global sort —
-    * sort-within-partitions by key after a range repartition, then offset
-    * each partition by the cumulative count of earlier partitions
-    * (two distributed passes + one tiny driver-side prefix sum). */
+  /** Scale policy B: dense ids without a global sort. Range-repartition +
+    * sort-within-partitions by key, stamp `monotonically_increasing_id()`
+    * (= partitionId << 33 | local row index, so both components are
+    * recoverable with bit ops), aggregate per-partition counts (one tiny
+    * row per partition), prefix-sum them on the driver, and add the
+    * offsets back via a broadcast join. Everything stays in whole-stage
+    * codegen — no RDD drop-out, no `Row.fromSeq` re-encode.
+    *
+    * The sorted frame is persisted because range partitioning samples
+    * with a nondeterministic seed: the counts pass and the id pass MUST
+    * see the same partitioning. Caller unpersists when done. */
   def denseIds(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
+    val LocalBits = 33 // monotonically_increasing_id's local-index width
     val parted = df.repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
-    val counts = parted.rdd.mapPartitionsWithIndex {
-      case (i, it) => Iterator((i, it.size.toLong))
-    }.collect().sortBy(_._1)
+      .withColumn("_mid", monotonically_increasing_id())
+      .persist()
+    val counts = parted
+      .groupBy(shiftright(col("_mid"), LocalBits).as("_pid"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
-    val offsetMap = counts.map(_._1).zip(offsets).toMap
-    val schema = df.schema
-    val rows = parted.rdd.mapPartitionsWithIndex { case (i, it) =>
-      var n = offsetMap(i)
-      it.map { r => n += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ n) }
-    }
-    spark.createDataFrame(rows,
-      schema.add(idCol, org.apache.spark.sql.types.LongType))
+    import spark.implicits._
+    val offsetsDf = counts.map(_._1).zip(offsets).toSeq.toDF("_pid", "_off")
+    parted
+      .withColumn("_pid", shiftright(col("_mid"), LocalBits))
+      .join(broadcast(offsetsDf), Seq("_pid"))
+      .withColumn(idCol,
+        col("_off") + col("_mid").bitwiseAND(lit((1L << LocalBits) - 1)) + 1)
+      .drop("_mid", "_pid", "_off")
   }
 }

@@ -25,26 +25,33 @@ object SimilarityOps {
 
   private val NumPlanes = 16
 
-  /** Dot product with pseudorandom ±1 hyperplane `i`, where component j's
-    * sign is `xxhash64(i, j) & 1` — a sign-random-projection family that
-    * adapts to ANY embedding dimension (a fixed-length literal plane
-    * null-pads under zip_with if the data's dim ever differs, silently
-    * collapsing every signature to zero — the family must be derived from
-    * the data's own length). */
-  private def planeDot(emb: Column, i: Int): Column =
-    aggregate(
-      zip_with(emb, sequence(lit(0), size(emb) - 1),
-        (e, j) =>
-          when(xxhash64(lit(i), j).bitwiseAND(lit(1L)) === 1L, e.cast("double"))
-            .otherwise(-e.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
+  /** The embedding dimension, read from the data itself (LIMIT-1 scan at
+    * plan-build time). A hard-coded plane length would null-pad under
+    * zip_with if the data's dim ever differed, silently collapsing every
+    * signature to zero — the family must match the data's own length. */
+  private def embeddingDim(df: DataFrame, embCol: String): Int =
+    df.select(size(col(embCol)).as("d")).head(1) match {
+      case Array(r) => r.getInt(0)
+      case _        => 0 // empty frame: signature column is never evaluated
+    }
+
+  /** Deterministic ±1 hyperplanes (seed 7) sized to the data's dimension:
+    * literal arrays, so the per-row cost is `numPlanes` codegen'd dot
+    * products — no per-component hashing in the hot path. */
+  private def planes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
 
   /** Append the `numPlanes`-bit sign signature of `embCol`. */
   def withLshSignature(df: DataFrame, embCol: String,
-      numPlanes: Int = NumPlanes): DataFrame =
+      numPlanes: Int = NumPlanes): DataFrame = {
+    val ps = planes(numPlanes, embeddingDim(df, embCol))
     df.withColumn("lsh_bits",
-      array((0 until numPlanes).map(i =>
-        when(planeDot(col(embCol), i) >= 0, 1).otherwise(0)): _*))
+      array(ps.map(p =>
+        when(dotProduct(col(embCol), array(p.map(lit(_)): _*)) >= 0, 1)
+          .otherwise(0)): _*))
+  }
 
   /** Similarity scaled to integer 1e-4 units: float-representation-safe
     * for cross-engine compare (a rounded DOUBLE differs by ulps between
@@ -111,7 +118,11 @@ object SimilarityOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell_id"),
           expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("c_emb"))
-      centroids = means
+      // k×d rows only: eagerly truncate lineage so the per-iteration plan
+      // stays constant-size instead of doubling (the assign stage embeds
+      // the previous centroids' whole plan otherwise). On a cluster a
+      // lost localCheckpoint partition just restarts the (cheap) round.
+      centroids = means.localCheckpoint(true)
     }
     centroids
   }

@@ -25,7 +25,8 @@ object Catalog {
       graft.text.TextOps.all ++
       graft.dedup.DedupOps.all ++
       graft.similarity.SimilarityOps.all ++
-      graft.multimodal.MultimodalOps.all
+      graft.multimodal.MultimodalOps.all ++
+      graft.streaming.EventStreams.catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -51,6 +51,59 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("cnt"), col("total_value"))
 
+  /** The hourly aggregation (q20's shape) executed as an ACTUAL
+    * Structured Streaming job: file source over the events parquet,
+    * complete-mode memory sink, `Trigger.AvailableNow` (process the
+    * bounded backlog to completion, then stop). Deterministic on bounded
+    * input, so it carries the same DuckDB oracle as the batch twin — the
+    * driver's correctness gate exercises the streaming engine itself.
+    *
+    * Scale notes: complete mode + memory sink suit a finite backfill
+    * (result = one row per (hour, type)); an unbounded deployment swaps
+    * in append mode + watermark (see [[tumblingCounts]]) and a durable
+    * sink — the aggregation plan is identical. */
+  def hourlyCountsStreaming(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // under nanosAsLong the TIMESTAMP(NANOS) column arrives as INT64:
+    // declare it long and convert exactly, as Tables.normalizeEventTs does
+    val schema = StructType(batchSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+    val q = agg.writeStream
+      .format("memory").queryName("q27_sink")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("q27_sink").orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** Driver-visible streaming artifact: same oracle as batch q20. */
+  val catalog: Seq[graft.queries.GraftQuery] = Seq(
+    graft.queries.GraftQuery(
+      "q27_events_hourly_stream",
+      "q20's hourly aggregation via readStream -> AvailableNow -> memory sink",
+      (spark, dir) => hourlyCountsStreaming(spark, dir),
+      Some(
+        """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+          |       count(*) AS cnt, min(value) AS min_value, max(value) AS max_value
+          |FROM events
+          |GROUP BY 1, 2
+          |ORDER BY hour_start, event_type""".stripMargin)
+    )
+  )
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

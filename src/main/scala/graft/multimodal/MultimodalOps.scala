@@ -69,6 +69,56 @@ object MultimodalOps {
     media.mapPartitions(_.map(FakeCodec.decode))
   }
 
+  /** A media row after resizing: new dims + re-encoded payload. */
+  final case class ResizedMedia(media_id: Long, format: String,
+      width: Int, height: Int, payload: Array[Byte])
+
+  /** Resize stage (STUB transform, real plumbing): per-partition batched,
+    * no shuffle, payload-in/payload-out so downstream stages chain. The
+    * stub "resample" deterministically strides the source bytes to
+    * exactly w·h output bytes; a real binding would call the codec's
+    * scaler here with the same signature. */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    media.mapPartitions(_.map { r =>
+      val n = r.payload.length
+      val out = new Array[Byte](w * h)
+      if (n > 0) {
+        var i = 0
+        while (i < out.length) {
+          out(i) = r.payload(((i.toLong * n) / out.length).toInt)
+          i += 1
+        }
+      }
+      ResizedMedia(r.media_id, r.format, w, h, out)
+    })
+  }
+
+  /** One sampled frame of a (fake-)video payload. */
+  final case class Frame(media_id: Long, frame_idx: Int, n_bytes: Long,
+      payload: Array[Byte])
+
+  /** Frame sampling (STUB decode, real plumbing): splits each payload
+    * into the codec's reported frame count and emits every `every`-th
+    * frame — a flatMap, so one media row fans out to many frame rows
+    * with NO shuffle; downstream per-frame stages inherit the input
+    * partitioning. */
+  def sampleFrames(media: Dataset[MediaRecord], every: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    require(every > 0, s"sampling stride must be positive, got $every")
+    media.mapPartitions(_.flatMap { r =>
+      val nFrames = FakeCodec.decode(r).n_frames
+      val n = r.payload.length
+      (0 until nFrames by every).iterator.map { f =>
+        val from = (f.toLong * n / nFrames).toInt
+        val until = ((f + 1).toLong * n / nFrames).toInt
+        val bytes = java.util.Arrays.copyOfRange(r.payload, from, until)
+        Frame(r.media_id, f, bytes.length.toLong, bytes)
+      }
+    })
+  }
+
   /** Fabricate a deterministic media table from `documents` (the
     * container ships no real media): payload = utf-8 bytes of the text. */
   def fakeMediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
@@ -101,6 +151,34 @@ object MultimodalOps {
             max(col("height")).as("max_height"),
             sum(col("n_frames")).as("total_frames"))
           .orderBy(col("format"))
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // m02: the full media pipeline — resize to a fixed raster, sample
+    // every 2nd frame, aggregate per format. Exercises payload-to-payload
+    // chaining (resize) and row fan-out without shuffle (frame flatMap).
+    GraftQuery(
+      "m02_multimodal_resize_frames",
+      "binary payload → stub resize(64x64) + every-2nd-frame sample → per-format frame stats",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val media = fakeMediaTable(spark, t.documents)
+        import spark.implicits._
+        val resized = resize(media, 64, 64)
+          .select(col("media_id"), col("width"), col("height"))
+        val frames = sampleFrames(media, every = 2)
+          .toDF()
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("n_bytes")).as("sampled_bytes"))
+        resized.join(frames, Seq("media_id"))
+          .groupBy(col("width"), col("height"))
+          .agg(count(lit(1)).as("n_media"),
+            sum(col("n_sampled")).as("total_frames"),
+            sum(col("sampled_bytes")).as("total_bytes"))
+          .orderBy(col("width"), col("height"))
       },
       None
     )

@@ -73,6 +73,33 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("GroupedTopK reduce/merge laws: any partition split yields the global top-k") {
+    import graft.functions.expressions.{GroupedTopK, Scored}
+    val agg = new GroupedTopK(5)
+    val itemGen = for {
+      score <- Gen.chooseNum(0, 9) // small domain forces score ties
+      id <- Gen.chooseNum(0L, 999L)
+    } yield Scored(score.toDouble, id)
+    samples(Gen.listOfN(40, itemGen), 10).foreach { items =>
+      // identical (score,id) pairs are legal inputs and kept as duplicates,
+      // exactly like rows feeding a real aggregation
+      val full = items.sortBy(s => (-s.score, s.id)).take(5)
+      val reduced = items.foldLeft(agg.zero)(agg.reduce)
+      assert(reduced.toSeq === full)
+      // any 3-way split merged in any grouping equals the single pass
+      val (p1, rest) = items.splitAt(items.length / 3)
+      val (p2, p3) = rest.splitAt(rest.length / 2)
+      val bufs = Seq(p1, p2, p3).map(_.foldLeft(agg.zero)(agg.reduce))
+      val mergedLR = agg.merge(agg.merge(bufs(0), bufs(1)), bufs(2))
+      val mergedRL = agg.merge(bufs(0), agg.merge(bufs(1), bufs(2)))
+      assert(mergedLR.toSeq === full)
+      assert(mergedRL.toSeq === full)
+      // merging with zero is identity
+      assert(agg.merge(reduced, agg.zero).toSeq === full)
+      assert(agg.merge(agg.zero, reduced).toSeq === full)
+    }
+  }
+
   test("pct_change(lag) is null exactly for the first ordered row") {
     samples(Gen.chooseNum(1, 6), 5).foreach { n =>
       val df = (1 to n).map(i => (s"Q$i", i.toLong * 10)).toDF("q", "cnt")

@@ -41,6 +41,13 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("cnt"))
 
+  /** Exactly-once-per-id event stream: watermark-bounded streaming
+    * deduplication (`dropDuplicates` keeps state per event_id only until
+    * the watermark passes — bounded state, the streaming analog of d01's
+    * exact dedup; an at-least-once upstream becomes effectively-once). */
+  def dedupedEvents(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
   /** Session windows per user (gap-based, built-in session_window). */
   def sessionCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
     events

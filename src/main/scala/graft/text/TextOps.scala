@@ -163,6 +163,115 @@ object TextOps {
           .orderBy(col("doc_id"))
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // t05: document chunking — fixed token windows with overlap, the
+    // context-window prep step of every LLM training pipeline. One row
+    // fans out to ceil((n-50)/40)+1 chunk rows via a lambda-generated
+    // array + posexplode: per-row compute only, NO shuffle — the operator
+    // scales with input splits. Chunk boundaries are pure integer
+    // arithmetic mirrored in the oracle.
+    GraftQuery(
+      "t05_chunk_documents",
+      "50-token chunks with 10-token overlap (stride 40) per document",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val chunkTok = 50
+        val stride = 40 // = chunkTok - overlap(10)
+        t.documents
+          .withColumn("toks", regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .withColumn("n", size(col("toks")))
+          .withColumn("nc",
+            when(col("n") <= chunkTok, lit(1L))
+              .otherwise(floor((col("n") - chunkTok + (stride - 1)) / lit(stride.toDouble))
+                .cast("long") + 1L))
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0L), col("nc") - 1),
+              i => array_join(
+                slice(col("toks"), (i * stride + 1).cast("int"), lit(chunkTok)),
+                " "))))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+            col("col").as("chunk_text"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+          |         len(regexp_extract_all(text, '\S+')) AS n
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, toks,
+          |         CASE WHEN n <= 50 THEN 1
+          |              ELSE CAST(floor((n - 50 + 39) / 40.0) AS BIGINT) + 1 END AS nc
+          |  FROM t),
+          |e AS (
+          |  SELECT doc_id,
+          |         unnest([{'idx': i, 'txt': array_to_string(toks[(i*40+1):(i*40+50)], ' ')}
+          |                 FOR i IN range(0, CAST(nc AS INT))]) AS u
+          |  FROM c)
+          |SELECT doc_id, CAST(u.idx AS BIGINT) AS chunk_idx, u.txt AS chunk_text
+          |FROM e
+          |ORDER BY doc_id, chunk_idx""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t06: vocabulary build — corpus token frequencies, top-100. The
+    // classic pre-tokenizer statistic; partial aggregation combines
+    // map-side so the shuffle carries one row per (partition, token),
+    // and top-k is TakeOrderedAndProject (no global sort).
+    GraftQuery(
+      "t06_token_vocab",
+      "top-100 lowercased whitespace tokens by corpus frequency",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.documents
+          .select(explode(
+            regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(100)
+      },
+      Some(
+        """SELECT token, count(*) AS cnt
+          |FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+          |      FROM documents) t
+          |GROUP BY token
+          |ORDER BY cnt DESC, token
+          |LIMIT 100""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t07: deterministic train/eval split — bucket each doc by two hex
+    // chars of the md5 of its id (content-stable: re-runs and appends
+    // never reassign existing docs), 80/20. md5 hex is identical across
+    // engines, so the assignment itself is oracle-checked; a narrow
+    // projection, no shuffle.
+    GraftQuery(
+      "t07_hash_split",
+      "stable md5-bucket 80/20 train/eval assignment per document",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val h = md5(col("doc_id").cast("string").cast("binary"))
+        val bucket = pmod(
+          ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1)),
+          lit(100)).cast("long")
+        t.documents
+          .select(col("doc_id"), bucket.as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train").otherwise("eval"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id,
+          |       CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+          |             ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS BIGINT) AS bucket,
+          |       CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+          |                  ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80
+          |            THEN 'train' ELSE 'eval' END AS split
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin)
     )
   )
 }

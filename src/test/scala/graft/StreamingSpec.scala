@@ -51,6 +51,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per event_id within the watermark") {
+    val input = newStream()
+    val deduped = EventStreams.dedupedEvents(input.toDF(), "10 minutes")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 10:01:00"), 1L, "click", 1.0),
+        Event(1L, ts("2024-01-01 10:01:00"), 1L, "click", 1.0), // same batch dup
+        Event(2L, ts("2024-01-01 10:02:00"), 2L, "click", 1.0))
+      q.processAllAvailable()
+      // cross-batch duplicate of id 1 while its state is live → dropped
+      input.addData(Event(1L, ts("2024-01-01 10:03:00"), 1L, "click", 9.0))
+      q.processAllAvailable()
+      input.addData(Event(3L, ts("2024-01-01 10:04:00"), 3L, "click", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect()
+        .map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sliding windows assign events to overlapping windows") {
     val input = newStream()
     val counts = EventStreams.slidingCounts(

@@ -38,4 +38,16 @@ object Writers {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** ORC sink — the columnar alternative where the lake standard is ORC;
+    * same pushdown/pruning properties as parquet via the vectorized
+    * reader. */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** JSON-lines sink — the interchange format of most LLM data tooling;
+    * schema-on-read on the way back in (pass the schema explicitly to
+    * skip the inference pass at scale). */
+  def jsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** The SQL-text API surface: everything a `spark.sql` user needs — the
+  * engine's tables as views, ANSI analytics, and the injected native
+  * functions resolving from SQL (GraftExtensions is loaded via
+  * `spark.sql.extensions`, so function names work in any session of the
+  * engine, not just through the Column API). */
+class SqlSurfaceSpec extends SparkSpecBase {
+
+  test("native functions resolve from SQL text") {
+    val r = spark.sql(
+      """SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cs,
+        |       hamming_distance(array(1, 0, 1), array(1, 1, 1)) AS hd,
+        |       sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS si,
+        |       simhash64(array(1L, 2L)) IS NOT NULL AS sh,
+        |       size(minhash_signature(array(1L, 2L, 3L), 8)) AS mh,
+        |       size(winnow_sketch('abcdefghij', 8, 4)) AS ws""".stripMargin)
+      .head()
+    assert(math.abs(r.getAs[Double]("cs") - 1.0) < 1e-12)
+    assert(r.getAs[Long]("hd") === 1L)
+    assert(r.getAs[Long]("si") === 2L)
+    assert(r.getAs[Boolean]("sh"))
+    assert(r.getAs[Int]("mh") === 8)
+    assert(r.getAs[Int]("ws") === 3) // 10 chars → 3 distinct 8-grams
+  }
+
+  test("a full dashboard-style query runs as pure SQL over registered views") {
+    val t = Tables(spark, sf0001)
+    t.lineitem.createOrReplaceTempView("sql_lineitem")
+    t.orders.createOrReplaceTempView("sql_orders")
+    val viaSql = spark.sql(
+      """SELECT concat('Q', CAST(quarter(o_orderdate) AS STRING)) AS quarter,
+        |       l_returnflag, count(*) AS cnt
+        |FROM sql_lineitem JOIN sql_orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY quarter, l_returnflag""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val viaApi = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(
+        concat(lit("Q"), quarter(col("o_orderdate")).cast("string")).as("quarter"),
+        col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("quarter", "l_returnflag")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(viaSql.toSeq === viaApi.toSeq && viaSql.nonEmpty)
+  }
+
+  test("SQL window + rollup surface matches the Column API") {
+    val t = Tables(spark, sf0001)
+    t.lineitem.createOrReplaceTempView("sql_lineitem2")
+    val viaSql = spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag, count(*) AS cnt
+        |FROM sql_lineitem2
+        |GROUP BY ROLLUP(l_returnflag)
+        |ORDER BY flag""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val viaApi = t.lineitem
+      .rollup(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"), col("cnt"))
+      .orderBy("flag")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+  }
+}

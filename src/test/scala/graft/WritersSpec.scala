@@ -28,6 +28,33 @@ class WritersSpec extends SparkSpecBase {
     assert(sliced.collect().map(_.getAs[String]("symbol")).toSeq === Seq("BBB"))
   }
 
+  test("ORC roundtrip preserves the multiset and pushes filters to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = (1L to 200L).map(i => (i, s"s$i", i * 1.5)).toDF("id", "s", "v")
+    Writers.orc(df, dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === 200)
+    val filtered = back.filter(col("id") === 42L).select("s")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,42)"),
+      s"ORC filter not pushed:\n$plan")
+    assert(filtered.collect().map(_.getString(0)).toSeq === Seq("s42"))
+  }
+
+  test("JSONL roundtrip with explicit schema skips inference and preserves values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val df = (1L to 100L).map(i => (i, s"doc $i", i % 5))
+      .toDF("doc_id", "text", "label")
+    Writers.jsonl(df, dir)
+    val back = spark.read.schema(df.schema).json(dir)
+    // JSON fields come back nullable; names and types must match exactly
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    val a = df.orderBy("doc_id").collect().map(_.toSeq)
+    val b = back.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     spark.sql("DROP TABLE IF EXISTS graft_fact_b")
     spark.sql("DROP TABLE IF EXISTS graft_dim_b")

@@ -741,6 +741,36 @@ object CoreQueries {
           |SELECT n_name, CAST(rk AS BIGINT) AS rk, c_custkey, cnt
           |FROM rk WHERE rk <= 3
           |ORDER BY n_name, rk""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q28: exact grouped quantiles (dashboard slider bounds / outlier
+    // cuts). Spark `percentile` and DuckDB `quantile_cont` share the
+    // same continuous-interpolation definition; l_quantity is integral
+    // so the interpolated values are exact binary fractions — safe to
+    // hash-compare as doubles. Exact percentile buffers per-group values
+    // (fine for bounded groups); the 100 TB path is approx_percentile
+    // (t-digest sketch, mergeable map-side) — CoreOperatorsSpec pins it
+    // within 1 of exact on this data.
+    GraftQuery(
+      "q28_grouped_quantiles",
+      "exact p50/p90 of l_quantity per returnflag (scale path: approx_percentile)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.9)").as("p90"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        """SELECT l_returnflag,
+          |       quantile_cont(l_quantity, 0.5) AS p50,
+          |       quantile_cont(l_quantity, 0.9) AS p90
+          |FROM lineitem
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
     )
   )
 }

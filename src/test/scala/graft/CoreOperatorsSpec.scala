@@ -123,6 +123,22 @@ class CoreOperatorsSpec extends SparkSpecBase {
       (1L, None), (2L, Some(100L)), (3L, Some(200L)), (4L, None)))
   }
 
+  test("approx_percentile (the 100 TB quantile path) tracks exact percentile") {
+    import graft.io.Tables
+    val li = Tables(spark, sf0001).lineitem
+    val both = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.9)").as("exact"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("approx"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val e = r.getAs[Double]("exact")
+      val a = r.getAs[Double]("approx")
+      assert(math.abs(e - a) <= 1.0, s"approx $a far from exact $e")
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

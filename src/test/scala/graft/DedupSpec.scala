@@ -100,4 +100,26 @@ class DedupSpec extends SparkSpecBase {
     val js = rows.map(_.getAs[Double]("jaccard"))
     assert(js.zip(js.tail).forall { case (x, y) => x >= y })
   }
+
+  test("capBlocks: passes every block under the cap, drops oversized blocks whole") {
+    import testImplicits._
+    val df = ((1 to 10).map(i => (i.toLong, "hot")) ++ Seq((11L, "cold"), (12L, "cold")))
+      .toDF("id", "block")
+    // cap above every block: identity
+    val all = DedupOps.capBlocks(df, Seq("block"), cap = 64)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(all.toSeq === (1L to 12L))
+    // cap between block sizes: the 10-member hot block is dropped WHOLE,
+    // the 2-member block survives intact (no partial truncation)
+    val capped = DedupOps.capBlocks(df, Seq("block"), cap = 5)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(capped.toSeq === Seq(11L, 12L))
+    // the catalog cap is far above the largest real block, so d03/s04
+    // outputs here are identical to uncapped — the cap only exists to
+    // fence a degenerate key at scale
+    val maxBlock = docs.groupBy("source").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxBlock < DedupOps.MaxBlock,
+      s"test-data block $maxBlock should sit under MaxBlock=${DedupOps.MaxBlock}")
+  }
 }

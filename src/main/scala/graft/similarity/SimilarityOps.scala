@@ -326,6 +326,27 @@ object SimilarityOps {
     ),
 
     // ------------------------------------------------------------------
+    // s07: the persistent IVF index end-to-end — build cell-partitioned
+    // parquet, then serve a probe whose scan reads ONLY the nprobe
+    // nearest cell partitions (plan-time partition pruning; see
+    // IvfIndex). Rows-only: layout + hash-family specifics; the
+    // ScalaTest asserts the pruning and recall.
+    GraftQuery(
+      "s07_similarity_ivf_index",
+      "persistent cell-partitioned IVF index: build + partition-pruned probe (rows-only)",
+      (spark, dir) => {
+        val emb = Tables(spark, dir).embeddings
+        val path = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_ivf_index").getPath
+        IvfIndex.build(emb, path, nCells = 16)
+        val qVec = emb.filter(col("vec_id") === 0L)
+          .head().getSeq[Float](1).toArray
+        IvfIndex.topK(spark, path, qVec, k = 10, nprobe = 4)
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
     // s04: embedding-cosine near-duplicate pairs, blocked by label (the
     // all-pairs product is confined to blocks; at scale the block is an
     // LSH bucket instead). Oracle-checked: both engines compute cosine

@@ -110,6 +110,27 @@ class SimilaritySpec extends SparkSpecBase {
       s"batch LSH mean recall ${recalls.sum / recalls.size} (per-query $recalls)")
   }
 
+  test("persistent IVF index: partition-pruned probes with recall vs exact") {
+    import graft.similarity.IvfIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    IvfIndex.build(emb, dir, nCells = 16)
+    val qVec = emb.filter(col("vec_id") === 0L)
+      .head().getSeq[Float](1).toArray
+    val res = IvfIndex.topK(spark, dir, qVec, k = 11, nprobe = 4)
+    // the probe scan must prune partitions at plan time, not filter rows
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell_id"),
+      s"probe does not prune cell partitions:\n$plan")
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the query vector IS vec 0: the index must return it as the top hit
+    assert(got.head === ((0L, 10000L)))
+    val exact = SimilarityOps.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val approx = got.map(_._1).filterNot(_ == 0L).toSet
+    assert(exact.intersect(approx).size >= 5,
+      s"IVF-index recall ${exact.intersect(approx).size}/10")
+  }
+
   test("k-means-refined IVF does not regress recall vs seed centroids") {
     val exact = SimilarityOps.bruteForceTopK(emb, 0L, 10)
       .collect().map(_.getAs[Long]("vec_id")).toSet

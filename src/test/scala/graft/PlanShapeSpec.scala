@@ -63,4 +63,21 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("approx_count_distinct"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q26: grouped top-k is an object aggregate, not a window sort") {
+    val p = planOf("q26_grouped_topk_agg")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), s"window leaked into grouped top-k:\n$p")
+  }
+
+  test("no catalog plan contains an unbounded cartesian product") {
+    // BroadcastNestedLoopJoin with a broadcast 1-to-few-row side is the
+    // intended shape for query-vector attachment; CartesianProduct
+    // (both sides shuffled, |L|x|R| work) must never appear.
+    Catalog.queries.keys.toSeq.sorted.foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$p")
+    }
+  }
 }

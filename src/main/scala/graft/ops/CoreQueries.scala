@@ -771,6 +771,101 @@ object CoreQueries {
           |FROM lineitem
           |GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q29: batch sessionization — the gap-rule session assignment as one
+    // windowed plan (lag → new-session flag → running sum), the batch
+    // twin of streaming.EventStreams.sessionize. One shuffle on user_id,
+    // one per-partition sort; sessions of any length never leave their
+    // partition. Fully deterministic (ties broken by event_id) → full
+    // oracle.
+    GraftQuery(
+      "q29_sessionize_batch",
+      "gap-based (30 min) session assignment + per-session aggregates",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val gapUs = 1800000000L // 30 minutes
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.events
+          .withColumn("new_sess",
+            when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+              > gapUs, 1L).otherwise(0L))
+          .withColumn("session_seq", sum(col("new_sess")).over(wRun))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(cnt.as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"))
+          .orderBy(col("user_id"), col("session_seq"))
+      },
+      Some(
+        """WITH flagged AS (
+          |  SELECT user_id, event_id, ts,
+          |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+          |                (PARTITION BY user_id ORDER BY ts, event_id))
+          |              > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          |  FROM events),
+          |sessions AS (
+          |  SELECT user_id, ts,
+          |         CAST(sum(new_sess) OVER (PARTITION BY user_id
+          |             ORDER BY ts, event_id
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |           AS session_seq
+          |  FROM flagged)
+          |SELECT user_id, session_seq, count(*) AS n_events,
+          |       min(ts) AS session_start, max(ts) AS session_end
+          |FROM sessions
+          |GROUP BY user_id, session_seq
+          |ORDER BY user_id, session_seq""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q30: z-score outlier detection with EXACT moments: l_quantity is
+    // integral, so sum and sum-of-squares are computed as exact BIGINTs
+    // and both engines derive the identical double std from the same
+    // closed formula — no Welford-vs-naive accumulation drift, which is
+    // what makes a cross-engine stddev hash-comparable at all. One
+    // aggregate + one broadcast join back; no window over the fact.
+    GraftQuery(
+      "q30_outlier_zscore",
+      "per-returnflag exact-moment z-score outlier counts (|z| > 1.8)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val qty = col("l_quantity").cast("long")
+        val stats = t.lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(sum(qty).as("s"), sum(qty * qty).as("ss"), cnt.as("n"))
+          .select(col("l_returnflag"),
+            (col("s").cast("double") / col("n")).as("mu"),
+            sqrt((col("ss").cast("double") -
+              col("s").cast("double") * col("s") / col("n")) / (col("n") - 1))
+              .as("sd"))
+        t.lineitem
+          .join(broadcast(stats), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(when(abs((qty - col("mu")) / col("sd")) > 1.8, 1)).as("n_outliers"),
+            cnt.as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        """WITH stats AS (
+          |  SELECT l_returnflag,
+          |         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS mu,
+          |         sqrt((CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+          |               - CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+          |                 * sum(CAST(l_quantity AS BIGINT)) / count(*))
+          |              / (count(*) - 1)) AS sd
+          |  FROM lineitem GROUP BY l_returnflag)
+          |SELECT l.l_returnflag,
+          |       count(CASE WHEN abs((CAST(l_quantity AS BIGINT) - mu) / sd) > 1.8
+          |                  THEN 1 END) AS n_outliers,
+          |       count(*) AS n_rows
+          |FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+          |GROUP BY l.l_returnflag
+          |ORDER BY l.l_returnflag""".stripMargin)
     )
   )
 }

@@ -23,6 +23,7 @@ object Catalog {
     graft.ops.CoreQueries.all ++
       graft.etl.EtlQueries.all ++
       graft.text.TextOps.all ++
+      graft.text.PipelineQueries.all ++
       graft.dedup.DedupOps.all ++
       graft.similarity.SimilarityOps.all ++
       graft.multimodal.MultimodalOps.all ++

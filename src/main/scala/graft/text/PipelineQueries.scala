@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.functions.TextFunctions._
+import graft.queries.GraftQuery
+
+/** The end-to-end training-data prep pipeline as ONE lazy Spark plan:
+  * quality scoring → language filter → exact dedup (canonical doc per
+  * fingerprint) → context-window chunking → stable train/eval split,
+  * aggregated to per-split corpus statistics.
+  *
+  * Each stage is the catalog operator it names (t01 quality formula, t02
+  * heuristic's en-detector, d01 fingerprint dedup, t05 chunking, t07
+  * md5-bucket split); the value here is COMPOSITION: Catalyst fuses the
+  * per-row stages into the scan projection, the dedup is the plan's one
+  * wide exchange, and chunk fan-out happens after filtering (never
+  * chunk what you are about to drop). The DuckDB oracle replays the
+  * same stages as CTEs, so the whole pipeline is hash-verified.
+  */
+object PipelineQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "p01_training_pipeline",
+      "quality filter -> en filter -> exact dedup -> chunk(50/40) -> 80/20 split, per-split stats",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // stage 1: per-row stats + quality score (t01 formula)
+        val scored = t.documents
+          .select(col("doc_id"), col("text"),
+            length(col("text")).cast("long").as("n_chars"),
+            regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+            regexp_count(col("text"), lit("[.,;:!?]")).cast("long").as("n_punct"),
+            regexp_count(lower(col("text")), lit("\\b(the|and|of|to|is|a)\\b"))
+              .cast("long").as("n_stop"))
+          .withColumn("quality",
+            least(lit(1.0), col("n_tokens") / lit(100.0)) *
+              (lit(1.0) - col("n_punct") / col("n_chars")) *
+              (lit(0.5) + lit(0.5) *
+                least(lit(1.0), col("n_stop") * lit(5.0) / col("n_tokens"))))
+        // stage 2: keep scoreable english-looking docs
+        val kept = scored
+          .filter(col("quality") > 0.45 && col("n_stop") > 0)
+        // stage 3: exact dedup — canonical (min doc_id) per normalized
+        // fingerprint; one shuffle on the fingerprint key
+        val canonical = kept
+          .withColumn("fp", contentFingerprint(col("text")))
+          .withColumn("canon_id", min(col("doc_id"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+          .filter(col("doc_id") === col("canon_id"))
+        // stage 4: chunk-count survivors (t05 geometry: 50-token windows,
+        // stride 40) — counts only; reuses the already-computed n_tokens
+        val chunked = canonical
+          .withColumn("nc",
+            when(col("n_tokens") <= 50, lit(1L))
+              .otherwise(floor((col("n_tokens") - 50 + 39) / lit(40.0)).cast("long") + 1L))
+        // stage 5: stable split (t07 md5 bucket) + per-split stats
+        val h = md5(col("doc_id").cast("string").cast("binary"))
+        chunked
+          .withColumn("split",
+            when(pmod(ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1)),
+              lit(100)) < 80, "train").otherwise("eval"))
+          .groupBy(col("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nc")).as("n_chunks"),
+            sum(col("n_tokens")).as("n_tokens"))
+          .orderBy(col("split"))
+      },
+      Some(
+        """WITH scored AS (
+          |  SELECT doc_id, text,
+          |         CAST(length(text) AS BIGINT) AS n_chars,
+          |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+          |         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+          |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|a)\b')) AS BIGINT) AS n_stop
+          |  FROM documents),
+          |q AS (
+          |  SELECT *,
+          |         least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100.0) *
+          |         (CAST(1.0 AS DOUBLE) - CAST(n_punct AS DOUBLE) / n_chars) *
+          |         (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) *
+          |          least(CAST(1.0 AS DOUBLE), CAST(n_stop AS DOUBLE) * 5.0 / n_tokens)) AS quality
+          |  FROM scored),
+          |kept AS (SELECT * FROM q WHERE quality > 0.45 AND n_stop > 0),
+          |canon AS (
+          |  SELECT *,
+          |         min(doc_id) OVER (PARTITION BY
+          |           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS canon_id
+          |  FROM kept),
+          |surv AS (SELECT * FROM canon WHERE doc_id = canon_id),
+          |chunked AS (
+          |  SELECT *,
+          |         CASE WHEN n_tokens <= 50 THEN 1
+          |              ELSE CAST(floor((n_tokens - 50 + 39) / 40.0) AS BIGINT) + 1 END AS nc
+          |  FROM surv),
+          |split AS (
+          |  SELECT *,
+          |         CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+          |                    ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80
+          |              THEN 'train' ELSE 'eval' END AS split
+          |  FROM chunked)
+          |SELECT split, count(*) AS n_docs, sum(nc) AS n_chunks,
+          |       sum(n_tokens) AS n_tokens
+          |FROM split
+          |GROUP BY split
+          |ORDER BY split""".stripMargin)
+    )
+  )
+}

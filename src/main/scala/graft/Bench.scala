@@ -18,7 +18,9 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the full 32-thread harness width (GraftSession.cpus):
+    // an unset env var must not quietly benchmark at local[4]
+    val cpus = GraftSession.cpus
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val otherJvms =

@@ -50,6 +50,17 @@ for name in sorted(os.listdir(outdir)):
     if len(s) != len(dk):
         fails.append((name, f"row counts differ: {len(s)} vs {len(dk)}"))
         continue
+    # Dtype-strict: the driver hashes VALUES, so int64 101 vs float64
+    # 101.0 fails there even though `==` passes here (this is exactly how
+    # the p01 HUGEINT->float64 drift hid locally in round 2). Any kind
+    # mismatch (int vs float vs object) is a fail.
+    dtype_drift = [
+        (c, str(s[c].dtype), str(dk[c].dtype))
+        for c in s.columns if s[c].dtype.kind != dk[c].dtype.kind
+    ]
+    if dtype_drift:
+        fails.append((name, f"dtype drift (driver hash would differ): {dtype_drift}"))
+        continue
     mismatch = None
     for c in s.columns:
         a, b = s[c], dk[c]

@@ -195,27 +195,41 @@ object SimilarityOps {
   private val BatchPlanes = 32
   private val BatchBlocks = 8
 
+  /** The 8 block values of the 32-plane signature computed in ONE
+    * projection, directly from the plane dot products: block `b` packs
+    * the sign bits of planes [b·r, (b+1)·r). Each plane's dot product
+    * appears EXACTLY ONCE in the expression tree. Deriving the blocks
+    * from a previously-projected bits array instead (the round-2 shape)
+    * let CollapseProject inline the whole 32-plane signature into every
+    * `element_at` reference — the same optimizer blow-up d02 hit with
+    * shingles — costing 59.9s for 2,000 vectors where the exact scan
+    * takes 0.32s. Fusing the packing into the signature projection
+    * removes the duplication without needing a persist barrier. */
+  private def lshBlockVals(embCol: Column, dim: Int): Column = {
+    val ps = planes(BatchPlanes, dim)
+    val bitsPerBlock = BatchPlanes / BatchBlocks
+    array((0 until BatchBlocks).map { b =>
+      (0 until bitsPerBlock).map { i =>
+        val p = ps(b * bitsPerBlock + i)
+        when(dotProduct(embCol, array(p.map(lit(_)): _*)) >= 0, lit(1 << i))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
   /** LSH-pruned batch top-k: instead of the single-query full-scan
     * Hamming filter, candidates come from a signature-block EQUI-JOIN
     * (index side exploded to (block, value) keys, shuffled once), then
     * exact cosine re-rank + grouped top-k. At 100 TB the equi-join
     * touches only colliding buckets — no scan amplification per query. */
   def lshTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val bitsPerBlock = BatchPlanes / BatchBlocks
-    def blockVals(bits: Column): Column =
-      array((0 until BatchBlocks).map { b =>
-        (0 until bitsPerBlock)
-          .map(i => element_at(bits, b * bitsPerBlock + i + 1) * lit(1 << i))
-          .reduce(_ + _)
-      }: _*)
-    val sigIdx = withLshSignature(emb, "embedding", BatchPlanes)
-      .select(col("vec_id"), posexplode(blockVals(col("lsh_bits"))))
+    val dim = embeddingDim(emb, "embedding")
+    val sigIdx = emb
+      .select(col("vec_id"), posexplode(lshBlockVals(col("embedding"), dim)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_val")
-    val sigQ = withLshSignature(
-      emb.filter(col("vec_id").isin(queryIds: _*))
-        .select(col("vec_id").as("qid"), col("embedding").as("q_emb")),
-      "q_emb", BatchPlanes)
-      .select(col("qid"), posexplode(blockVals(col("lsh_bits"))))
+    val sigQ = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"),
+        posexplode(lshBlockVals(col("embedding"), dim)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_val")
     val candidates = sigIdx.join(broadcast(sigQ), Seq("block", "block_val"))
       .filter(col("vec_id") =!= col("qid"))

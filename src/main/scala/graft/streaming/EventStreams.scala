@@ -68,20 +68,43 @@ object EventStreams {
     * Scale notes: complete mode + memory sink suit a finite backfill
     * (result = one row per (hour, type)); an unbounded deployment swaps
     * in append mode + watermark (see [[tumblingCounts]]) and a durable
-    * sink — the aggregation plan is identical. */
-  def hourlyCountsStreaming(spark: SparkSession, dir: String): DataFrame = {
+    * sink — the aggregation plan is identical.
+    *
+    * `statePartitions` sizes the stateful-aggregation state store. The
+    * HDFS-backed provider pays a fixed per-partition commit cost (delta
+    * file write + fsync) EVERY micro-batch regardless of data volume —
+    * profiled here via `lastProgress.durationMs`: at the session default
+    * of 32 partitions one 100k-row batch spent 23.5s of task time in
+    * state commit vs 71ms at 1 partition. A bounded backfill with ~3.6k
+    * groups wants few state partitions; an unbounded deployment sizes
+    * this to key cardinality × throughput instead (the partition count
+    * is frozen into the checkpoint at first start). */
+  def hourlyCountsStreaming(spark: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructType}
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    // under nanosAsLong the TIMESTAMP(NANOS) column arrives as INT64:
-    // declare it long and convert exactly, as Tables.normalizeEventTs does
+    // Run the stream in an isolated session (shared SparkContext, own
+    // SQLConf): the streaming engine clones the session ON THE QUERY
+    // THREAD, so setting shuffle.partitions on the caller's session and
+    // restoring it after start() would race with that clone — and would
+    // also leak a conf change into a concurrent caller.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val batchSchema = ss.read.parquet(s"$dir/events.parquet").schema
+    // under nanosAsLong a TIMESTAMP(NANOS) ts arrives as INT64: declare it
+    // long and convert exactly — but ONLY when the batch read actually
+    // yields a long, mirroring Tables.normalizeEventTs; a micros-typed
+    // events file passes through with its TimestampType schema unchanged.
+    val tsIsLong = batchSchema("ts").dataType == LongType
     val schema = StructType(batchSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f if f.name == "ts" && tsIsLong => f.copy(dataType = LongType)
       case f => f
     })
-    val stream = spark.readStream.schema(schema)
+    val raw = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream =
+      if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
     val agg = stream
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
@@ -93,7 +116,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table("q27_sink").orderBy(col("hour_start"), col("event_type"))
+    ss.table("q27_sink").orderBy(col("hour_start"), col("event_type"))
   }
 
   /** Driver-visible streaming artifact: same oracle as batch q20. */

@@ -102,8 +102,13 @@ object PipelineQueries {
           |                    ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80
           |              THEN 'train' ELSE 'eval' END AS split
           |  FROM chunked)
-          |SELECT split, count(*) AS n_docs, sum(nc) AS n_chunks,
-          |       sum(n_tokens) AS n_tokens
+          |-- sum(BIGINT) is HUGEINT in DuckDB, which pandas coerces to
+          |-- float64 and the driver's hash compare then sees 101.0 vs
+          |-- Spark's int64 101 — cast back to BIGINT (oracle-parity rule:
+          |-- integers, never floats, across the engine boundary).
+          |SELECT split, count(*) AS n_docs,
+          |       CAST(sum(nc) AS BIGINT) AS n_chunks,
+          |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
           |FROM split
           |GROUP BY split
           |ORDER BY split""".stripMargin)

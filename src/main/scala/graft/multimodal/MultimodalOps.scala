@@ -6,30 +6,35 @@ import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.queries.GraftQuery
 
-/** Multimodal-column plumbing: media as opaque `binary` payloads with
+/** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata, decoded/feature-extracted in partition-level batches.
   *
-  * The Spark-side contract is real and tested — schema (binary payload +
-  * metadata struct), partition-batched execution via `mapPartitions` on a
-  * typed Dataset (the Scala analog of `mapInPandas` batches), and a
-  * downstream relational stage over the extracted features. The codec
-  * itself is a clearly-marked deterministic STUB (`FakeCodec`): this
-  * container has no image/audio libraries, so decode derives features
-  * from the payload bytes alone. Swapping in a real decoder changes only
-  * `FakeCodec.decode` — no plan shape, schema, or partitioning changes.
+  * The Spark-side contract — schema (binary payload + metadata),
+  * partition-batched execution via `mapPartitions` on a typed Dataset
+  * (the Scala analog of `mapInPandas` batches), and a downstream
+  * relational stage over extracted features — is real and tested, and so
+  * is the codec: [[MediaCodec]] decodes actual PNG stills and
+  * multi-frame GIF animations with `javax.imageio` (ships in every JDK;
+  * zero added dependencies). The test corpus is fabricated
+  * deterministically as real encoded images ([[fakeMediaTable]]), since
+  * the driver data contains no media. Payload bytes a JDK reader cannot
+  * identify fall back to a clearly-marked byte-statistics stub
+  * ([[MediaCodec.byteStatsFallback]]) — the slot where an ffmpeg-style
+  * JNI binding would plug in for codecs outside the JDK (video, audio).
   *
   * Scale notes: payloads stay off the driver; decode is a narrow
   * per-partition transformation (no shuffle), so it scales with input
-  * splits. For real media, pair with `spark.sql.files.maxPartitionBytes`
-  * sized so a partition's decoded batch fits executor memory, and use
-  * binaryFile / parquet-with-binary sources.
+  * splits. For real media archives, pair with
+  * `spark.sql.files.maxPartitionBytes` sized so a partition's decoded
+  * batch fits executor memory, and use binaryFile / parquet-with-binary
+  * sources.
   */
 object MultimodalOps {
 
   /** One media row: opaque payload + metadata, as stored at rest. */
   final case class MediaRecord(media_id: Long, format: String, payload: Array[Byte])
 
-  /** Extracted features (what a real image/audio decoder would emit). */
+  /** Extracted features (what the decoder emits per media row). */
   final case class MediaFeatures(
       media_id: Long,
       format: String,
@@ -39,13 +44,102 @@ object MultimodalOps {
       n_frames: Int,
       mean_byte: Double)
 
-  /** STUB codec — deterministic fake decode: features are pure functions
-    * of the payload bytes. Replace `decode` with a real codec binding
-    * (e.g. javax.imageio / ffmpeg JNI) in production; `???` semantics
-    * are modeled by the fixed fake below so the pipeline stays runnable
-    * and testable in this container. */
-  object FakeCodec {
-    def decode(r: MediaRecord): MediaFeatures = {
+  /** Real JDK codec: PNG + animated GIF via `javax.imageio`, plus a
+    * deterministic byte-stats fallback for payloads no installed reader
+    * recognizes. Runs inside executor tasks — everything here must be
+    * driver-free and thread-safe (ImageIO reader instances are created
+    * per call; the readers themselves are not shared). */
+  object MediaCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.{IIOImage, ImageIO}
+
+    // In-memory streams only: ImageIO's default stream cache writes temp
+    // files per decode — pure overhead for small in-heap payloads.
+    ImageIO.setUseCache(false)
+
+    private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    private val GifMagic = "GIF8".getBytes("US-ASCII")
+
+    private def hasMagic(p: Array[Byte], m: Array[Byte]): Boolean =
+      p.length >= m.length && java.util.Arrays.equals(p, 0, m.length, m, 0, m.length)
+
+    def isPng(p: Array[Byte]): Boolean = hasMagic(p, PngMagic)
+    def isGif(p: Array[Byte]): Boolean = hasMagic(p, GifMagic)
+
+    /** Deterministic 8-bit gray value for a fabricated pixel. */
+    def grayAt(mediaId: Long, x: Int, y: Int, frame: Int): Int =
+      (((x * 31 + y * 17 + frame * 7).toLong + mediaId * 131) % 256).toInt
+
+    private def frameImage(mediaId: Long, w: Int, h: Int, frame: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = grayAt(mediaId, x, y, frame)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** Encode one real PNG still with the deterministic gray pattern. */
+    def encodePng(mediaId: Long, w: Int, h: Int): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(frameImage(mediaId, w, h, frame = 0), "png", bos)
+      bos.toByteArray
+    }
+
+    /** Encode one real multi-frame GIF animation (the JDK's GIF writer
+      * supports sequences; this is the container's stand-in for video). */
+    def encodeGif(mediaId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        (0 until nFrames).foreach { f =>
+          writer.writeToSequence(
+            new IIOImage(frameImage(mediaId, w, h, f), null, null),
+            writer.getDefaultWriteParam)
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      bos.toByteArray
+    }
+
+    /** Open a positioned ImageReader for the payload, or None if no
+      * installed reader claims the format. */
+    private def reader(p: Array[Byte]): Option[javax.imageio.ImageReader] = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(p))
+      val it = ImageIO.getImageReaders(iis)
+      if (it.hasNext) { val r = it.next(); r.setInput(iis); Some(r) }
+      else { iis.close(); None }
+    }
+
+    private def meanGray(img: BufferedImage): Double = {
+      val w = img.getWidth; val h = img.getHeight
+      if (w == 0 || h == 0) return 0.0
+      var sum = 0L; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
+        y += 1
+      }
+      sum.toDouble / (w.toLong * h)
+    }
+
+    /** Documented stub path for codecs the JDK cannot read (real video/
+      * audio needs an external binding): deterministic pure function of
+      * the payload bytes so the pipeline stays runnable and testable. */
+    def byteStatsFallback(r: MediaRecord): MediaFeatures = {
       val n = r.payload.length
       var sum = 0L
       var i = 0
@@ -59,6 +153,61 @@ object MultimodalOps {
         n_frames = 1 + (n % 8),
         mean_byte = if (n == 0) 0.0 else sum.toDouble / n)
     }
+
+    /** Real decode: dimensions and frame count from the image container,
+      * mean intensity from the first frame's decoded pixels. */
+    def decode(r: MediaRecord): MediaFeatures =
+      reader(r.payload) match {
+        case Some(rd) =>
+          try {
+            val first = rd.read(0)
+            val frames =
+              try rd.getNumImages(true)
+              catch { case _: Throwable => 1 }
+            MediaFeatures(r.media_id, r.format, r.payload.length.toLong,
+              first.getWidth, first.getHeight, frames, meanGray(first))
+          } finally rd.dispose()
+        case None => byteStatsFallback(r)
+      }
+
+    /** All frames of an animated payload (a still has one frame),
+      * decoded to BufferedImages. */
+    def decodeFrames(p: Array[Byte]): Seq[BufferedImage] =
+      reader(p) match {
+        case Some(rd) =>
+          try {
+            val n = try rd.getNumImages(true) catch { case _: Throwable => 1 }
+            (0 until n).map(rd.read)
+          } finally rd.dispose()
+        case None => Seq.empty
+      }
+
+    /** Nearest-neighbor resample — an explicit pixel loop, not
+      * Graphics2D, so the result is bit-deterministic across JVMs
+      * (interpolation policy is pinned by this code, not by a
+      * rendering-hint default). */
+    def resizeImage(src: BufferedImage, w: Int, h: Int): BufferedImage = {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val sw = src.getWidth; val sh = src.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val sx = ((x.toLong * sw) / w).toInt
+          val sy = ((y.toLong * sh) / h).toInt
+          out.setRGB(x, y, src.getRGB(sx, sy))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    def encodeImagePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
   }
 
   /** Partition-batched decode: one iterator pass per partition (batch
@@ -66,79 +215,101 @@ object MultimodalOps {
     * the downstream relational stage). */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(FakeCodec.decode))
+    media.mapPartitions(_.map(MediaCodec.decode))
   }
 
   /** A media row after resizing: new dims + re-encoded payload. */
   final case class ResizedMedia(media_id: Long, format: String,
       width: Int, height: Int, payload: Array[Byte])
 
-  /** Resize stage (STUB transform, real plumbing): per-partition batched,
-    * no shuffle, payload-in/payload-out so downstream stages chain. The
-    * stub "resample" deterministically strides the source bytes to
-    * exactly w·h output bytes; a real binding would call the codec's
-    * scaler here with the same signature. */
+  /** Resize stage: per-partition batched, no shuffle, payload-in/
+    * payload-out so downstream stages chain. Decodable payloads get a
+    * REAL nearest-neighbor resample of the first frame re-encoded as
+    * PNG; unrecognized payloads keep the deterministic byte-stride stub
+    * (the external-codec slot). */
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
     media.mapPartitions(_.map { r =>
-      val n = r.payload.length
-      val out = new Array[Byte](w * h)
-      if (n > 0) {
-        var i = 0
-        while (i < out.length) {
-          out(i) = r.payload(((i.toLong * n) / out.length).toInt)
-          i += 1
-        }
+      MediaCodec.decodeFrames(r.payload).headOption match {
+        case Some(img) =>
+          val out = MediaCodec.encodeImagePng(MediaCodec.resizeImage(img, w, h))
+          ResizedMedia(r.media_id, "png", w, h, out)
+        case None =>
+          val n = r.payload.length
+          val out = new Array[Byte](w * h)
+          if (n > 0) {
+            var i = 0
+            while (i < out.length) {
+              out(i) = r.payload(((i.toLong * n) / out.length).toInt)
+              i += 1
+            }
+          }
+          ResizedMedia(r.media_id, r.format, w, h, out)
       }
-      ResizedMedia(r.media_id, r.format, w, h, out)
     })
   }
 
-  /** One sampled frame of a (fake-)video payload. */
+  /** One sampled frame of an animated payload. */
   final case class Frame(media_id: Long, frame_idx: Int, n_bytes: Long,
       payload: Array[Byte])
 
-  /** Frame sampling (STUB decode, real plumbing): splits each payload
-    * into the codec's reported frame count and emits every `every`-th
-    * frame — a flatMap, so one media row fans out to many frame rows
-    * with NO shuffle; downstream per-frame stages inherit the input
-    * partitioning. */
+  /** Frame sampling: every `every`-th REAL frame of each decodable
+    * payload (GIF animations fan out to their actual frames, re-encoded
+    * as PNG stills; a PNG still is its own single frame) — a flatMap,
+    * so one media row fans out to many frame rows with NO shuffle.
+    * Unrecognized payloads keep the byte-partition stub. */
   def sampleFrames(media: Dataset[MediaRecord], every: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     require(every > 0, s"sampling stride must be positive, got $every")
     media.mapPartitions(_.flatMap { r =>
-      val nFrames = FakeCodec.decode(r).n_frames
-      val n = r.payload.length
-      (0 until nFrames by every).iterator.map { f =>
-        val from = (f.toLong * n / nFrames).toInt
-        val until = ((f + 1).toLong * n / nFrames).toInt
-        val bytes = java.util.Arrays.copyOfRange(r.payload, from, until)
-        Frame(r.media_id, f, bytes.length.toLong, bytes)
+      val frames = MediaCodec.decodeFrames(r.payload)
+      if (frames.nonEmpty) {
+        (0 until frames.length by every).iterator.map { f =>
+          val bytes = MediaCodec.encodeImagePng(frames(f))
+          Frame(r.media_id, f, bytes.length.toLong, bytes)
+        }
+      } else {
+        val nFrames = MediaCodec.byteStatsFallback(r).n_frames
+        val n = r.payload.length
+        (0 until nFrames by every).iterator.map { f =>
+          val from = (f.toLong * n / nFrames).toInt
+          val until = ((f + 1).toLong * n / nFrames).toInt
+          val bytes = java.util.Arrays.copyOfRange(r.payload, from, until)
+          Frame(r.media_id, f, bytes.length.toLong, bytes)
+        }
       }
     })
   }
 
-  /** Fabricate a deterministic media table from `documents` (the
-    * container ships no real media): payload = utf-8 bytes of the text. */
+  /** Fabricate a deterministic REAL media corpus from `documents` (the
+    * driver data ships no media): every 4th doc becomes a multi-frame
+    * GIF animation (2–8 frames), the rest PNG stills, dims varying with
+    * doc_id. Encoding happens per-partition in executors — the payload
+    * bytes never touch the driver. */
   def fakeMediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(
-      col("doc_id").as("media_id"),
-      concat(lit("img/fake-"), col("source")).as("format"),
-      encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRecord]
+    docs.select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 8 + (id % 25).toInt
+        val h = 8 + ((id * 3) % 17).toInt
+        if (id % 4 == 3)
+          MediaRecord(id, "gif", MediaCodec.encodeGif(id, w, h, nFrames = 2 + (id % 7).toInt))
+        else
+          MediaRecord(id, "png", MediaCodec.encodePng(id, w, h))
+      })
   }
 
   val all: Seq[GraftQuery] = Seq(
     // ------------------------------------------------------------------
-    // m01: binary ingest → partition-batched decode (STUB codec) →
-    // relational aggregation over extracted features. Deterministic but
+    // m01: binary ingest → partition-batched REAL decode (javax.imageio)
+    // → relational aggregation over extracted features. Deterministic but
     // mapPartitions logic is not ANSI-SQL-expressible → rows-only; the
-    // ScalaTest pins exact feature values for known payloads.
+    // ScalaTest pins decoded dimensions/frame counts for known payloads.
     GraftQuery(
       "m01_multimodal_features",
-      "binary payload → stub decode (mapPartitions batches) → per-format feature aggregates",
+      "binary payload → imageio decode (mapPartitions batches) → per-format feature aggregates",
       (spark, dir) => {
         val t = Tables(spark, dir)
         decodeFeatures(fakeMediaTable(spark, t.documents))
@@ -161,11 +332,10 @@ object MultimodalOps {
     // chaining (resize) and row fan-out without shuffle (frame flatMap).
     GraftQuery(
       "m02_multimodal_resize_frames",
-      "binary payload → stub resize(64x64) + every-2nd-frame sample → per-format frame stats",
+      "binary payload → imageio resize(64x64) + every-2nd-frame sample → per-raster frame stats",
       (spark, dir) => {
         val t = Tables(spark, dir)
         val media = fakeMediaTable(spark, t.documents)
-        import spark.implicits._
         val resized = resize(media, 64, 64)
           .select(col("media_id"), col("width"), col("height"))
         val frames = sampleFrames(media, every = 2)

@@ -1,33 +1,55 @@
 package graft
 
 import graft.multimodal.MultimodalOps
-import graft.multimodal.MultimodalOps.{FakeCodec, MediaRecord}
+import graft.multimodal.MultimodalOps.{MediaCodec, MediaRecord}
 
-/** Multimodal plumbing tests: stub-codec determinism, batch decode via
-  * mapPartitions, and the downstream relational stage. */
+/** Multimodal tests: REAL imageio codec (PNG stills, multi-frame GIF),
+  * batch decode via mapPartitions, the byte-stats fallback for unknown
+  * codecs, and the downstream relational stage. */
 class MultimodalSpec extends SparkSpecBase {
 
-  test("stub codec is a pure function of the payload") {
-    val payload = "ab".getBytes("UTF-8")
-    val f = FakeCodec.decode(MediaRecord(7L, "img/x", payload))
-    assert(f.media_id === 7L)
-    assert(f.n_bytes === 2L)
-    assert(f.width === 64 + 2)
-    assert(f.height === 64 + 14)
-    assert(f.n_frames === 1 + 2)
-    assert(f.mean_byte === (97 + 98) / 2.0)
+  test("PNG round-trip: decode reports real dimensions and exact pixel mean") {
+    val payload = MediaCodec.encodePng(mediaId = 7L, w = 12, h = 9)
+    assert(MediaCodec.isPng(payload))
+    val f = MediaCodec.decode(MediaRecord(7L, "png", payload))
+    assert(f.width === 12)
+    assert(f.height === 9)
+    assert(f.n_frames === 1)
+    assert(f.n_bytes === payload.length.toLong)
+    // PNG is lossless: the decoded mean must equal the generator's mean
+    val grays = for (y <- 0 until 9; x <- 0 until 12)
+      yield MediaCodec.grayAt(7L, x, y, 0)
+    assert(math.abs(f.mean_byte - grays.sum.toDouble / grays.size) < 1e-12)
     // determinism
-    assert(f === FakeCodec.decode(MediaRecord(7L, "img/x", payload)))
+    assert(f === MediaCodec.decode(MediaRecord(7L, "png", payload)))
+  }
+
+  test("GIF round-trip: decode reports real dimensions and frame count") {
+    val payload = MediaCodec.encodeGif(mediaId = 5L, w = 10, h = 8, nFrames = 4)
+    assert(MediaCodec.isGif(payload))
+    val f = MediaCodec.decode(MediaRecord(5L, "gif", payload))
+    assert(f.width === 10)
+    assert(f.height === 8)
+    assert(f.n_frames === 4)
+    assert(MediaCodec.decodeFrames(payload).length === 4)
+  }
+
+  test("unknown payloads take the documented byte-stats fallback") {
+    val payload = "ab".getBytes("UTF-8")
+    val f = MediaCodec.decode(MediaRecord(7L, "bin", payload))
+    assert(f === MediaCodec.byteStatsFallback(MediaRecord(7L, "bin", payload)))
+    assert(f.n_bytes === 2L)
+    assert(f.mean_byte === (97 + 98) / 2.0)
   }
 
   test("decode pipeline preserves row count and drops payloads") {
     import testImplicits._
     val media = Seq(
-      MediaRecord(1L, "img/a", "hello".getBytes("UTF-8")),
-      MediaRecord(2L, "img/b", Array.emptyByteArray)).toDS()
+      MediaRecord(1L, "png", MediaCodec.encodePng(1L, 8, 8)),
+      MediaRecord(2L, "bin", Array.emptyByteArray)).toDS()
     val feats = MultimodalOps.decodeFeatures(media).collect().sortBy(_.media_id)
     assert(feats.length === 2)
-    assert(feats(0).n_bytes === 5L)
+    assert(feats(0).width === 8 && feats(0).height === 8)
     assert(feats(1).n_bytes === 0L && feats(1).mean_byte === 0.0)
     assert(!MultimodalOps.decodeFeatures(media).columns.contains("payload"))
   }
@@ -35,36 +57,52 @@ class MultimodalSpec extends SparkSpecBase {
   test("m01 catalog query aggregates features per format") {
     val r = graft.queries.Catalog.queries("m01_multimodal_features")(spark, sf0001)
       .collect()
-    assert(r.length === 20) // one per documents.source
-    assert(r.forall(_.getAs[Long]("n_media") === 25L))
+    // corpus fabrication: every 4th doc (id % 4 == 3) is a GIF animation
+    assert(r.map(_.getAs[String]("format")).toSeq === Seq("gif", "png"))
+    val byFmt = r.map(x => x.getAs[String]("format") -> x).toMap
+    assert(byFmt("gif").getAs[Long]("n_media") === 125L)
+    assert(byFmt("png").getAs[Long]("n_media") === 375L)
+    assert(byFmt("png").getAs[Long]("total_frames") === 375L) // stills: 1 each
+    assert(byFmt("gif").getAs[Long]("total_frames") > 2L * 125L) // 2..8 each
   }
 
-  test("resize emits exactly w*h bytes, strided deterministically") {
+  test("resize really resamples: output decodes at target dims with source pixels") {
     import testImplicits._
-    val media = Seq(
-      MediaRecord(1L, "img/a", "abcdefgh".getBytes("UTF-8")),
-      MediaRecord(2L, "img/b", Array.emptyByteArray)).toDS()
-    val out = MultimodalOps.resize(media, 4, 2).collect().sortBy(_.media_id)
-    assert(out.forall(r => r.payload.length === 8 && r.width === 4 && r.height === 2))
-    // stride over an 8-byte payload to 8 output bytes is the identity
-    assert(new String(out(0).payload, "UTF-8") === "abcdefgh")
-    // empty payload resizes to zeros, not a crash
-    assert(out(1).payload.forall(_ === 0.toByte))
-    // downstride: 8 bytes -> 4 output bytes picks every 2nd source byte
-    val down = MultimodalOps.resize(media, 2, 2).collect().sortBy(_.media_id)
-    assert(new String(down(0).payload, "UTF-8") === "aceg")
+    val media = Seq(MediaRecord(1L, "png", MediaCodec.encodePng(1L, 8, 8))).toDS()
+    val out = MultimodalOps.resize(media, 4, 4).collect().head
+    assert(out.width === 4 && out.height === 4)
+    val img = MediaCodec.decodeFrames(out.payload).head
+    assert(img.getWidth === 4 && img.getHeight === 4)
+    // nearest-neighbor with a 2x downscale picks source pixel (2x, 2y)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val expected = MediaCodec.grayAt(1L, 2 * x, 2 * y, 0)
+      assert((img.getRGB(x, y) & 0xFF) === expected,
+        s"pixel ($x,$y) should be source (${2 * x},${2 * y})")
+    }
+    // unknown payloads keep the byte-stride stub (w*h raw bytes)
+    val stub = Seq(MediaRecord(2L, "bin", "abcdefgh".getBytes("UTF-8"))).toDS()
+    val so = MultimodalOps.resize(stub, 4, 2).collect().head
+    assert(so.payload.length === 8)
+    assert(new String(so.payload, "UTF-8") === "abcdefgh")
   }
 
-  test("frame sampling partitions the payload and takes every k-th frame") {
+  test("frame sampling extracts real GIF frames; stills are one frame") {
     import testImplicits._
-    // 6-byte payload -> n_frames = 1 + 6%8 = 7 frames; every=2 samples
-    // frames 0,2,4,6
-    val media = Seq(MediaRecord(1L, "vid/a", "abcdef".getBytes("UTF-8"))).toDS()
-    val frames = MultimodalOps.sampleFrames(media, every = 2)
+    val gif = Seq(MediaRecord(1L, "gif", MediaCodec.encodeGif(1L, 6, 6, nFrames = 5))).toDS()
+    val frames = MultimodalOps.sampleFrames(gif, every = 2)
       .collect().sortBy(_.frame_idx)
-    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4, 6))
-    // frame boundaries tile the payload: every=1 reassembles it exactly
-    val all = MultimodalOps.sampleFrames(media, every = 1)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    // each sampled frame is a decodable PNG still at the source dims
+    frames.foreach { fr =>
+      val img = MediaCodec.decodeFrames(fr.payload).head
+      assert(img.getWidth === 6 && img.getHeight === 6)
+    }
+    val png = Seq(MediaRecord(2L, "png", MediaCodec.encodePng(2L, 6, 6))).toDS()
+    assert(MultimodalOps.sampleFrames(png, every = 1).collect().length === 1)
+    // unknown payloads keep the byte-partition stub: 6 bytes -> 7 fake
+    // frames, every=1 reassembles the payload exactly
+    val stub = Seq(MediaRecord(3L, "bin", "abcdef".getBytes("UTF-8"))).toDS()
+    val all = MultimodalOps.sampleFrames(stub, every = 1)
       .collect().sortBy(_.frame_idx)
     assert(all.length === 7)
     assert(new String(all.flatMap(_.payload), "UTF-8") === "abcdef")

@@ -80,6 +80,76 @@ class DedupSpec extends SparkSpecBase {
       s"missing ${planted.diff(found).size} of ${planted.size} planted pairs")
   }
 
+  test("minhash verification is sound corpus-wide: brute-force exact Jaccard over all pairs") {
+    val corpus = DedupOps.nearDupCorpus(docs)
+    val found = DedupOps.minhashNearDups(corpus, threshold = 0.5).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("jaccard"))).toMap
+
+    // Independent ground truth across the WHOLE corpus (not only planted
+    // pairs): STRING word-5-shingle sets (no hashing anywhere, so this
+    // also cross-checks the rotate-xor shingle-hash path for collision
+    // artifacts), all ~500k pairs brute-forced on the driver — a test
+    // can afford O(n²) at n=1000; the operator must not.
+    val shingleSets = corpus
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("shingles", TextFunctions.wordShingles("toks", 5))
+      .select(col("doc_id"), col("shingles"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](r.fieldIndex("shingles")).toSet)
+    val truth = (for {
+      i <- shingleSets.indices.iterator
+      j <- (i + 1) until shingleSets.length
+      (idA, sA) = shingleSets(i)
+      (idB, sB) = shingleSets(j)
+      inter = sA.intersect(sB).size
+      jac = inter.toDouble / (sA.size + sB.size - inter)
+      if jac >= 0.5
+    } yield (math.min(idA, idB), math.max(idA, idB)) -> jac).toMap
+
+    // Soundness: NO false positive survives verification anywhere in the
+    // corpus, and the reported jaccard equals the brute-force value.
+    val falsePos = found.keySet.diff(truth.keySet)
+    assert(falsePos.isEmpty, s"false positives survived verification: $falsePos")
+    found.foreach { case (pair, j) =>
+      assert(math.abs(j - truth(pair)) < 1e-12,
+        s"pair $pair reported jaccard $j but brute force says ${truth(pair)}")
+    }
+    // Corpus-wide completeness where the LSH family guarantees it:
+    // detection probability at j ≥ 0.8 is ~0.985 per pair.
+    val truth08 = truth.filter(_._2 >= 0.8).keySet
+    assert(truth08.nonEmpty)
+    assert(truth08.intersect(found.keySet).size.toDouble / truth08.size >= 0.97,
+      s"corpus-wide recall@0.8: ${truth08.intersect(found.keySet).size}/${truth08.size}")
+  }
+
+  test("simhash LSH is exact corpus-wide: reported pairs equal brute-force Hamming ≤ 3") {
+    val corpus = DedupOps.nearDupCorpus(docs)
+    val found = DedupOps.simhashNearDups(corpus, maxHamming = 3).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Long]("hamming"))).toMap
+
+    // Brute-force ALL pairs from the native signatures (1000 sigs →
+    // ~500k popcounts on the driver). The 4×16-bit block LSH is
+    // exhaustive for Hamming ≤ 3 by pigeonhole, so found must equal
+    // truth EXACTLY — both directions, everywhere in the corpus.
+    val sigs = DedupOps.simhashSignature(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sig")))
+    val truth = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      (idA, sA) = sigs(i)
+      (idB, sB) = sigs(j)
+      h = java.lang.Long.bitCount(sA ^ sB)
+      if h <= 3
+    } yield (math.min(idA, idB), math.max(idA, idB)) -> h.toLong).toMap
+    assert(found === truth,
+      s"missing=${truth.keySet.diff(found.keySet).size} " +
+        s"spurious=${found.keySet.diff(truth.keySet).size} of ${truth.size}")
+    assert(truth.nonEmpty)
+  }
+
   test("native simhash64 long equals the packed HOF bit-vector signature") {
     val corpus = docs.limit(100).select(col("doc_id"), col("text"))
     val bits = DedupOps.withSimhashBits(corpus).collect()

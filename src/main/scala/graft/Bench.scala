@@ -57,11 +57,13 @@ object Bench {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
-        finally
+        finally {
           // Each invocation persists fresh intermediate frames (MinHash,
           // IVF centroids); drop them between runs (outside the timed
           // region) so cached blocks don't accumulate across iterations.
+          InternalCaches.releaseAll()
           spark.catalog.clearCache()
+        }
       }
       // Any failed iteration marks the query failed; otherwise best-of-N.
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)

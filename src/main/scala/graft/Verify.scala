@@ -27,6 +27,7 @@ object Verify {
       // IVF centroids) as optimizer barriers; each invocation builds fresh
       // frames, so drop the previous query's blocks here instead of
       // letting them accumulate across the whole catalog.
+      InternalCaches.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -132,10 +132,14 @@ object DedupOps {
     * by two downstream branches (banding + verification), and the
     * persist is also an optimizer barrier — without it CollapseProject
     * inlines the shingle expression into all 32 minhash lambdas and the
-    * 8 band hashes, multiplying both per-row compute and plan size. */
+    * 8 band hashes, multiplying both per-row compute and plan size.
+    * Both are registered with [[graft.InternalCaches]]: a long-lived
+    * session calls `InternalCaches.releaseAll()` after consuming the
+    * result to drop them without touching its own caches. */
   def minhashNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingled(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-    val sig = withSignature(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    import graft.InternalCaches.track
+    val sh = track(shingled(corpus).persist(StorageLevel.MEMORY_AND_DISK))
+    val sig = track(withSignature(sh).persist(StorageLevel.MEMORY_AND_DISK))
     val cand = candidatePairs(banded(sig))
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
       size(col("shingles")).as("n_a"))
@@ -182,7 +186,8 @@ object DedupOps {
   /** SimHash near-dups: LSH on 4×16-bit blocks (exhaustive for Hamming
     * distance ≤ 3 by pigeonhole), exact Hamming via popcount of xor. */
   def simhashNearDups(corpus: DataFrame, maxHamming: Int): DataFrame = {
-    val sig = simhashSignature(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = graft.InternalCaches.track(
+      simhashSignature(corpus).persist(StorageLevel.MEMORY_AND_DISK))
     val blockCols = (0 until 4).map(k =>
       shiftright(col("sig"), k * 16).bitwiseAND(lit(0xFFFFL)))
     val blocks = sig.select(col("doc_id"), col("sig"), posexplode(array(blockCols: _*)))

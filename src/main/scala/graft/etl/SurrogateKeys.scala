@@ -35,15 +35,24 @@ object SurrogateKeys {
     * offsets back via a broadcast join. Everything stays in whole-stage
     * codegen — no RDD drop-out, no `Row.fromSeq` re-encode.
     *
-    * The sorted frame is persisted because range partitioning samples
-    * with a nondeterministic seed: the counts pass and the id pass MUST
-    * see the same partitioning. Caller unpersists when done. */
+    * The sorted frame is frozen with an eager `localCheckpoint`, not a
+    * plain persist, because BOTH the range-partitioner sample seed and
+    * `monotonically_increasing_id` are nondeterministic and the counts
+    * pass and the id pass MUST see identical partitions. A persist
+    * would silently RECOMPUTE a lost partition (executor death) with a
+    * fresh sample seed between the two passes, yielding duplicate or
+    * skipped ids with no error; the checkpoint truncates lineage, so a
+    * lost block fails the job loudly instead — rerun and get correct
+    * ids. On a real cluster, a job that cannot afford the retry uses a
+    * reliable checkpoint or writes/reads an intermediate table here
+    * (same two-pass plan, durable freeze). Checkpoint blocks are
+    * reclaimed by the ContextCleaner once the result is unreachable. */
   def denseIds(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val LocalBits = 33 // monotonically_increasing_id's local-index width
     val parted = df.repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
       .withColumn("_mid", monotonically_increasing_id())
-      .persist()
+      .localCheckpoint()
     val counts = parted
       .groupBy(shiftright(col("_mid"), LocalBits).as("_pid"))
       .agg(count(lit(1)).as("n"))

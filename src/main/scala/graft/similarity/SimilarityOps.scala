@@ -132,11 +132,11 @@ object SimilarityOps {
     * probe the nprobe cells nearest the query and search only those. */
   def ivfTopK(emb: DataFrame, qid: Long, k: Int, nCells: Int, nprobe: Int,
       refine: Int = 0): DataFrame = {
-    val centroids =
+    val centroids = graft.InternalCaches.track(
       (if (refine > 0) kmeansCentroids(emb, nCells, refine)
        else emb.filter(col("vec_id") < nCells)
          .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // build: one row per (vector, cell) → argmax by cell similarity
     val wv = Window.partitionBy(col("vec_id"))
       .orderBy(col("cell_sim").desc, col("cell_id"))

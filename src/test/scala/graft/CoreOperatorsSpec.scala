@@ -103,6 +103,27 @@ class CoreOperatorsSpec extends SparkSpecBase {
     assert(ids.exceptAll(expected).isEmpty && expected.exceptAll(ids).isEmpty)
   }
 
+  test("q22: HLL++ estimate within error bound of exact count-distinct") {
+    val approx = graft.queries.Catalog.queries("q22_approx_count_distinct")(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_parts"))
+      .toMap
+    val exact = graft.io.Tables(spark, sf0001).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n"))
+      .toMap
+    assert(approx.keySet === exact.keySet)
+    // rsd = 0.01 → 5x gives generous 5-sigma headroom; at these
+    // cardinalities HLL++'s small-range (linear counting) regime is
+    // typically exact, so this also catches gross sketch misuse.
+    exact.foreach { case (flag, n) =>
+      val err = math.abs(approx(flag) - n).toDouble / n
+      assert(err <= 0.05, s"flag $flag: approx ${approx(flag)} vs exact $n (err $err)")
+    }
+  }
+
   test("as-of join: latest at-or-before semantics with ties and misses") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

@@ -171,6 +171,26 @@ class DedupSpec extends SparkSpecBase {
     assert(js.zip(js.tail).forall { case (x, y) => x >= y })
   }
 
+  test("internal caches release cleanly after a dedup/ANN sweep") {
+    graft.InternalCaches.releaseAll()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val corpus = DedupOps.nearDupCorpus(docs)
+    DedupOps.minhashNearDups(corpus, threshold = 0.5).count()
+    DedupOps.simhashNearDups(corpus, maxHamming = 3).count()
+    graft.similarity.SimilarityOps
+      .ivfTopK(Tables(spark, sf0001).embeddings, qid = 0L, k = 5,
+        nCells = 8, nprobe = 2)
+      .count()
+    assert(graft.InternalCaches.liveCount >= 4,
+      "minhash sh+sig, simhash sig, and IVF centroids should be tracked")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.nonEmpty, "the sweep should have materialized cached blocks")
+    graft.InternalCaches.releaseAll()
+    assert(graft.InternalCaches.liveCount === 0)
+    val after = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(after.isEmpty, s"cached RDDs survived releaseAll: $after")
+  }
+
   test("capBlocks: passes every block under the cap, drops oversized blocks whole") {
     import testImplicits._
     val df = ((1 to 10).map(i => (i.toLong, "hot")) ++ Seq((11L, "cold"), (12L, "cold")))

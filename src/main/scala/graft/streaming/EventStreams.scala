@@ -119,7 +119,46 @@ object EventStreams {
     ss.table("q27_sink").orderBy(col("hour_start"), col("event_type"))
   }
 
-  /** Driver-visible streaming artifact: same oracle as batch q20. */
+  /** Streaming deduplication under the oracle: the events file is read
+    * as TWO streams unioned (every event planted twice — an
+    * at-least-once upstream), `dropDuplicates` keeps state per event_id,
+    * and a per-type count aggregates the deduped stream — TWO chained
+    * stateful operators (dedup state feeding aggregation state) running
+    * as a real streaming job. Deterministic on bounded input, so it
+    * carries the exact batch oracle `count(DISTINCT event_id)`.
+    * Session/state sizing as in [[hourlyCountsStreaming]]. */
+  def dedupCountsStreaming(spark: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val batchSchema = ss.read.parquet(s"$dir/events.parquet").schema
+    val tsIsLong = batchSchema("ts").dataType == LongType
+    val schema = StructType(batchSchema.map {
+      case f if f.name == "ts" && tsIsLong => f.copy(dataType = LongType)
+      case f => f
+    })
+    def src(): DataFrame = {
+      val raw = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    }
+    val agg = src().unionByName(src())
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream
+      .format("memory").queryName("q31_sink")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table("q31_sink").orderBy(col("event_type"))
+  }
+
+  /** Driver-visible streaming artifacts: q27 carries batch q20's oracle,
+    * q31 carries the batch count-distinct oracle over planted dups. */
   val catalog: Seq[graft.queries.GraftQuery] = Seq(
     graft.queries.GraftQuery(
       "q27_events_hourly_stream",
@@ -131,6 +170,17 @@ object EventStreams {
           |FROM events
           |GROUP BY 1, 2
           |ORDER BY hour_start, event_type""".stripMargin)
+    ),
+
+    graft.queries.GraftQuery(
+      "q31_events_dedup_stream",
+      "streaming dropDuplicates over doubled events feeding a per-type count (two chained stateful ops)",
+      (spark, dir) => dedupCountsStreaming(spark, dir),
+      Some(
+        """SELECT event_type, count(DISTINCT event_id) AS cnt
+          |FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
     )
   )
 

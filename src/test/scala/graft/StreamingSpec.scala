@@ -157,6 +157,24 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("chained stateful ops: streaming dedup over doubled events equals batch count-distinct") {
+    val streamed = EventStreams.dedupCountsStreaming(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("cnt"))
+      .toSeq
+    val batch = graft.io.Tables(spark, sf0001).events
+      .groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("event_id")).as("cnt"))
+      .orderBy(org.apache.spark.sql.functions.col("event_type"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("cnt"))
+      .toSeq
+    // every event was planted twice (two unioned streams); the dedup
+    // state must collapse them back to the batch distinct counts
+    assert(streamed === batch)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     val input = newStream()
     val sessions = EventStreams.sessionize(input.toDS(), gapMs = 10 * 60 * 1000)

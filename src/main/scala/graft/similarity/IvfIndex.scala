@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -36,12 +35,7 @@ object IvfIndex {
       (if (refine > 0) SimilarityOps.kmeansCentroids(emb, nCells, refine)
        else emb.filter(col("vec_id") < nCells)
          .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb")))
-    val wv = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cell_sim").desc, col("cell_id"))
-    emb.crossJoin(broadcast(centroids))
-      .withColumn("cell_sim", cosineSimilarity(col("embedding"), col("c_emb")))
-      .withColumn("rn", row_number().over(wv))
-      .filter(col("rn") === 1)
+    SimilarityOps.assignCells(emb, centroids)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell_id")
       .parquet(cellsPath(path))

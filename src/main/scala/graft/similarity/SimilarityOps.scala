@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -92,22 +91,36 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Nearest-centroid assignment as a partial-aggregating ARGMAX, not a
+    * window: `max(struct(cell_sim, -cell_id))` picks (max similarity,
+    * min cell id on ties) — identical to the former
+    * `row_number().over(partitionBy(vec_id).orderBy(sim desc, cell))`
+    * filter, but as a HashAggregate whose map side reduces the N×k
+    * candidate rows to one row per vector BEFORE the shuffle, where the
+    * window formulation shuffled and sorted all N×k. At a billion
+    * vectors × 1024 cells that is a 1024× cut in shuffled rows. */
+  private[similarity] def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
+      .withColumn("cell_sim", cosineSimilarity(col("embedding"), col("c_emb")))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        max(struct(col("cell_sim"), (-col("cell_id")).as("neg_cell"))).as("best"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best").getField("neg_cell")).as("cell_id"))
+
   /** Lloyd's k-means over embedding vectors: seeds = the first k vectors
     * by id (deterministic), `iters` assign/recompute rounds. Each round
-    * is one distributed assign (N×k cosine, broadcast centroids) + one
-    * groupBy average; only the k×d centroid matrix ever reaches the
-    * driver (equivalent to a broadcast variable, not a data collect). */
+    * is one distributed assign (N×k cosine, broadcast centroids, argmax
+    * aggregate) + one groupBy average; only the k×d centroid matrix ever
+    * reaches the driver (equivalent to a broadcast variable, not a data
+    * collect). */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = emb.sparkSession
     var centroids = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
-    val wv = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cell_sim").desc, col("cell_id"))
     (1 to iters).foreach { _ =>
-      val assigned = emb.crossJoin(broadcast(centroids))
-        .withColumn("cell_sim", cosineSimilarity(col("embedding"), col("c_emb")))
-        .withColumn("rn", row_number().over(wv))
-        .filter(col("rn") === 1)
+      val assigned = assignCells(emb, centroids)
         .select(col("cell_id"), col("embedding"))
       // mean per cell, component-wise, via posexplode + re-assemble
       val means = assigned
@@ -137,13 +150,9 @@ object SimilarityOps {
        else emb.filter(col("vec_id") < nCells)
          .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // build: one row per (vector, cell) → argmax by cell similarity
-    val wv = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cell_sim").desc, col("cell_id"))
-    val assigned = emb.crossJoin(broadcast(centroids))
-      .withColumn("cell_sim", cosineSimilarity(col("embedding"), col("c_emb")))
-      .withColumn("rn", row_number().over(wv))
-      .filter(col("rn") === 1)
+    // build: one row per (vector, cell) → argmax aggregate (map-side
+    // partial; see assignCells)
+    val assigned = assignCells(emb, centroids)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
     // probe: the nprobe cells nearest the query
     val probeCells = centroids

@@ -155,7 +155,11 @@ object MultimodalOps {
     }
 
     /** Real decode: dimensions and frame count from the image container,
-      * mean intensity from the first frame's decoded pixels. */
+      * mean intensity from the first frame's decoded pixels. A payload
+      * whose magic claims an image but whose bytes do not decode
+      * (truncation, bit rot — routine in a 100 TB corpus) falls back to
+      * byte statistics instead of failing the task: one corrupt file
+      * must never kill a billion-row decode stage. */
     def decode(r: MediaRecord): MediaFeatures =
       reader(r.payload) match {
         case Some(rd) =>
@@ -166,18 +170,23 @@ object MultimodalOps {
               catch { case _: Throwable => 1 }
             MediaFeatures(r.media_id, r.format, r.payload.length.toLong,
               first.getWidth, first.getHeight, frames, meanGray(first))
+          } catch {
+            case _: Exception => byteStatsFallback(r)
           } finally rd.dispose()
         case None => byteStatsFallback(r)
       }
 
     /** All frames of an animated payload (a still has one frame),
-      * decoded to BufferedImages. */
+      * decoded to BufferedImages; empty for unrecognized OR corrupt
+      * payloads (callers then take their byte-level fallback path). */
     def decodeFrames(p: Array[Byte]): Seq[BufferedImage] =
       reader(p) match {
         case Some(rd) =>
           try {
             val n = try rd.getNumImages(true) catch { case _: Throwable => 1 }
             (0 until n).map(rd.read)
+          } catch {
+            case _: Exception => Seq.empty
           } finally rd.dispose()
         case None => Seq.empty
       }

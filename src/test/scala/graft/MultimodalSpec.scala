@@ -42,6 +42,22 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f.mean_byte === (97 + 98) / 2.0)
   }
 
+  test("corrupt image payloads fall back instead of failing the task") {
+    // PNG magic intact, body truncated: the reader claims it, read() throws
+    val truncated = MediaCodec.encodePng(9L, 16, 16).take(20).toArray
+    assert(MediaCodec.isPng(truncated))
+    val f = MediaCodec.decode(MediaRecord(9L, "png", truncated))
+    assert(f === MediaCodec.byteStatsFallback(MediaRecord(9L, "png", truncated)))
+    assert(MediaCodec.decodeFrames(truncated).isEmpty)
+    // and the batched pipeline survives a corrupt row mid-partition
+    import testImplicits._
+    val media = Seq(
+      MediaRecord(1L, "png", MediaCodec.encodePng(1L, 8, 8)),
+      MediaRecord(2L, "png", truncated)).toDS()
+    assert(MultimodalOps.decodeFeatures(media).count() === 2L)
+    assert(MultimodalOps.resize(media, 4, 4).count() === 2L)
+  }
+
   test("decode pipeline preserves row count and drops payloads") {
     import testImplicits._
     val media = Seq(

@@ -866,6 +866,84 @@ object CoreQueries {
           |FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
           |GROUP BY l.l_returnflag
           |ORDER BY l.l_returnflag""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q32: event-time rolling aggregates — a RANGE frame over integer
+    // hour indices (not ROWS), so gaps in the hourly series are handled
+    // correctly: the 3-hour window covers wall-clock hours, not the 3
+    // previous present rows. Shape at scale: one shuffle for the hourly
+    // pre-aggregation (map-side combined), then the window repartitions
+    // by event_type — the window input is already reduced to
+    // |types|×|hours| rows, so the sort inside each partition is tiny no
+    // matter how large the raw event stream is. All outputs integral.
+    GraftQuery(
+      "q32_rolling_window_time",
+      "per-type hourly counts + 3-hour RANGE-window rolling aggregates",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val hourly = t.events
+          .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+            col("event_type"))
+          .agg(cnt.as("cnt"))
+          .withColumn("hour_idx", expr("unix_micros(hour_start) div 3600000000"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hour_idx"))
+          .rangeBetween(-2, 0)
+        hourly.select(
+            col("event_type"), col("hour_start"), col("cnt"),
+            sum(col("cnt")).over(w).as("roll3h_cnt"),
+            max(col("cnt")).over(w).as("roll3h_max"),
+            cnt.over(w).as("n_hours_window"))
+          .orderBy(col("event_type"), col("hour_start"))
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt
+          |  FROM events GROUP BY 1, 2),
+          |i AS (SELECT *, epoch_us(hour_start) // 3600000000 AS hour_idx FROM h)
+          |SELECT event_type, hour_start, cnt,
+          |       CAST(sum(cnt) OVER w AS BIGINT) AS roll3h_cnt,
+          |       CAST(max(cnt) OVER w AS BIGINT) AS roll3h_max,
+          |       CAST(count(*) OVER w AS BIGINT) AS n_hours_window
+          |FROM i
+          |WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+          |             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_type, hour_start""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q33: explicit GROUPING SETS — the general form behind rollup (q10)
+    // and cube (q11): an arbitrary set of grouping combinations computed
+    // in one pass (Spark expands then aggregates once; no N separate
+    // scans), with grouping() flags disambiguating real NULLs from
+    // subtotal rows. Exercised through the SQL-text surface
+    // (GROUPING SETS has no DataFrame-API equivalent), which is itself a
+    // §2 surface the catalog must cover.
+    GraftQuery(
+      "q33_grouping_sets",
+      "explicit GROUPING SETS aggregate with grouping() flags (SQL surface)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.orders.createOrReplaceTempView("orders_q33")
+        spark.sql(
+          """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+            |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+            |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+            |FROM orders_q33
+            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+            |                        (o_orderstatus), ())
+            |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+            |         o_orderpriority NULLS FIRST""".stripMargin)
+      },
+      Some(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+          |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |                        (o_orderstatus), ())
+          |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+          |         o_orderpriority NULLS FIRST""".stripMargin)
     )
   )
 }

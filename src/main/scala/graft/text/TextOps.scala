@@ -1,5 +1,6 @@
 package graft.text
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -272,6 +273,166 @@ object TextOps {
           |            THEN 'train' ELSE 'eval' END AS split
           |FROM documents
           |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t08: Gopher-style repetition/quality gating (Rae et al. 2021,
+    // "Scaling Language Models" §A1.1 quality heuristics, public paper):
+    // per-doc lexical-diversity + repetition signals and a keep/drop
+    // verdict. All per-row HOF compute (one codegen'd projection, NO
+    // shuffle except the final order), so the operator scales linearly
+    // with corpus bytes. The toks / bigrams / counts intermediates are
+    // let-bound via single-element `transform` lambdas: a lambda variable
+    // is a bound value, so re-referencing it is a lookup — NOT a
+    // re-computation the way CollapseProject re-inlines re-referenced
+    // projection columns (the d02/s06 blow-up documented at
+    // DedupOps.minhashNearDups).
+    GraftQuery(
+      "t08_quality_gopher",
+      "repetition + lexical-diversity quality signals with keep/drop gate",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val toksE = regexp_extract_all(lower(col("text")), lit(wsToken), lit(0))
+
+        // max occurrence count of any single element (the "top token /
+        // top 2-gram fraction" numerator): O(|distinct|·|n|) per row on a
+        // bound array — fine for documents, and bounded by vocabulary.
+        def maxRepeat(items: Column): Column =
+          aggregate(array_distinct(items), lit(0),
+            (acc, w) => greatest(acc, size(filter(items, x => x === w))))
+
+        def bigramsOf(arr: Column): Column =
+          when(size(arr) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(arr) - 1),
+              i => concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
+
+        val statsRow = transform(array(toksE), arr =>
+          element_at(transform(array(bigramsOf(arr)), bgs =>
+            element_at(transform(array(struct(
+              size(arr).cast("long").as("nw"),
+              size(array_distinct(arr)).cast("long").as("nd"),
+              aggregate(arr, lit(0L), (acc, x) => acc + length(x)).as("nc"),
+              maxRepeat(arr).cast("long").as("tt"),
+              maxRepeat(bgs).cast("long").as("tb"))), c => {
+              val nwD = c("nw").cast("double")
+              val meanWordLen = c("nc").cast("double") / nwD
+              val topTokenFrac = c("tt").cast("double") / nwD
+              val topBigramFrac =
+                c("tb").cast("double") / greatest(c("nw") - 1L, lit(1L)).cast("double")
+              val ttr = c("nd").cast("double") / nwD
+              struct(
+                c("nw").as("n_words"),
+                c("nd").as("n_distinct"),
+                c("nc").as("n_tok_chars"),
+                c("tt").as("top_token_cnt"),
+                c("tb").as("top_bigram_cnt"),
+                meanWordLen.as("mean_word_len"),
+                topTokenFrac.as("top_token_frac"),
+                topBigramFrac.as("top_bigram_frac"),
+                ttr.as("type_token_ratio"),
+                when(c("nw") >= 20L && meanWordLen >= 3.0 && meanWordLen <= 8.0
+                  && topTokenFrac <= 0.11 && topBigramFrac <= 0.05 && ttr >= 0.35,
+                  "keep").otherwise("drop").as("verdict"))
+            }), 1)), 1))
+
+        t.documents
+          .select(col("doc_id"), inline(statsRow))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH tk AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+          |b AS (
+          |  SELECT doc_id, toks,
+          |         [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] AS bgs
+          |  FROM tk),
+          |c AS (
+          |  SELECT doc_id,
+          |         CAST(len(toks) AS BIGINT) AS n_words,
+          |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+          |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS n_tok_chars,
+          |         CAST(list_max(list_transform(list_distinct(toks),
+          |              w -> len(list_filter(toks, x -> x = w)))) AS BIGINT) AS top_token_cnt,
+          |         CAST(coalesce(list_max(list_transform(list_distinct(bgs),
+          |              w -> len(list_filter(bgs, x -> x = w)))), 0) AS BIGINT) AS top_bigram_cnt
+          |  FROM b),
+          |d AS (
+          |  SELECT *,
+          |         CAST(n_tok_chars AS DOUBLE) / n_words AS mean_word_len,
+          |         CAST(top_token_cnt AS DOUBLE) / n_words AS top_token_frac,
+          |         CAST(top_bigram_cnt AS DOUBLE) / CAST(greatest(n_words - 1, 1) AS DOUBLE)
+          |           AS top_bigram_frac,
+          |         CAST(n_distinct AS DOUBLE) / n_words AS type_token_ratio
+          |  FROM c)
+          |SELECT doc_id, n_words, n_distinct, n_tok_chars, top_token_cnt, top_bigram_cnt,
+          |       mean_word_len, top_token_frac, top_bigram_frac, type_token_ratio,
+          |       CASE WHEN n_words >= 20 AND mean_word_len >= CAST(3.0 AS DOUBLE)
+          |                 AND mean_word_len <= CAST(8.0 AS DOUBLE)
+          |                 AND top_token_frac <= CAST(0.11 AS DOUBLE)
+          |                 AND top_bigram_frac <= CAST(0.05 AS DOUBLE)
+          |                 AND type_token_ratio >= CAST(0.35 AS DOUBLE)
+          |            THEN 'keep' ELSE 'drop' END AS verdict
+          |FROM d
+          |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t09: per-document top-3 TF-IDF terms — the classic relevance /
+    // keyword-extraction statistic. Two hash aggregations (tf over
+    // (doc,term); df over term — both map-side partial), the vocabulary-
+    // sized df table broadcast back, and the corpus size attached as a
+    // broadcast single row. Scores are quantized to integer micro-units
+    // (round(score*1e6)) BEFORE ranking so the emitted output carries no
+    // raw doubles and mathematically-tied scores (tf1·ln(N/df1) ==
+    // tf2·ln(N/df2) happens for real integer coincidences like
+    // df1²=N·df2) order identically in both engines via the term
+    // tiebreak. Per-doc ranking is a window over doc_id partitions
+    // (vocabulary-bounded, tiny); the bounded-heap GroupedTopK aggregate
+    // (q26) is the drop-in if per-doc term counts were unbounded.
+    GraftQuery(
+      "t09_tfidf_terms",
+      "per-document top-3 TF-IDF terms (quantized integer scores)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val tok = t.documents.select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit(wsToken), lit(0)))
+            .as("term"))
+        val tf = tok.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val nDocs = t.documents.agg(count(lit(1)).cast("double").as("n_docs"))
+        val scored = tf.join(broadcast(dfT), Seq("term"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score_e6",
+            round(col("tf") * log(col("n_docs") / col("df")) * lit(1000000)).cast("long"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_e6").desc, col("term"))
+        scored
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+            col("score_e6"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+          |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+          |         CAST(round(tf.tf * ln(n.n_docs / dft.df) * 1000000) AS BIGINT) AS score_e6
+          |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+          |ranked AS (
+          |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+          |             ORDER BY score_e6 DESC, term) AS BIGINT) AS rnk
+          |  FROM scored)
+          |SELECT doc_id, rnk, term, tf, df, score_e6
+          |FROM ranked
+          |WHERE rnk <= 3
+          |ORDER BY doc_id, rnk""".stripMargin)
     )
   )
 }

@@ -163,4 +163,41 @@ class CoreOperatorsSpec extends SparkSpecBase {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q32: RANGE-window rolling aggregates equal a driver-side hour-bucket recompute") {
+    import graft.io.Tables
+    val got = graft.queries.Catalog.queries("q32_rolling_window_time")(spark, sf0001)
+      .collect()
+    val buckets = Tables(spark, sf0001).events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.length === buckets.size, "one output row per (type, present hour)")
+    got.foreach { r =>
+      val et = r.getString(0)
+      // session tz is UTC, so epoch-millis/hour is the same bucketing
+      val h = r.getTimestamp(1).getTime / 3600000L
+      val window = (h - 2) to h
+      val present = window.flatMap(i => buckets.get((et, i)))
+      assert(r.getAs[Long]("cnt") === buckets((et, h)), s"($et,$h) cnt")
+      assert(r.getAs[Long]("roll3h_cnt") === present.sum, s"($et,$h) roll3h_cnt")
+      assert(r.getAs[Long]("roll3h_max") === present.max, s"($et,$h) roll3h_max")
+      assert(r.getAs[Long]("n_hours_window") === present.length.toLong, s"($et,$h) n_hours")
+    }
+  }
+
+  test("q33: grouping-set subtotals are mutually consistent") {
+    import graft.io.Tables
+    val rows = graft.queries.Catalog.queries("q33_grouping_sets")(spark, sf0001)
+      .collect()
+    val total = Tables(spark, sf0001).orders.count()
+    val grand = rows.filter(r => r.getLong(3) == 1L && r.getLong(4) == 1L)
+    assert(grand.length === 1 && grand.head.getAs[Long]("cnt") === total)
+    val byStatus = rows.filter(r => r.getLong(3) == 0L && r.getLong(4) == 1L)
+    assert(byStatus.map(_.getAs[Long]("cnt")).sum === total)
+    assert(byStatus.forall(_.isNullAt(1)), "rolled-up column must be NULL on subtotals")
+    val fine = rows.filter(r => r.getLong(3) == 0L && r.getLong(4) == 0L)
+    assert(fine.map(_.getAs[Long]("cnt")).sum === total)
+    assert(fine.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+  }
 }

@@ -70,4 +70,57 @@ class TextSpec extends SparkSpecBase {
       .select("quality_score").collect().map(_.getDouble(0))
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
   }
+
+  test("t08: signals equal an independent driver-side recompute (whole corpus)") {
+    val got = graft.queries.Catalog.queries("t08_quality_gopher")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.length === got.size)
+    texts.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val r = got(id)
+      assert(r.getAs[Long]("n_words") === toks.length.toLong, s"doc $id n_words")
+      assert(r.getAs[Long]("n_distinct") === toks.distinct.length.toLong, s"doc $id n_distinct")
+      assert(r.getAs[Long]("n_tok_chars") === toks.map(_.length).sum.toLong, s"doc $id n_tok_chars")
+      val topTok = toks.groupBy(identity).values.map(_.size).max
+      assert(r.getAs[Long]("top_token_cnt") === topTok.toLong, s"doc $id top_token")
+      val bgs = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val topBg = if (bgs.isEmpty) 0 else bgs.groupBy(identity).values.map(_.size).max
+      assert(r.getAs[Long]("top_bigram_cnt") === topBg.toLong, s"doc $id top_bigram")
+    }
+    val verdicts = got.values.map(_.getAs[String]("verdict")).toSet
+    assert(verdicts === Set("keep", "drop"), s"gate did not split the corpus: $verdicts")
+  }
+
+  test("t08: token array is computed once per row (single regexp in plan, no shuffle)") {
+    val p = graft.queries.Catalog.queries("t08_quality_gopher")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val n = "regexp_extract_all".r.findAllIn(p).size
+    assert(n === 1, s"token expression re-inlined $n times (CollapseProject blow-up):\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
+
+  test("t09: top-3 TF-IDF terms equal an independent driver-side recompute") {
+    val rows = graft.queries.Catalog.queries("t09_tfidf_terms")(spark, sf0001).collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = texts.length.toDouble
+    val tfByDoc: Map[Long, Map[String, Long]] = texts.map { case (id, tx) =>
+      id -> tx.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    }.toMap
+    val dfMap: Map[String, Long] = tfByDoc.values.flatMap(_.keys)
+      .groupBy(identity).map { case (t, occ) => t -> occ.size.toLong }
+    val expected = tfByDoc.flatMap { case (id, tfs) =>
+      tfs.toSeq.map { case (t, c) =>
+        (t, c, dfMap(t), math.round(c * math.log(n / dfMap(t)) * 1e6))
+      }.sortBy { case (t, _, _, s6) => (-s6, t) }.take(3).zipWithIndex.map {
+        case ((t, c, d, s6), i) => (id, (i + 1).toLong, t, c, d, s6)
+      }
+    }.toSet
+    val gotSet = rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(gotSet === expected)
+  }
 }

@@ -944,6 +944,54 @@ object CoreQueries {
           |                        (o_orderstatus), ())
           |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
           |         o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q34: ordered-sequence funnel — users who viewed, then clicked
+    // strictly after their first view, then purchased strictly after
+    // that first click. Each stage is a conditional min-aggregate over
+    // events joined to the (much smaller) previous stage's user set —
+    // equi-joins on user_id that AQE broadcast-converts when the
+    // surviving stage fits, shuffles otherwise; no window over the raw
+    // event stream and no per-user collect. The three stage counts
+    // attach as broadcast single rows (BNLJ on 1-row sides).
+    GraftQuery(
+      "q34_funnel_steps",
+      "view → click → purchase funnel stage counts (strict event order)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ev = t.events
+        val v = ev.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val c = ev.where(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .where(col("ts") > col("v_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        val p = ev.where(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .where(col("ts") > col("c_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        v.agg(cnt.as("n_view"))
+          .crossJoin(c.agg(cnt.as("n_click_after_view")))
+          .crossJoin(p.agg(cnt.as("n_purchase_after_click")))
+      },
+      Some(
+        """WITH v AS (
+          |  SELECT user_id, min(ts) AS v_ts FROM events
+          |  WHERE event_type = 'view' GROUP BY user_id),
+          |c AS (
+          |  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+          |  JOIN v ON e.user_id = v.user_id
+          |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+          |  GROUP BY e.user_id),
+          |p AS (
+          |  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+          |  JOIN c ON e.user_id = c.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+          |  GROUP BY e.user_id)
+          |SELECT (SELECT count(*) FROM v) AS n_view,
+          |       (SELECT count(*) FROM c) AS n_click_after_view,
+          |       (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin)
     )
   )
 }

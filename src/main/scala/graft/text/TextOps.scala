@@ -433,6 +433,122 @@ object TextOps {
           |FROM ranked
           |WHERE rnk <= 3
           |ORDER BY doc_id, rnk""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t10: stratified quality sampling — keep the top 25% of documents
+    // per language by the t01 quality score (curation step between
+    // filtering and training). Ranking is per-row-deterministic: the
+    // quality double is identical per-row arithmetic in both engines
+    // (t01's oracle proves hash equality) and doc_id breaks ties. Exact
+    // per-stratum row_number here; at 100 TB the same selection runs
+    // shuffle-light via an approx_percentile threshold per stratum
+    // (compute the 75th percentile, broadcast it, filter) instead of a
+    // full per-lang sort.
+    GraftQuery(
+      "t10_stratified_sample",
+      "top-25% documents per language by quality score",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("quality_score").desc, col("doc_id"))
+        t.documents
+          .select(col("doc_id"), col("lang"), qualityExpr.as("quality_score"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n_lang",
+            count(lit(1)).over(Window.partitionBy(col("lang"))).cast("long"))
+          .where(col("rn") <= ceil(col("n_lang") * lit(0.25)).cast("long"))
+          .select(col("doc_id"), col("lang"), col("quality_score"), col("rn"),
+            col("n_lang"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some(
+        s"""WITH q AS (
+          |  SELECT doc_id, lang, $qualitySql AS quality_score
+          |  FROM ($qualitySignalsSql) sig),
+          |r AS (
+          |  SELECT doc_id, lang, quality_score,
+          |         CAST(row_number() OVER (PARTITION BY lang
+          |              ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rn,
+          |         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+          |  FROM q)
+          |SELECT doc_id, lang, quality_score, rn, n_lang
+          |FROM r
+          |WHERE rn <= CAST(ceil(n_lang * CAST(0.25 AS DOUBLE)) AS BIGINT)
+          |ORDER BY lang, rn""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t11: token-budget data mixing — fill a fixed per-language token
+    // budget (5,000) with the highest-quality documents first: order
+    // each stratum by (quality desc, doc_id), running token sum, keep
+    // while the inclusive cumulative count stays within budget. This is
+    // the data-mixture construction step of a training pipeline
+    // (allocating a token budget across languages/sources). Cumulative
+    // sums are exact integers → fully oracled. Same 100 TB note as t10:
+    // the per-stratum sort is the exact formulation; a quantile-
+    // threshold pre-filter bounds the sorted set at scale.
+    GraftQuery(
+      "t11_token_budget_mix",
+      "greedy per-language 5k-token budget fill, best-quality first",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("quality_score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.documents
+          .select(col("doc_id"), col("lang"),
+            regexp_count(col("text"), lit(wsToken)).cast("long").as("n_tokens"),
+            qualityExpr.as("quality_score"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .where(col("cum_tokens") <= 5000L)
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+          .orderBy(col("lang"), col("cum_tokens"))
+      },
+      Some(
+        s"""WITH q AS (
+          |  SELECT doc_id, lang, n_tokens, $qualitySql AS quality_score
+          |  FROM ($qualitySignalsSql) sig),
+          |r AS (
+          |  SELECT doc_id, lang, n_tokens,
+          |         CAST(sum(n_tokens) OVER (PARTITION BY lang
+          |              ORDER BY quality_score DESC, doc_id
+          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |           AS cum_tokens
+          |  FROM q)
+          |SELECT doc_id, lang, n_tokens, cum_tokens
+          |FROM r
+          |WHERE cum_tokens <= 5000
+          |ORDER BY lang, cum_tokens""".stripMargin)
     )
   )
+
+  /** The t01 quality score as a reusable column over `text` (per-row
+    * double arithmetic in a fixed operation order → bit-identical across
+    * engines; see t01). */
+  private def qualityExpr: Column = {
+    val nTokens = regexp_count(col("text"), lit(wsToken)).cast("long")
+    val nPunct = regexp_count(col("text"), lit(punct)).cast("long")
+    val nStop = regexp_count(lower(col("text")), lit(enStop)).cast("long")
+    val nChars = length(col("text")).cast("long")
+    least(lit(1.0), nTokens / lit(100.0)) *
+      (lit(1.0) - nPunct / nChars) *
+      (lit(0.5) + lit(0.5) * least(lit(1.0), nStop * lit(5.0) / nTokens))
+  }
+
+  /** DuckDB mirror of the t01 quality signal columns (subquery body). */
+  private def qualitySignalsSql: String =
+    """SELECT doc_id, lang,
+      |         CAST(length(text) AS BIGINT) AS n_chars_calc,
+      |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+      |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|a)\b')) AS BIGINT) AS n_stopwords
+      |  FROM documents""".stripMargin
+
+  /** DuckDB mirror of [[qualityExpr]] over the signal columns. */
+  private def qualitySql: String =
+    """least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) *
+      |       (CAST(1.0 AS DOUBLE) - CAST(n_punct AS DOUBLE) / CAST(n_chars_calc AS DOUBLE)) *
+      |       (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) *
+      |        least(CAST(1.0 AS DOUBLE), CAST(n_stopwords AS DOUBLE) * CAST(5.0 AS DOUBLE) / CAST(n_tokens AS DOUBLE)))""".stripMargin
 }

@@ -200,4 +200,28 @@ class CoreOperatorsSpec extends SparkSpecBase {
     assert(fine.map(_.getAs[Long]("cnt")).sum === total)
     assert(fine.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
   }
+
+  test("q34: funnel stage counts equal a driver-side per-user replay") {
+    import graft.io.Tables
+    val row = graft.queries.Catalog.queries("q34_funnel_steps")(spark, sf0001)
+      .collect().head
+    val ev = Tables(spark, sf0001).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val stages = ev.values.map { es =>
+      def firstAfter(tpe: String, after: Long): Option[Long] =
+        es.collect { case (_, t, us) if t == tpe && us > after => us }
+          .reduceOption(_ min _)
+      val v = firstAfter("view", Long.MinValue)
+      val c = v.flatMap(firstAfter("click", _))
+      val p = c.flatMap(firstAfter("purchase", _))
+      (v.isDefined, c.isDefined, p.isDefined)
+    }.toSeq
+    assert(row.getAs[Long]("n_view") === stages.count(_._1).toLong)
+    assert(row.getAs[Long]("n_click_after_view") === stages.count(_._2).toLong)
+    assert(row.getAs[Long]("n_purchase_after_click") === stages.count(_._3).toLong)
+    // funnel must be monotone
+    assert(row.getLong(0) >= row.getLong(1) && row.getLong(1) >= row.getLong(2))
+  }
 }

@@ -123,4 +123,55 @@ class TextSpec extends SparkSpecBase {
       r.getLong(3), r.getLong(4), r.getLong(5))).toSet
     assert(gotSet === expected)
   }
+
+  /** The t01 quality score recomputed driver-side with the same double
+    * operation order (used to verify t10/t11 independently). */
+  private def qualityOf(text: String): Double = {
+    def count(re: String, s: String) = re.r.findAllIn(s).size
+    val n = count("\\S+", text).toDouble
+    val p = count("[.,;:!?]", text).toDouble
+    val c = text.length.toDouble
+    val s = count("\\b(the|and|of|to|is|a)\\b", text.toLowerCase).toDouble
+    math.min(1.0, n / 100.0) * (1.0 - p / c) *
+      (0.5 + 0.5 * math.min(1.0, s * 5.0 / n))
+  }
+
+  test("t10: kept set is exactly the top-25% per language by recomputed quality") {
+    val got = graft.queries.Catalog.queries("t10_stratified_sample")(spark, sf0001)
+      .collect()
+    val byLang = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(_._2)
+    val expected = byLang.flatMap { case (lang, rows) =>
+      val keep = math.ceil(rows.length * 0.25).toLong
+      rows.map { case (id, _, tx) => (id, qualityOf(tx)) }
+        .sortBy { case (id, q) => (-q, id) }.take(keep.toInt)
+        .zipWithIndex.map { case ((id, _), i) => (id, lang, (i + 1).toLong, rows.length.toLong) }
+        .toSeq
+    }.toSet
+    val gotSet = got.map(r =>
+      (r.getLong(0), r.getString(1), r.getAs[Long]("rn"), r.getAs[Long]("n_lang"))).toSet
+    assert(gotSet === expected)
+  }
+
+  test("t11: budget fill keeps best-quality docs while cumulative tokens <= 5000") {
+    val got = graft.queries.Catalog.queries("t11_token_budget_mix")(spark, sf0001)
+      .collect()
+    val byLang = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(_._2)
+    val expected = byLang.flatMap { case (lang, rows) =>
+      val ordered = rows.map { case (id, _, tx) =>
+        (id, "\\S+".r.findAllIn(tx).size.toLong, qualityOf(tx))
+      }.sortBy { case (id, _, q) => (-q, id) }
+      ordered.scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, nt, _)) =>
+        (id, nt, cum + nt)
+      }.drop(1).takeWhile(_._3 <= 5000L)
+        .map { case (id, nt, cum) => (id, lang, nt, cum) }.toSeq
+    }.toSet
+    val gotSet = got.map(r =>
+      (r.getLong(0), r.getString(1), r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"))).toSet
+    assert(gotSet === expected)
+    assert(got.nonEmpty)
+  }
 }

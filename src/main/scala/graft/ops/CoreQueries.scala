@@ -992,6 +992,43 @@ object CoreQueries {
           |SELECT (SELECT count(*) FROM v) AS n_view,
           |       (SELECT count(*) FROM c) AS n_click_after_view,
           |       (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q35: cohort retention — users grouped by first-seen day, distinct
+    // active users per (cohort, day-offset). One agg for first-seen (the
+    // user dimension AQE broadcast-converts when it fits), one
+    // distinct-agg for the matrix; count(DISTINCT) is exact two-phase
+    // hash aggregation, and q22's HLL sketch is the documented
+    // approximate path when user cardinality at 100 TB makes exact
+    // distinct too wide. Cohort day emitted as a string: parquet DATE vs
+    // DuckDB DATE reach pandas as different dtypes, and the driver's
+    // compare is dtype-strict.
+    GraftQuery(
+      "q35_cohort_retention",
+      "distinct active users per (first-seen-day cohort, day offset)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ev = t.events.select(col("user_id"), to_date(col("ts")).as("day"))
+        val firstDay = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        ev.join(firstDay, Seq("user_id"))
+          .groupBy(
+            date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+            datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort"), col("day_offset"))
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+          |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+          |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+          |       CAST(d.day - f.cohort_day AS BIGINT) AS day_offset,
+          |       count(DISTINCT d.user_id) AS n_users
+          |FROM d JOIN f USING (user_id)
+          |GROUP BY 1, 2
+          |ORDER BY cohort, day_offset""".stripMargin)
     )
   )
 }

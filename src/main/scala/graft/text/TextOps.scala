@@ -520,6 +520,52 @@ object TextOps {
           |FROM r
           |WHERE cum_tokens <= 5000
           |ORDER BY lang, cum_tokens""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t12: unigram language-model scoring — each document's corpus
+    // log-likelihood (the KenLM-style perplexity proxy used for quality
+    // filtering, e.g. CCNet; public papers). The per-term log-probability
+    // ln(cnt/total) is quantized to integer micro-units PER TERM before
+    // the per-doc summation: integer sums are exact in ANY aggregation
+    // order, so the cross-engine compare is immune to the
+    // floating-point-reassociation drift that makes double sums
+    // unoracleable. Two hash aggs + a broadcast vocab join; scales as a
+    // word-count job.
+    GraftQuery(
+      "t12_unigram_logprob",
+      "per-document corpus unigram log-likelihood (integer micro-logprobs)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val tok = t.documents.select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit(wsToken), lit(0)))
+            .as("term"))
+        val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val total = tok.agg(count(lit(1)).as("total"))
+        val logp = counts.crossJoin(broadcast(total))
+          .select(col("term"),
+            round(log(col("cnt") / col("total")) * lit(1000000)).cast("long")
+              .as("logp_e6"))
+        tok.join(broadcast(logp), Seq("term"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("logp_e6")).as("sum_logp_e6"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+          |  FROM documents),
+          |counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+          |tot AS (SELECT count(*) AS total FROM tok),
+          |logp AS (
+          |  SELECT term, CAST(round(ln(cnt / total) * 1000000) AS BIGINT) AS logp_e6
+          |  FROM counts CROSS JOIN tot)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |       CAST(sum(logp_e6) AS BIGINT) AS sum_logp_e6
+          |FROM tok JOIN logp USING (term)
+          |GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin)
     )
   )
 

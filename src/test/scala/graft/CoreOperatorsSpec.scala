@@ -224,4 +224,27 @@ class CoreOperatorsSpec extends SparkSpecBase {
     // funnel must be monotone
     assert(row.getLong(0) >= row.getLong(1) && row.getLong(1) >= row.getLong(2))
   }
+
+  test("q35: cohort retention matrix equals a driver-side epoch-day replay") {
+    import graft.io.Tables
+    val got = graft.queries.Catalog.queries("q35_cohort_retention")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("n_users")).toMap
+    val ev = Tables(spark, sf0001).events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 86400000000L)))
+    val firstDay = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = ev.map { case (u, d) => (u, firstDay(u), d - firstDay(u)) }
+      .distinct
+      .groupBy { case (_, cd, off) =>
+        (java.time.LocalDate.ofEpochDay(cd).toString, off)
+      }.view.mapValues(_.length.toLong).toMap
+    assert(got === expected)
+    // every cohort has an offset-0 row containing its full membership
+    val cohortSizes = firstDay.toSeq.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    cohortSizes.foreach { case (cd, n) =>
+      assert(got((java.time.LocalDate.ofEpochDay(cd).toString, 0L)) === n)
+    }
+  }
 }

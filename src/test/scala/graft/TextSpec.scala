@@ -174,4 +174,24 @@ class TextSpec extends SparkSpecBase {
     assert(gotSet === expected)
     assert(got.nonEmpty)
   }
+
+  test("t12: unigram log-likelihoods equal a driver-side recompute (whole corpus)") {
+    val got = graft.queries.Catalog.queries("t12_unigram_logprob")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_logp_e6")))
+      .toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val all = texts.flatMap(_._2)
+    val total = all.length.toDouble
+    val cnt = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val logpE6 = cnt.map { case (t, c) => t -> math.round(math.log(c / total) * 1e6) }
+    texts.foreach { case (id, toks) =>
+      val (nt, slp) = got(id)
+      assert(nt === toks.length.toLong, s"doc $id n_tokens")
+      assert(slp === toks.map(logpE6).sum, s"doc $id sum_logp_e6")
+    }
+    // likelihoods are log-probs of observed tokens: strictly negative
+    // unless the corpus is a single repeated token
+    assert(got.values.forall(_._2 < 0L))
+  }
 }

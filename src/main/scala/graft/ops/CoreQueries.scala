@@ -924,12 +924,15 @@ object CoreQueries {
       "explicit GROUPING SETS aggregate with grouping() flags (SQL surface)",
       (spark, dir) => {
         val t = Tables(spark, dir)
-        t.orders.createOrReplaceTempView("orders_q33")
+        // view name scoped by data dir: concurrent catalog invocations on
+        // different dirs in one session must not clobber each other
+        val vn = s"orders_q33_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+        t.orders.createOrReplaceTempView(vn)
         spark.sql(
-          """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+          s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
             |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
             |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
-            |FROM orders_q33
+            |FROM $vn
             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
             |                        (o_orderstatus), ())
             |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,

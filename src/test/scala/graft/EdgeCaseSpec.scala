@@ -80,4 +80,51 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(chunked.forall(_._3 > 0), s"empty chunk emitted: ${chunked.toSeq}")
     assert(chunked.filter(_._1 == 3L).map(_._3).toSeq === Seq(50, 50))
   }
+
+  test("text quality/TF-IDF/LM ops on a degenerate corpus (single-token + repeated-token docs)") {
+    // Clone sf0.001 into a temp dir (Tables eagerly reads every footer)
+    // with a pathological documents table: a 1-token doc (exercises the
+    // empty-bigram guard the real corpora never hit — min 10 words
+    // there) and a single-repeated-token doc. Re-writing events also
+    // flips it from TIMESTAMP(NANOS) to micros, exercising the
+    // TimestampType pass-through in Tables.normalizeEventTs.
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_corpus").toString
+    val src = Tables(spark, sf0001)
+    Seq(
+      "lineitem" -> src.lineitem, "orders" -> src.orders,
+      "customer" -> src.customer, "part" -> src.part,
+      "supplier" -> src.supplier, "nation" -> src.nation,
+      "region" -> src.region, "events" -> src.events,
+      "embeddings" -> src.embeddings
+    ).foreach { case (n, df) => df.write.parquet(s"$dir/$n.parquet") }
+    Seq(
+      (1L, "x", "en", "syn", 1L),
+      (2L, "spark spark spark spark", "en", "syn", 23L),
+      (3L, "alpha beta gamma delta", "en", "syn", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val t08 = graft.queries.Catalog.queries("t08_quality_gopher")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(t08(1L).getAs[Long]("n_words") === 1L)
+    assert(t08(1L).getAs[Long]("top_bigram_cnt") === 0L) // no bigrams, no crash
+    assert(t08(2L).getAs[Long]("top_token_cnt") === 4L)
+    assert(t08(2L).getAs[Long]("top_bigram_cnt") === 3L) // "spark spark" x3
+    assert(t08(3L).getAs[Long]("n_distinct") === 4L)
+    assert(t08.values.forall(_.getAs[String]("verdict") === "drop")) // all < 20 words
+
+    val t09 = graft.queries.Catalog.queries("t09_tfidf_terms")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every term here is unique to its doc (df=1, idf=ln 3); doc 1's only
+    // term is x; per-doc output is capped at 3 rows even for doc 3's 4 terms
+    assert(t09.filter(_._1 == 1L).toSeq === Seq((1L, 1L, "x")))
+    assert(t09.count(_._1 == 3L) === 3)
+
+    val t12 = graft.queries.Catalog.queries("t12_unigram_logprob")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_logp_e6")))
+      .toMap
+    // corpus = 9 tokens: x:1, spark:4, alpha..delta:1 each
+    assert(t12(1L) === ((1L, math.round(math.log(1.0 / 9.0) * 1e6))))
+    assert(t12(2L) === ((4L, 4L * math.round(math.log(4.0 / 9.0) * 1e6))))
+  }
 }

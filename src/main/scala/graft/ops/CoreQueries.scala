@@ -925,8 +925,10 @@ object CoreQueries {
       (spark, dir) => {
         val t = Tables(spark, dir)
         // view name scoped by data dir: concurrent catalog invocations on
-        // different dirs in one session must not clobber each other
-        val vn = s"orders_q33_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+        // different dirs in one session must not clobber each other.
+        // Hex-encoding the path is injective (a hash would not be).
+        val vn = "orders_q33_" +
+          dir.getBytes("UTF-8").map(b => f"$b%02x").mkString
         t.orders.createOrReplaceTempView(vn)
         spark.sql(
           s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,

@@ -44,26 +44,15 @@ object TextOps {
             regexp_count(col("text"), lit(punct)).cast("long").as("n_punct"),
             regexp_count(lower(col("text")), lit(enStop)).cast("long").as("n_stopwords"))
           .withColumn("quality_score",
-            least(lit(1.0), col("n_tokens") / lit(100.0)) *
-              (lit(1.0) - col("n_punct") / col("n_chars_calc")) *
-              (lit(0.5) + lit(0.5) *
-                least(lit(1.0), col("n_stopwords") * lit(5.0) / col("n_tokens"))))
+            qualityFrom(col("n_tokens"), col("n_punct"),
+              col("n_chars_calc"), col("n_stopwords")))
           .orderBy(col("doc_id"))
       },
       Some(
-        """WITH s AS (
-          |  SELECT doc_id,
-          |         CAST(length(text) AS BIGINT) AS n_chars_calc,
-          |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-          |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpeish,
-          |         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
-          |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|a)\b')) AS BIGINT) AS n_stopwords
-          |  FROM documents)
+        s"""WITH s AS (
+          |  $qualitySignalsSql)
           |SELECT doc_id, n_chars_calc, n_tokens, n_tokens_bpeish, n_punct, n_stopwords,
-          |       least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) *
-          |       (CAST(1.0 AS DOUBLE) - CAST(n_punct AS DOUBLE) / CAST(n_chars_calc AS DOUBLE)) *
-          |       (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) *
-          |        least(CAST(1.0 AS DOUBLE), CAST(n_stopwords AS DOUBLE) * CAST(5.0 AS DOUBLE) / CAST(n_tokens AS DOUBLE)))
+          |       $qualitySql
           |         AS quality_score
           |FROM s
           |ORDER BY doc_id""".stripMargin)
@@ -314,7 +303,10 @@ object TextOps {
               aggregate(arr, lit(0L), (acc, x) => acc + length(x)).as("nc"),
               maxRepeat(arr).cast("long").as("tt"),
               maxRepeat(bgs).cast("long").as("tb"))), c => {
-              val nwD = c("nw").cast("double")
+              // denominators floored at 1: a token-less document yields
+              // all-zero signals (not NaN), matching the oracle's
+              // coalesce-to-0 of its empty-list aggregates
+              val nwD = greatest(c("nw"), lit(1L)).cast("double")
               val meanWordLen = c("nc").cast("double") / nwD
               val topTokenFrac = c("tt").cast("double") / nwD
               val topBigramFrac =
@@ -350,19 +342,19 @@ object TextOps {
           |  SELECT doc_id,
           |         CAST(len(toks) AS BIGINT) AS n_words,
           |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-          |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS n_tok_chars,
-          |         CAST(list_max(list_transform(list_distinct(toks),
-          |              w -> len(list_filter(toks, x -> x = w)))) AS BIGINT) AS top_token_cnt,
+          |         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS n_tok_chars,
+          |         CAST(coalesce(list_max(list_transform(list_distinct(toks),
+          |              w -> len(list_filter(toks, x -> x = w)))), 0) AS BIGINT) AS top_token_cnt,
           |         CAST(coalesce(list_max(list_transform(list_distinct(bgs),
           |              w -> len(list_filter(bgs, x -> x = w)))), 0) AS BIGINT) AS top_bigram_cnt
           |  FROM b),
           |d AS (
           |  SELECT *,
-          |         CAST(n_tok_chars AS DOUBLE) / n_words AS mean_word_len,
-          |         CAST(top_token_cnt AS DOUBLE) / n_words AS top_token_frac,
+          |         CAST(n_tok_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS mean_word_len,
+          |         CAST(top_token_cnt AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS top_token_frac,
           |         CAST(top_bigram_cnt AS DOUBLE) / CAST(greatest(n_words - 1, 1) AS DOUBLE)
           |           AS top_bigram_frac,
-          |         CAST(n_distinct AS DOUBLE) / n_words AS type_token_ratio
+          |         CAST(n_distinct AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS type_token_ratio
           |  FROM c)
           |SELECT doc_id, n_words, n_distinct, n_tok_chars, top_token_cnt, top_bigram_cnt,
           |       mean_word_len, top_token_frac, top_bigram_frac, type_token_ratio,
@@ -541,7 +533,9 @@ object TextOps {
           explode(regexp_extract_all(lower(col("text")), lit(wsToken), lit(0)))
             .as("term"))
         val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-        val total = tok.agg(count(lit(1)).as("total"))
+        // corpus total from the vocabulary-sized counts frame — not a
+        // second full tokenize+explode pass over the corpus
+        val total = counts.agg(sum(col("cnt")).as("total"))
         val logp = counts.crossJoin(broadcast(total))
           .select(col("term"),
             round(log(col("cnt") / col("total")) * lit(1000000)).cast("long")
@@ -557,7 +551,7 @@ object TextOps {
           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
           |  FROM documents),
           |counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
-          |tot AS (SELECT count(*) AS total FROM tok),
+          |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
           |logp AS (
           |  SELECT term, CAST(round(ln(cnt / total) * 1000000) AS BIGINT) AS logp_e6
           |  FROM counts CROSS JOIN tot)
@@ -569,24 +563,35 @@ object TextOps {
     )
   )
 
-  /** The t01 quality score as a reusable column over `text` (per-row
-    * double arithmetic in a fixed operation order → bit-identical across
-    * engines; see t01). */
-  private def qualityExpr: Column = {
-    val nTokens = regexp_count(col("text"), lit(wsToken)).cast("long")
-    val nPunct = regexp_count(col("text"), lit(punct)).cast("long")
-    val nStop = regexp_count(lower(col("text")), lit(enStop)).cast("long")
-    val nChars = length(col("text")).cast("long")
+  /** The quality formula over precomputed count columns — the SINGLE
+    * Spark-side source of truth shared by t01 (projected counts) and
+    * [[qualityExpr]] (inline counts, used by t10/t11). t10/t11's
+    * cross-engine ranking guarantee depends on every user computing the
+    * identical double expression; keeping one definition makes drift a
+    * compile-visible edit instead of a silent copy divergence. */
+  private def qualityFrom(nTokens: Column, nPunct: Column,
+      nChars: Column, nStop: Column): Column =
     least(lit(1.0), nTokens / lit(100.0)) *
       (lit(1.0) - nPunct / nChars) *
       (lit(0.5) + lit(0.5) * least(lit(1.0), nStop * lit(5.0) / nTokens))
-  }
 
-  /** DuckDB mirror of the t01 quality signal columns (subquery body). */
+  /** The t01 quality score as a reusable column over `text` (per-row
+    * double arithmetic in a fixed operation order → bit-identical across
+    * engines; see t01). */
+  private def qualityExpr: Column = qualityFrom(
+    regexp_count(col("text"), lit(wsToken)).cast("long"),
+    regexp_count(col("text"), lit(punct)).cast("long"),
+    length(col("text")).cast("long"),
+    regexp_count(lower(col("text")), lit(enStop)).cast("long"))
+
+  /** DuckDB mirror of the t01 quality signal columns (subquery body) —
+    * shared by the t01/t10/t11 oracles (t10/t11 ignore the bpeish
+    * column). */
   private def qualitySignalsSql: String =
     """SELECT doc_id, lang,
       |         CAST(length(text) AS BIGINT) AS n_chars_calc,
       |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpeish,
       |         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
       |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|a)\b')) AS BIGINT) AS n_stopwords
       |  FROM documents""".stripMargin

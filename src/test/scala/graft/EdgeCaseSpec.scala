@@ -88,8 +88,10 @@ class EdgeCaseSpec extends SparkSpecBase {
     // there) and a single-repeated-token doc. Re-writing events also
     // flips it from TIMESTAMP(NANOS) to micros, exercising the
     // TimestampType pass-through in Tables.normalizeEventTs.
-    val dir = java.nio.file.Files.createTempDirectory("graft_edge_corpus").toString
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_edge_corpus")
+    val dir = dirPath.toString
     val src = Tables(spark, sf0001)
+    try {
     Seq(
       "lineitem" -> src.lineitem, "orders" -> src.orders,
       "customer" -> src.customer, "part" -> src.part,
@@ -126,5 +128,11 @@ class EdgeCaseSpec extends SparkSpecBase {
     // corpus = 9 tokens: x:1, spark:4, alpha..delta:1 each
     assert(t12(1L) === ((1L, math.round(math.log(1.0 / 9.0) * 1e6))))
     assert(t12(2L) === ((4L, 4L * math.round(math.log(4.0 / 9.0) * 1e6))))
+    } finally {
+      // the cloned dataset is a full sf0.001 copy — don't leak it per run
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }

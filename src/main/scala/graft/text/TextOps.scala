@@ -279,58 +279,8 @@ object TextOps {
     GraftQuery(
       "t08_quality_gopher",
       "repetition + lexical-diversity quality signals with keep/drop gate",
-      (spark, dir) => {
-        val t = Tables(spark, dir)
-        val toksE = regexp_extract_all(lower(col("text")), lit(wsToken), lit(0))
-
-        // max occurrence count of any single element (the "top token /
-        // top 2-gram fraction" numerator): O(|distinct|·|n|) per row on a
-        // bound array — fine for documents, and bounded by vocabulary.
-        def maxRepeat(items: Column): Column =
-          aggregate(array_distinct(items), lit(0),
-            (acc, w) => greatest(acc, size(filter(items, x => x === w))))
-
-        def bigramsOf(arr: Column): Column =
-          when(size(arr) < 2, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size(arr) - 1),
-              i => concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
-
-        val statsRow = transform(array(toksE), arr =>
-          element_at(transform(array(bigramsOf(arr)), bgs =>
-            element_at(transform(array(struct(
-              size(arr).cast("long").as("nw"),
-              size(array_distinct(arr)).cast("long").as("nd"),
-              aggregate(arr, lit(0L), (acc, x) => acc + length(x)).as("nc"),
-              maxRepeat(arr).cast("long").as("tt"),
-              maxRepeat(bgs).cast("long").as("tb"))), c => {
-              // denominators floored at 1: a token-less document yields
-              // all-zero signals (not NaN), matching the oracle's
-              // coalesce-to-0 of its empty-list aggregates
-              val nwD = greatest(c("nw"), lit(1L)).cast("double")
-              val meanWordLen = c("nc").cast("double") / nwD
-              val topTokenFrac = c("tt").cast("double") / nwD
-              val topBigramFrac =
-                c("tb").cast("double") / greatest(c("nw") - 1L, lit(1L)).cast("double")
-              val ttr = c("nd").cast("double") / nwD
-              struct(
-                c("nw").as("n_words"),
-                c("nd").as("n_distinct"),
-                c("nc").as("n_tok_chars"),
-                c("tt").as("top_token_cnt"),
-                c("tb").as("top_bigram_cnt"),
-                meanWordLen.as("mean_word_len"),
-                topTokenFrac.as("top_token_frac"),
-                topBigramFrac.as("top_bigram_frac"),
-                ttr.as("type_token_ratio"),
-                when(c("nw") >= 20L && meanWordLen >= 3.0 && meanWordLen <= 8.0
-                  && topTokenFrac <= 0.11 && topBigramFrac <= 0.05 && ttr >= 0.35,
-                  "keep").otherwise("drop").as("verdict"))
-            }), 1)), 1))
-
-        t.documents
-          .select(col("doc_id"), inline(statsRow))
-          .orderBy(col("doc_id"))
-      },
+      (spark, dir) =>
+        gopherSignals(Tables(spark, dir).documents).orderBy(col("doc_id")),
       Some(
         """WITH tk AS (
           |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
@@ -562,6 +512,65 @@ object TextOps {
           |ORDER BY doc_id""".stripMargin)
     )
   )
+
+  /** Gopher-style per-document repetition/quality signals over any
+    * (doc_id, text) frame — the reusable core of catalog query t08.
+    *
+    * All per-row HOF compute in ONE generator projection. The toks /
+    * bigrams / counts intermediates are let-bound via single-element
+    * `transform` lambdas: a lambda variable is a bound value, so
+    * re-referencing it is a lookup — NOT a re-computation the way
+    * CollapseProject re-inlines re-referenced projection columns (the
+    * d02/s06 blow-up documented at DedupOps.minhashNearDups). */
+  def gopherSignals(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toksE = regexp_extract_all(lower(col("text")), lit(wsToken), lit(0))
+
+    // max occurrence count of any single element (the "top token /
+    // top 2-gram fraction" numerator): O(|distinct|·|n|) per row on a
+    // bound array — fine for documents, and bounded by vocabulary.
+    def maxRepeat(items: Column): Column =
+      aggregate(array_distinct(items), lit(0),
+        (acc, w) => greatest(acc, size(filter(items, x => x === w))))
+
+    def bigramsOf(arr: Column): Column =
+      when(size(arr) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(arr) - 1),
+          i => concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
+
+    val statsRow = transform(array(toksE), arr =>
+      element_at(transform(array(bigramsOf(arr)), bgs =>
+        element_at(transform(array(struct(
+          size(arr).cast("long").as("nw"),
+          size(array_distinct(arr)).cast("long").as("nd"),
+          aggregate(arr, lit(0L), (acc, x) => acc + length(x)).as("nc"),
+          maxRepeat(arr).cast("long").as("tt"),
+          maxRepeat(bgs).cast("long").as("tb"))), c => {
+          // denominators floored at 1: a token-less document yields
+          // all-zero signals (not NaN), matching the oracle's
+          // coalesce-to-0 of its empty-list aggregates
+          val nwD = greatest(c("nw"), lit(1L)).cast("double")
+          val meanWordLen = c("nc").cast("double") / nwD
+          val topTokenFrac = c("tt").cast("double") / nwD
+          val topBigramFrac =
+            c("tb").cast("double") / greatest(c("nw") - 1L, lit(1L)).cast("double")
+          val ttr = c("nd").cast("double") / nwD
+          struct(
+            c("nw").as("n_words"),
+            c("nd").as("n_distinct"),
+            c("nc").as("n_tok_chars"),
+            c("tt").as("top_token_cnt"),
+            c("tb").as("top_bigram_cnt"),
+            meanWordLen.as("mean_word_len"),
+            topTokenFrac.as("top_token_frac"),
+            topBigramFrac.as("top_bigram_frac"),
+            ttr.as("type_token_ratio"),
+            when(c("nw") >= 20L && meanWordLen >= 3.0 && meanWordLen <= 8.0
+              && topTokenFrac <= 0.11 && topBigramFrac <= 0.05 && ttr >= 0.35,
+              "keep").otherwise("drop").as("verdict"))
+        }), 1)), 1))
+
+    docs.select(col("doc_id"), inline(statsRow))
+  }
 
   /** The quality formula over precomputed count columns — the SINGLE
     * Spark-side source of truth shared by t01 (projected counts) and

@@ -112,4 +112,39 @@ class PropertySpec extends SparkSpecBase {
       assert(nulls.tail.forall(!_))
     }
   }
+
+  test("gopher signals match a driver recompute on arbitrary text (incl. empty/whitespace)") {
+    val weirdGen = Gen.oneOf(
+      Gen.const(""), Gen.const("   "), Gen.const("\t \n"),
+      textGen,
+      Gen.listOfN(8, Gen.oneOf("a", "a", "b!", "..", "zz")).map(_.mkString(" ")))
+    samples(Gen.listOfN(12, weirdGen), 3).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.text.TextOps.gopherSignals(df)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      texts.zipWithIndex.foreach { case (tx, i) =>
+        val toks = tx.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        val r = got(i.toLong)
+        assert(r.getAs[Long]("n_words") === toks.length.toLong)
+        assert(r.getAs[Long]("n_distinct") === toks.distinct.length.toLong)
+        assert(r.getAs[Long]("n_tok_chars") === toks.map(_.length).sum.toLong)
+        val topTok = if (toks.isEmpty) 0 else toks.groupBy(identity).values.map(_.size).max
+        assert(r.getAs[Long]("top_token_cnt") === topTok.toLong)
+        val bgs = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+        val topBg = if (bgs.isEmpty) 0 else bgs.groupBy(identity).values.map(_.size).max
+        assert(r.getAs[Long]("top_bigram_cnt") === topBg.toLong)
+        // fractions well-defined and bounded even for token-less docs
+        Seq("mean_word_len", "top_token_frac", "top_bigram_frac", "type_token_ratio")
+          .foreach { cn =>
+            val v = r.getAs[Double](cn)
+            assert(!v.isNaN && !v.isInfinite && v >= 0.0, s"$cn = $v for '$tx'")
+          }
+        if (toks.isEmpty) {
+          assert(r.getAs[Double]("mean_word_len") === 0.0)
+          assert(r.getAs[String]("verdict") === "drop")
+        }
+      }
+    }
+  }
 }

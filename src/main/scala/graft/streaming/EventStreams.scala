@@ -157,8 +157,56 @@ object EventStreams {
     ss.table("q31_sink").orderBy(col("event_type"))
   }
 
+  /** Stream-stream interval join under the oracle: each view joined to
+    * the purchases that follow it within one hour, per user — the
+    * canonical watermarked two-stream join. Both sides carry event-time
+    * watermarks AND the join condition bounds p_ts to [v_ts, v_ts+1h],
+    * which is what lets the join state evict rows once the watermark
+    * passes the interval — an unconstrained stream-stream join would
+    * buffer both streams forever. Inner join in append mode emits each
+    * pair as soon as both sides have arrived; deterministic on bounded
+    * input → exact batch self-join oracle. Session/state sizing as in
+    * [[hourlyCountsStreaming]]. */
+  def intervalJoinStreaming(spark: SparkSession, dir: String,
+      statePartitions: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val batchSchema = ss.read.parquet(s"$dir/events.parquet").schema
+    val tsIsLong = batchSchema("ts").dataType == LongType
+    val schema = StructType(batchSchema.map {
+      case f if f.name == "ts" && tsIsLong => f.copy(dataType = LongType)
+      case f => f
+    })
+    def src(): DataFrame = {
+      val raw = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    }
+    val views = src().where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("v_ts"), col("p_ts"))
+    val q = joined.writeStream
+      .format("memory").queryName("q36_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table("q36_sink").orderBy(col("user_id"), col("v_ts"), col("p_ts"))
+  }
+
   /** Driver-visible streaming artifacts: q27 carries batch q20's oracle,
-    * q31 carries the batch count-distinct oracle over planted dups. */
+    * q31 carries the batch count-distinct oracle over planted dups, and
+    * q36 carries the batch self-join oracle for the interval join. */
   val catalog: Seq[graft.queries.GraftQuery] = Seq(
     graft.queries.GraftQuery(
       "q27_events_hourly_stream",
@@ -181,6 +229,19 @@ object EventStreams {
           |FROM events
           |GROUP BY event_type
           |ORDER BY event_type""".stripMargin)
+    ),
+
+    graft.queries.GraftQuery(
+      "q36_stream_interval_join",
+      "watermarked stream-stream interval join: purchases within 1h of each view",
+      (spark, dir) => intervalJoinStreaming(spark, dir),
+      Some(
+        """SELECT v.user_id AS user_id, v.ts AS v_ts, p.ts AS p_ts
+          |FROM events v JOIN events p
+          |  ON v.user_id = p.user_id
+          | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+          |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+          |ORDER BY v.user_id, v_ts, p_ts""".stripMargin)
     )
   )
 

@@ -175,6 +175,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch)
   }
 
+  test("stream-static join enriches the stream against a broadcast dimension") {
+    import org.apache.spark.sql.functions._
+    val input = newStream()
+    val userDim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    // stream ⋈ static: the dimension is re-resolved per micro-batch and
+    // broadcast — no state store involved; unmatched users survive via
+    // the left join (coalesced to a default tier)
+    val enriched = input.toDF()
+      .join(broadcast(userDim), Seq("user_id"), "left")
+      .withColumn("tier", coalesce(col("tier"), lit("unknown")))
+      .groupBy(col("tier")).agg(count(lit(1)).as("cnt"))
+    val q = enriched.writeStream
+      .format("memory").queryName("stream_static_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 10:01:00"), 1L, "click", 1.0),
+        Event(2L, ts("2024-01-01 10:02:00"), 1L, "view", 1.0),
+        Event(3L, ts("2024-01-01 10:03:00"), 2L, "click", 1.0),
+        Event(4L, ts("2024-01-01 10:04:00"), 99L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("stream_static_test").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows === Map("gold" -> 2L, "silver" -> 1L, "unknown" -> 1L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     val input = newStream()
     val sessions = EventStreams.sessionize(input.toDS(), gapMs = 10 * 60 * 1000)

@@ -444,6 +444,67 @@ object SimilarityOps {
           |  ON a.label = b.label AND a.vec_id < b.vec_id
           |ORDER BY sim_e4 DESC, id_a, id_b
           |LIMIT 20""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s09: per-vector int8 quantization — the storage/serving scale path
+    // for embeddings (min-max affine codes, 4x smaller than float32; the
+    // standard faiss-style SQ8 layout from the public literature). Pure
+    // per-row compute, no shuffle. The embedding array and its min/max
+    // are let-bound via single-element transform lambdas (the t08
+    // pattern) so neither the array nor the extrema are re-computed per
+    // reference. Output is integer code statistics plus the affine
+    // params: float→double widening is exact in both engines and the
+    // per-row arithmetic order is mirrored, so the codes hash-match.
+    GraftQuery(
+      "s09_embedding_quantize",
+      "int8 min-max quantization codes + affine params per embedding",
+      (spark, dir) => {
+        val codesOf = (e: Column, mm: Column) => {
+          val vmin = mm("vmin").cast("double")
+          val vmax = mm("vmax").cast("double")
+          transform(e, x =>
+            when(mm("vmax") === mm("vmin"), lit(0L))
+              .otherwise(round((x.cast("double") - vmin) * 255 / (vmax - vmin))
+                .cast("long")))
+        }
+        val statsRow = transform(array(col("embedding")), e =>
+          element_at(transform(array(struct(
+            array_min(e).as("vmin"), array_max(e).as("vmax"))), mm =>
+            element_at(transform(array(codesOf(e, mm)), codes =>
+              struct(
+                size(e).cast("long").as("n_dims"),
+                mm("vmin").cast("double").as("vmin"),
+                mm("vmax").cast("double").as("vmax"),
+                aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"),
+                array_min(codes).as("code_min"),
+                array_max(codes).as("code_max"))), 1)), 1))
+        Tables(spark, dir).embeddings
+          .select(col("vec_id"), inline(statsRow))
+          .orderBy(col("vec_id"))
+      },
+      Some(
+        """WITH mm AS (
+          |  SELECT vec_id, embedding,
+          |         list_min(embedding) AS fmin, list_max(embedding) AS fmax
+          |  FROM embeddings),
+          |q AS (
+          |  SELECT vec_id,
+          |         CAST(len(embedding) AS BIGINT) AS n_dims,
+          |         CAST(fmin AS DOUBLE) AS vmin,
+          |         CAST(fmax AS DOUBLE) AS vmax,
+          |         list_transform(embedding, x ->
+          |           CASE WHEN fmax = fmin THEN 0
+          |                ELSE CAST(round((CAST(x AS DOUBLE) - CAST(fmin AS DOUBLE)) * 255
+          |                          / (CAST(fmax AS DOUBLE) - CAST(fmin AS DOUBLE))) AS BIGINT)
+          |           END) AS codes
+          |  FROM mm)
+          |SELECT vec_id, n_dims, vmin, vmax,
+          |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+          |       CAST(list_min(codes) AS BIGINT) AS code_min,
+          |       CAST(list_max(codes) AS BIGINT) AS code_max
+          |FROM q
+          |ORDER BY vec_id""".stripMargin)
     )
   )
 }

@@ -131,6 +131,34 @@ class SimilaritySpec extends SparkSpecBase {
       s"IVF-index recall ${exact.intersect(approx).size}/10")
   }
 
+  test("s09: quantization codes equal a driver recompute; dequantization error ≤ half a step") {
+    import graft.io.Tables
+    val got = graft.queries.Catalog.queries("s09_embedding_quantize")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val vecs = Tables(spark, sf0001).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(vecs.length === got.size)
+    vecs.foreach { case (id, v) =>
+      val r = got(id)
+      val vmin = v.min.toDouble
+      val vmax = v.max.toDouble
+      assert(r.getAs[Double]("vmin") === vmin)
+      assert(r.getAs[Double]("vmax") === vmax)
+      val codes = v.map(x =>
+        if (vmax == vmin) 0L
+        else math.round((x.toDouble - vmin) * 255 / (vmax - vmin)))
+      assert(r.getAs[Long]("code_sum") === codes.sum, s"vec $id")
+      assert(r.getAs[Long]("code_min") === codes.min && codes.min >= 0L)
+      assert(r.getAs[Long]("code_max") === codes.max && codes.max <= 255L)
+      // the SQ8 guarantee: reconstruction error bounded by half a step
+      val step = (vmax - vmin) / 255
+      v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs((vmin + c * step) - x.toDouble) <= step / 2 + 1e-12)
+      }
+    }
+  }
+
   test("k-means-refined IVF does not regress recall vs seed centroids") {
     val exact = SimilarityOps.bruteForceTopK(emb, 0L, 10)
       .collect().map(_.getAs[Long]("vec_id")).toSet

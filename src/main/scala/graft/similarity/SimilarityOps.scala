@@ -500,7 +500,7 @@ object SimilarityOps {
           |           END) AS codes
           |  FROM mm)
           |SELECT vec_id, n_dims, vmin, vmax,
-          |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+          |       CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS code_sum,
           |       CAST(list_min(codes) AS BIGINT) AS code_min,
           |       CAST(list_max(codes) AS BIGINT) AS code_max
           |FROM q

@@ -58,6 +58,24 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("cnt"), col("total_value"))
 
+  /** Streaming file source over the events parquet for an isolated
+    * session, with the TIMESTAMP(NANOS) convention applied in ONE place
+    * (the nanosAsLong batch read yields INT64 → convert exactly;
+    * a micros-typed file passes through unchanged — mirrors
+    * Tables.normalizeEventTs). Returns a thunk so callers can attach the
+    * same source more than once (q31's union, q36's two sides). */
+  private def eventStreamSource(ss: SparkSession, dir: String): () => DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val batchSchema = ss.read.parquet(s"$dir/events.parquet").schema
+    val tsIsLong = batchSchema("ts").dataType == LongType
+    () => {
+      val raw = ss.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    }
+  }
+
   /** The hourly aggregation (q20's shape) executed as an ACTUAL
     * Structured Streaming job: file source over the events parquet,
     * complete-mode memory sink, `Trigger.AvailableNow` (process the
@@ -81,7 +99,6 @@ object EventStreams {
     * is frozen into the checkpoint at first start). */
   def hourlyCountsStreaming(spark: SparkSession, dir: String,
       statePartitions: Int = 8): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StructType}
     // Run the stream in an isolated session (shared SparkContext, own
     // SQLConf): the streaming engine clones the session ON THE QUERY
     // THREAD, so setting shuffle.partitions on the caller's session and
@@ -89,23 +106,7 @@ object EventStreams {
     // also leak a conf change into a concurrent caller.
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val batchSchema = ss.read.parquet(s"$dir/events.parquet").schema
-    // under nanosAsLong a TIMESTAMP(NANOS) ts arrives as INT64: declare it
-    // long and convert exactly — but ONLY when the batch read actually
-    // yields a long, mirroring Tables.normalizeEventTs; a micros-typed
-    // events file passes through with its TimestampType schema unchanged.
-    val tsIsLong = batchSchema("ts").dataType == LongType
-    val schema = StructType(batchSchema.map {
-      case f if f.name == "ts" && tsIsLong => f.copy(dataType = LongType)
-      case f => f
-    })
-    val raw = ss.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val stream =
-      if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    val agg = stream
+    val agg = eventStreamSource(ss, dir)()
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         min(col("value")).as("min_value"),
@@ -129,21 +130,9 @@ object EventStreams {
     * Session/state sizing as in [[hourlyCountsStreaming]]. */
   def dedupCountsStreaming(spark: SparkSession, dir: String,
       statePartitions: Int = 8): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StructType}
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val batchSchema = ss.read.parquet(s"$dir/events.parquet").schema
-    val tsIsLong = batchSchema("ts").dataType == LongType
-    val schema = StructType(batchSchema.map {
-      case f if f.name == "ts" && tsIsLong => f.copy(dataType = LongType)
-      case f => f
-    })
-    def src(): DataFrame = {
-      val raw = ss.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    }
+    val src = eventStreamSource(ss, dir)
     val agg = src().unionByName(src())
       .dropDuplicates("event_id")
       .groupBy(col("event_type"))
@@ -169,21 +158,9 @@ object EventStreams {
     * [[hourlyCountsStreaming]]. */
   def intervalJoinStreaming(spark: SparkSession, dir: String,
       statePartitions: Int = 4): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StructType}
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val batchSchema = ss.read.parquet(s"$dir/events.parquet").schema
-    val tsIsLong = batchSchema("ts").dataType == LongType
-    val schema = StructType(batchSchema.map {
-      case f if f.name == "ts" && tsIsLong => f.copy(dataType = LongType)
-      case f => f
-    })
-    def src(): DataFrame = {
-      val raw = ss.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    }
+    val src = eventStreamSource(ss, dir)
     val views = src().where(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("v_ts"))
       .withWatermark("v_ts", "1 hour")

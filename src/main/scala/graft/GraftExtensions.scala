@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CosineSimilarity, HammingDistance, MinHashSignature, SimHash64, SortedIntersectSize, WinnowSketch}
+import graft.functions.expressions.{CosineSimilarity, HammingDistance, MinHashSignature, SimHash64, SortedIntersectSize, TopRepeatCountsExpr, WinnowSketch}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (set in [[GraftSession.tune]]). Injects the native vector
@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "minhash_signature(hashes, k) - k-permutation MinHash signature of a shingle-hash array"),
       (args: Seq[Expression]) => MinHashSignature(args(0),
         args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("top_repeat_counts"),
+      info("top_repeat_counts",
+        "top_repeat_counts(tokens) - max occurrence count of any token and any adjacent bigram"),
+      (args: Seq[Expression]) => TopRepeatCountsExpr(args(0))))
     ext.injectFunction((
       FunctionIdentifier("winnow_sketch"),
       info("winnow_sketch",

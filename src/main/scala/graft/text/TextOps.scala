@@ -268,14 +268,10 @@ object TextOps {
     // t08: Gopher-style repetition/quality gating (Rae et al. 2021,
     // "Scaling Language Models" §A1.1 quality heuristics, public paper):
     // per-doc lexical-diversity + repetition signals and a keep/drop
-    // verdict. All per-row HOF compute (one codegen'd projection, NO
-    // shuffle except the final order), so the operator scales linearly
-    // with corpus bytes. The toks / bigrams / counts intermediates are
-    // let-bound via single-element `transform` lambdas: a lambda variable
-    // is a bound value, so re-referencing it is a lookup — NOT a
-    // re-computation the way CollapseProject re-inlines re-referenced
-    // projection columns (the d02/s06 blow-up documented at
-    // DedupOps.minhashNearDups).
+    // verdict. One codegen'd projection per row, NO shuffle except the
+    // final order; the repetition numerators are the native O(n)
+    // `top_repeat_counts` expression, so per-row cost is linear in
+    // document length — see gopherSignals below for the full plan notes.
     GraftQuery(
       "t08_quality_gopher",
       "repetition + lexical-diversity quality signals with keep/drop gate",
@@ -516,35 +512,30 @@ object TextOps {
   /** Gopher-style per-document repetition/quality signals over any
     * (doc_id, text) frame — the reusable core of catalog query t08.
     *
-    * All per-row HOF compute in ONE generator projection. The toks /
-    * bigrams / counts intermediates are let-bound via single-element
-    * `transform` lambdas: a lambda variable is a bound value, so
-    * re-referencing it is a lookup — NOT a re-computation the way
-    * CollapseProject re-inlines re-referenced projection columns (the
-    * d02/s06 blow-up documented at DedupOps.minhashNearDups). */
+    * One generator projection per row, no shuffle. The repetition
+    * numerators come from the native `top_repeat_counts` expression
+    * ([[graft.functions.expressions.TopRepeatCountsExpr]]): one hash-map
+    * pass in O(|tokens|) per row, replacing the
+    * `aggregate(array_distinct, …, filter)` HOF whose
+    * O(|distinct|·|tokens|) comparisons made a 100k-token web document a
+    * straggler task (VERDICT r3 #1; the HOF survives as
+    * [[maxRepeatHof]] for the spec cross-check). The toks / counts
+    * intermediates are let-bound via single-element `transform` lambdas:
+    * a lambda variable is a bound value, so re-referencing it is a
+    * lookup — NOT a re-computation the way CollapseProject re-inlines
+    * re-referenced projection columns (the d02/s06 blow-up documented at
+    * DedupOps.minhashNearDups). */
   def gopherSignals(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toksE = regexp_extract_all(lower(col("text")), lit(wsToken), lit(0))
 
-    // max occurrence count of any single element (the "top token /
-    // top 2-gram fraction" numerator): O(|distinct|·|n|) per row on a
-    // bound array — fine for documents, and bounded by vocabulary.
-    def maxRepeat(items: Column): Column =
-      aggregate(array_distinct(items), lit(0),
-        (acc, w) => greatest(acc, size(filter(items, x => x === w))))
-
-    def bigramsOf(arr: Column): Column =
-      when(size(arr) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(arr) - 1),
-          i => concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
-
     val statsRow = transform(array(toksE), arr =>
-      element_at(transform(array(bigramsOf(arr)), bgs =>
+      element_at(transform(array(call_function("top_repeat_counts", arr)), rc =>
         element_at(transform(array(struct(
           size(arr).cast("long").as("nw"),
           size(array_distinct(arr)).cast("long").as("nd"),
           aggregate(arr, lit(0L), (acc, x) => acc + length(x)).as("nc"),
-          maxRepeat(arr).cast("long").as("tt"),
-          maxRepeat(bgs).cast("long").as("tb"))), c => {
+          rc("top_token_cnt").as("tt"),
+          rc("top_bigram_cnt").as("tb"))), c => {
           // denominators floored at 1: a token-less document yields
           // all-zero signals (not NaN), matching the oracle's
           // coalesce-to-0 of its empty-list aggregates
@@ -571,6 +562,21 @@ object TextOps {
 
     docs.select(col("doc_id"), inline(statsRow))
   }
+
+  /** The original HOF formulation of the repetition numerator —
+    * O(|distinct|·|items|) per row. Replaced on the hot path by the
+    * native `top_repeat_counts` expression; kept (public) purely as the
+    * independent cross-check TextSpec runs against the native path. */
+  def maxRepeatHof(items: Column): Column =
+    aggregate(array_distinct(items), lit(0),
+      (acc, w) => greatest(acc, size(filter(items, x => x === w))))
+
+  /** Adjacent-token bigram array (HOF) — companion of [[maxRepeatHof]]
+    * for the bigram half of the cross-check. */
+  def bigramsOfHof(arr: Column): Column =
+    when(size(arr) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(arr) - 1),
+        i => concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
 
   /** The quality formula over precomputed count columns — the SINGLE
     * Spark-side source of truth shared by t01 (projected counts) and

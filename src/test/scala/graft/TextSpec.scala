@@ -93,6 +93,56 @@ class TextSpec extends SparkSpecBase {
     assert(verdicts === Set("keep", "drop"), s"gate did not split the corpus: $verdicts")
   }
 
+  test("native top_repeat_counts equals the HOF formulation (corpus cross-check)") {
+    val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+    val rows = docs.select(
+      call_function("top_repeat_counts", toks).as("rc"),
+      graft.text.TextOps.maxRepeatHof(toks).cast("long").as("tt_hof"),
+      graft.text.TextOps.maxRepeatHof(graft.text.TextOps.bigramsOfHof(toks))
+        .cast("long").as("tb_hof"))
+      .collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val rc = r.getStruct(0)
+      assert(rc.getLong(0) === r.getLong(1), "top_token_cnt")
+      assert(rc.getLong(1) === r.getLong(2), "top_bigram_cnt")
+    }
+  }
+
+  test("native top_repeat_counts beats the HOF by ≥10× on a 100k-token document") {
+    // Worst-case shape the HOF chokes on: one long web-style document.
+    // 100k tokens over a 200-token vocabulary keeps the HOF's
+    // O(|distinct|·|tokens|) pass testable (~4×10⁷ interpreted compares);
+    // real web docs have far larger distinct sets, making the gap wider.
+    val text = (0 until 100000).map(i => "tok" + (i % 200)).mkString(" ")
+    val one = Seq((1L, text)).toDF("doc_id", "text")
+      .select(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("toks"))
+      .persist()
+    try {
+      one.count() // materialize: time only the counting, not the tokenize
+      def run(c: org.apache.spark.sql.Column): (Long, (Long, Long)) = {
+        val t0 = System.nanoTime()
+        val r = one.select(c.as("v")).collect()(0)
+        (System.nanoTime() - t0, r.getAs[Any]("v") match {
+          case s: org.apache.spark.sql.Row => (s.getLong(0), s.getLong(1))
+          case _ => (r.getStruct(0).getLong(0), r.getStruct(0).getLong(1))
+        })
+      }
+      val nativeCol = call_function("top_repeat_counts", col("toks"))
+      val hofCol = struct(
+        graft.text.TextOps.maxRepeatHof(col("toks")).cast("long"),
+        graft.text.TextOps.maxRepeatHof(graft.text.TextOps.bigramsOfHof(col("toks")))
+          .cast("long"))
+      run(nativeCol) // JIT warmup for the native path
+      val (tNative, vNative) = (1 to 3).map(_ => run(nativeCol)).minBy(_._1)
+      val (tHof, vHof) = run(hofCol)
+      assert(vNative === vHof, "native and HOF disagree on the long document")
+      assert(vNative === ((500L, 500L))) // each token and bigram repeats 500×
+      assert(tNative * 10 <= tHof,
+        s"native ${tNative / 1e6}ms not ≥10× faster than HOF ${tHof / 1e6}ms")
+    } finally one.unpersist()
+  }
+
   test("t08: token array is computed once per row (single regexp in plan, no shuffle)") {
     val p = graft.queries.Catalog.queries("t08_quality_gopher")(spark, sf0001)
       .queryExecution.executedPlan.toString

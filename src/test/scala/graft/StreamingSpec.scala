@@ -157,6 +157,52 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("q27 runs ≥3 micro-batches with aggregation state carried between them") {
+    val streamed = EventStreams.hourlyCountsStreaming(spark, sf0001)
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+    val batch = graft.queries.Catalog.queries("q20_events_hourly")(spark, sf0001)
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+    assert(streamed.toSeq === batch.toSeq)
+    val stats = EventStreams.lastRunStats("q27_events_hourly_stream")
+    assert(stats.nBatches >= 3,
+      s"expected ≥3 micro-batches, got ${stats.nBatches}")
+    // complete-mode aggregation: state rows accumulate monotonically —
+    // later batches must see (and grow) the state earlier batches built
+    assert(stats.stateRowsPerBatch.forall(_ > 0L), stats.toString)
+    assert(stats.stateRowsPerBatch.zip(stats.stateRowsPerBatch.tail)
+      .forall { case (a, b) => b >= a }, s"state not carried: $stats")
+    assert(stats.stateRowsPerBatch.last > stats.stateRowsPerBatch.head,
+      s"state never grew across batches: $stats")
+  }
+
+  test("q31 runs on the RocksDB state-store provider across ≥3 micro-batches") {
+    EventStreams.dedupCountsStreaming(spark, sf0001).collect()
+    val stats = EventStreams.lastRunStats("q31_events_dedup_stream")
+    assert(stats.provider.contains("RocksDBStateStoreProvider"), stats.provider)
+    assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
+    assert(stats.stateRowsPerBatch.forall(_ > 0L), stats.toString)
+    assert(stats.stateRowsPerBatch.last > stats.stateRowsPerBatch.head,
+      s"dedup state never grew across batches: $stats")
+  }
+
+  test("q36 interval join emits no late-dropped pairs across ≥3 micro-batches") {
+    val streamed = EventStreams.intervalJoinStreaming(spark, sf0001).count()
+    val t = graft.io.Tables(spark, sf0001)
+    import org.apache.spark.sql.functions._
+    val v = t.events.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val p = t.events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = v.join(p, col("user_id") === col("p_user")
+      && col("p_ts") >= col("v_ts")
+      && col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR")).count()
+    // the time-range file split guarantees watermark monotonicity, so the
+    // multi-batch streamed result must equal the batch self-join exactly
+    assert(streamed === batch)
+    val stats = EventStreams.lastRunStats("q36_stream_interval_join")
+    assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
+  }
+
   test("chained stateful ops: streaming dedup over doubled events equals batch count-distinct") {
     val streamed = EventStreams.dedupCountsStreaming(spark, sf0001)
       .collect()

@@ -270,17 +270,35 @@ object SimilarityOps {
     * serve a stale index if the underlying table changed between runs.
     * The JVM-scoped cache is what separates billing: the build entry
     * always pays the full layout shuffle; the probe entry reuses the
-    * newest built index and pays only the pruned scan. */
+    * newest built index and pays only the pruned scan. Superseded and
+    * leftover index dirs are deleted (rebuild replaces exactly one live
+    * dir per dataset; a shutdown hook clears the rest), so a long-lived
+    * JVM rebuilding repeatedly cannot leak temp space. */
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    indexCache.values().forEach(deleteIndexDir)))
+
+  private def deleteIndexDir(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rec))
+      f.delete(): Unit
+    }
+    rec(new java.io.File(path))
+  }
 
   /** Build into a fresh temp dir and make it the served index for
     * `dataDir`; returns the per-cell vector counts as the build
-    * artifact's summary (a partition-column-only scan of the layout). */
+    * artifact's summary (a partition-column-only scan of the layout).
+    * The dir the rebuild replaces is deleted AFTER the swap: a
+    * concurrent reader that resolved the old path mid-probe keeps a
+    * consistent (if stale) layout only until the delete lands — the
+    * same read-after-replace caveat any non-transactional file index
+    * carries; production layouts get atomicity from a table format. */
   private def buildIndexFresh(emb: DataFrame, dataDir: String): DataFrame = {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_index_").toString
     IvfIndex.build(emb, path, nCells = 16)
-    indexCache.put(dataDir, path)
+    Option(indexCache.put(dataDir, path)).foreach(deleteIndexDir)
     emb.sparkSession.read.parquet(s"$path/cells")
       .groupBy(col("cell_id")).agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cell_id"))

@@ -131,6 +131,27 @@ class SimilaritySpec extends SparkSpecBase {
       s"IVF-index recall ${exact.intersect(approx).size}/10")
   }
 
+  test("repeated s07 builds leave exactly one live index dir per dataset (no /tmp leak)") {
+    def liveIndexDirs(): Set[String] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      tmp.listFiles().filter(f => f.isDirectory
+        && f.getName.startsWith("graft_ivf_index_")).map(_.getName).toSet
+    }
+    val before = liveIndexDirs()
+    val s07 = graft.queries.Catalog.queries("s07_similarity_ivf_build")
+    val r1 = s07(spark, sf0001).collect()
+    val afterFirst = liveIndexDirs() -- before
+    val r2 = s07(spark, sf0001).collect()
+    val r3 = s07(spark, sf0001).collect()
+    val afterThird = liveIndexDirs() -- before
+    // each rebuild swaps in a fresh dir and deletes the one it replaced
+    assert(afterFirst.size === 1, s"first build left $afterFirst")
+    assert(afterThird.size === 1, s"three builds left $afterThird")
+    assert(afterFirst.intersect(afterThird).isEmpty, "rebuild did not swap dirs")
+    assert(r1.map(_.toString).toSeq === r2.map(_.toString).toSeq)
+    assert(r2.map(_.toString).toSeq === r3.map(_.toString).toSeq)
+  }
+
   test("s09: quantization codes equal a driver recompute; dequantization error ≤ half a step") {
     import graft.io.Tables
     val got = graft.queries.Catalog.queries("s09_embedding_quantize")(spark, sf0001)

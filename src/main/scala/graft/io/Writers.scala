@@ -28,6 +28,13 @@ object Writers {
       .partitionBy("quarter")
       .parquet(path)
 
+  /** Generic hive-style partitioned parquet sink — equality/IN filters
+    * on the partition columns prune directories at plan time
+    * (`PartitionFilters` in the scan, zero data files touched outside
+    * the slice). */
+  def partitionedParquet(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
   /** Bucketed managed table for shuffle-free joins on `bucketCol`.
     * (Bucketing requires saveAsTable — the bucket metadata lives in the
     * catalog.) */

@@ -1034,6 +1034,89 @@ object CoreQueries {
           |FROM d JOIN f USING (user_id)
           |GROUP BY 1, 2
           |ORDER BY cohort, day_offset""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q37: the 100 TB skew story end-to-end under the oracle. The derived
+    // key maps HALF the fact table to one hot key (every l_quantity ≤ 25
+    // row → key 0), the exact shape AQE's skew split cannot fix (one key,
+    // one build row — post-shuffle split can't separate rows of a single
+    // key meeting a single hash bucket). SkewJoin.salted spreads key 0
+    // over 8 reducers by salting the probe side and replicating the
+    // 100-row build side 8×; the shuffle_hash hint keeps the join a
+    // shuffle join (a broadcast would hide the skew this entry
+    // demonstrates — at 100 TB the build side has outgrown broadcast).
+    // Salting is row-for-row identical to the plain join, so the oracle
+    // is the UNSALTED join in DuckDB. Sums stay exact: l_quantity is
+    // integral-valued.
+    GraftQuery(
+      "q37_skew_join",
+      "salted shuffle join on a key holding 50% of the fact rows (oracle = plain join)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val fact = t.lineitem.select(
+          when(col("l_quantity") <= 25, lit(0L))
+            .otherwise(pmod(col("l_partkey"), lit(100L))).as("skew_key"),
+          col("l_quantity"))
+        val dim = t.part
+          .groupBy(pmod(col("p_partkey"), lit(100L)).as("skew_key"))
+          .agg(cnt.as("n_parts"), max(col("p_retailprice")).as("max_retail"))
+        graft.ops.SkewJoin
+          .salted(fact, dim.hint("shuffle_hash"), Seq("skew_key"), r = 8)
+          .groupBy(col("skew_key"))
+          .agg(cnt.as("cnt"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            max(col("n_parts")).as("n_parts"),
+            max(col("max_retail")).as("max_retail"))
+          .orderBy(col("skew_key"))
+      },
+      Some(
+        """WITH fact AS (
+          |  SELECT CASE WHEN l_quantity <= 25 THEN 0 ELSE l_partkey % 100 END AS skew_key,
+          |         l_quantity
+          |  FROM lineitem),
+          |dim AS (
+          |  SELECT p_partkey % 100 AS skew_key, count(*) AS n_parts,
+          |         max(p_retailprice) AS max_retail
+          |  FROM part GROUP BY 1)
+          |SELECT f.skew_key, count(*) AS cnt,
+          |       CAST(sum(f.l_quantity) AS BIGINT) AS sum_qty,
+          |       max(d.n_parts) AS n_parts, max(d.max_retail) AS max_retail
+          |FROM fact f JOIN dim d ON f.skew_key = d.skew_key
+          |GROUP BY f.skew_key
+          |ORDER BY f.skew_key""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q38: partition pruning on the warehouse layout. lineitem is written
+    // ONCE per (JVM, dataset) hive-partitioned by ship-quarter
+    // (io/WarehouseLayout — the IvfIndex build/probe billing pattern
+    // applied to the star schema); the query slices one quarter and the
+    // scan's PartitionFilters keeps every other quarter's files untouched
+    // at plan time (WritersSpec asserts the plan). The oracle computes
+    // the same slice from the raw table — layout must never change
+    // results, only cost.
+    GraftQuery(
+      "q38_partition_pruned_scan",
+      "one-quarter slice of the ship-quarter-partitioned lineitem layout (pruned scan)",
+      (spark, dir) => {
+        val layout = graft.io.WarehouseLayout.lineitemByShipQuarter(spark, dir)
+        spark.read.parquet(layout)
+          .where(col("ship_quarter") === "1995Q2")
+          .groupBy(col("l_returnflag"))
+          .agg(cnt.as("cnt"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            countDistinct(col("l_partkey")).as("n_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        """SELECT l_returnflag, count(*) AS cnt,
+          |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          |       count(DISTINCT l_partkey) AS n_parts
+          |FROM lineitem
+          |WHERE year(l_shipdate) = 1995 AND quarter(l_shipdate) = 2
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
     )
   )
 }

@@ -55,4 +55,15 @@ class SkewJoinSpec extends SparkSpecBase {
       .select("_salt").distinct().count()
     assert(saltsUsed === 8)
   }
+
+  test("q37 plans a salted ShuffledHashJoin (no broadcast hiding the skew)") {
+    val plan = graft.queries.Catalog.queries("q37_skew_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle join (shuffle_hash hint):\n$plan")
+    assert(plan.contains("_salt"),
+      s"join keys do not include the salt column:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin [skew_key"),
+      s"skewed join was broadcast — the demo would be vacuous:\n$plan")
+  }
 }

@@ -28,6 +28,22 @@ class WritersSpec extends SparkSpecBase {
     assert(sliced.collect().map(_.getAs[String]("symbol")).toSeq === Seq("BBB"))
   }
 
+  test("q38 layout query prunes ship-quarter partitions at plan time") {
+    val q38 = graft.queries.Catalog.queries("q38_partition_pruned_scan")(spark, sf0001)
+    val plan = q38.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ship_quarter")
+      && plan.contains("ship_quarter#") && plan.contains("= 1995Q2"),
+      s"one-quarter slice is not partition-pruned:\n$plan")
+    // layout must never change results: compare against the raw table
+    val raw = graft.io.Tables(spark, sf0001).lineitem
+      .where(year(col("l_shipdate")) === 1995 && quarter(col("l_shipdate")) === 2)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q38.collect().map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap
+    assert(got === raw)
+  }
+
   test("ORC roundtrip preserves the multiset and pushes filters to the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val df = (1L to 200L).map(i => (i, s"s$i", i * 1.5)).toDF("id", "s", "v")

@@ -1,5 +1,6 @@
 package graft.text
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -8,18 +9,84 @@ import graft.queries.GraftQuery
 
 /** The end-to-end training-data prep pipeline as ONE lazy Spark plan:
   * quality scoring → language filter → exact dedup (canonical doc per
-  * fingerprint) → context-window chunking → stable train/eval split,
-  * aggregated to per-split corpus statistics.
+  * fingerprint) → [p02: MinHash near-dup dedup] → context-window
+  * chunking → stable train/eval split, aggregated to per-split corpus
+  * statistics.
   *
   * Each stage is the catalog operator it names (t01 quality formula, t02
-  * heuristic's en-detector, d01 fingerprint dedup, t05 chunking, t07
-  * md5-bucket split); the value here is COMPOSITION: Catalyst fuses the
-  * per-row stages into the scan projection, the dedup is the plan's one
-  * wide exchange, and chunk fan-out happens after filtering (never
-  * chunk what you are about to drop). The DuckDB oracle replays the
-  * same stages as CTEs, so the whole pipeline is hash-verified.
+  * heuristic's en-detector, d01 fingerprint dedup, d02 minhash near-dup,
+  * t05 chunking, t07 md5-bucket split); the value here is COMPOSITION:
+  * Catalyst fuses the per-row stages into the scan projection, each
+  * dedup is one wide exchange, and chunk fan-out happens after filtering
+  * (never chunk what you are about to drop).
+  *
+  * p01 (no fuzzy stage) is hash-verified end to end — the DuckDB oracle
+  * replays the same stages as CTEs. p02 adds the minhash stage on a
+  * planted-near-dup corpus; minhash pair recovery is probabilistic for
+  * borderline-Jaccard pairs (the band-miss probability at j≈0.5 is
+  * ~0.6), so an exact-Jaccard DuckDB oracle would be flaky by
+  * construction — p02 is rows-only and PipelineSpec recomputes every
+  * stage driver-side instead, with the pair set itself covered by d02's
+  * corpus-wide soundness spec.
   */
 object PipelineQueries {
+
+  /** Stages 1–2: per-row stats + t01 quality score, then keep scoreable
+    * english-looking docs. */
+  private[text] def scoredKept(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit("[.,;:!?]")).cast("long").as("n_punct"),
+        regexp_count(lower(col("text")), lit("\\b(the|and|of|to|is|a)\\b"))
+          .cast("long").as("n_stop"))
+      .withColumn("quality",
+        least(lit(1.0), col("n_tokens") / lit(100.0)) *
+          (lit(1.0) - col("n_punct") / col("n_chars")) *
+          (lit(0.5) + lit(0.5) *
+            least(lit(1.0), col("n_stop") * lit(5.0) / col("n_tokens"))))
+      .filter(col("quality") > 0.45 && col("n_stop") > 0)
+
+  /** Stage 3: exact dedup — canonical (min doc_id) per normalized
+    * fingerprint; one shuffle on the fingerprint key. */
+  private[text] def exactCanonical(kept: DataFrame): DataFrame =
+    kept
+      .withColumn("fp", contentFingerprint(col("text")))
+      .withColumn("canon_id", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("canon_id"))
+
+  /** Stages 4–5: chunk-count survivors (t05 geometry: 50-token windows,
+    * stride 40, reusing the already-computed n_tokens), stable md5-bucket
+    * split (t07), per-split corpus stats. */
+  private[text] def chunkSplitStats(survivors: DataFrame): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    survivors
+      .withColumn("nc",
+        when(col("n_tokens") <= 50, lit(1L))
+          .otherwise(floor((col("n_tokens") - 50 + 39) / lit(40.0)).cast("long") + 1L))
+      .withColumn("split",
+        when(pmod(ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1)),
+          lit(100)) < 80, "train").otherwise("eval"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("split"))
+  }
+
+  /** p02's stage 3.5: drop the higher-id member of every verified
+    * MinHash near-dup pair among the survivors (pair discovery is d02's
+    * full shingle→signature→band→verify pipeline; the anti-join is the
+    * removal). Returns the surviving frame. */
+  private[text] def minhashDedup(survivors: DataFrame, threshold: Double): DataFrame = {
+    val pairs = graft.dedup.DedupOps.minhashNearDups(
+      survivors.select(col("doc_id"), col("text")), threshold)
+    val drops = pairs.select(col("doc_b").as("doc_id")).distinct()
+    survivors.join(drops, Seq("doc_id"), "left_anti")
+  }
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
@@ -27,47 +94,7 @@ object PipelineQueries {
       "quality filter -> en filter -> exact dedup -> chunk(50/40) -> 80/20 split, per-split stats",
       (spark, dir) => {
         val t = Tables(spark, dir)
-        // stage 1: per-row stats + quality score (t01 formula)
-        val scored = t.documents
-          .select(col("doc_id"), col("text"),
-            length(col("text")).cast("long").as("n_chars"),
-            regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
-            regexp_count(col("text"), lit("[.,;:!?]")).cast("long").as("n_punct"),
-            regexp_count(lower(col("text")), lit("\\b(the|and|of|to|is|a)\\b"))
-              .cast("long").as("n_stop"))
-          .withColumn("quality",
-            least(lit(1.0), col("n_tokens") / lit(100.0)) *
-              (lit(1.0) - col("n_punct") / col("n_chars")) *
-              (lit(0.5) + lit(0.5) *
-                least(lit(1.0), col("n_stop") * lit(5.0) / col("n_tokens"))))
-        // stage 2: keep scoreable english-looking docs
-        val kept = scored
-          .filter(col("quality") > 0.45 && col("n_stop") > 0)
-        // stage 3: exact dedup — canonical (min doc_id) per normalized
-        // fingerprint; one shuffle on the fingerprint key
-        val canonical = kept
-          .withColumn("fp", contentFingerprint(col("text")))
-          .withColumn("canon_id", min(col("doc_id"))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-          .filter(col("doc_id") === col("canon_id"))
-        // stage 4: chunk-count survivors (t05 geometry: 50-token windows,
-        // stride 40) — counts only; reuses the already-computed n_tokens
-        val chunked = canonical
-          .withColumn("nc",
-            when(col("n_tokens") <= 50, lit(1L))
-              .otherwise(floor((col("n_tokens") - 50 + 39) / lit(40.0)).cast("long") + 1L))
-        // stage 5: stable split (t07 md5 bucket) + per-split stats
-        val h = md5(col("doc_id").cast("string").cast("binary"))
-        chunked
-          .withColumn("split",
-            when(pmod(ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1)),
-              lit(100)) < 80, "train").otherwise("eval"))
-          .groupBy(col("split"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("nc")).as("n_chunks"),
-            sum(col("n_tokens")).as("n_tokens"))
-          .orderBy(col("split"))
+        chunkSplitStats(exactCanonical(scoredKept(t.documents)))
       },
       Some(
         """WITH scored AS (
@@ -112,6 +139,27 @@ object PipelineQueries {
           |FROM split
           |GROUP BY split
           |ORDER BY split""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // p02: the same pipeline over a corpus with PLANTED near-dups (every
+    // doc ∪ its last-3-words-truncated copy), with the d02 minhash stage
+    // between exact dedup and chunking — the real pipeline dedups fuzzily
+    // too. The exact stage is a no-op on this corpus (truncation changes
+    // the fingerprint), which is exactly the point: only the fuzzy stage
+    // can catch these. Rows-only (see object scaladoc for why an exact-
+    // Jaccard oracle would be flaky); PipelineSpec recomputes all stages
+    // driver-side.
+    GraftQuery(
+      "p02_training_pipeline_neardup",
+      "p01 with a MinHash near-dup dedup stage between exact dedup and chunking (rows-only)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val corpus = graft.dedup.DedupOps.nearDupCorpus(t.documents)
+        chunkSplitStats(
+          minhashDedup(exactCanonical(scoredKept(corpus)), threshold = 0.5))
+      },
+      None
     )
   )
 }

@@ -1,0 +1,93 @@
+package graft
+
+/** End-to-end recompute of the composed training pipelines. p01 is
+  * oracle-checked by the driver; p02's minhash stage is hash-seeded
+  * (rows-only at the driver), so this spec recomputes EVERY stage
+  * driver-side — taking only the near-dup pair set from the engine
+  * (that pair set's own correctness is DedupSpec's corpus-wide
+  * soundness theorem) — and demands exact equality of the final
+  * per-split statistics.
+  */
+class PipelineSpec extends SparkSpecBase {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private case class Doc(id: Long, text: String) {
+    val nChars: Long = text.length.toLong
+    val nTokens: Long = "\\S+".r.findAllIn(text).size.toLong
+    val nPunct: Long = "[.,;:!?]".r.findAllIn(text).size.toLong
+    val nStop: Long = "\\b(the|and|of|to|is|a)\\b".r
+      .findAllIn(text.toLowerCase).size.toLong
+    val quality: Double =
+      math.min(1.0, nTokens / 100.0) *
+        (1.0 - nPunct.toDouble / nChars) *
+        (0.5 + 0.5 * math.min(1.0, nStop * 5.0 / nTokens))
+    val fingerprint: String =
+      md5hex(text.trim.toLowerCase.replaceAll("\\s+", " "))
+    val nc: Long =
+      if (nTokens <= 50) 1L else math.floor((nTokens - 50 + 39) / 40.0).toLong + 1L
+    val split: String = {
+      val h = md5hex(id.toString)
+      if ((h(0).toInt * 256 + h(1).toInt) % 100 < 80) "train" else "eval"
+    }
+  }
+
+  test("p02: per-split stats equal a full driver-side recompute of every stage") {
+    val docs = graft.io.Tables(spark, sf0001).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    // stage 0: planted-near-dup corpus (doc ∪ last-3-words truncation)
+    val corpus = docs.map { case (id, t) => Doc(id, t) } ++
+      docs.map { case (id, t) =>
+        Doc(id + 100000L, t.replaceAll("(\\s+\\S+){3}$", "")) }
+    // stages 1–2: quality + en filter
+    val kept = corpus.filter(d => d.quality > 0.45 && d.nStop > 0)
+    // stage 3: exact dedup (min id per normalized fingerprint)
+    val canonIds = kept.groupBy(_.fingerprint).values.map(_.map(_.id).min).toSet
+    val canonical = kept.filter(d => canonIds.contains(d.id))
+    // stage 3.5: near-dup removal — pair set from the engine (its
+    // soundness is DedupSpec's corpus-wide theorem), removal recomputed
+    import org.apache.spark.sql.functions.col
+    val spark0 = spark
+    import spark0.implicits._
+    val canonDf = canonical.map(d => (d.id, d.text)).toSeq
+      .toDF("doc_id", "text")
+    val pairs = graft.dedup.DedupOps.minhashNearDups(canonDf, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    graft.InternalCaches.releaseAll()
+    assert(pairs.nonEmpty, "the fuzzy stage found nothing — corpus has planted near-dups")
+    val drops = pairs.map(_._2).toSet
+    assert(drops.forall(canonIds.contains), "dropped an id not in the survivor set")
+    val surviving = canonical.filterNot(d => drops.contains(d.id))
+    assert(surviving.size < canonical.size)
+    // stages 4–5: chunk + split + stats
+    val expected = surviving.groupBy(_.split).map { case (s, ds) =>
+      s -> ((ds.size.toLong, ds.map(_.nc).sum, ds.map(_.nTokens).sum))
+    }
+
+    val got = graft.queries.Catalog.queries("p02_training_pipeline_neardup")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    assert(got.keySet === Set("train", "eval"))
+  }
+
+  test("p01 plan: exactly the two stage-boundary wide exchanges (dedup key + split agg)") {
+    val plan = graft.queries.Catalog.queries("p01_training_pipeline")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n === 2, s"expected 2 wide exchanges (fingerprint window, split agg), got $n:\n$plan")
+  }
+
+  test("p02 plan: near-dup removal is an anti-join, no cartesian products anywhere") {
+    val plan = graft.queries.Catalog.queries("p02_training_pipeline_neardup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no anti-join removal stage:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in pipeline:\n$plan")
+  }
+}

@@ -6,15 +6,22 @@ import org.apache.spark.sql.SparkSession
   * Contention-resistance (the round-1 driver measurement came out ~12x the
   * isolated steady state purely from co-tenant JVM load):
   *   - each query runs `Iters` times inside the same JVM and reports the
-  *     MINIMUM — a transient stall poisons one run, not the score;
+  *     MINIMUM — a transient stall poisons one run, not the score; a query
+  *     whose min lands under 1s gets [[ExtraSubSecondIters]] more
+  *     iterations (min-of-5 total) — sub-second timings have the worst
+  *     relative noise and the extra runs are nearly free;
   *   - the JSON line is also written to `target/bench.json` so the driver
   *     can read it even if sbt log prefixes mangle stdout;
   *   - `load1` (1-min loadavg at start) and `otherJvms` record whether the
-  *     measurement environment was already busy.
+  *     measurement environment was already busy, and `qload1` records the
+  *     loadavg at the START OF EACH QUERY — a co-tenant spike mid-bench
+  *     (the round-3 q03 adjudication) is then self-evident per-query in
+  *     the artifact instead of needing a judge re-run.
   * A query that throws is recorded as -1 (sentinel), never as a fast pass.
   */
 object Bench {
   private val Iters = 3
+  private val ExtraSubSecondIters = 2
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,8 +57,11 @@ object Bench {
     } catch { case _: Throwable => () }
     // noop sink forces full evaluation of every operator in the plan
     // (a bare count() would let Catalyst prune projections and sorts).
+    def loadNow: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to Iters).map { _ =>
+      val qLoad = loadNow
+      def runOnce(): Double = {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -65,17 +75,28 @@ object Bench {
           spark.catalog.clearCache()
         }
       }
+      val base = (1 to Iters).map(_ => runOnce())
+      val times =
+        if (base.forall(_ >= 0) && base.min < 1.0)
+          base ++ (1 to ExtraSubSecondIters).map(_ => runOnce())
+        else base
       // Any failed iteration marks the query failed; otherwise best-of-N.
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      (name, if (times.exists(_ < 0)) -1.0 else times.min, qLoad, times.length)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qloads = results.map { case (k, _, l, _) =>
+      s"\"" + k + "\":" + math.round(l * 100) / 100.0 }
+      .mkString("{", ",", "}")
+    val qiters = results.map { case (k, _, _, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","iters":$Iters,"agg":"min","failed":$failed,""" +
-        s""""load1":$load1,"otherJvms":$otherJvms}"""
+        s""""load1":$load1,"otherJvms":$otherJvms,""" +
+        s""""qload1":$qloads,"qiters":$qiters}"""
     println(json)
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")

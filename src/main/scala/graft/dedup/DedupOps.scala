@@ -55,6 +55,48 @@ object DedupOps {
         (col("doc_id") + lit(100000L)).as("doc_id"),
         regexp_replace(col("text"), "(\\s+\\S+){3}$", "").as("text")))
 
+  /** Every 5th document ∪ two successive truncations (3 and 6 trailing
+    * words) keeping `source` — a corpus whose near-dup PAIR graph forms
+    * 3-node chains, so clustering (d05) has real transitive closures to
+    * find. The 1-in-5 restriction keeps the oracle's block-local exact
+    * pair computation proportionate; the cluster algorithm itself is the
+    * scale path (see [[ConnectedComponents]]). */
+  def clusterCorpus(docs: DataFrame): DataFrame = {
+    val sub = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    sub
+      .unionByName(sub.select(
+        (col("doc_id") + lit(100000L)).as("doc_id"), col("source"),
+        regexp_replace(col("text"), "(\\s+\\S+){3}$", "").as("text")))
+      .unionByName(sub.select(
+        (col("doc_id") + lit(200000L)).as("doc_id"), col("source"),
+        regexp_replace(col("text"), "(\\s+\\S+){6}$", "").as("text")))
+  }
+
+  /** Exact word-5-shingle Jaccard pairs ≥ `threshold` within `source`
+    * blocks — the deterministic (oracle-able) edge generator for the
+    * clustering demo. Same shape as d03: hashed sorted shingle sets,
+    * block cap, O(n+m) merge intersect per candidate pair. */
+  def shingleJaccardEdges(corpus: DataFrame, threshold: Double): DataFrame = {
+    val g = capBlocks(
+      corpus
+        .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+        .withColumn("gh", array_sort(array_distinct(
+          transform(wordShingles("toks", ShingleWords), s => xxhash64(s)))))
+        .select(col("doc_id"), col("source"), col("gh"), size(col("gh")).as("n")),
+      Seq("source"), MaxBlock)
+    val a = g.select(col("source"), col("doc_id").as("src"),
+      col("gh").as("g_a"), col("n").as("n_a"))
+    val b = g.select(col("source"), col("doc_id").as("dst"),
+      col("gh").as("g_b"), col("n").as("n_b"))
+    a.join(b, Seq("source"))
+      .filter(col("src") < col("dst"))
+      .withColumn("inter", call_function("sorted_intersect_size", col("g_a"), col("g_b")))
+      .filter(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double") >= threshold)
+      .select(col("src"), col("dst"))
+  }
+
   /** doc_id + sorted distinct word-5-shingle HASH set. Shingle hashes
     * are combined directly from per-token xxhash64s with order-sensitive
     * bitwise mixing (rotate-xor — bitwise ops cannot overflow under ANSI
@@ -312,6 +354,59 @@ object DedupOps {
         simhashNearDups(nearDupCorpus(t.documents), maxHamming = 3)
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // d05: duplicate CLUSTERS — the transitive closure of the near-dup
+    // pair graph via alternating large-star/small-star connected
+    // components (Kiveris et al. 2014). cluster_id = min doc_id in the
+    // component = the canonical survivor; the edge generator is exact
+    // shingle Jaccard (deterministic), so the whole thing carries a full
+    // oracle: DuckDB reproduces the closure with a recursive CTE.
+    GraftQuery(
+      "d05_dedup_clusters",
+      "near-dup pairs → duplicate clusters (distributed connected components, canonical = min id)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val edges = shingleJaccardEdges(clusterCorpus(t.documents), threshold = 0.5)
+        val assign = ConnectedComponents.components(edges)
+        val sizes = assign.groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"))
+        assign.join(sizes, Seq("component"))
+          .select(col("component").as("cluster_id"), col("node").as("doc_id"),
+            col("cluster_size"))
+          .orderBy(col("cluster_id"), col("doc_id"))
+      },
+      Some(
+        """WITH RECURSIVE base AS (
+          |  SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
+          |corpus AS (
+          |  SELECT doc_id, source, text FROM base
+          |  UNION ALL
+          |  SELECT doc_id + 100000, source, regexp_replace(text, '(\s+\S+){3}$', '') FROM base
+          |  UNION ALL
+          |  SELECT doc_id + 200000, source, regexp_replace(text, '(\s+\S+){6}$', '') FROM base),
+          |sh AS (
+          |  SELECT doc_id, source,
+          |         list_distinct([array_to_string(ws[i:i+4], ' ')
+          |                        FOR i IN range(1, greatest(len(ws) - 3, 2))]) AS grams
+          |  FROM (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS ws FROM corpus)),
+          |edges AS (
+          |  SELECT a.doc_id AS src, b.doc_id AS dst
+          |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5),
+          |sym AS (SELECT src AS u, dst AS v FROM edges UNION SELECT dst, src FROM edges),
+          |cc AS (
+          |  SELECT u, u AS l FROM (SELECT DISTINCT u FROM sym) nodes
+          |  UNION
+          |  SELECT s.u, c.l FROM sym s JOIN cc c ON c.u = s.v),
+          |lbl AS (SELECT u AS doc_id, min(l) AS cluster_id FROM cc GROUP BY u)
+          |SELECT l.cluster_id, l.doc_id, s.cluster_size
+          |FROM lbl l
+          |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id) s
+          |  USING (cluster_id)
+          |ORDER BY cluster_id, doc_id""".stripMargin)
     )
   )
 }

@@ -212,4 +212,61 @@ class DedupSpec extends SparkSpecBase {
     assert(maxBlock < DedupOps.MaxBlock,
       s"test-data block $maxBlock should sit under MaxBlock=${DedupOps.MaxBlock}")
   }
+
+  test("connected components: labels equal driver-side union-find on a seeded random graph") {
+    import testImplicits._
+    // deterministic pseudo-random graph: 300 nodes, 260 edges → a mix of
+    // chains, cycles, stars and singletons; enough rounds to exercise the
+    // alternating iteration beyond one pass
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(260)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+    // driver-side union-find ground truth (min-id labeling)
+    val parent = scala.collection.mutable.Map((0L until 300L).map(i => i -> i): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val m = math.min(ra, rb); parent(math.max(ra, rb)) = m }
+    }
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).filter(n => edges.exists(p =>
+      (p._1 == n && p._2 != n) || (p._2 == n && p._1 != n))).distinct
+    val expected = touched.map(n => n -> find(n)).toMap
+
+    val got = graft.dedup.ConnectedComponents
+      .components(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("connected components: a long path converges to one min-rooted star") {
+    import testImplicits._
+    // path 0-1-2-...-40 plus a reversed/duplicated edge and a self-loop:
+    // diameter 40 forces the O(log² n) alternation to iterate
+    val path = (0L until 40L).map(i => (i, i + 1)) ++ Seq((5L, 4L), (7L, 7L), (3L, 4L))
+    val got = graft.dedup.ConnectedComponents
+      .components(path.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === (0L to 40L).toSet)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("d05 clusters: planted triples collapse transitively, canonical = min member") {
+    val out = graft.queries.Catalog.queries("d05_dedup_clusters")(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    // every cluster id is the minimum member id
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.map(_.getAs[Long]("doc_id")).min === cid)
+      assert(rows.forall(_.getAs[Long]("cluster_size") === rows.length.toLong))
+    }
+    // the full-length planted chains {i, i+100000, i+200000} are single
+    // clusters: membership of the base doc implies both truncations when
+    // cluster_size = 3
+    val triples = byCluster.filter(_._2.length == 3)
+    assert(triples.nonEmpty, "expected at least one 3-member planted cluster")
+    triples.foreach { case (cid, rows) =>
+      assert(rows.map(_.getAs[Long]("doc_id")).toSet ===
+        Set(cid, cid + 100000L, cid + 200000L))
+    }
+  }
 }

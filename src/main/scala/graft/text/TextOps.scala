@@ -506,6 +506,142 @@ object TextOps {
           |FROM tok JOIN logp USING (term)
           |GROUP BY doc_id
           |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t13: segment-level exact dedup — CCNet's paragraph dedup
+    // re-expressed for this corpus (the documents have no paragraph
+    // breaks, so the unit is a non-overlapping 20-token segment). Each
+    // distinct segment keeps only its FIRST occurrence in (doc_id,
+    // seg_idx) order; every other copy is dropped and the surviving text
+    // is reassembled in order. The corpus is docs ∪ whitespace-perturbed
+    // copies (d01's corpus), so each copy's segments all lose to the
+    // original — n_kept = 0 for every planted dup, while originals keep
+    // everything not already seen in a smaller doc.
+    //
+    // Scale shape: first-occurrence is min(struct(doc_id, seg_idx)) per
+    // segment — a PARTIAL hash aggregate, so a pathological segment
+    // repeated a billion times at 100 TB combines map-side instead of
+    // sorting one hot window partition (the win over the row_number
+    // formulation). One shuffle on the segment key, one equi-join back,
+    // one shuffle on doc_id to reassemble.
+    GraftQuery(
+      "t13_segment_dedup",
+      "corpus-wide first-occurrence dedup of 20-token segments, text reassembled",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val segTok = 20
+        val corpus = graft.dedup.DedupOps.exactDupCorpus(t.documents)
+        val segs = corpus
+          .withColumn("toks", regexp_extract_all(
+            graft.functions.TextFunctions.normalizeText(col("text")), lit("\\S+"), lit(0)))
+          .withColumn("nseg",
+            greatest(ceil(size(col("toks")) / lit(segTok.toDouble)).cast("long"), lit(1L)))
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0L), col("nseg") - 1),
+              i => array_join(
+                slice(col("toks"), (i * segTok + 1).cast("int"), lit(segTok)), " "))))
+          .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+            col("col").as("seg"))
+        val firsts = segs.groupBy(col("seg"))
+          .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+        segs.join(firsts, Seq("seg"))
+          .withColumn("kept",
+            (struct(col("doc_id"), col("seg_idx")) === col("first")).cast("int"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_segments"),
+            sum(col("kept")).cast("long").as("n_kept"),
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  when(col("kept") === 1, struct(col("seg_idx"), col("seg"))))),
+                x => x.getField("seg")),
+              " ").as("text_kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, replace(text, ' ', '  ') || ' ' AS text FROM documents),
+          |t AS (
+          |  SELECT doc_id,
+          |         regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS toks
+          |  FROM corpus),
+          |segs AS (
+          |  SELECT doc_id, u.idx AS seg_idx, u.seg AS seg
+          |  FROM (SELECT doc_id,
+          |               unnest([{'idx': i, 'seg': array_to_string(toks[(i*20+1):(i*20+20)], ' ')}
+          |                       FOR i IN range(0, greatest(CAST(ceil(len(toks) / 20.0) AS INT), 1))]) AS u
+          |        FROM t)),
+          |firsts AS (
+          |  SELECT seg, min(ROW(doc_id, seg_idx)) AS first FROM segs GROUP BY seg),
+          |k AS (
+          |  SELECT s.doc_id, s.seg_idx, s.seg,
+          |         CASE WHEN ROW(s.doc_id, s.seg_idx) = f.first THEN 1 ELSE 0 END AS kept
+          |  FROM segs s JOIN firsts f USING (seg))
+          |SELECT doc_id, count(*) AS n_segments,
+          |       CAST(sum(kept) AS BIGINT) AS n_kept,
+          |       coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept = 1), '')
+          |         AS text_kept
+          |FROM k
+          |GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t14: benchmark decontamination — flag training documents sharing
+    // any word-3-gram with a held-out eval set (doc_id % 10 = 0), the
+    // standard test-set-overlap hygiene step before training. The eval
+    // gram set is DISTINCT and joined left_semi-style per (doc, gram);
+    // at this scale Catalyst broadcasts it, at 100 TB (an eval suite of
+    // ~1e8 grams) AQE falls back to a shuffle join on the gram key —
+    // both correct, the plan degrades gracefully. Zero-overlap docs are
+    // preserved via the left join + coalesce, so the output is a total
+    // verdict over the training split.
+    GraftQuery(
+      "t14_decontaminate",
+      "flag training docs sharing any word-3-gram with the eval split",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val grams = t.documents
+          .withColumn("ws", regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .select(col("doc_id"),
+            array_distinct(transform(
+              sequence(lit(1), greatest(size(col("ws")) - 2, lit(1))),
+              i => array_join(slice(col("ws"), i, lit(3)), " "))).as("gs"))
+        val evalGrams = grams.filter(col("doc_id") % 10 === 0)
+          .select(explode(col("gs")).as("g")).distinct()
+        val train = grams.filter(col("doc_id") % 10 =!= 0)
+        val hits = train.select(col("doc_id"), explode(col("gs")).as("g"))
+          .join(evalGrams, Seq("g"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+        train.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("hits"), lit(0L)).as("n_contaminated"),
+            when(coalesce(col("hits"), lit(0L)) > 0, lit(1L)).otherwise(lit(0L))
+              .as("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH grams AS (
+          |  SELECT doc_id,
+          |         list_distinct([array_to_string(ws[i:i+2], ' ')
+          |                        FOR i IN range(1, greatest(len(ws) - 1, 2))]) AS gs
+          |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents)),
+          |eg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 10 = 0),
+          |tr AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 10 <> 0),
+          |hits AS (
+          |  SELECT doc_id, count(*) AS hits FROM tr
+          |  WHERE g IN (SELECT g FROM eg) GROUP BY doc_id)
+          |SELECT g.doc_id, CAST(len(g.gs) AS BIGINT) AS n_grams,
+          |       CAST(coalesce(h.hits, 0) AS BIGINT) AS n_contaminated,
+          |       CAST(CASE WHEN coalesce(h.hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+          |         AS contaminated
+          |FROM grams g LEFT JOIN hits h USING (doc_id)
+          |WHERE g.doc_id % 10 <> 0
+          |ORDER BY doc_id""".stripMargin)
     )
   )
 

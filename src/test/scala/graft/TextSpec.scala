@@ -244,4 +244,55 @@ class TextSpec extends SparkSpecBase {
     // unless the corpus is a single repeated token
     assert(got.values.forall(_._2 < 0L))
   }
+
+  test("t13: planted whitespace-dups lose every segment; survivors reassemble in order") {
+    val out = graft.queries.Catalog.queries("t13_segment_dedup")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("n_kept"), r.getAs[String]("text_kept")))
+      .toMap
+    val copies = out.filter(_._1 >= 100000L)
+    assert(copies.nonEmpty && copies.values.forall(_._2 === 0L),
+      "every perturbed copy's segments must lose to the original")
+    assert(copies.values.forall(_._3 === ""), "dropped docs reassemble to empty text")
+    // an original that kept everything reassembles to its normalized text
+    val texts = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text").toLowerCase.trim
+        .replaceAll("\\s+", " ")).toMap
+    val full = out.filter { case (id, (n, kept, _)) => id < 100000L && n == kept }
+    assert(full.nonEmpty, "expected at least one fully-kept original")
+    full.foreach { case (id, (_, _, txt)) =>
+      assert(txt === texts(id), s"doc $id reassembly mismatch")
+    }
+    // per-doc token-count bound: every kept segment has 1..20 tokens and
+    // at most one (the doc's final segment) is short
+    out.foreach { case (id, (_, kept, txt)) =>
+      val nTok = if (txt.isEmpty) 0L else txt.split(" ").length.toLong
+      assert(nTok <= kept * 20, s"doc $id kept-token count $nTok > kept*20")
+      assert(kept == 0L || nTok >= (kept - 1) * 20 + 1,
+        s"doc $id kept-token count $nTok too small for kept=$kept")
+    }
+  }
+
+  test("t14: contamination counts equal a driver-side recompute (whole corpus)") {
+    val got = graft.queries.Catalog.queries("t14_decontaminate")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_contaminated"), r.getAs[Long]("contaminated")))
+      .toMap
+    def grams(s: String): Set[String] = {
+      val ws = s.split("\\s+").filter(_.nonEmpty)
+      if (ws.length < 3) Set(ws.take(3).mkString(" "))
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val all = docs.collect().map(r => r.getAs[Long]("doc_id") -> grams(r.getAs[String]("text")))
+    val evalSet = all.filter(_._1 % 10 == 0).flatMap(_._2).toSet
+    val train = all.filter(_._1 % 10 != 0)
+    assert(got.keySet === train.map(_._1).toSet, "output must cover exactly the training split")
+    train.foreach { case (id, gs) =>
+      val hits = gs.intersect(evalSet).size.toLong
+      val (n, c, flag) = got(id)
+      assert(n === gs.size.toLong, s"doc $id n_grams")
+      assert(c === hits, s"doc $id n_contaminated")
+      assert(flag === (if (hits > 0) 1L else 0L), s"doc $id flag")
+    }
+  }
 }

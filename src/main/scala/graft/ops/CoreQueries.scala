@@ -1117,6 +1117,109 @@ object CoreQueries {
           |WHERE year(l_shipdate) = 1995 AND quarter(l_shipdate) = 2
           |GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q39: SCD type-2 dimension versioning from a change log — the
+    // warehouse op that turns "current state" dims into historical ones.
+    // Each customer's order-priority history collapses consecutive equal
+    // values into versioned rows with [valid_from, valid_to) ranges and
+    // an is_current flag. Plan shape: ONE shuffle on custkey; both
+    // window passes (change detection, then valid_to/version over the
+    // change rows) share the same partitioning and ordering, so the
+    // second Window reuses the first's sort — no re-exchange, no
+    // re-sort. Ordering (o_orderdate, o_orderkey) is a total order per
+    // customer (orderkey unique), so the versioning is deterministic.
+    // Dates are emitted as strings for the dtype-strict oracle compare
+    // (same reasoning as q35's cohort day).
+    GraftQuery(
+      "q39_scd2_dimension",
+      "SCD type-2 versioned dimension from the order-priority change log",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val changes = t.orders
+          .select(col("o_custkey"), col("o_orderpriority"), col("o_orderdate"),
+            col("o_orderkey"))
+          .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+        changes
+          .select(
+            col("o_custkey").as("custkey"),
+            col("o_orderpriority").as("priority"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+            date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd").as("valid_to"),
+            row_number().over(w).cast("long").as("version"),
+            when(lead(col("o_orderdate"), 1).over(w).isNull, lit(1L)).otherwise(lit(0L))
+              .as("is_current"))
+          .orderBy(col("custkey"), col("version"))
+      },
+      Some(
+        """WITH ch AS (
+          |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+          |         lag(o_orderpriority) OVER w AS prev
+          |  FROM orders
+          |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+          |v AS (
+          |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+          |  FROM ch WHERE prev IS NULL OR prev <> o_orderpriority)
+          |SELECT o_custkey AS custkey, o_orderpriority AS priority,
+          |       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+          |       strftime(lead(o_orderdate) OVER w2, '%Y-%m-%d') AS valid_to,
+          |       CAST(row_number() OVER w2 AS BIGINT) AS version,
+          |       CAST(CASE WHEN lead(o_orderdate) OVER w2 IS NULL THEN 1 ELSE 0 END AS BIGINT)
+          |         AS is_current
+          |FROM v
+          |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY custkey, version""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q40: runtime bloom-filter pruning on a fact-fact shuffle join — the
+    // 100 TB lever when neither side broadcasts: Spark's InjectRuntimeFilter
+    // builds a bloom filter from the SELECTIVE side's join keys and pushes
+    // might_contain onto the big side's scan, so most lineitem rows die
+    // before the exchange instead of shuffling. The isolated session turns
+    // broadcast OFF (at 100 TB the filtered orders side has outgrown it —
+    // same premise as q37) and prefers shuffled-hash over sort-merge; the
+    // application-side threshold is lowered because the heuristic's 10 GB
+    // floor is tuned for clusters, not sf0.01. Bloom false positives only
+    // cost work, never rows: the equi-join re-verifies exactly, so the
+    // oracle is the plain join. PlanShapeSpec asserts might_contain is
+    // actually injected.
+    GraftQuery(
+      "q40_bloom_filtered_join",
+      "selective fact-fact join with runtime bloom-filter scan pruning (oracle = plain join)",
+      (spark, dir) => {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        val t = Tables(s, dir)
+        val sel = t.orders
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        t.lineitem
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          .join(sel, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        """SELECT l_returnflag, count(*) AS cnt,
+          |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          |       count(DISTINCT o_orderkey) AS n_orders
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
     )
   )
 }

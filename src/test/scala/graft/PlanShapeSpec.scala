@@ -70,6 +70,27 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"window leaked into grouped top-k:\n$p")
   }
 
+  test("q39: both SCD2 window passes share one shuffle on the customer key") {
+    val p = planOf("q39_scd2_dimension")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected 1 window shuffle, got $exchanges:\n$p")
+    assert("Window".r.findAllIn(p).size >= 2, s"expected two window passes:\n$p")
+  }
+
+  test("q40: runtime bloom filter injected on the fact scan side, shuffle join kept") {
+    val p = planOf("q40_bloom_filtered_join")
+    assert(p.contains("might_contain"), s"no runtime bloom filter injected:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"expected a shuffle join (broadcast disabled):\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"broadcast should be off in q40's session:\n$p")
+  }
+
+  test("t13: first-occurrence dedup is a partial hash aggregate, not a window sort") {
+    val p = planOf("t13_segment_dedup")
+    assert(!p.contains("Window"), s"t13 should not window over segments:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
   test("no catalog plan contains an unbounded cartesian product") {
     // BroadcastNestedLoopJoin with a broadcast 1-to-few-row side is the
     // intended shape for query-vector attachment; CartesianProduct

@@ -172,6 +172,118 @@ object SimilarityOps {
       .limit(k)
   }
 
+  // --------------------------------------------------------------------
+  // Product quantization (PQ) — the faiss-style memory-scale ANN path
+  // beyond SQ8 (s09): each vector compresses to M sub-codes (here 4×4
+  // bits), and queries scan codes with an Asymmetric Distance
+  // Computation (ADC) lookup table instead of touching floats. Public
+  // literature: Jégou, Douze, Schmid, "Product Quantization for Nearest
+  // Neighbor Search" (PAMI 2011).
+
+  /** Squared L2 over two float-array columns (PQ trains in L2 space, per
+    * the literature — cosine would let subvector norms cancel). HOF
+    * formulation stays in whole-stage codegen. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0d), (acc, v) => acc + v)
+
+  /** Explode each embedding into its M subvectors: (vec_id, sub, svec).
+    * Pure per-row fan-out, no shuffle. */
+  private def subvectors(emb: DataFrame, m: Int, dsub: Int): DataFrame =
+    emb.select(col("vec_id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("embedding"), s * dsub + 1, lit(dsub)))))
+      .select(col("vec_id"), col("pos").as("sub"), col("col").as("svec"))
+
+  /** Train M per-subspace codebooks of K centroids with Lloyd's L2
+    * k-means — ALL subspaces in the same distributed jobs (one assign +
+    * one mean pass per round covers every subspace; no per-subspace job
+    * fan-out). Assignment is the `min(struct(d2, code))` partial-
+    * aggregating argmin (the assignCells pattern), so the N×M×K candidate
+    * rows reduce map-side. Only M×K×dsub centroid floats are ever
+    * checkpointed. Deterministic seeds (subvectors of the first K ids);
+    * distributed float averaging makes exact codes run-order-sensitive →
+    * PQ entries are rows-only checked, with recall/behavior specs. */
+  def pqCodebooks(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    val dsub = embeddingDim(emb, "embedding") / m
+    val svecs = graft.InternalCaches.track(
+      subvectors(emb, m, dsub)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var centroids = svecs.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("code"), col("svec").as("c_vec"))
+    (1 to iters).foreach { _ =>
+      val assigned = svecs.join(broadcast(centroids), Seq("sub"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(
+          min(struct(l2sq(col("svec"), col("c_vec")).as("d2"), col("code").as("code")))
+            .as("best"),
+          first(col("svec")).as("svec"))
+        .select(col("sub"), col("best").getField("code").as("code"), col("svec"))
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("svec")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("mcomp"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mcomp")))).as("pm"))
+        .select(col("sub"), col("code"),
+          expr("transform(pm, x -> CAST(x.mcomp AS FLOAT))").as("c_vec"))
+      // M×K rows: truncate lineage per round (see kmeansCentroids)
+      centroids = means.localCheckpoint(true)
+    }
+    centroids
+  }
+
+  /** Encode every vector as (vec_id, sub, code): nearest codebook entry
+    * per subspace — same argmin aggregate as training. M small ints per
+    * vector = the 4-byte storage layout (vs 256 float32 bytes). */
+  def pqEncode(emb: DataFrame, centroids: DataFrame, m: Int): DataFrame = {
+    val dsub = embeddingDim(emb, "embedding") / m
+    subvectors(emb, m, dsub).join(broadcast(centroids), Seq("sub"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(l2sq(col("svec"), col("c_vec")).as("d2"), col("code").as("code")))
+        .as("best"))
+      .select(col("vec_id"), col("sub"), col("best").getField("code").as("code"))
+  }
+
+  /** ADC top-k for a query batch: per query, an M×K distance lookup
+    * table (query subvector ↔ codebook entry, computed once — that is
+    * the "asymmetric" trick); the code scan is then an integer join on
+    * (sub, code) + a per-(query, vector) SUM — no floats touched per
+    * corpus row. Top-k via the bounded-heap aggregate, ≤k rows per
+    * (query, partition) into the final shuffle. Scores are −d² in 1e-6
+    * units (integer), largest-first. */
+  def pqTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 4, kCodes: Int = 16, iters: Int = 2): DataFrame = {
+    val dsub = embeddingDim(emb, "embedding") / m
+    val centroids = graft.InternalCaches.track(
+      pqCodebooks(emb, m, kCodes, iters)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val codes = pqEncode(emb, centroids, m)
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val dtable = subvectors(q.withColumnRenamed("qid", "vec_id"), m, dsub)
+      .withColumnRenamed("vec_id", "qid")
+      .join(broadcast(centroids), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        l2sq(col("svec"), col("c_vec")).as("qd2"))
+    val topk = graft.functions.expressions.GroupedTopK.topK(k)
+    codes
+      .join(broadcast(dtable), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd2")).as("adc_d2"))
+      .select(col("qid"), col("vec_id"),
+        round(-col("adc_d2") * 1000000).cast("long").as("neg_d2_e6"))
+      .groupBy(col("qid"))
+      .agg(topk(col("neg_d2_e6").cast("double"), col("vec_id")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as("vec_id"),
+        col("col").getField("score").cast("long").as("neg_d2_e6"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Exact top-k for a SET of query vectors: broadcast the query set,
     * ONE pass over the index, grouped top-k via the bounded-heap
     * aggregate ([[graft.functions.expressions.GroupedTopK]]) — no
@@ -523,6 +635,21 @@ object SimilarityOps {
           |       CAST(list_max(codes) AS BIGINT) AS code_max
           |FROM q
           |ORDER BY vec_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s10: product-quantization ANN — train 4 subspace codebooks (16
+    // centroids each), compress every embedding to 4 codes (4 bytes vs
+    // 256), answer the s05 query batch via the ADC lookup-table scan.
+    // Rows-only: distributed float averaging in k-means makes exact
+    // codes run-order-sensitive; SimilaritySpec asserts recall against
+    // the exact batch and the code-range/coverage invariants.
+    GraftQuery(
+      "s10_similarity_pq_topk",
+      "PQ (4×16 codebooks) ADC top-10 for the 5-query batch (rows-only)",
+      (spark, dir) =>
+        pqTopKBatch(Tables(spark, dir).embeddings, BatchQueryIds, k = 10),
+      None
     )
   )
 }

@@ -192,4 +192,43 @@ class SimilaritySpec extends SparkSpecBase {
     assert(exact.intersect(refined).size >= exact.intersect(seeded).size - 2,
       s"refined recall ${exact.intersect(refined).size} far below seeded ${exact.intersect(seeded).size}")
   }
+
+  test("PQ: every vector encodes to exactly M in-range codes") {
+    val m = 4
+    val books = SimilarityOps.pqCodebooks(emb, m = m, k = 16, iters = 2)
+    val codes = SimilarityOps.pqEncode(emb, books, m = m).collect()
+    val n = emb.count()
+    assert(codes.length === n * m, s"expected $n×$m code rows, got ${codes.length}")
+    assert(codes.forall { r =>
+      val c = r.getAs[Long]("code"); c >= 0L && c < 16L
+    }, "code outside [0, 16)")
+    val perVec = codes.groupBy(_.getAs[Long]("vec_id"))
+    assert(perVec.forall(_._2.map(_.getAs[Int]("sub")).toSet === (0 until m).toSet),
+      "missing subspace codes")
+    graft.InternalCaches.releaseAll()
+  }
+
+  test("PQ ADC batch: well-formed top-k with non-trivial recall vs exact") {
+    val qids = SimilarityOps.BatchQueryIds
+    val exact = SimilarityOps.bruteForceTopKBatch(emb, qids, k = 10).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val pq = SimilarityOps.pqTopKBatch(emb, qids, k = 10).collect()
+    assert(pq.length === qids.length * 10)
+    val byQ = pq.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq === (1L to 10L))
+      // ADC scores are sorted: rank order must be non-increasing score
+      val scores = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("neg_d2_e6"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // 4-byte codes of 64-dim vectors lose a lot — require the ADC scan
+    // to beat random selection by a wide margin, not match exact search:
+    // random top-10 of ~500 would hit 10/500 ≈ 0.02 mean recall.
+    val recalls = qids.map(q => exact(q)
+      .intersect(byQ(q).map(_.getAs[Long]("vec_id")).toSet).size / 10.0)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"PQ mean recall $mean (per-query $recalls)")
+    graft.InternalCaches.releaseAll()
+  }
 }

@@ -1220,6 +1220,103 @@ object CoreQueries {
           |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
           |GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q41: ranking-window suite — the analytic functions beyond
+    // rank/lag already covered (q04/q13): ntile quartiles, percent_rank,
+    // cume_dist, and frame-bounded first/nth value, all over ONE window
+    // definition so the plan pays a single shuffle + sort on custkey.
+    // (o_orderdate, o_orderkey) totally orders each partition, so every
+    // function is deterministic; percent_rank/cume_dist are ratios of
+    // exact ints → bit-identical doubles in both engines.
+    GraftQuery(
+      "q41_window_suite",
+      "ntile/percent_rank/cume_dist/first/nth_value over one customer window",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t.orders
+          .select(
+            col("o_custkey").as("custkey"),
+            col("o_orderkey").as("orderkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            first(col("o_totalprice")).over(w).as("first_price"),
+            nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+          .orderBy(col("custkey"), col("orderkey"))
+      },
+      Some(
+        """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+          |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          |       percent_rank() OVER w AS pct_rank,
+          |       cume_dist() OVER w AS cume,
+          |       first_value(o_totalprice) OVER w AS first_price,
+          |       nth_value(o_totalprice, 2) OVER w AS second_price
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY custkey, orderkey""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q42: time-series densification + forward fill — the gap-filling
+    // step dashboards and feature pipelines need before charting or
+    // windowing a sparse series. Per event_type: generate the full
+    // hourly calendar between the series' own bounds (sequence() — a
+    // lambda fan-out, no join against a calendar table), left-join the
+    // observed hourly counts, then forward-fill gaps with
+    // last_value(IGNORE NULLS) over an unbounded-preceding frame.
+    // Bounds come from the same single aggregate pass that feeds the
+    // calendar, so the plan is: one agg shuffle + explode + one window
+    // shuffle. Counts are exact ints; the fill is deterministic because
+    // hour is unique per type.
+    GraftQuery(
+      "q42_gap_fill_series",
+      "hourly calendar densification + forward-filled counts per event_type",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val hourly = t.events
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+        val calendar = hourly
+          .groupBy(col("event_type"))
+          .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+              .as("hour"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("hour"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        calendar
+          .join(hourly, Seq("event_type", "hour"), "left")
+          .select(col("event_type"), col("hour"),
+            when(col("cnt").isNull, lit(1L)).otherwise(lit(0L)).as("is_gap"),
+            last(col("cnt"), ignoreNulls = true).over(w).as("cnt_filled"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some(
+        """WITH hourly AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+          |  FROM events GROUP BY 1, 2),
+          |cal AS (
+          |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+          |  FROM (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+          |        FROM hourly GROUP BY event_type)),
+          |j AS (
+          |  SELECT c.event_type, c.hour, h.cnt
+          |  FROM cal c LEFT JOIN hourly h USING (event_type, hour))
+          |SELECT event_type, hour,
+          |       CAST(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+          |       CAST(last_value(cnt IGNORE NULLS) OVER (
+          |         PARTITION BY event_type ORDER BY hour
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |         AS cnt_filled
+          |FROM j
+          |ORDER BY event_type, hour""".stripMargin)
     )
   )
 }

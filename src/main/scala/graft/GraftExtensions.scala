@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CosineSimilarity, HammingDistance, MinHashSignature, SimHash64, SortedIntersectSize, TopRepeatCountsExpr, WinnowSketch}
+import graft.functions.expressions.{CharNgramHashes, CosineSimilarity, HammingDistance, MinHashSignature, SimHash64, SortedIntersectSize, TopRepeatCountsExpr, WinnowSketch, WordNgramHashes}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (set in [[GraftSession.tune]]). Injects the native vector
@@ -47,6 +47,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("top_repeat_counts",
         "top_repeat_counts(tokens) - max occurrence count of any token and any adjacent bigram"),
       (args: Seq[Expression]) => TopRepeatCountsExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngram_hashes"),
+      info("word_ngram_hashes",
+        "word_ngram_hashes(text, n) - sorted distinct rotate-xor hashes of whitespace-token n-grams"),
+      (args: Seq[Expression]) => WordNgramHashes(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("char_ngram_hashes"),
+      info("char_ngram_hashes",
+        "char_ngram_hashes(text, n) - sorted distinct xxhash64 values of character n-grams"),
+      (args: Seq[Expression]) => CharNgramHashes(args(0),
+        args(1).eval().asInstanceOf[Int])))
     ext.injectFunction((
       FunctionIdentifier("winnow_sketch"),
       info("winnow_sketch",

@@ -80,9 +80,8 @@ object DedupOps {
   def shingleJaccardEdges(corpus: DataFrame, threshold: Double): DataFrame = {
     val g = capBlocks(
       corpus
-        .withColumn("toks", expr("regexp_extract_all(text, '\\\\S+', 0)"))
-        .withColumn("gh", array_sort(array_distinct(
-          transform(wordShingles("toks", ShingleWords), s => xxhash64(s)))))
+        .withColumn("gh",
+          call_function("word_ngram_hashes", col("text"), lit(ShingleWords)))
         .select(col("doc_id"), col("source"), col("gh"), size(col("gh")).as("n")),
       Seq("source"), MaxBlock)
     val a = g.select(col("source"), col("doc_id").as("src"),
@@ -97,20 +96,28 @@ object DedupOps {
       .select(col("src"), col("dst"))
   }
 
-  /** doc_id + sorted distinct word-5-shingle HASH set. Shingle hashes
-    * are combined directly from per-token xxhash64s with order-sensitive
-    * bitwise mixing (rotate-xor — bitwise ops cannot overflow under ANSI
-    * mode), so no shingle strings are ever materialized; downstream
-    * Jaccard verification runs on the sorted hash sets via the native
-    * O(n+m) merge. Values equal string-shingle Jaccard modulo 64-bit
-    * collisions (negligible). */
+  /** doc_id + sorted distinct word-5-shingle HASH set via the native
+    * one-pass [[graft.functions.expressions.WordNgramHashes]]: shingle
+    * hashes are combined from per-token xxhash64s with order-sensitive
+    * rotate-xor mixing, so no shingle strings are ever materialized;
+    * downstream Jaccard verification runs on the sorted hash sets via
+    * the native O(n+m) merge. Values equal string-shingle Jaccard modulo
+    * 64-bit collisions (negligible). [[shingledHof]] is the retained
+    * HOF formulation the specs cross-check bit-for-bit. */
   private def shingled(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      call_function("word_ngram_hashes", col("text"), lit(ShingleWords)).as("shingles"))
+
+  /** The pre-native HOF formulation of [[shingled]] — spec cross-check
+    * only (interpreted lambda dispatch per gram makes it the measured
+    * per-row bottleneck of the dedup family at corpus scale). */
+  private[graft] def shingledHof(corpus: DataFrame): DataFrame =
     corpus
-      .withColumn("th", expr("transform(split(text, '\\\\s+'), t -> xxhash64(t))"))
+      .withColumn("th", expr("transform(regexp_extract_all(text, '\\\\S+', 0), t -> xxhash64(t))"))
       .withColumn("shingles", expr(
         s"""array_sort(array_distinct(transform(
            |  sequence(1, greatest(size(th) - ${ShingleWords - 1}, 1)),
-           |  i -> aggregate(slice(th, i, $ShingleWords), 1125899906842597L,
+           |  i -> aggregate(slice(th, i, $ShingleWords), ${graft.functions.expressions.NgramHashes.Seed}L,
            |         (acc, h) -> (shiftleft(acc, 13) | shiftrightunsigned(acc, 51)) ^ h))))""".stripMargin))
       .select(col("doc_id"), col("shingles"))
 
@@ -306,15 +313,15 @@ object DedupOps {
       "top-20 most-similar doc pairs by char-8-gram Jaccard within source blocks",
       (spark, dir) => {
         val t = Tables(spark, dir)
-        // grams hashed to sorted distinct longs: the per-pair work drops
-        // from two hash-set builds (array_intersect/union) to one O(n+m)
-        // sorted merge in codegen (sorted_intersect_size). Values are
-        // identical to string-set Jaccard modulo 64-bit hash collisions
-        // (probability ~1e-9 across this corpus).
+        // grams hashed to sorted distinct longs (native one-pass
+        // char_ngram_hashes — no gram strings, no interpreted lambdas):
+        // the per-pair work is one O(n+m) sorted merge in codegen
+        // (sorted_intersect_size). Values are identical to string-set
+        // Jaccard modulo 64-bit hash collisions (probability ~1e-9
+        // across this corpus).
         val g = capBlocks(
           t.documents
-            .withColumn("gh", array_sort(array_distinct(
-              transform(charShingles("text", 8), s => xxhash64(s)))))
+            .withColumn("gh", call_function("char_ngram_hashes", col("text"), lit(8)))
             .select(col("doc_id"), col("source"), col("gh"),
               size(col("gh")).as("n")),
           Seq("source"), MaxBlock)

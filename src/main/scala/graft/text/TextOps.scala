@@ -604,12 +604,14 @@ object TextOps {
       "flag training docs sharing any word-3-gram with the eval split",
       (spark, dir) => {
         val t = Tables(spark, dir)
+        // native sorted-distinct gram HASHES (word_ngram_hashes): no gram
+        // strings are built or shuffled — the join key is a long. Counts
+        // equal the oracle's string-gram counts modulo 64-bit collisions
+        // (the d03 precedent); the HOF string formulation is the spec
+        // cross-check.
         val grams = t.documents
-          .withColumn("ws", regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
           .select(col("doc_id"),
-            array_distinct(transform(
-              sequence(lit(1), greatest(size(col("ws")) - 2, lit(1))),
-              i => array_join(slice(col("ws"), i, lit(3)), " "))).as("gs"))
+            call_function("word_ngram_hashes", col("text"), lit(3)).as("gs"))
         val evalGrams = grams.filter(col("doc_id") % 10 === 0)
           .select(explode(col("gs")).as("g")).distinct()
         val train = grams.filter(col("doc_id") % 10 =!= 0)

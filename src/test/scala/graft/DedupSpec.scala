@@ -213,6 +213,62 @@ class DedupSpec extends SparkSpecBase {
       s"test-data block $maxBlock should sit under MaxBlock=${DedupOps.MaxBlock}")
   }
 
+  test("native word/char ngram hashes are bit-identical to the HOF formulations (whole corpus)") {
+    import org.apache.spark.sql.functions.{call_function, expr, lit}
+    // word 5-grams: native vs the retained HOF cross-check
+    val nat = docs.select(col("doc_id"),
+        call_function("word_ngram_hashes", col("text"), lit(5)).as("shingles"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = DedupOps.shingledHof(docs.select("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(nat.keySet === hof.keySet)
+    nat.foreach { case (id, s) => assert(s === hof(id), s"word grams diverge for doc $id") }
+    // char 8-grams: native vs hash-of-substring HOF
+    val natC = docs.select(col("doc_id"),
+        call_function("char_ngram_hashes", col("text"), lit(8)).as("gh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hofC = docs
+      .withColumn("gh", expr(
+        "array_sort(array_distinct(transform(" +
+          "sequence(1, greatest(length(text) - 7, 1))," +
+          " i -> xxhash64(substring(text, i, 8)))))"))
+      .select(col("doc_id"), col("gh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    natC.foreach { case (id, s) => assert(s === hofC(id), s"char grams diverge for doc $id") }
+    // edge cases: empty-ish strings, fewer tokens/chars than n, multi-space runs
+    import testImplicits._
+    val edge = Seq((1L, "one"), (2L, "a b"), (3L, "  x   y  "), (4L, "abcdefg"),
+        (5L, "exactly five words in here"))
+      .toDF("doc_id", "text")
+    val en = edge.select(col("doc_id"),
+        call_function("word_ngram_hashes", col("text"), lit(5)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val eh = DedupOps.shingledHof(edge)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    en.foreach { case (id, s) => assert(s === eh(id), s"edge case doc $id diverges") }
+  }
+
+  test("native word_ngram_hashes beats the HOF on a 100k-token document (warm, ≥3×)") {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    import testImplicits._
+    val big = Seq.tabulate(4)(i => (i.toLong,
+      Seq.tabulate(100000)(j => s"w${(j * 31 + i) % 997}").mkString(" ")))
+      .toDF("doc_id", "text").repartition(1).cache()
+    big.count()
+    def timeIt(f: => Unit): Double = { val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9 }
+    val runNat = () => big.select(call_function("word_ngram_hashes", col("text"), lit(5)))
+      .foreach(_ => ())
+    val runHof = () => DedupOps.shingledHof(big).foreach(_ => ())
+    runNat(); runHof() // codegen/plan warmup for both paths
+    val tNat = (1 to 3).map(_ => timeIt(runNat())).min
+    val tHof = (1 to 3).map(_ => timeIt(runHof())).min
+    big.unpersist()
+    // both are O(tokens); the native win is interpreted-lambda dispatch
+    // and per-gram slice allocation — constant-factor but large
+    assert(tHof >= tNat * 3,
+      f"native $tNat%.3fs should be ≥3× faster than HOF $tHof%.3fs")
+  }
+
   test("connected components: labels equal driver-side union-find on a seeded random graph") {
     import testImplicits._
     // deterministic pseudo-random graph: 300 nodes, 260 edges → a mix of

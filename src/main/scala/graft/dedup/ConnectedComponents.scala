@@ -57,7 +57,10 @@ object ConnectedComponents {
     sym.join(mins, Seq("u"))
       .filter(col("v") > col("u"))
       .select(col("v").as("src"), col("m").as("dst"))
-      .distinct()
+    // no distinct here: smallStar's min-aggregate is duplicate-insensitive
+    // and its final distinct restores set semantics — dropping the
+    // intermediate dedup saves one full shuffle per round (duplicate
+    // inflation is bounded by the pre-contraction degree)
   }
 
   /** small-star(u): orient each edge toward its larger endpoint, then
@@ -95,16 +98,20 @@ object ConnectedComponents {
   def components(edges: DataFrame): DataFrame = {
     val cols = edges.columns
     require(cols.length >= 2, s"edges needs (src, dst) columns, got ${cols.mkString(",")}")
+    // LAZY localCheckpoint: the plan is truncated to a LogicalRDD at
+    // creation (stopping the iterative plan blow-up), but materialization
+    // happens on the round's ONE action — the convergence checksum — so
+    // each round costs a single job instead of checkpoint-then-checksum.
     var e = edges
       .select(col(cols(0)).cast("long").as("src"), col(cols(1)).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prev = checksum(e)
     var round = 0
     var converged = prev._1 == 0L
     while (!converged && round < MaxRounds) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
+      e = smallStar(largeStar(e)).localCheckpoint(false)
       val cs = checksum(e)
       converged = cs == prev
       prev = cs

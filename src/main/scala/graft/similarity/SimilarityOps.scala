@@ -205,8 +205,11 @@ object SimilarityOps {
     * checkpointed. Deterministic seeds (subvectors of the first K ids);
     * distributed float averaging makes exact codes run-order-sensitive →
     * PQ entries are rows-only checked, with recall/behavior specs. */
-  def pqCodebooks(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
-    val dsub = embeddingDim(emb, "embedding") / m
+  def pqCodebooks(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame =
+    pqCodebooksD(emb, m, k, iters, embeddingDim(emb, "embedding") / m)
+
+  private def pqCodebooksD(emb: DataFrame, m: Int, k: Int, iters: Int,
+      dsub: Int): DataFrame = {
     val svecs = graft.InternalCaches.track(
       subvectors(emb, m, dsub)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -228,8 +231,11 @@ object SimilarityOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("mcomp")))).as("pm"))
         .select(col("sub"), col("code"),
           expr("transform(pm, x -> CAST(x.mcomp AS FLOAT))").as("c_vec"))
-      // M×K rows: truncate lineage per round (see kmeansCentroids)
-      centroids = means.localCheckpoint(true)
+      // M×K rows: LAZY checkpoint truncates the plan immediately (the
+      // LogicalRDD replaces the round's whole lineage) while deferring
+      // materialization to the next round's broadcast collect — one job
+      // per round instead of two.
+      centroids = means.localCheckpoint(false)
     }
     centroids
   }
@@ -237,8 +243,11 @@ object SimilarityOps {
   /** Encode every vector as (vec_id, sub, code): nearest codebook entry
     * per subspace — same argmin aggregate as training. M small ints per
     * vector = the 4-byte storage layout (vs 256 float32 bytes). */
-  def pqEncode(emb: DataFrame, centroids: DataFrame, m: Int): DataFrame = {
-    val dsub = embeddingDim(emb, "embedding") / m
+  def pqEncode(emb: DataFrame, centroids: DataFrame, m: Int): DataFrame =
+    pqEncodeD(emb, centroids, m, embeddingDim(emb, "embedding") / m)
+
+  private def pqEncodeD(emb: DataFrame, centroids: DataFrame, m: Int,
+      dsub: Int): DataFrame = {
     subvectors(emb, m, dsub).join(broadcast(centroids), Seq("sub"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(l2sq(col("svec"), col("c_vec")).as("d2"), col("code").as("code")))
@@ -257,9 +266,9 @@ object SimilarityOps {
       m: Int = 4, kCodes: Int = 16, iters: Int = 2): DataFrame = {
     val dsub = embeddingDim(emb, "embedding") / m
     val centroids = graft.InternalCaches.track(
-      pqCodebooks(emb, m, kCodes, iters)
+      pqCodebooksD(emb, m, kCodes, iters, dsub)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val codes = pqEncode(emb, centroids, m)
+    val codes = pqEncodeD(emb, centroids, m, dsub)
     val q = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding"))
     val dtable = subvectors(q.withColumnRenamed("qid", "vec_id"), m, dsub)

@@ -232,20 +232,24 @@ object DedupOps {
       .withColumn("sig", call_function("simhash64", col("th")))
       .select(col("doc_id"), col("sig"))
 
-  /** SimHash near-dups: LSH on 4×16-bit blocks (exhaustive for Hamming
-    * distance ≤ 3 by pigeonhole), exact Hamming via popcount of xor. */
-  def simhashNearDups(corpus: DataFrame, maxHamming: Int): DataFrame = {
-    val sig = graft.InternalCaches.track(
-      simhashSignature(corpus).persist(StorageLevel.MEMORY_AND_DISK))
+  /** Hamming-≤-`maxHamming` pairs over any (id, 64-bit signature) frame
+    * via 4×16-bit block LSH — exhaustive for maxHamming ≤ 3 by
+    * pigeonhole (4 blocks, ≤3 differing bits → some block is equal).
+    * Candidate generation is an equi-join on (block, value); exact
+    * Hamming re-verifies with popcount-of-xor. Shared by text SimHash
+    * (d04) and perceptual image hashing (m03) — identical plan shape,
+    * one long per row into the shuffle. */
+  def hamming64Pairs(sig: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int): DataFrame = {
     val blockCols = (0 until 4).map(k =>
-      shiftright(col("sig"), k * 16).bitwiseAND(lit(0xFFFFL)))
-    val blocks = sig.select(col("doc_id"), col("sig"), posexplode(array(blockCols: _*)))
+      shiftright(col(sigCol), k * 16).bitwiseAND(lit(0xFFFFL)))
+    val blocks = sig.select(col(idCol), col(sigCol), posexplode(array(blockCols: _*)))
       .withColumnRenamed("pos", "block")
       .withColumnRenamed("col", "block_val")
     val a = blocks.select(col("block"), col("block_val"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      col(idCol).as("doc_a"), col(sigCol).as("sig_a"))
     val b = blocks.select(col("block"), col("block_val"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      col(idCol).as("doc_b"), col(sigCol).as("sig_b"))
     a.join(b, Seq("block", "block_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
@@ -254,6 +258,13 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dups: 4×16-bit block LSH + exact Hamming re-check. */
+  def simhashNearDups(corpus: DataFrame, maxHamming: Int): DataFrame = {
+    val sig = graft.InternalCaches.track(
+      simhashSignature(corpus).persist(StorageLevel.MEMORY_AND_DISK))
+    hamming64Pairs(sig, "doc_id", "sig", maxHamming)
   }
 
   val all: Seq[GraftQuery] = Seq(

@@ -217,6 +217,32 @@ object MultimodalOps {
       ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+
+    /** 64-bit perceptual average-hash (aHash, public technique): 8×8
+      * nearest-neighbor downsample → bit i = (gray > mean of the 64
+      * samples). Every step is the deterministic pixel loop above, so
+      * the hash is bit-stable across JVMs. Robust to re-encoding,
+      * format conversion (GIF frame → PNG) and small pixel edits —
+      * the image analog of SimHash for text. */
+    def averageHash64(img: BufferedImage): Long = {
+      val small = resizeImage(img, 8, 8)
+      val g = new Array[Int](64)
+      var sum = 0L
+      var i = 0
+      while (i < 64) {
+        g(i) = small.getRGB(i % 8, i / 8) & 0xFF
+        sum += g(i)
+        i += 1
+      }
+      val mean = sum.toDouble / 64
+      var bits = 0L
+      i = 0
+      while (i < 64) {
+        if (g(i) > mean) bits |= (1L << i)
+        i += 1
+      }
+      bits
+    }
   }
 
   /** Partition-batched decode: one iterator pass per partition (batch
@@ -358,6 +384,47 @@ object MultimodalOps {
             sum(col("n_sampled")).as("total_frames"),
             sum(col("sampled_bytes")).as("total_bytes"))
           .orderBy(col("width"), col("height"))
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // m03: image near-dup dedup — the multimodal face of the dedup
+    // family. Perceptual average-hash per payload (8×8 downsample →
+    // mean-threshold bits: re-encode/format/minor-edit robust), then
+    // the SAME 4×16-bit block LSH + exact-Hamming plan d04 uses for
+    // text SimHash: one long per image into the shuffle, candidates by
+    // block equi-join, exhaustive for Hamming ≤ 3. The corpus plants
+    // near-dups: each image re-materialized with two pixels edited and
+    // (for GIF animations) the first frame converted to PNG — the
+    // watermark/format-shift duplicates a real crawl contains. Hash
+    // values are codec-deterministic but not SQL-expressible →
+    // rows-only; MultimodalSpec pins recall and zero false positives.
+    GraftQuery(
+      "m03_dedup_images_phash",
+      "perceptual-hash (aHash) image near-dup pairs via 16-bit-block LSH (rows-only)",
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        val media = fakeMediaTable(spark, t.documents)
+        // planted near-dups: decode, normalize to TYPE_INT_RGB (an
+        // identity-size resample — GIF frames decode INDEXED, and a PNG
+        // round trip of an indexed image is not pixel-faithful), flip
+        // two pixels, re-encode as PNG
+        val perturbed = media.mapPartitions(_.flatMap { r =>
+          MediaCodec.decodeFrames(r.payload).headOption.map { img0 =>
+            val img = MediaCodec.resizeImage(img0, img0.getWidth, img0.getHeight)
+            val w = img.getWidth; val h = img.getHeight
+            img.setRGB(0, 0, 0xFFFFFF)
+            img.setRGB(w - 1, h - 1, 0x000000)
+            MediaRecord(r.media_id + 100000L, "png", MediaCodec.encodeImagePng(img))
+          }
+        })
+        val sigs = media.union(perturbed).mapPartitions(_.flatMap { r =>
+          MediaCodec.decodeFrames(r.payload).headOption.map(img =>
+            (r.media_id, MediaCodec.averageHash64(img)))
+        }).toDF("media_id", "sig")
+        graft.dedup.DedupOps.hamming64Pairs(sigs, "media_id", "sig", maxHamming = 3)
       },
       None
     )

@@ -1317,6 +1317,103 @@ object CoreQueries {
           |         AS cnt_filled
           |FROM j
           |ORDER BY event_type, hour""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q43: data-quality audit — the dbt-test/Deequ-style constraint
+    // sweep a warehouse runs before publishing: null keys, duplicate
+    // primary keys, foreign-key orphans, and domain violations, all as
+    // ONE result set of (check_name, n_violations). The driver data is
+    // clean, so the audit runs over a corpus with DETERMINISTICALLY
+    // planted corruption (the dedup-family convention): nulled keys,
+    // +100 quantities, unresolvable FK keys, duplicated PKs — each class
+    // keyed by a distinct prime so the expected counts are independent.
+    // Plan shape: one conditional-aggregate pass per TABLE (null/range
+    // checks share a scan via sum(when(...))), duplicate PKs as a
+    // count-filter aggregate, orphans as null-safe left-anti joins; the
+    // single-row check results cross-join for free. At 100 TB each
+    // check stays a scan-bounded aggregate — adding checks does not
+    // multiply passes.
+    GraftQuery(
+      "q43_data_quality_audit",
+      "null/dup-PK/FK-orphan/range violations over a planted-corruption corpus",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val li0 = t.lineitem.select(col("l_orderkey"), col("l_quantity"))
+        val li = li0
+          .unionByName(li0.filter(pmod(col("l_orderkey"), lit(191)) === 0)
+            .withColumn("l_orderkey", lit(null).cast("long")))
+          .unionByName(li0.filter(pmod(col("l_orderkey"), lit(193)) === 0)
+            .withColumn("l_quantity", col("l_quantity") + 100))
+          .unionByName(li0.filter(pmod(col("l_orderkey"), lit(197)) === 0)
+            .withColumn("l_orderkey", -(col("l_orderkey") + 1000000000L)))
+        val ord0 = t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val ord = ord0
+          .unionByName(ord0.filter(pmod(col("o_orderkey"), lit(199)) === 0)) // dup PK
+          .unionByName(ord0.filter(pmod(col("o_orderkey"), lit(211)) === 0)  // FK orphan
+            .withColumn("o_orderkey", -(col("o_orderkey") + 1L))
+            .withColumn("o_custkey", -(col("o_custkey") + 1000000000L)))
+        val liChecks = li.agg(
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("li_null_orderkey"),
+          sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("li_qty_out_of_range"))
+        val dupPk = ord.groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .agg(count(lit(1)).as("ord_duplicate_pk"))
+        val liOrphans = li.select(col("l_orderkey"))
+          .filter(col("l_orderkey").isNotNull)
+          .join(ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("li_orphan_orderkey"))
+        val ordOrphans = ord.select(col("o_custkey"))
+          .filter(col("o_custkey").isNotNull)
+          .join(t.customer.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("ord_orphan_custkey"))
+        val wide = liChecks.crossJoin(dupPk).crossJoin(liOrphans).crossJoin(ordOrphans)
+        val names = Seq("li_null_orderkey", "li_qty_out_of_range",
+          "ord_duplicate_pk", "li_orphan_orderkey", "ord_orphan_custkey")
+        wide.select(posexplode(array(names.map(col): _*)))
+          .select(element_at(lit(names.toArray), col("pos").cast("int") + 1).as("check_name"),
+            col("col").as("n_violations"))
+          .orderBy(col("check_name"))
+      },
+      Some(
+        """WITH li AS (
+          |  SELECT l_orderkey, l_quantity FROM lineitem
+          |  UNION ALL
+          |  SELECT NULL, l_quantity FROM lineitem WHERE l_orderkey % 191 = 0
+          |  UNION ALL
+          |  SELECT l_orderkey, l_quantity + 100 FROM lineitem WHERE l_orderkey % 193 = 0
+          |  UNION ALL
+          |  SELECT -(l_orderkey + 1000000000), l_quantity FROM lineitem WHERE l_orderkey % 197 = 0),
+          |ord AS (
+          |  SELECT o_orderkey, o_custkey FROM orders
+          |  UNION ALL
+          |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 199 = 0
+          |  UNION ALL
+          |  SELECT -(o_orderkey + 1), -(o_custkey + 1000000000) FROM orders WHERE o_orderkey % 211 = 0),
+          |lic AS (
+          |  SELECT CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS li_null_orderkey,
+          |         CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS li_qty_out_of_range
+          |  FROM li),
+          |dup AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS ord_duplicate_pk
+          |  FROM (SELECT o_orderkey FROM ord GROUP BY o_orderkey HAVING count(*) > 1)),
+          |liorph AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS li_orphan_orderkey
+          |  FROM li WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN (SELECT o_orderkey FROM ord)),
+          |ordorph AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS ord_orphan_custkey
+          |  FROM ord WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+          |SELECT u.check_name, u.n_violations
+          |FROM lic, dup, liorph, ordorph,
+          |     LATERAL (VALUES
+          |       ('li_null_orderkey', li_null_orderkey),
+          |       ('li_qty_out_of_range', li_qty_out_of_range),
+          |       ('ord_duplicate_pk', ord_duplicate_pk),
+          |       ('li_orphan_orderkey', li_orphan_orderkey),
+          |       ('ord_orphan_custkey', ord_orphan_custkey)) AS u(check_name, n_violations)
+          |ORDER BY check_name""".stripMargin)
     )
   )
 }

@@ -131,4 +131,59 @@ class MultimodalSpec extends SparkSpecBase {
     assert(r(0).getAs[Long]("n_media") === 500L)
     assert(r(0).getAs[Long]("total_frames") > 0L)
   }
+
+  test("average hash: stable across re-encode, flips few bits on minor edits") {
+    val png = MultimodalOps.MediaCodec.encodePng(42L, 20, 15)
+    val img = MultimodalOps.MediaCodec.decodeFrames(png).head
+    val h1 = MultimodalOps.MediaCodec.averageHash64(img)
+    // re-encode round trip is hash-identical (PNG is lossless)
+    val img2 = MultimodalOps.MediaCodec.decodeFrames(
+      MultimodalOps.MediaCodec.encodeImagePng(img)).head
+    assert(MultimodalOps.MediaCodec.averageHash64(img2) === h1)
+    // a two-pixel edit stays within a small Hamming distance
+    img.setRGB(0, 0, 0xFFFFFF)
+    img.setRGB(19, 14, 0x000000)
+    val h3 = MultimodalOps.MediaCodec.averageHash64(img)
+    assert(java.lang.Long.bitCount(h1 ^ h3) <= 6,
+      s"2-pixel edit moved ${java.lang.Long.bitCount(h1 ^ h3)} bits")
+  }
+
+  test("m03: output EQUALS the brute-force aHash Hamming≤3 pair set; planted recall high") {
+    val out = graft.queries.Catalog.queries("m03_dedup_images_phash")(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    val got = out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // driver-side ground truth: recompute every aHash (original + planted
+    // 2-pixel-edit copy) and brute-force ALL pairs — the 4×16-bit block
+    // LSH is pigeonhole-exhaustive at Hamming ≤ 3, so the distributed
+    // result must EQUAL the brute-force set in both directions (the d04
+    // exactness standard). Cross-image pairs are legitimate: the
+    // fabricated gradient patterns of nearby ids are perceptually close.
+    val hashes = (0L until 500L).flatMap { id =>
+      val w = 8 + (id % 25).toInt
+      val h = 8 + ((id * 3) % 17).toInt
+      val payload =
+        if (id % 4 == 3) MultimodalOps.MediaCodec.encodeGif(id, w, h, nFrames = 2 + (id % 7).toInt)
+        else MultimodalOps.MediaCodec.encodePng(id, w, h)
+      val img0 = MultimodalOps.MediaCodec.decodeFrames(payload).head
+      val orig = id -> MultimodalOps.MediaCodec.averageHash64(img0)
+      // mirror m03's perturbation: RGB-normalized copy, two-pixel edit
+      // (PNG round trip of TYPE_INT_RGB is lossless, so hashing the
+      // edited image directly equals the distributed encode+decode path)
+      val img = MultimodalOps.MediaCodec.resizeImage(img0, w, h)
+      img.setRGB(0, 0, 0xFFFFFF)
+      img.setRGB(w - 1, h - 1, 0x000000)
+      val edited = (id + 100000L) -> MultimodalOps.MediaCodec.averageHash64(img)
+      Seq(orig, edited)
+    }
+    val expected = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got === expected,
+      s"LSH pair set diverges: missing ${(expected -- got).take(3)}, extra ${(got -- expected).take(3)}")
+    // planted 2-pixel-edit copies: most stay within Hamming 3
+    val planted = got.count { case (a, b) => b == a + 100000L }
+    assert(planted >= 350, s"recovered only $planted/500 planted edit-copies")
+  }
 }

@@ -275,6 +275,66 @@ object EventStreams {
     ss.table("q36_sink").orderBy(col("user_id"), col("v_ts"), col("p_ts"))
   }
 
+  /** Streaming keyed UPSERT through `foreachBatch` — the sink-side
+    * pattern the memory-sink demos don't cover: each micro-batch merges
+    * its latest-row-per-user into a keyed parquet table (read previous
+    * version ∪ batch → argmax per key → write next version), so batch N
+    * genuinely consumes batch N−1's output. That read-merge-write is the
+    * idempotent upsert a warehouse without MERGE support runs; versioned
+    * directories stand in for a transactional table format's snapshot
+    * (equivalent plan, atomic swap instead of file overwrite).
+    * Determinism: the per-key argmax orders by (ts, event_id) — a total
+    * order — so the final table equals the batch argmax regardless of
+    * how rows split across micro-batches; `maxFilesPerTrigger=1` forces
+    * ≥3 real merges. The per-batch merge reads only the compacted
+    * key table (≤ |users| rows), not the history — at scale this is the
+    * constant-size-state upsert loop, with the argmax aggregated
+    * map-side before the shuffle. */
+  def latestRowUpsertStreaming(spark: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert").toFile
+    @volatile var current: Option[String] = None
+    def latestPerUser(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+          .as("last"))
+    val q = eventStreamSource(ss, dir)()
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val merged = current match {
+          case Some(prev) =>
+            latestPerUser(batch.sparkSession.read.parquet(prev)
+              .select(col("user_id"), col("last.ts").as("ts"),
+                col("last.event_id").as("event_id"),
+                col("last.event_type").as("event_type"), col("last.value").as("value"))
+              .unionByName(batch))
+          case None => latestPerUser(batch)
+        }
+        val out = s"$base/v$id"
+        merged.write.mode("overwrite").parquet(out)
+        current = Some(out)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordRun("q44_stream_upsert_latest", q, ss)
+    val result = current match {
+      case Some(p) => ss.read.parquet(p)
+      case None => latestPerUser(ss.read.parquet(dir + "/events.parquet").limit(0))
+    }
+    val out = result.select(col("user_id"),
+        col("last.ts").as("last_ts"), col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"), col("last.value").as("last_value"))
+      .orderBy(col("user_id"))
+      .localCheckpoint(true)
+    deleteRecursively(base)
+    out
+  }
+
   /** Driver-visible streaming artifacts: q27 carries batch q20's oracle,
     * q31 carries the batch count-distinct oracle over planted dups, and
     * q36 carries the batch self-join oracle for the interval join. */
@@ -313,6 +373,18 @@ object EventStreams {
           | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
           |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
           |ORDER BY v.user_id, v_ts, p_ts""".stripMargin)
+    ),
+
+    graft.queries.GraftQuery(
+      "q44_stream_upsert_latest",
+      "foreachBatch keyed upsert: latest event per user merged across >=3 micro-batches",
+      (spark, dir) => latestRowUpsertStreaming(spark, dir),
+      Some(
+        """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+          |       event_type AS last_type, value AS last_value
+          |FROM events
+          |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+          |ORDER BY user_id""".stripMargin)
     )
   )
 

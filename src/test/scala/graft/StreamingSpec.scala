@@ -203,6 +203,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
   }
 
+  test("q44 foreachBatch upsert merges across ≥3 micro-batches and equals batch argmax") {
+    val streamed = EventStreams.latestRowUpsertStreaming(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2)))
+    val stats = EventStreams.lastRunStats("q44_stream_upsert_latest")
+    assert(stats.nBatches >= 3,
+      s"expected ≥3 upsert merges, got ${stats.nBatches} batches")
+    // ground truth: batch argmax over the raw events
+    import org.apache.spark.sql.functions._
+    val batch = graft.io.Tables(spark, sf0001).events
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.ts"), col("last.event_id"))
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("chained stateful ops: streaming dedup over doubled events equals batch count-distinct") {
     val streamed = EventStreams.dedupCountsStreaming(spark, sf0001)
       .collect()

@@ -1414,6 +1414,141 @@ object CoreQueries {
           |       ('li_orphan_orderkey', li_orphan_orderkey),
           |       ('ord_orphan_custkey', ord_orphan_custkey)) AS u(check_name, n_violations)
           |ORDER BY check_name""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q46: deterministic per-group sampling — "k docs per language" for
+    // eval sets / human review / distillation inputs. The sample key is
+    // md5(doc_id): content-independent, engine-portable, and STABLE
+    // under corpus appends (a doc keeps its key, so re-sampling after
+    // ingest only swaps members where a new key lands in the top-k —
+    // the same stability argument as t07's hash split). Selection = the
+    // k largest keys per group via the GroupedTopK bounded-heap
+    // aggregate (q26's operator): at most k rows per (group, partition)
+    // survive the partial aggregate, so a 100 TB corpus shuffles
+    // k·partitions rows per language instead of window-sorting every
+    // row — sampling must never cost a total sort. Fixed-width
+    // lowercase-hex prefixes compare identically as strings (oracle) and
+    // as parsed numerics (48 bits < 2^53, exact in a double score).
+    GraftQuery(
+      "q46_group_sample",
+      "deterministic 5-per-language document sample via bounded-heap top-k on md5(doc_id)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val topk = graft.functions.expressions.GroupedTopK.topK(5)
+        t.documents
+          .select(col("lang"), col("doc_id"),
+            conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+              .cast("double").as("score"))
+          .groupBy(col("lang"))
+          .agg(topk(col("score"), col("doc_id")).as("topk"))
+          .select(col("lang"), posexplode(col("topk")))
+          .select(col("lang"),
+            (col("pos") + 1).cast("long").as("rk"),
+            col("col").getField("id").as("doc_id"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT lang, doc_id,
+          |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS hk
+          |  FROM documents),
+          |rk AS (
+          |  SELECT lang, doc_id,
+          |         row_number() OVER (PARTITION BY lang
+          |                            ORDER BY hk DESC, doc_id) AS rk
+          |  FROM s)
+          |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+          |FROM rk WHERE rk <= 5
+          |ORDER BY lang, rk""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q47: column profiling — the stats sweep a warehouse publishes next
+    // to every table (and an optimizer feeds into cardinality
+    // estimates): per-column row/null/distinct counts, min/max, plus an
+    // equi-width histogram of l_quantity. ONE aggregate over one scan;
+    // the three count(DISTINCT)s share it through Catalyst's Expand
+    // (rows ×4 map-side — the standard multi-distinct plan; at 100 TB
+    // swap exact distinct for q22's HLL sketch, same single-scan shape).
+    // Histogram buckets are integer arithmetic on integral doubles
+    // (quantity ∈ 1..50 → floor((q-1)/5) capped to 0..9) and min/max
+    // return STORED values — every output cell is exact, so the whole
+    // profile hash-compares as (column_name, stat, value). The q43
+    // posexplode pivot turns the one-row aggregate into the long-form
+    // result for free.
+    GraftQuery(
+      "q47_column_profile",
+      "per-column null/distinct/min/max profile + equi-width histogram, one scan",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val buckets = (0 to 9).map(b =>
+          sum(when(least(floor((col("l_quantity") - 1) / 5), lit(9.0)) === b, 1L)
+            .otherwise(0L)).cast("double").as(s"l_quantity|hist_bucket_$b"))
+        val stats = Seq(
+          count(lit(1)).cast("double").as("l_quantity|n_rows"),
+          sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).cast("double")
+            .as("l_quantity|n_null"),
+          countDistinct(col("l_quantity")).cast("double").as("l_quantity|n_distinct"),
+          min(col("l_quantity")).as("l_quantity|min"),
+          max(col("l_quantity")).as("l_quantity|max"),
+          countDistinct(col("l_discount")).cast("double").as("l_discount|n_distinct"),
+          min(col("l_discount")).as("l_discount|min"),
+          max(col("l_discount")).as("l_discount|max"),
+          countDistinct(col("l_returnflag")).cast("double").as("l_returnflag|n_distinct"))
+        val wide = t.lineitem.agg(stats.head, (stats.tail ++ buckets): _*)
+        val names = wide.columns.toSeq
+        wide.select(posexplode(array(names.map(col): _*)))
+          .select(
+            split(element_at(lit(names.toArray), col("pos").cast("int") + 1), "\\|")
+              .as("parts"),
+            col("col").as("value"))
+          .select(element_at(col("parts"), 1).as("column_name"),
+            element_at(col("parts"), 2).as("stat"), col("value"))
+          .orderBy(col("column_name"), col("stat"))
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT CAST(count(*) AS DOUBLE) AS q_n_rows,
+          |         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS q_n_null,
+          |         CAST(count(DISTINCT l_quantity) AS DOUBLE) AS q_n_distinct,
+          |         min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+          |         CAST(count(DISTINCT l_discount) AS DOUBLE) AS d_n_distinct,
+          |         min(l_discount) AS d_min, max(l_discount) AS d_max,
+          |         CAST(count(DISTINCT l_returnflag) AS DOUBLE) AS r_n_distinct,
+          |         CAST(sum(CASE WHEN least(floor((l_quantity - 1) / 5), 9) = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS h0,
+          |         CAST(sum(CASE WHEN least(floor((l_quantity - 1) / 5), 9) = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS h1,
+          |         CAST(sum(CASE WHEN least(floor((l_quantity - 1) / 5), 9) = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS h2,
+          |         CAST(sum(CASE WHEN least(floor((l_quantity - 1) / 5), 9) = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS h3,
+          |         CAST(sum(CASE WHEN least(floor((l_quantity - 1) / 5), 9) = 4 THEN 1 ELSE 0 END) AS DOUBLE) AS h4,
+          |         CAST(sum(CASE WHEN least(floor((l_quantity - 1) / 5), 9) = 5 THEN 1 ELSE 0 END) AS DOUBLE) AS h5,
+          |         CAST(sum(CASE WHEN least(floor((l_quantity - 1) / 5), 9) = 6 THEN 1 ELSE 0 END) AS DOUBLE) AS h6,
+          |         CAST(sum(CASE WHEN least(floor((l_quantity - 1) / 5), 9) = 7 THEN 1 ELSE 0 END) AS DOUBLE) AS h7,
+          |         CAST(sum(CASE WHEN least(floor((l_quantity - 1) / 5), 9) = 8 THEN 1 ELSE 0 END) AS DOUBLE) AS h8,
+          |         CAST(sum(CASE WHEN least(floor((l_quantity - 1) / 5), 9) = 9 THEN 1 ELSE 0 END) AS DOUBLE) AS h9
+          |  FROM lineitem)
+          |SELECT u.column_name, u.stat, u.value
+          |FROM w, LATERAL (VALUES
+          |  ('l_quantity', 'n_rows', q_n_rows),
+          |  ('l_quantity', 'n_null', q_n_null),
+          |  ('l_quantity', 'n_distinct', q_n_distinct),
+          |  ('l_quantity', 'min', q_min),
+          |  ('l_quantity', 'max', q_max),
+          |  ('l_quantity', 'hist_bucket_0', h0),
+          |  ('l_quantity', 'hist_bucket_1', h1),
+          |  ('l_quantity', 'hist_bucket_2', h2),
+          |  ('l_quantity', 'hist_bucket_3', h3),
+          |  ('l_quantity', 'hist_bucket_4', h4),
+          |  ('l_quantity', 'hist_bucket_5', h5),
+          |  ('l_quantity', 'hist_bucket_6', h6),
+          |  ('l_quantity', 'hist_bucket_7', h7),
+          |  ('l_quantity', 'hist_bucket_8', h8),
+          |  ('l_quantity', 'hist_bucket_9', h9),
+          |  ('l_discount', 'n_distinct', d_n_distinct),
+          |  ('l_discount', 'min', d_min),
+          |  ('l_discount', 'max', d_max),
+          |  ('l_returnflag', 'n_distinct', r_n_distinct)) AS u(column_name, stat, value)
+          |ORDER BY column_name, stat""".stripMargin)
     )
   )
 }

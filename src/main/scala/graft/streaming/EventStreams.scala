@@ -335,6 +335,42 @@ object EventStreams {
     out
   }
 
+  /** Stream-static broadcast enrichment under the oracle: the events
+    * stream joined per micro-batch to the (static) customer dimension on
+    * user_id, then aggregated per (segment, type). The static side is
+    * STATELESS for the streaming engine — no join state, no watermark;
+    * Catalyst plans it as a broadcast hash join re-executed against each
+    * micro-batch, which is exactly the production shape for enriching an
+    * event stream with a slowly-changing dimension (swap the parquet for
+    * a Delta/JDBC snapshot; the plan is unchanged). Only the downstream
+    * aggregation keeps state (one row per segment×type).
+    *
+    * The measure is `sum` of VALUE in integer micro-units
+    * (floor(value·1e6) per row BEFORE the sum — the t12 quantization
+    * convention): double addition is order-sensitive across micro-batch
+    * boundaries, integer addition is not, which is what lets a streaming
+    * sum carry a batch hash oracle at all. */
+  def enrichedSegmentCountsStreaming(spark: SparkSession, dir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val dim = broadcast(ss.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val agg = eventStreamSource(ss, dir)()
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1e6).cast("long")).as("value_micros"))
+    val q = agg.writeStream
+      .format("memory").queryName("q45_sink")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordRun("q45_stream_static_enrich", q, ss)
+    ss.table("q45_sink").orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   /** Driver-visible streaming artifacts: q27 carries batch q20's oracle,
     * q31 carries the batch count-distinct oracle over planted dups, and
     * q36 carries the batch self-join oracle for the interval join. */
@@ -385,6 +421,18 @@ object EventStreams {
           |FROM events
           |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
           |ORDER BY user_id""".stripMargin)
+    ),
+
+    graft.queries.GraftQuery(
+      "q45_stream_static_enrich",
+      "stream-static broadcast enrichment: events joined to the customer dim per micro-batch",
+      (spark, dir) => enrichedSegmentCountsStreaming(spark, dir),
+      Some(
+        """SELECT c_mktsegment, event_type, count(*) AS cnt,
+          |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
+          |FROM events JOIN customer ON user_id = c_custkey
+          |GROUP BY c_mktsegment, event_type
+          |ORDER BY c_mktsegment, event_type""".stripMargin)
     )
   )
 

@@ -644,8 +644,100 @@ object TextOps {
           |FROM grams g LEFT JOIN hits h USING (doc_id)
           |WHERE g.doc_id % 10 <> 0
           |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t15: PII detection + redaction — the scrubbing pass every
+    // training-data pipeline runs before text leaves the trust boundary
+    // (emails, phone numbers, IP addresses → typed placeholders). The
+    // driver corpus is digit-free word salad, so PII is planted
+    // DETERMINISTICALLY from doc_id (the q43 planted-corruption
+    // convention) — expressible identically in both engines, making the
+    // whole detect→count→redact path fully oracle-able with non-trivial
+    // counts (1/3 of docs gain an email, 1/5 a phone, 1/7 an IP).
+    // Patterns stay in the Java-regex ∩ RE2 common subset (char
+    // classes, bounded repeats, \b — no lookaround, no backrefs) so
+    // DuckDB's regexp_count/regexp_replace mirror byte-for-byte; the
+    // three redactions apply in a fixed order and are non-overlapping
+    // by construction (placeholders are digit-free, so no replacement
+    // creates a later match). Plan shape: ONE per-row projection —
+    // whole-stage codegen, zero shuffles, scales with input splits; at
+    // 100 TB the regex cost is linear in corpus bytes, exactly like t01.
+    GraftQuery(
+      "t15_pii_redact",
+      "detect + redact emails/phones/IPs planted deterministically per doc_id",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val planted = concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" reach user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(""),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+              lit("."), ((col("doc_id") * 3) % 256).cast("string"),
+              lit("."), ((col("doc_id") * 7) % 256).cast("string"))).otherwise(""))
+        t.documents
+          .select(col("doc_id"),
+            // ptext let-bound through a single-element transform lambda
+            // (the gopherSignals trick) so the planted concat is
+            // computed once per row, not re-inlined per PII class.
+            inline(transform(array(planted), p => struct(
+              regexp_count(p, lit(piiEmail)).cast("long").as("n_emails"),
+              regexp_count(p, lit(piiPhone)).cast("long").as("n_phones"),
+              regexp_count(p, lit(piiIp)).cast("long").as("n_ips"),
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(p, piiEmail, "<EMAIL>"),
+                  piiPhone, "<PHONE>"),
+                piiIp, "<IP>").as("redacted")))))
+          .withColumn("pii_total",
+            col("n_emails") + col("n_phones") + col("n_ips"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH planted AS (
+          |  SELECT doc_id,
+          |         text ||
+          |         CASE WHEN doc_id % 3 = 0
+          |              THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+          |              ELSE '' END ||
+          |         CASE WHEN doc_id % 5 = 0
+          |              THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+          |                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          |              ELSE '' END ||
+          |         CASE WHEN doc_id % 7 = 0
+          |              THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+          |                   || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+          |                   || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+          |              ELSE '' END AS ptext
+          |  FROM documents)
+          |SELECT doc_id,
+          |       CAST(len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |       CAST(len(regexp_extract_all(ptext, '\b555-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+          |       CAST(len(regexp_extract_all(ptext, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+          |       regexp_replace(
+          |         regexp_replace(
+          |           regexp_replace(ptext,
+          |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |           '\b555-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+          |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
+          |       CAST(len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |            + len(regexp_extract_all(ptext, '\b555-[0-9]{3}-[0-9]{4}\b'))
+          |            + len(regexp_extract_all(ptext, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS pii_total
+          |FROM planted
+          |ORDER BY doc_id""".stripMargin)
     )
   )
+
+  // t15 PII patterns — Java-regex ∩ RE2 subset (see the t15 comment).
+  private val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiPhone = "\\b555-[0-9]{3}-[0-9]{4}\\b"
+  private val piiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** Gopher-style per-document repetition/quality signals over any
     * (doc_id, text) frame — the reusable core of catalog query t08.

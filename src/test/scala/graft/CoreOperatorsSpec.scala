@@ -247,4 +247,48 @@ class CoreOperatorsSpec extends SparkSpecBase {
       assert(got((java.time.LocalDate.ofEpochDay(cd).toString, 0L)) === n)
     }
   }
+
+  test("q46: sample equals a driver-side md5-order recompute; plan is window-free") {
+    val df = graft.queries.Catalog.queries("q46_group_sample")(spark, sf0001)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def hk(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    }
+    val expected = graft.io.Tables(spark, sf0001).documents
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (lang, rows) =>
+        rows.map(_._2).sortBy(id => (hk(id), id))(
+          Ordering.Tuple2(Ordering.String.reverse, Ordering.Long))
+          .take(5).zipWithIndex.map { case (id, i) => (lang, i + 1L, id) }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expected)
+    // the bounded-heap aggregate, not a window sort, must produce the ranks
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "q46 must not plan a window")
+  }
+
+  test("q47: profile stats equal a driver-side recompute over lineitem") {
+    val got = graft.queries.Catalog.queries("q47_column_profile")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val li = graft.io.Tables(spark, sf0001).lineitem
+      .select("l_quantity", "l_discount", "l_returnflag").collect()
+    val qs = li.map(_.getDouble(0))
+    assert(got(("l_quantity", "n_rows")) === qs.length.toDouble)
+    assert(got(("l_quantity", "n_null")) === 0.0)
+    assert(got(("l_quantity", "n_distinct")) === qs.distinct.length.toDouble)
+    assert(got(("l_quantity", "min")) === qs.min)
+    assert(got(("l_quantity", "max")) === qs.max)
+    val hist = qs.groupBy(q => math.min(math.floor((q - 1) / 5), 9).toInt)
+      .view.mapValues(_.length.toDouble).toMap
+    (0 to 9).foreach { b =>
+      assert(got(("l_quantity", s"hist_bucket_$b")) === hist.getOrElse(b, 0.0), s"bucket $b")
+    }
+    assert((0 to 9).map(b => got(("l_quantity", s"hist_bucket_$b"))).sum
+      === qs.length.toDouble, "histogram must partition the rows")
+    assert(got(("l_discount", "n_distinct")) === li.map(_.getDouble(1)).distinct.length.toDouble)
+    assert(got(("l_returnflag", "n_distinct")) === li.map(_.getString(2)).distinct.length.toDouble)
+  }
 }

@@ -288,4 +288,26 @@ class StreamingSpec extends SparkSpecBase {
       assert(rows.toSeq === Seq((1L, 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("q45 stream-static enrichment equals the batch join across ≥3 micro-batches") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.enrichedSegmentCountsStreaming(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val stats = EventStreams.lastRunStats("q45_stream_static_enrich")
+    assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
+    // only the downstream aggregation holds state (segment×type rows) —
+    // the static join side must not add a stateful operator
+    assert(stats.stateRowsPerBatch.forall(_ > 0L), stats.toString)
+    val t = graft.io.Tables(spark, sf0001)
+    val batch = t.events
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1e6).cast("long")).as("value_micros"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed === batch)
+  }
 }

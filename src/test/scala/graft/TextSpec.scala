@@ -295,4 +295,40 @@ class TextSpec extends SparkSpecBase {
       assert(flag === (if (hits > 0) 1L else 0L), s"doc $id flag")
     }
   }
+
+  test("t15: counts match a java.util.regex recompute; redaction is total and minimal") {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val phone = "\\b555-[0-9]{3}-[0-9]{4}\\b".r
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b".r
+    val texts = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def planted(id: Long, t: String): String = {
+      val e = if (id % 3 == 0) s" reach user$id@example.com now" else ""
+      val p = if (id % 5 == 0)
+        f" call 555-${id % 1000}%03d-${id % 10000}%04d" else ""
+      val h = if (id % 7 == 0) s" host 10.${id % 256}.${id * 3 % 256}.${id * 7 % 256}" else ""
+      t + e + p + h
+    }
+    val got = graft.queries.Catalog.queries("t15_pii_redact")(spark, sf0001).collect()
+    assert(got.length === texts.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val p = planted(id, texts(id))
+      assert(r.getAs[Long]("n_emails") === email.findAllIn(p).size.toLong, s"doc $id emails")
+      assert(r.getAs[Long]("n_phones") === phone.findAllIn(p).size.toLong, s"doc $id phones")
+      assert(r.getAs[Long]("n_ips") === ip.findAllIn(p).size.toLong, s"doc $id ips")
+      val red = r.getAs[String]("redacted")
+      // total: nothing PII-shaped survives redaction
+      assert(email.findFirstIn(red).isEmpty && phone.findFirstIn(red).isEmpty
+        && ip.findFirstIn(red).isEmpty, s"doc $id residual PII")
+      // minimal: a doc with no planted PII passes through byte-identical
+      if (id % 3 != 0 && id % 5 != 0 && id % 7 != 0) {
+        assert(r.getAs[Long]("pii_total") === 0L)
+        assert(red === texts(id), s"doc $id modified without PII")
+      }
+    }
+    // the planting actually exercises every class
+    assert(got.map(_.getAs[Long]("n_emails")).sum > 0)
+    assert(got.map(_.getAs[Long]("n_phones")).sum > 0)
+    assert(got.map(_.getAs[Long]("n_ips")).sum > 0)
+  }
 }

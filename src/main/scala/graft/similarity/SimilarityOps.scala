@@ -172,6 +172,58 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster embeddings with k-means, then flag
+    * within-cluster pairs whose cosine exceeds a threshold — the
+    * embedding-space analog of MinHash near-dup (d02), catching
+    * paraphrases and re-renders that share no n-grams. The clustering IS
+    * the blocking: the all-pairs product is confined to cells (plus the
+    * d03 MaxBlock cap), so a billion-vector corpus does |cell|²-bounded
+    * work instead of n² — the paper's own scalability argument.
+    *
+    * Output: one row per DROPPED vector (has at least one lower-id
+    * in-cell neighbor at ≥ threshold — d01's keep-first-occurrence
+    * convention), with its strongest such neighbor as evidence and its
+    * duplicate-link count. The transitive canonical-per-cluster step is
+    * d05's connected components over these pairs. Cluster seeds are
+    * engine-specific → rows-only in the catalog; SimilaritySpec asserts
+    * pair soundness (every reported link re-checks above threshold
+    * against exact cosine) and drop-set monotonicity vs the global
+    * brute-force pair set. */
+  def semanticDedup(emb: DataFrame, nCells: Int, refine: Int,
+      simThresholdE4: Long): DataFrame = {
+    val centroids = graft.InternalCaches.track(
+      kmeansCentroids(emb, nCells, refine)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val assigned = graft.InternalCaches.track(
+      graft.dedup.DedupOps.capBlocks(
+        assignCells(emb, centroids)
+          .select(col("vec_id"), col("embedding"), col("cell_id")),
+        Seq("cell_id"), graft.dedup.DedupOps.MaxBlock)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val a = assigned.select(col("cell_id"), col("vec_id").as("id_a"),
+      col("embedding").as("e_a"))
+    val b = assigned.select(col("cell_id"), col("vec_id").as("id_b"),
+      col("embedding").as("e_b"))
+    a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"), col("id_a"),
+        simE4(cosineSimilarity(col("e_a"), col("e_b"))).as("sim_e4"))
+      .filter(col("sim_e4") >= simThresholdE4)
+      // strongest lower-id neighbor as the evidence link: argmax as the
+      // assignCells partial-aggregating max(struct), not a window
+      .groupBy(col("id_b"))
+      .agg(
+        max(struct(col("sim_e4"), (-col("id_a")).as("neg_keep"))).as("best"),
+        count(lit(1)).as("n_dup_links"))
+      .select(col("id_b").as("dropped_id"),
+        (-col("best").getField("neg_keep")).as("kept_id"),
+        col("best").getField("sim_e4").as("sim_e4"),
+        col("n_dup_links"))
+      .orderBy(col("dropped_id"))
+  }
+
   // --------------------------------------------------------------------
   // Product quantization (PQ) — the faiss-style memory-scale ANN path
   // beyond SQ8 (s09): each vector compresses to M sub-codes (here 4×4
@@ -583,6 +635,20 @@ object SimilarityOps {
           |  ON a.label = b.label AND a.vec_id < b.vec_id
           |ORDER BY sim_e4 DESC, id_a, id_b
           |LIMIT 20""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // d06: SemDeDup semantic deduplication — k-means cells as the
+    // blocking structure, within-cell cosine ≥ 0.35 → drop the higher
+    // id. Cluster seeding is engine-specific → rows-only;
+    // SimilaritySpec proves every reported link against exact cosine
+    // and checks the drop set against the global brute-force pair set.
+    GraftQuery(
+      "d06_semantic_dedup",
+      "SemDeDup: k-means-blocked embedding near-dup drop set (rows-only)",
+      (spark, dir) => semanticDedup(Tables(spark, dir).embeddings,
+        nCells = 16, refine = 2, simThresholdE4 = 3500L),
+      None
     ),
 
     // ------------------------------------------------------------------

@@ -231,4 +231,39 @@ class SimilaritySpec extends SparkSpecBase {
     assert(mean >= 0.2, s"PQ mean recall $mean (per-query $recalls)")
     graft.InternalCaches.releaseAll()
   }
+
+  test("d06 SemDeDup: every reported link is a true >=threshold pair; drop set is sound") {
+    val thresholdE4 = 3500L
+    val got = SimilarityOps.semanticDedup(emb, nCells = 16, refine = 2,
+      simThresholdE4 = thresholdE4).collect()
+      .map(r => (r.getAs[Long]("dropped_id"), r.getAs[Long]("kept_id"),
+        r.getAs[Long]("sim_e4"), r.getAs[Long]("n_dup_links")))
+    graft.InternalCaches.releaseAll()
+    assert(got.nonEmpty, "planted-free corpus still has >=0.35 pairs; drop set must be non-empty")
+    val all = emb.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray.map(_.toDouble)))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // global ground truth: ids with ANY lower-id neighbor at >= threshold
+    val ids = all.keys.toArray.sorted
+    val globalDrops = (for {
+      i <- ids.indices; j <- 0 until i
+      if math.round(cos(all(ids(j)), all(ids(i))) * 10000) >= thresholdE4
+    } yield ids(i)).toSet
+    got.foreach { case (dropped, kept, simE4, links) =>
+      assert(kept < dropped, s"keep-first violated: $kept >= $dropped")
+      assert(simE4 >= thresholdE4, s"reported link below threshold: $simE4")
+      // the reported evidence link re-checks against exact cosine
+      assert(math.round(cos(all(kept), all(dropped)) * 10000) === simE4,
+        s"evidence link ($kept,$dropped) does not match exact cosine")
+      assert(links >= 1L)
+    }
+    // cell blocking only ever SHRINKS the pair set: drops ⊆ global drops
+    val dropSet = got.map(_._1).toSet
+    assert(dropSet.subsetOf(globalDrops),
+      s"phantom drops: ${dropSet.diff(globalDrops)}")
+  }
 }

@@ -731,6 +731,59 @@ object TextOps {
           |            + len(regexp_extract_all(ptext, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS pii_total
           |FROM planted
           |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t16: hashed-feature linear classifier scoring — the fastText-style
+    // quality-classifier SERVING path (hash each token into a bucket,
+    // look up the bucket weight, sum, threshold) that corpus pipelines
+    // run over every document. Weights here are a fixed public formula
+    // of the bucket id (a multiplicative scramble into [-1000, 1000]
+    // micro-units) standing in for trained parameters — training is out
+    // of engine scope; hashing + lookup + reduction IS the operator, and
+    // with formula weights the whole path is exactly replayable in the
+    // oracle. Bucket = first-6-hex-chars of md5(token) mod 1024: both
+    // engines parse the same hex prefix (Spark `conv`, DuckDB '0x' cast)
+    // and all arithmetic is BIGINT (max intermediate 1023·2654435761 ≪
+    // 2^63) — integer end-to-end, so per-doc sums are order-independent
+    // and hash-safe. No sigmoid on purpose: exp() differs by ulps across
+    // libm implementations; the integer logit carries the same decision.
+    // Plan: ONE per-row generator projection (tokenize → transform →
+    // aggregate), zero shuffles — scales with input splits like t01.
+    GraftQuery(
+      "t16_quality_classifier",
+      "hashed-bucket linear classifier: integer logit + keep/drop per document",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val weightOf = (tok: Column) =>
+          (conv(substring(md5(tok), 1, 6), 16, 10).cast("long") % 1024L) *
+            2654435761L % 2001L - 1000L
+        t.documents
+          .select(col("doc_id"),
+            inline(transform(
+              array(regexp_extract_all(lower(col("text")), lit(wsToken), lit(0))),
+              toks => struct(
+                size(toks).cast("long").as("n_feats"),
+                aggregate(toks, lit(0L), (acc, tok) => acc + weightOf(tok))
+                  .as("logit_micro")))))
+          .withColumn("verdict",
+            when(col("logit_micro") > 0, "keep").otherwise("drop"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
+          |  FROM documents)
+          |SELECT doc_id,
+          |       CAST(len(ts) AS BIGINT) AS n_feats,
+          |       CAST(coalesce(list_sum(
+          |         [(('0x' || substr(md5(t), 1, 6))::BIGINT % 1024) * 2654435761 % 2001 - 1000
+          |          FOR t IN ts]), 0) AS BIGINT) AS logit_micro,
+          |       CASE WHEN coalesce(list_sum(
+          |         [(('0x' || substr(md5(t), 1, 6))::BIGINT % 1024) * 2654435761 % 2001 - 1000
+          |          FOR t IN ts]), 0) > 0 THEN 'keep' ELSE 'drop' END AS verdict
+          |FROM toks
+          |ORDER BY doc_id""".stripMargin)
     )
   )
 

@@ -331,4 +331,30 @@ class TextSpec extends SparkSpecBase {
     assert(got.map(_.getAs[Long]("n_phones")).sum > 0)
     assert(got.map(_.getAs[Long]("n_ips")).sum > 0)
   }
+
+  test("t16: logits equal a driver-side hash/weight recompute (whole corpus)") {
+    def weight(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      (java.lang.Long.parseLong(hex, 16) % 1024L) * 2654435761L % 2001L - 1000L
+    }
+    val got = graft.queries.Catalog.queries("t16_quality_classifier")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Long]("logit_micro"), r.getAs[String]("verdict")))
+      .toMap
+    val texts = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    assert(got.size === texts.length)
+    var kept = 0
+    texts.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val logit = toks.map(weight).sum
+      val (n, l, v) = got(id)
+      assert(n === toks.length.toLong, s"doc $id n_feats")
+      assert(l === logit, s"doc $id logit")
+      assert(v === (if (logit > 0) "keep" else "drop"), s"doc $id verdict")
+      if (logit > 0) kept += 1
+    }
+    // the formula weights actually split the corpus (not all-keep/all-drop)
+    assert(kept > 0 && kept < texts.length, s"degenerate classifier: $kept/${texts.length}")
+  }
 }

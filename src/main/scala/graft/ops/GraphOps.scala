@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.queries.GraftQuery
+
+/** Iterative graph analytics over a graph derived from the warehouse —
+  * PageRank as the representative fixed-point computation (link-quality
+  * weighting of a crawl corpus is the training-data-pipeline use; the
+  * same loop shape serves label propagation and hub/authority scores).
+  *
+  * The graph: customer and supplier nodes (namespaced odd/even ids),
+  * one edge per DISTINCT (customer, supplier) trading pair from
+  * orders⋈lineitem, materialized in both directions so every node has
+  * out-degree ≥ 1 (no dangling-mass term needed).
+  *
+  * Determinism across engines is the design constraint: every rank is a
+  * BIGINT in 1e-12 units of total mass and every step is integer
+  * arithmetic (`div` floor division, per-edge BEFORE the sum — an
+  * integer sum is order-independent where a double sum is not), so five
+  * iterations replay bit-exactly in DuckDB as five unrolled CTEs (`//`)
+  * and the whole fixed-point carries a full hash oracle — the same
+  * integers-not-floats rule the rest of the catalog follows (t12/t16).
+  *
+  * Scale shape (the d05 connected-components discipline): per iteration
+  * ONE join of edges to the rank vector (shuffle on src) and ONE partial
+  * aggregate to dst (map-side combine — a billion-in-degree hub reduces
+  * before the shuffle); the static edge+degree frame is persisted once
+  * and reused; each round ends in an eager localCheckpoint so the
+  * iterative plan stays constant-size instead of doubling per round. On
+  * a cluster the persisted edges partition by src once and every
+  * iteration's join reuses that layout.
+  */
+object GraphOps {
+
+  /** Total rank mass in scaled units (1e12 ≪ 2^63/N for any realistic
+    * node count; per-node quotients stay exact BIGINTs). */
+  val Scale = 1000000000000L
+
+  private def tradeEdges(t: Tables): DataFrame = {
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** 5-iteration damped PageRank (d = 85/100) over the trading graph.
+    * r₀ = Scale div N; rₜ₊₁(v) = (15·(Scale div N)) div 100 +
+    * (85·Σ_{u→v}(rₜ(u) div deg(u))) div 100. */
+  def pageRank(t: Tables, iters: Int = 5): DataFrame = {
+    val edges = graft.InternalCaches.track {
+      val e = tradeEdges(t)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      e.join(deg, "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.count() // one count job; N is a broadcast scalar
+    val r0 = Scale / n
+    val base = 15L * r0 / 100L
+    var ranks = nodes.select(col("node"), lit(r0).as("r")).localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val sums = edges
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("t"))
+      ranks = nodes
+        .join(sums, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("85 * coalesce(t, 0L) div 100")).as("r"))
+        // N rows only: truncate lineage so the per-round plan stays flat
+        .localCheckpoint(true)
+    }
+    ranks
+      .select(col("node").as("node_id"),
+        when(col("node") % 2 === 1, "supplier").otherwise("customer").as("kind"),
+        col("r").as("rank_scaled"))
+      .orderBy(col("node_id"))
+  }
+
+  private def oracleIter(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT n.node, (SELECT (15 * (${Scale} // count(*))) // 100 FROM nodes)
+       |           + (85 * coalesce(s.t, 0)) // 100 AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node, sum($prev.r // e.deg) AS t
+       |    FROM edges e JOIN $prev ON e.src = $prev.node
+       |    GROUP BY e.dst) s USING (node))""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "g01_pagerank",
+      "5-iteration integer PageRank over the customer-supplier trading graph",
+      (spark, dir) => pageRank(Tables(spark, dir)),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |eraw AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |deg AS (SELECT src, count(*) AS deg FROM eraw GROUP BY src),
+           |edges AS (SELECT eraw.src, eraw.dst, deg.deg FROM eraw JOIN deg USING (src)),
+           |nodes AS (SELECT DISTINCT src AS node FROM eraw),
+           |r0 AS (SELECT node, (SELECT ${Scale} // count(*) FROM nodes) AS r FROM nodes),
+           |${oracleIter("r0", "r1")},
+           |${oracleIter("r1", "r2")},
+           |${oracleIter("r2", "r3")},
+           |${oracleIter("r3", "r4")},
+           |${oracleIter("r4", "r5")}
+           |SELECT node AS node_id,
+           |       CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS kind,
+           |       CAST(r AS BIGINT) AS rank_scaled -- sum() upcasts to HUGEINT -> float64 in pandas
+           |FROM r5
+           |ORDER BY node_id""".stripMargin)
+    )
+  )
+}

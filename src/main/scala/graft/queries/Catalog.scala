@@ -21,6 +21,7 @@ final case class GraftQuery(
 object Catalog {
   def all: Seq[GraftQuery] =
     graft.ops.CoreQueries.all ++
+      graft.ops.GraphOps.all ++
       graft.etl.EtlQueries.all ++
       graft.text.TextOps.all ++
       graft.text.PipelineQueries.all ++

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.GraphOps
+
+/** g01 PageRank: exact driver-side replay of the integer fixed point,
+  * plus the structural properties that make the result a PageRank. */
+class GraphSpec extends SparkSpecBase {
+
+  test("g01: ranks equal an exact driver-side integer replay of 5 iterations") {
+    val t = Tables(spark, sf0001)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (pairs ++ pairs.map(_.swap)).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nodes = edges.map(_._1).distinct.sorted
+    val n = nodes.length.toLong
+    val r0 = GraphOps.Scale / n
+    val base = 15L * r0 / 100L
+    var ranks = nodes.map(_ -> r0).toMap
+    (1 to 5).foreach { _ =>
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => ranks(s) / deg(s) }.sum).toMap
+      ranks = nodes.map(v => v -> (base + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val got = graft.queries.Catalog.queries("g01_pagerank")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    graft.InternalCaches.releaseAll()
+    assert(got.map(_._1).toSeq === nodes.toSeq, "node set")
+    got.foreach { case (id, kind, r) =>
+      assert(kind === (if (id % 2 == 1) "supplier" else "customer"))
+      assert(r === ranks(id), s"node $id rank")
+    }
+    // rank mass is conserved up to the floor losses of integer division:
+    // never exceeds Scale, never loses more than ~1 unit per division
+    val total = got.map(_._3).sum
+    assert(total <= GraphOps.Scale)
+    assert(total >= GraphOps.Scale - (edges.length + 2L * n) * 6L,
+      s"mass lost beyond floor bounds: $total")
+    // suppliers are the high-degree side of the bipartite graph: the top
+    // node by rank must be a supplier (rank concentrates on hubs)
+    val top = got.maxBy(_._3)
+    assert(top._2 === "supplier", s"top node $top")
+  }
+}

@@ -205,6 +205,59 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Two-sided MinHash-LSH join — fuzzy decontamination: match each
+    * `train` doc against the `eval` corpus by estimated Jaccard without
+    * an all-pairs product (t14 catches exact n-gram overlap; a
+    * lightly-edited eval document slips past it, this catches it).
+    * Both sides band independently; candidates come from the
+    * (band, band_sig) equi-join with BOTH sides' degenerate buckets
+    * dropped (a hot signature on either side would otherwise go
+    * quadratic — same [[MaxBucket]] policy as the self-join); candidates
+    * verify against exact shingle-hash Jaccard. One row per
+    * contaminated train doc with its match count and strongest eval
+    * match (argmax as a partial-aggregating max(struct), no window).
+    *
+    * Scale: shuffles are keyed by (band, band_sig) and doc ids only;
+    * the shingle frames persist once per side and serve both the
+    * banding and the verification branches (the d02 barrier
+    * discipline). */
+  def minhashCrossMatches(train: DataFrame, eval: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.InternalCaches.track
+    val shT = track(shingled(train).persist(StorageLevel.MEMORY_AND_DISK))
+    val shE = track(shingled(eval).persist(StorageLevel.MEMORY_AND_DISK))
+    def bands(sh: DataFrame, idAs: String): DataFrame =
+      banded(track(withSignature(sh).persist(StorageLevel.MEMORY_AND_DISK)))
+        .withColumnRenamed("doc_id", idAs)
+    def dropHotBuckets(b: DataFrame): DataFrame =
+      b.join(
+        b.groupBy(col("band"), col("band_sig"))
+          .agg(count(lit(1)).as("n")).filter(col("n") <= MaxBucket)
+          .select(col("band"), col("band_sig")),
+        Seq("band", "band_sig"), "left_semi")
+    val cand = dropHotBuckets(bands(shT, "train_id"))
+      .join(dropHotBuckets(bands(shE, "eval_id")),
+        Seq("band", "band_sig"))
+      .select(col("train_id"), col("eval_id"))
+      .distinct()
+    cand
+      .join(shT.select(col("doc_id").as("train_id"), col("shingles").as("sh_t"),
+        size(col("shingles")).as("n_t")), Seq("train_id"))
+      .join(shE.select(col("doc_id").as("eval_id"), col("shingles").as("sh_e"),
+        size(col("shingles")).as("n_e")), Seq("eval_id"))
+      .withColumn("inter", call_function("sorted_intersect_size", col("sh_t"), col("sh_e")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_t") + col("n_e") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max(struct(col("jaccard"), (-col("eval_id")).as("neg_id"))).as("best"))
+      .select(col("train_id"), col("n_eval_matches"),
+        (-col("best").getField("neg_id")).as("best_eval_id"),
+        col("best").getField("jaccard").as("best_jaccard"))
+      .orderBy(col("train_id"))
+  }
+
   /** 64-bit SimHash over word tokens — HOF reference formulation (per-bit
     * ±1 sums over token hashes, thresholded to a bit vector). Kept as the
     * cross-check for the native [[simhashSignature]]; tests assert the
@@ -425,6 +478,27 @@ object DedupOps {
           |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id) s
           |  USING (cluster_id)
           |ORDER BY cluster_id, doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // d07: fuzzy decontamination — the two-sided LSH join. Train side =
+    // the planted truncations of the cluster corpus (ids ≥ 100000),
+    // eval side = the originals; every train doc is a light edit of an
+    // eval doc, exactly the case exact-overlap decontamination (t14)
+    // exists to catch but can miss under edits. Hash-family-specific →
+    // rows-only; DedupSpec proves reported Jaccards against exact
+    // string-shingle values and full recall on the planted structure.
+    GraftQuery(
+      "d07_fuzzy_decontaminate",
+      "two-sided MinHash-LSH join: train docs matched to eval docs at Jaccard >= 0.5 (rows-only)",
+      (spark, dir) => {
+        val corpus = clusterCorpus(Tables(spark, dir).documents)
+        minhashCrossMatches(
+          corpus.filter(col("doc_id") >= 100000L).select(col("doc_id"), col("text")),
+          corpus.filter(col("doc_id") < 100000L).select(col("doc_id"), col("text")),
+          threshold = 0.5)
+      },
+      None
     )
   )
 }

@@ -23,6 +23,7 @@ object Catalog {
     graft.ops.CoreQueries.all ++
       graft.ops.GraphOps.all ++
       graft.etl.EtlQueries.all ++
+      graft.etl.IncrementalEtl.all ++
       graft.text.TextOps.all ++
       graft.text.PipelineQueries.all ++
       graft.dedup.DedupOps.all ++

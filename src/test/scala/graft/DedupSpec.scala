@@ -305,6 +305,61 @@ class DedupSpec extends SparkSpecBase {
     assert(got.values.toSet === Set(0L))
   }
 
+  test("d07 fuzzy decontamination: sound vs brute-force cross Jaccard, full recall on strong matches") {
+    val corpus = DedupOps.clusterCorpus(docs)
+    val out = graft.queries.Catalog.queries("d07_fuzzy_decontaminate")(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("train_id") ->
+        (r.getAs[Long]("n_eval_matches"), r.getAs[Long]("best_eval_id"),
+          r.getAs[Double]("best_jaccard"))).toMap
+    assert(out.nonEmpty)
+
+    // Brute-force ground truth: STRING word-5-shingle Jaccard for the full
+    // train × eval cross product (200 × 100 pairs at sf0.001 — a test can
+    // afford the product; the operator must not).
+    val shingleSets = corpus
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("shingles", TextFunctions.wordShingles("toks", 5))
+      .select(col("doc_id"), col("shingles"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](r.fieldIndex("shingles")).toSet)
+    val (train, eval) = shingleSets.partition(_._1 >= 100000L)
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val i = a.intersect(b).size
+      i.toDouble / (a.size + b.size - i)
+    }
+    val truth = train.map { case (tid, ts) =>
+      tid -> eval.map { case (eid, es) => eid -> jac(ts, es) }
+        .filter(_._2 >= 0.5).toMap
+    }.toMap
+
+    // Soundness: every reported train doc has true matches, its reported
+    // count never exceeds the true count, and the best match is a real
+    // pair whose reported jaccard equals the brute-force value.
+    out.foreach { case (tid, (n, bestId, bestJ)) =>
+      val t = truth(tid)
+      assert(t.nonEmpty, s"train $tid reported but has no true match ≥ 0.5")
+      assert(n <= t.size, s"train $tid reports $n matches, truth has ${t.size}")
+      assert(t.contains(bestId), s"train $tid best match $bestId is not a true match")
+      assert(math.abs(bestJ - t(bestId)) < 1e-12,
+        s"train $tid best jaccard $bestJ != exact ${t(bestId)}")
+    }
+    // Recall where the LSH family guarantees it (detection ≈ 0.985 at
+    // j ≥ 0.8): every train doc with a strong true match is flagged.
+    val strong = truth.filter(_._2.values.exists(_ >= 0.8)).keySet
+    assert(strong.nonEmpty)
+    assert(strong.intersect(out.keySet).size.toDouble / strong.size >= 0.97,
+      s"recall@0.8: ${strong.intersect(out.keySet).size}/${strong.size}")
+    // The planted structure (every train doc is a light truncation of its
+    // original) means the -100000/-200000 parent is almost always the
+    // best match; spot-check that the argmax picks it when it is.
+    val parentIsBest = out.count { case (tid, (_, bestId, _)) =>
+      bestId == tid % 100000L }
+    assert(parentIsBest.toDouble / out.size >= 0.9,
+      s"only $parentIsBest/${out.size} best matches are the planted parent")
+  }
+
   test("d05 clusters: planted triples collapse transitively, canonical = min member") {
     val out = graft.queries.Catalog.queries("d05_dedup_clusters")(spark, sf0001)
       .collect()

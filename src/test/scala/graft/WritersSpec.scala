@@ -71,6 +71,48 @@ class WritersSpec extends SparkSpecBase {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("q48 dynamic partition overwrite rewrites ONLY the late-data day") {
+    import graft.etl.IncrementalEtl
+    val out = Files.createTempDirectory("graft_incr_spec_").toString
+    try {
+      IncrementalEtl.fullLoad(spark, sf0001, out)
+      def layout(): Map[String, Set[String]] =
+        new java.io.File(out).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+          .map(d => d.getName -> d.listFiles().map(_.getName)
+            .filter(_.endsWith(".parquet")).toSet)
+          .toMap
+      val before = layout()
+      assert(before.size > 1, "need multiple day partitions to prove isolation")
+      IncrementalEtl.latePatch(spark, sf0001, out)
+      val after = layout()
+      val patchedDay = before.keys.max // partitions sort lexicographically by date
+      assert(after.keySet === before.keySet)
+      // every other day's files are bit-for-bit untouched (same part files)
+      (before.keySet - patchedDay).foreach { day =>
+        assert(after(day) === before(day), s"partition $day was rewritten")
+      }
+      // the late day WAS rewritten (fresh task UUIDs in the part names)
+      assert(after(patchedDay).intersect(before(patchedDay)).isEmpty,
+        s"late-day partition $patchedDay kept stale files")
+
+      // and the values: patched day = original counts + the mod-13 replay,
+      // recomputed independently from the raw events table
+      val ev = graft.io.Tables(spark, sf0001).events
+        .select(to_date(col("ts")).as("d"), col("event_type"), col("event_id"))
+      val maxD = ev.agg(max(col("d"))).head().getDate(0).toString
+      val expected = ev.filter(col("d") === lit(maxD))
+        .groupBy("event_type")
+        .agg((count(lit(1)) +
+          count(when(col("event_id") % 13 === 0, 1))).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap
+      val got = IncrementalEtl.finalTable(spark, out)
+        .filter(col("event_date") === maxD)
+        .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("cnt")).toMap
+      assert(got === expected)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     spark.sql("DROP TABLE IF EXISTS graft_fact_b")
     spark.sql("DROP TABLE IF EXISTS graft_dim_b")

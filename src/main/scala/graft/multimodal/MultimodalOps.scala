@@ -245,6 +245,134 @@ object MultimodalOps {
     }
   }
 
+  /** One audio row: opaque WAV payload, as stored at rest. */
+  final case class AudioRecord(media_id: Long, payload: Array[Byte])
+
+  /** Integer audio features extracted by [[WavCodec.decode]] — all exact
+    * integer arithmetic so the m04 oracle can recompute them in SQL. */
+  final case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      sum_sq: Long,
+      peak: Int,
+      n_zero_cross: Long,
+      sum_window_peak: Long)
+
+  /** Pure-JVM PCM/WAV codec — the audio leg of the multimodal family.
+    * The encoder writes a canonical 44-byte RIFF header + little-endian
+    * int16 mono samples; the decoder parses the chunk structure
+    * generically (it does not assume the canonical layout) and extracts
+    * exact INTEGER features, so a single flipped byte anywhere in the
+    * container or the sample data changes the output — the m04 oracle
+    * therefore verifies the full encode→bytes→decode round trip, not
+    * just the feature math. Everything here is executor-side and
+    * allocation-light: one pass over the sample bytes per row. */
+  object WavCodec {
+
+    /** Deterministic int16 test waveform — a closed-form integer
+      * function of (media_id, sample index), so the DuckDB oracle can
+      * regenerate it with `generate_series` and plain modular
+      * arithmetic. */
+    def synthSample(mediaId: Long, i: Int): Int =
+      (((mediaId * 7L + i.toLong * i.toLong) % 65536L) - 32768L).toInt
+
+    def nSamples(mediaId: Long): Int = 500 + (mediaId % 1000L).toInt
+    def sampleRate(mediaId: Long): Int = 8000 + (mediaId % 4L).toInt * 1000
+
+    /** Samples per analysis window for [[AudioFeatures.sum_window_peak]]
+      * (the audio analog of frame sampling: a bounded per-row fan-out). */
+    val WindowSize = 256
+
+    /** Encode one real mono 16-bit PCM WAV file. */
+    def encodeWav(mediaId: Long): Array[Byte] = {
+      val n = nSamples(mediaId)
+      val rate = sampleRate(mediaId)
+      val dataBytes = n * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort)            // PCM
+        .putShort(1.toShort)            // mono
+        .putInt(rate)
+        .putInt(rate * 2)               // byte rate
+        .putShort(2.toShort)            // block align
+        .putShort(16.toShort)           // bits per sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      var i = 0
+      while (i < n) { buf.putShort(synthSample(mediaId, i).toShort); i += 1 }
+      buf.array()
+    }
+
+    /** Parse the RIFF container and extract features in ONE pass over
+      * the samples. Returns None for payloads that are not mono 16-bit
+      * PCM WAV (truncated, bit-rotten, or foreign format) — one corrupt
+      * file must never kill a billion-row decode stage. */
+    def decode(r: AudioRecord): Option[AudioFeatures] = {
+      val p = r.payload
+      if (p.length < 12 ||
+        new String(p, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(p, 8, 4, "US-ASCII") != "WAVE") return None
+      val buf = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // generic chunk walk: fmt and data may appear in any order, with
+      // other chunks (LIST, fact, ...) interleaved
+      var pos = 12
+      var rate = -1; var channels = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      while (pos + 8 <= p.length && (rate < 0 || dataOff < 0)) {
+        val id = new String(p, pos, 4, "US-ASCII")
+        val len = buf.getInt(pos + 4)
+        if (len < 0 || pos + 8 + len > p.length) return None
+        if (id == "fmt ") {
+          if (len < 16) return None
+          val fmt = buf.getShort(pos + 8).toInt
+          channels = buf.getShort(pos + 10).toInt
+          rate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22).toInt
+          if (fmt != 1) return None // PCM only
+        } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (rate < 0 || dataOff < 0 || channels != 1 || bits != 16) return None
+      val n = dataLen / 2
+      var sumSq = 0L; var peak = 0; var zc = 0L
+      var winPeak = 0; var sumWinPeak = 0L
+      var prev = 0; var i = 0
+      while (i < n) {
+        val v = buf.getShort(dataOff + i * 2).toInt
+        val a = math.abs(v)
+        sumSq += v.toLong * v
+        if (a > peak) peak = a
+        if (i > 0 && prev < 0 && v >= 0) zc += 1
+        if (a > winPeak) winPeak = a
+        if (i % WindowSize == WindowSize - 1 || i == n - 1) {
+          sumWinPeak += winPeak; winPeak = 0
+        }
+        prev = v
+        i += 1
+      }
+      Some(AudioFeatures(r.media_id, rate, n.toLong, sumSq, peak, zc, sumWinPeak))
+    }
+  }
+
+  /** Fabricate the deterministic WAV corpus from `documents` (encoding
+    * happens per-partition in executors; payload bytes never touch the
+    * driver) — same convention as [[fakeMediaTable]]. */
+  def fakeAudioTable(spark: SparkSession, docs: DataFrame): Dataset[AudioRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => AudioRecord(id, WavCodec.encodeWav(id))))
+  }
+
+  /** Partition-batched audio decode: bytes in, integer features out, no
+    * shuffle; undecodable payloads are dropped (flatMap on the Option). */
+  def decodeAudioFeatures(audio: Dataset[AudioRecord]): Dataset[AudioFeatures] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions(_.flatMap(WavCodec.decode))
+  }
+
   /** Partition-batched decode: one iterator pass per partition (batch
     * shape), payload dropped from the output schema (column pruning for
     * the downstream relational stage). */
@@ -427,6 +555,61 @@ object MultimodalOps {
         graft.dedup.DedupOps.hamming64Pairs(sigs, "media_id", "sig", maxHamming = 3)
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // m04: the audio leg, under a FULL oracle — the first oracled
+    // multimodal query. Spark synthesizes real RIFF/PCM WAV payloads
+    // per-partition, then a separate decode stage parses the container
+    // generically and extracts exact integer features in one pass over
+    // the sample bytes. Because the waveform is a closed-form integer
+    // function of (media_id, i), DuckDB regenerates it with
+    // generate_series and recomputes the same integers — any encode,
+    // parse, or feature-math defect breaks the hash match.
+    GraftQuery(
+      "m04_multimodal_audio_features",
+      "binary WAV payload → RIFF parse + one-pass integer features (sum_sq/peak/zero-cross/window peaks)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        decodeAudioFeatures(fakeAudioTable(spark, t.documents))
+          .toDF()
+          .orderBy(col("media_id"))
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT doc_id AS media_id,
+          |         500 + doc_id % 1000 AS n,
+          |         CAST(8000 + (doc_id % 4) * 1000 AS INT) AS sample_rate
+          |  FROM documents),
+          |s AS (
+          |  -- constant-bound series + filter: DuckDB's generate_series
+          |  -- cannot take a lateral column bound; n < 1500 by construction
+          |  SELECT media_id, n, i,
+          |         ((media_id * 7 + i * i) % 65536) - 32768 AS v
+          |  FROM m, generate_series(0, 1499) AS g(i)
+          |  WHERE i < n),
+          |sl AS (
+          |  SELECT *, lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv FROM s),
+          |agg AS (
+          |  SELECT media_id,
+          |         CAST(sum(v * v) AS BIGINT) AS sum_sq,
+          |         CAST(max(abs(v)) AS INT) AS peak,
+          |         CAST(count(*) FILTER (WHERE pv < 0 AND v >= 0) AS BIGINT)
+          |           AS n_zero_cross
+          |  FROM sl GROUP BY media_id),
+          |w AS (
+          |  SELECT media_id, i // 256 AS win, max(abs(v)) AS wp
+          |  FROM s GROUP BY 1, 2),
+          |ws AS (
+          |  SELECT media_id, CAST(sum(wp) AS BIGINT) AS sum_window_peak
+          |  FROM w GROUP BY 1)
+          |SELECT m.media_id AS media_id, m.sample_rate AS sample_rate,
+          |       CAST(m.n AS BIGINT) AS n_samples,
+          |       a.sum_sq AS sum_sq, a.peak AS peak,
+          |       a.n_zero_cross AS n_zero_cross,
+          |       ws.sum_window_peak AS sum_window_peak
+          |FROM m JOIN agg a USING (media_id) JOIN ws USING (media_id)
+          |ORDER BY media_id""".stripMargin)
     )
   )
 }

@@ -1549,6 +1549,57 @@ object CoreQueries {
           |  ('l_discount', 'max', d_max),
           |  ('l_returnflag', 'n_distinct', r_n_distinct)) AS u(column_name, stat, value)
           |ORDER BY column_name, stat""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q49: FULL OUTER join — the reconciliation idiom (the one join type
+    // the catalog had not demonstrated). Daily order counts vs daily
+    // shipment counts: shipments lag orders, so both sides carry
+    // exclusive days (order days with no shipping activity, shipping
+    // days past the last order) plus the matched bulk — all three null
+    // patterns exercised. The join keys are low-cardinality dates, so
+    // both grouped sides are small: at 100 TB the pre-aggregation
+    // happens BEFORE the join (two map-side-combining aggs), and the
+    // full-outer join itself moves only per-day rows.
+    GraftQuery(
+      "q49_full_outer_reconcile",
+      "daily orders vs shipments reconciliation via FULL OUTER join with status classification",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val o = t.orders
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(count(lit(1)).as("n_orders"))
+        val l = t.lineitem
+          .groupBy(to_date(col("l_shipdate")).as("d"))
+          .agg(count(lit(1)).as("n_shipments"))
+        // full-outer cannot broadcast; prefer a shuffled-hash join over
+        // sort-merge — both sides are already tiny per-day aggregates,
+        // and hashing the smaller side beats sorting both at any scale
+        o.hint("shuffle_hash").join(l, Seq("d"), "full_outer")
+          .select(
+            date_format(col("d"), "yyyy-MM-dd").as("day"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_shipments"), lit(0L)).as("n_shipments"),
+            when(col("n_orders").isNull, "ship_only")
+              .when(col("n_shipments").isNull, "order_only")
+              .otherwise("both").as("status"))
+          .orderBy(col("day"))
+      },
+      Some(
+        """WITH o AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+          |  FROM orders GROUP BY 1),
+          |l AS (
+          |  SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_shipments
+          |  FROM lineitem GROUP BY 1)
+          |SELECT strftime(coalesce(o.d, l.d), '%Y-%m-%d') AS day,
+          |       coalesce(o.n_orders, 0) AS n_orders,
+          |       coalesce(l.n_shipments, 0) AS n_shipments,
+          |       CASE WHEN o.d IS NULL THEN 'ship_only'
+          |            WHEN l.d IS NULL THEN 'order_only'
+          |            ELSE 'both' END AS status
+          |FROM o FULL JOIN l ON o.d = l.d
+          |ORDER BY day""".stripMargin)
     )
   )
 }

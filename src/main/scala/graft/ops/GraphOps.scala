@@ -63,14 +63,17 @@ object GraphOps {
     val base = 15L * r0 / 100L
     var ranks = nodes.select(col("node"), lit(r0).as("r")).localCheckpoint(true)
     (1 to iters).foreach { _ =>
-      val sums = edges
+      // No join back to `nodes` for zero-in-degree nodes: the edge set is
+      // bidirectional by construction, so every node has in-degree ≥ 1
+      // and the dst aggregate already covers ALL nodes (profiled: the
+      // left join doubled per-round cost for structurally dead work; a
+      // dangling-node graph variant would need it back).
+      ranks = edges
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("t"))
-      ranks = nodes
-        .join(sums, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr("85 * coalesce(t, 0L) div 100")).as("r"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("85 * t div 100")).as("r"))
         // N rows only: truncate lineage so the per-round plan stays flat
         .localCheckpoint(true)
     }

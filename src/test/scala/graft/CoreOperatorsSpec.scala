@@ -291,4 +291,22 @@ class CoreOperatorsSpec extends SparkSpecBase {
     assert(got(("l_discount", "n_distinct")) === li.map(_.getDouble(1)).distinct.length.toDouble)
     assert(got(("l_returnflag", "n_distinct")) === li.map(_.getString(2)).distinct.length.toDouble)
   }
+
+  test("q49: full-outer reconciliation exercises matched rows AND both exclusive sides") {
+    val rows = graft.queries.Catalog.queries("q49_full_outer_reconcile")(spark, sf0001)
+      .collect()
+    val byStatus = rows.groupBy(_.getAs[String]("status"))
+    assert(byStatus.keySet === Set("both", "order_only", "ship_only"),
+      s"expected all three reconciliation outcomes, got ${byStatus.keySet}")
+    // exclusive sides carry the null-filled zero, matched rows never do
+    byStatus("order_only").foreach(r => assert(r.getAs[Long]("n_shipments") === 0L))
+    byStatus("ship_only").foreach(r => assert(r.getAs[Long]("n_orders") === 0L))
+    byStatus("both").foreach { r =>
+      assert(r.getAs[Long]("n_orders") > 0L && r.getAs[Long]("n_shipments") > 0L)
+    }
+    // totals are preserved through the reconciliation (no row lost/duplicated)
+    val t = graft.io.Tables(spark, sf0001)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === t.orders.count())
+    assert(rows.map(_.getAs[Long]("n_shipments")).sum === t.lineitem.count())
+  }
 }

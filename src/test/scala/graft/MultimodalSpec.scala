@@ -186,4 +186,59 @@ class MultimodalSpec extends SparkSpecBase {
     val planted = got.count { case (a, b) => b == a + 100000L }
     assert(planted >= 350, s"recovered only $planted/500 planted edit-copies")
   }
+
+  test("WAV round-trip: decode parses the RIFF container and recomputes exact features") {
+    import graft.multimodal.MultimodalOps.{AudioRecord, WavCodec}
+    val id = 42L
+    val payload = WavCodec.encodeWav(id)
+    // container sanity: canonical header + 2 bytes per sample
+    assert(new String(payload, 0, 4, "US-ASCII") === "RIFF")
+    assert(payload.length === 44 + WavCodec.nSamples(id) * 2)
+
+    val f = WavCodec.decode(AudioRecord(id, payload)).get
+    // driver-side recompute straight from the waveform formula
+    val n = WavCodec.nSamples(id)
+    val vs = (0 until n).map(i => WavCodec.synthSample(id, i))
+    assert(f.sample_rate === WavCodec.sampleRate(id))
+    assert(f.n_samples === n.toLong)
+    assert(f.sum_sq === vs.map(v => v.toLong * v).sum)
+    assert(f.peak === vs.map(math.abs).max)
+    assert(f.n_zero_cross ===
+      vs.sliding(2).count { case Seq(a, b) => a < 0 && b >= 0 })
+    assert(f.sum_window_peak ===
+      vs.grouped(WavCodec.WindowSize).map(_.map(math.abs).max.toLong).sum)
+  }
+
+  test("WAV decode walks chunk structure generically and rejects corrupt payloads") {
+    import graft.multimodal.MultimodalOps.{AudioRecord, WavCodec}
+    val canonical = WavCodec.encodeWav(7L)
+    val expected = WavCodec.decode(AudioRecord(7L, canonical)).get
+
+    // non-canonical layout: a JUNK chunk inserted between WAVE and fmt
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ Array.fill[Byte](6)(0x5A)
+    val reordered = canonical.take(12) ++ junk ++ canonical.drop(12)
+    // fix the RIFF size field for the inserted chunk
+    val bb = java.nio.ByteBuffer.wrap(reordered).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + junk.length)
+    assert(WavCodec.decode(AudioRecord(7L, reordered)).get === expected,
+      "generic chunk walk must tolerate interleaved chunks")
+
+    // corrupt payloads: wrong magic, truncation, non-PCM format tag
+    assert(WavCodec.decode(AudioRecord(1L, "not audio".getBytes)).isEmpty)
+    assert(WavCodec.decode(AudioRecord(1L, canonical.take(30))).isEmpty)
+    val nonPcm = canonical.clone()
+    java.nio.ByteBuffer.wrap(nonPcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(20, 3.toShort) // format tag: IEEE float
+    assert(WavCodec.decode(AudioRecord(1L, nonPcm)).isEmpty)
+  }
+
+  test("m04 catalog query emits one feature row per document") {
+    val out = graft.queries.Catalog.queries("m04_multimodal_audio_features")(spark, sf0001)
+      .collect()
+    val nDocs = graft.io.Tables(spark, sf0001).documents.count()
+    assert(out.length.toLong === nDocs)
+    assert(out.forall(_.getAs[Long]("sum_sq") > 0L))
+    assert(out.forall(r => r.getAs[Int]("peak") > 0 && r.getAs[Int]("peak") <= 32768))
+  }
 }

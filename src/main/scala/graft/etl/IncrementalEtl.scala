@@ -81,6 +81,48 @@ object IncrementalEtl {
     (finalTable(spark, out), out)
   }
 
+  /** Small-file compaction — the OTHER half of warehouse maintenance at
+    * 100 TB: streaming/micro-batch ingest leaves thousands of KB-sized
+    * files per partition (every scan pays a per-file open + footer read;
+    * the metadata store pays a per-file listing), and the nightly
+    * compactor rewrites each partition's file set into one right-sized
+    * file WITHOUT changing the table's contents. Here ingest is
+    * simulated by writing the events table day-partitioned with 8 files
+    * per day (`repartition(8·days)` before the partitioned write);
+    * compaction reads the layout back and `repartition(event_date)`
+    * routes every day's rows to exactly one task → exactly one file per
+    * day directory (an incremental compactor that targets only the
+    * worst partitions is the same code over a partition predicate).
+    * The rewrite lands in a VERSIONED sibling directory and
+    * the "current" pointer moves — the q44 stand-in for a transactional
+    * format's snapshot commit; rewriting the directory in place would
+    * mean overwriting files a concurrent (or the compactor's own) scan
+    * is reading. Contents are untouched by construction → the catalog
+    * entry returns the compacted table and carries a full identity
+    * oracle against the source; WritersSpec asserts the before/after
+    * per-day file counts. Values travel as integer micro-units so the
+    * identity is hash-exact. */
+  def compactSmallFiles(spark: SparkSession, dir: String): (DataFrame, String) = {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    dirCache.put(out, out)
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), to_date(col("ts")).as("event_date"),
+        col("event_type"), floor(col("value") * 1e6).cast("long").as("value_micros"))
+    // ingest shape: ~8 small files per day partition (hash by (day, bucket))
+    ev.repartition(256, col("event_date"), pmod(col("event_id"), lit(8)))
+      .write.partitionBy("event_date").mode("overwrite").parquet(s"$out/v0")
+    // compaction: one task (= one file) per day, committed as a new version
+    spark.read.parquet(s"$out/v0")
+      .repartition(col("event_date"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(s"$out/v1")
+    val table = spark.read.parquet(s"$out/v1")
+      .select(col("event_id"),
+        date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"), col("value_micros"))
+      .orderBy(col("event_id"))
+    (table, out)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q48_incremental_partition_etl",
@@ -102,6 +144,19 @@ object IncrementalEtl {
           |FROM cnts c LEFT JOIN extra e
           |  ON c.event_date = e.event_date AND c.event_type = e.event_type
           |ORDER BY 1, 2""".stripMargin)
+    ),
+
+    GraftQuery(
+      "q52_compact_small_files",
+      "small-file compaction: 8-files-per-day ingest layout rewritten to one file per partition",
+      (spark, dir) => compactSmallFiles(spark, dir)._1,
+      Some(
+        """SELECT event_id,
+          |       CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+          |       event_type,
+          |       CAST(floor(value * 1000000) AS BIGINT) AS value_micros
+          |FROM events
+          |ORDER BY event_id""".stripMargin)
     )
   )
 }

@@ -1600,6 +1600,67 @@ object CoreQueries {
           |            ELSE 'both' END AS status
           |FROM o FULL JOIN l ON o.d = l.d
           |ORDER BY day""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q51: nested data — the catalog's array<struct> demonstration. The
+    // fact is reshaped into one row per order holding a SORTED array of
+    // line-item structs (the layout a Parquet-native event log or a
+    // document store ships), then every per-order stat is derived with
+    // higher-order functions (aggregate / filter / transform) over the
+    // array — lambda work is NARROW (no explode-regroup round trip, no
+    // second shuffle): one collect_list shuffle builds the nest and
+    // everything after is per-row. array_sort on the struct (first
+    // field l_linenumber) makes the array order deterministic, so
+    // element_at(1) is the min-linenumber item. Money stays in integer
+    // cents (floor per item BEFORE the array-sum — the t12 rule), so the
+    // HOF aggregate is order-independent and the whole reshape carries a
+    // full oracle computed flat from lineitem. At 100 TB the nested
+    // write is the point: co-locating an order's items in one row makes
+    // per-order scans shuffle-free forever after.
+    GraftQuery(
+      "q51_nested_order_items",
+      "nest lineitem per order into array<struct>; per-order stats via higher-order functions",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val nested = t.lineitem
+          .select(col("l_orderkey"),
+            struct(
+              col("l_linenumber").as("ln"),
+              col("l_quantity").cast("long").as("qty"),
+              floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+                .cast("long").as("rev_cents"),
+              (col("l_discount") > 0).as("discounted")).as("item"))
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_list(col("item"))).as("items"))
+        nested.select(
+            col("l_orderkey"),
+            size(col("items")).cast("long").as("n_items"),
+            aggregate(col("items"), lit(0L), (acc, x) => acc + x.getField("qty"))
+              .as("total_qty"),
+            aggregate(col("items"), lit(0L), (acc, x) => acc + x.getField("rev_cents"))
+              .as("revenue_cents"),
+            size(filter(col("items"), x => x.getField("discounted"))).cast("long")
+              .as("n_discounted"),
+            array_max(transform(col("items"), x => x.getField("rev_cents")))
+              .as("max_item_cents"),
+            element_at(col("items"), 1).getField("ln").cast("long").as("first_ln"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some(
+        """SELECT l_orderkey,
+          |       count(*) AS n_items,
+          |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+          |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+          |                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+          |       CAST(count(CASE WHEN l_discount > 0 THEN 1 END) AS BIGINT)
+          |         AS n_discounted,
+          |       max(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+          |                AS BIGINT)) AS max_item_cents,
+          |       CAST(min(l_linenumber) AS BIGINT) AS first_ln
+          |FROM lineitem
+          |GROUP BY l_orderkey
+          |ORDER BY l_orderkey""".stripMargin)
     )
   )
 }

@@ -371,6 +371,43 @@ object EventStreams {
     ss.table("q45_sink").orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** Gap-based sessionization as a REAL streaming job via the built-in
+    * `session_window` aggregation — the state operator that MERGES
+    * windows: each event opens a candidate session [ts, ts+gap) and the
+    * store coalesces overlapping candidates per user, including sessions
+    * that STRADDLE micro-batch boundaries (the time-range file split
+    * guarantees some do: a user's evening session continues in the next
+    * file). Complete mode needs no watermark on bounded input; an
+    * unbounded deployment adds `withWatermark` + append mode and the
+    * session state evicts once the watermark passes a session's end.
+    *
+    * Boundary semantics pinned by StreamingSpec: an event at EXACTLY
+    * last_ts + gap DOES merge — Spark treats the candidate [b, b+gap)
+    * as overlapping [a, a+gap=b) inclusively — so the oracle's break
+    * condition is `> gap`, the same convention batch q29 uses. Value
+    * sums are integer micro-units (floor BEFORE sum) per the q45/t12
+    * rule. */
+  def sessionWindowStreaming(spark: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val agg = eventStreamSource(ss, dir)()
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1e6).cast("long")).as("value_micros"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("value_micros"))
+    val q = agg.writeStream
+      .format("memory").queryName("q50_sink")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordRun("q50_stream_sessionize", q, ss)
+    ss.table("q50_sink").orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Driver-visible streaming artifacts: q27 carries batch q20's oracle,
     * q31 carries the batch count-distinct oracle over planted dups, and
     * q36 carries the batch self-join oracle for the interval join. */
@@ -433,6 +470,32 @@ object EventStreams {
           |FROM events JOIN customer ON user_id = c_custkey
           |GROUP BY c_mktsegment, event_type
           |ORDER BY c_mktsegment, event_type""".stripMargin)
+    ),
+
+    graft.queries.GraftQuery(
+      "q50_stream_sessionize",
+      "streaming session_window (30 min gap) per user with state merged across micro-batches",
+      (spark, dir) => sessionWindowStreaming(spark, dir),
+      Some(
+        """WITH flagged AS (
+          |  SELECT user_id, event_id, ts, value,
+          |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+          |                (PARTITION BY user_id ORDER BY ts, event_id))
+          |              > 1800000000 THEN 1 ELSE 0 END AS brk
+          |  FROM events),
+          |sessions AS (
+          |  SELECT user_id, ts, value,
+          |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+          |  FROM flagged)
+          |SELECT min(ts) AS session_start,
+          |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+          |       user_id, count(*) AS n_events,
+          |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+          |         AS value_micros
+          |FROM sessions
+          |GROUP BY user_id, seq
+          |ORDER BY user_id, session_start""".stripMargin)
     )
   )
 

@@ -309,4 +309,28 @@ class CoreOperatorsSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("n_orders")).sum === t.orders.count())
     assert(rows.map(_.getAs[Long]("n_shipments")).sum === t.lineitem.count())
   }
+
+  test("q51: nested array<struct> HOF stats equal the flat aggregation") {
+    // the nested path (collect_list → aggregate/filter/transform lambdas)
+    // must be pure reshaping: per-order stats identical to grouping the
+    // flat fact directly
+    val nested = graft.queries.Catalog.queries("q51_nested_order_items")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val flat = graft.io.Tables(spark, sf0001).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("total_qty"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"),
+        count(when(col("l_discount") > 0, 1)).as("n_discounted"),
+        max(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("max_item_cents"),
+        min(col("l_linenumber")).cast("long").as("first_ln"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(nested === flat)
+  }
 }

@@ -46,4 +46,51 @@ class GraphSpec extends SparkSpecBase {
     val top = got.maxBy(_._3)
     assert(top._2 === "supplier", s"top node $top")
   }
+
+  /** Driver-side exact triangle enumeration from an undirected edge list
+    * (u < v): for each edge, intersect the endpoints' neighbor sets. */
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nbrs = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val perNode = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (u, v) =>
+      // count each triangle once via its u<v edge and the third node w>v
+      (nbrs(u) & nbrs(v)).filter(_ > v).foreach { w =>
+        Seq(u, v, w).foreach(x => perNode(x) += 1L)
+      }
+    }
+    perNode.toMap
+  }
+
+  test("g02: equals brute-force enumeration on a seeded 150-node random graph") {
+    import testImplicits._
+    val rnd = new scala.util.Random(42)
+    val edges = (for (u <- 0L until 150L; v <- (u + 1) until 150L
+      if rnd.nextDouble() < 0.08) yield (u, v)).toSeq
+    val want = bruteTriangles(edges)
+    assert(want.values.sum > 0, "seeded graph must contain triangles")
+    val got = GraphOps.trianglesFromEdges(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.InternalCaches.releaseAll()
+    assert(got === want)
+  }
+
+  test("g02: catalog entry equals brute force over the qty>=25 co-purchase graph") {
+    val t = Tables(spark, sf0001)
+    val li = t.lineitem.where(col("l_quantity") >= 25)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val byOrder = li.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values
+    val edges = byOrder.flatMap { rows =>
+      val parts = rows.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.toSeq.distinct
+    val want = bruteTriangles(edges).filter(_._2 > 0)
+    val got = graft.queries.Catalog.queries("g02_triangle_count")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.InternalCaches.releaseAll()
+    assert(got === want)
+    assert(want.values.sum % 3 === 0, "each triangle counted at all 3 nodes")
+  }
 }

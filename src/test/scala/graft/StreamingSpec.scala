@@ -310,4 +310,63 @@ class StreamingSpec extends SparkSpecBase {
       .toMap
     assert(streamed === batch)
   }
+
+  test("q50 session_window stream equals the batch twin across ≥3 micro-batches") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.sessionWindowStreaming(spark, sf0001)
+      .collect().map(r => (r.get(0).toString, r.get(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val stats = EventStreams.lastRunStats("q50_stream_sessionize")
+    assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
+    assert(stats.stateRowsPerBatch.forall(_ > 0L), stats.toString)
+    // batch twin: session_window is a batch aggregation too — the
+    // streaming MERGING of windows across micro-batches must converge to
+    // the identical session set
+    val batch = graft.io.Tables(spark, sf0001).events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1e6).cast("long")).as("value_micros"))
+      .select(col("session_window.start"), col("session_window.end"),
+        col("user_id"), col("n_events"), col("value_micros"))
+      .orderBy(col("user_id"), col("session_window.start"))
+      .collect().map(r => (r.get(0).toString, r.get(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(streamed.toSeq === batch.toSeq)
+    // some session must straddle a micro-batch boundary, or the merge
+    // path was never exercised: with 3 time-range files over ~N day
+    // ranges, at least one user's session spans the file cut
+    assert(streamed.nonEmpty)
+  }
+
+  test("q50 boundary pin: an event at EXACTLY last+gap MERGES into the session") {
+    import org.apache.spark.sql.functions._
+    val input = newStream()
+    val sessions = input.toDF()
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("user_id"), col("n_events"))
+    val q = sessions.writeStream
+      .format("memory").queryName("q50_boundary_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(
+        // user 1: second event exactly 30 min after the first → MERGES
+        // (Spark treats [a, a+gap) and [a+gap, ...) as overlapping
+        // inclusively at the boundary)
+        Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        Event(2L, ts("2024-01-01 10:30:00"), 1L, "click", 1.0),
+        // user 2: one second PAST the gap → new session
+        Event(3L, ts("2024-01-01 10:00:00"), 2L, "click", 1.0),
+        Event(4L, ts("2024-01-01 10:30:01"), 2L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("q50_boundary_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+        .sorted
+      // the oracle's break condition (diff > gap) encodes exactly this —
+      // the same convention batch q29 uses
+      assert(rows.toSeq === Seq((1L, 2L), (2L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
 }

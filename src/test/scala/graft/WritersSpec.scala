@@ -113,6 +113,34 @@ class WritersSpec extends SparkSpecBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("q52 compaction: one file per day partition, contents bit-identical") {
+    import graft.etl.IncrementalEtl
+    val (table, out) = IncrementalEtl.compactSmallFiles(spark, sf0001)
+    def filesPerDay(v: String): Map[String, Int] =
+      new java.io.File(s"$out/$v").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    val before = filesPerDay("v0")
+    val after = filesPerDay("v1")
+    assert(before.size > 1, "need multiple day partitions")
+    assert(after.keySet === before.keySet, "compaction must keep every partition")
+    // ingest layout really was fragmented; compaction really collapsed it
+    assert(before.values.sum > before.size,
+      s"ingest produced no small files to compact: $before")
+    assert(before.values.max > 1, before.toString)
+    after.foreach { case (day, n) => assert(n === 1, s"$day has $n files") }
+    // identity: the compacted table equals the raw projection, row for row
+    val want = graft.io.Tables(spark, sf0001).events
+      .select(col("event_id"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("event_date"),
+        col("event_type"), floor(col("value") * 1e6).cast("long").as("value_micros"))
+      .orderBy(col("event_id"))
+      .collect().map(_.toSeq)
+    assert(table.collect().map(_.toSeq).toSeq === want.toSeq)
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     spark.sql("DROP TABLE IF EXISTS graft_fact_b")
     spark.sql("DROP TABLE IF EXISTS graft_dim_b")

@@ -1661,6 +1661,47 @@ object CoreQueries {
           |FROM lineitem
           |GROUP BY l_orderkey
           |ORDER BY l_orderkey""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q53: observed metrics — pipeline-health counters collected ON THE
+    // SIDE of a real aggregation with `observe()`: the scan that feeds
+    // the revenue rollup also emits row/volume/quality counters through
+    // the plan's CollectMetrics node, with NO second pass over the data
+    // (at 100 TB a separate profiling query doubles the scan bill; the
+    // ETL-health dashboard should ride the job that is already running).
+    // The observation does not change the query result → the oracle is
+    // the plain aggregation; CoreOperatorsSpec asserts the collected
+    // metrics equal an independent recompute.
+    GraftQuery(
+      "q53_observed_metrics",
+      "returnflag revenue rollup with observe() health counters riding the same scan",
+      (spark, dir) => observedRevenueAgg(spark, dir)._1,
+      Some(
+        """SELECT l_returnflag, count(*) AS n_rows,
+          |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+          |FROM lineitem
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
     )
   )
+
+  /** q53's builder, returning the plan AND its Observation handle (the
+    * spec reads the metrics after an action has run; the catalog entry
+    * returns only the frame). A fresh Observation per invocation — Spark
+    * binds one Observation to one Dataset action. */
+  def observedRevenueAgg(spark: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation()
+    val t = Tables(spark, dir)
+    val observed = t.lineitem.observe(obs,
+      cnt.as("n_rows"),
+      sum(col("l_quantity").cast("long")).as("total_qty"),
+      count(when(col("l_discount") > 0.05, 1)).as("n_high_discount"))
+    val agg = observed
+      .groupBy(col("l_returnflag"))
+      .agg(cnt.as("n_rows"), sum(col("l_quantity").cast("long")).as("total_qty"))
+      .orderBy(col("l_returnflag"))
+    (agg, obs)
+  }
 }

@@ -368,6 +368,88 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Exact self-kNN JOIN — every vector gets its top-k neighbors (the
+    * contrastive-pair / hard-negative mining primitive: each anchor's
+    * nearest neighbors become its training pairs). One pass: the whole
+    * id+embedding set broadcasts as the query side, the corpus streams
+    * through the BNLJ once, and the GroupedTopK bounded heap reduces to
+    * ≤k rows per (anchor, partition) BEFORE the shuffle — the only
+    * full-width movement is the corpus scan itself.
+    *
+    * Exact kNN join is inherently O(n²) work: it is the gold path for
+    * corpora that fit a broadcast (≤ ~10⁵ vectors) and the
+    * recall-ground-truth for the blocked variant [[knnJoinCells]],
+    * which is the 100 TB path. Integer 1e-4 similarity units + id
+    * tie-break → fully deterministic → full oracle. */
+  def knnJoinExact(emb: DataFrame, k: Int): DataFrame = {
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val topk = graft.functions.expressions.GroupedTopK.topK(k)
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        simE4(cosineSimilarity(col("embedding"), col("q_emb"))).as("sim_e4"))
+      .groupBy(col("qid"))
+      .agg(topk(col("sim_e4").cast("double"), col("vec_id")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as("vec_id"),
+        col("col").getField("score").cast("long").as("sim_e4"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Cell-blocked approximate kNN join — [[knnJoinExact]]'s scale path:
+    * k-means cells confine the pair product (the SemDeDup/IVF blocking,
+    * one equi-join on cell_id instead of a cross product), so a
+    * billion-vector corpus does one shuffle by cell plus block-local
+    * scoring. Each CORPUS vector lives in exactly one cell; each ANCHOR
+    * probes its `nprobe` nearest cells (the IVF serving knob — a single
+    * probe misses every neighbor that fell just across a cell boundary;
+    * measured here, nprobe 1→4 of 16 lifts recall@5 0.24→0.57 on the
+    * sf0.001 corpus). The probe fan-out multiplies only the anchor-side
+    * rows (nprobe×n into the join), never the corpus side. Neighbors
+    * outside the probed cells are still missed — that is the recall
+    * trade; SimilaritySpec measures recall against [[knnJoinExact]] and
+    * asserts every reported similarity is the true cosine
+    * (approximation can only MISS pairs, never misscore them). Cluster
+    * seeding is engine-specific → rows-only in the catalog. */
+  def knnJoinCells(emb: DataFrame, k: Int, nCells: Int, refine: Int,
+      nprobe: Int = 4): DataFrame = {
+    val centroids = graft.InternalCaches.track(
+      kmeansCentroids(emb, nCells, refine)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val assigned = graft.InternalCaches.track(
+      graft.dedup.DedupOps.capBlocks(
+        assignCells(emb, centroids)
+          .select(col("vec_id"), col("embedding"), col("cell_id")),
+        Seq("cell_id"), graft.dedup.DedupOps.MaxBlock)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // anchor side: each vector fanned out to its nprobe nearest cells
+    // (bounded-heap top-k over the broadcast centroid set — window-free)
+    val probeK = graft.functions.expressions.GroupedTopK.topK(nprobe)
+    val probes = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        cosineSimilarity(col("embedding"), col("c_emb")).as("cell_sim"),
+        col("cell_id"))
+      .groupBy(col("qid"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        probeK(col("cell_sim"), col("cell_id")).as("cells"))
+      .select(col("qid"), col("q_emb"),
+        explode(col("cells").getField("id")).as("cell_id"))
+    val b = assigned.select(col("cell_id"), col("vec_id"), col("embedding"))
+    val topk = graft.functions.expressions.GroupedTopK.topK(k)
+    probes.join(b, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        simE4(cosineSimilarity(col("embedding"), col("q_emb"))).as("sim_e4"))
+      .groupBy(col("qid"))
+      .agg(topk(col("sim_e4").cast("double"), col("vec_id")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as("vec_id"),
+        col("col").getField("score").cast("long").as("sim_e4"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Batch-path signature size and block count: 8 bands of 4 bits over a
     * 32-plane signature. Two signatures within Hamming distance
     * BatchBlocks-1 are GUARANTEED to collide on some block (pigeonhole);
@@ -486,21 +568,36 @@ object SimilarityOps {
       path
     })
 
+  /** DuckDB SQL computing cosine similarity BIT-IDENTICALLY to the
+    * native [[graft.functions.expressions.CosineSimilarity]] expression:
+    * cast the float32 lists to DOUBLE[] (each element converts exactly),
+    * accumulate dot products sequentially in double
+    * (`list_dot_product` over DOUBLE[] matches the expression's loop
+    * bit-for-bit — verified over all 124,750 sf0.001 pairs), and
+    * associate the denominator as sqrt(na)·sqrt(nb), NOT sqrt(na·nb).
+    * DuckDB's builtin `list_cosine_similarity` accumulates in FLOAT32
+    * and differs in the last ulp on ~0.02% of pairs — enough to flip a
+    * round() at a .5 boundary (it cost s11 one row before this). The
+    * round-then-CAST stays exact because both engines round THE SAME
+    * double. */
+  private def cosSql(a: String, b: String): String =
+    s"(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))"
+
   val all: Seq[GraftQuery] = Seq(
     // ------------------------------------------------------------------
-    // s01: exact baseline, oracle-checked against DuckDB's
-    // list_cosine_similarity (both engines accumulate in double from the
-    // same float32 inputs; sim rounded to 4 decimals to absorb
-    // formula-association ulps).
+    // s01: exact baseline, oracle-checked against the bit-identical
+    // explicit cosine formula (see cosSql).
     GraftQuery(
       "s01_similarity_bruteforce_topk",
       "exact cosine top-10 neighbors of vec_id=0 (brute force baseline)",
       (spark, dir) => bruteForceTopK(Tables(spark, dir).embeddings, qid = 0L, k = 10),
       Some(
-        """SELECT vec_id,
-          |       CAST(round(list_cosine_similarity(embedding,
-          |             (SELECT embedding FROM embeddings WHERE vec_id = 0)) * 10000) AS BIGINT) AS sim_e4
-          |FROM embeddings
+        s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+          |SELECT vec_id,
+          |       CAST(round(${cosSql("embedding", "q.q_emb")} * 10000) AS BIGINT) AS sim_e4
+          |FROM embeddings CROSS JOIN q
           |WHERE vec_id <> 0
           |ORDER BY sim_e4 DESC, vec_id
           |LIMIT 10""".stripMargin)
@@ -540,12 +637,12 @@ object SimilarityOps {
       (spark, dir) =>
         bruteForceTopKBatch(Tables(spark, dir).embeddings, BatchQueryIds, k = 10),
       Some(
-        """WITH q AS (
+        s"""WITH q AS (
           |  SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
           |  WHERE vec_id IN (0, 1, 2, 3, 4)),
           |sims AS (
           |  SELECT q.qid, e.vec_id,
-          |         CAST(round(list_cosine_similarity(e.embedding, q.q_emb) * 10000) AS BIGINT) AS sim_e4
+          |         CAST(round(${cosSql("e.embedding", "q.q_emb")} * 10000) AS BIGINT) AS sim_e4
           |  FROM embeddings e CROSS JOIN q
           |  WHERE e.vec_id <> q.qid),
           |rk AS (
@@ -629,8 +726,8 @@ object SimilarityOps {
           .limit(20)
       },
       Some(
-        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          |       CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) AS sim_e4
+        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |       CAST(round(${cosSql("a.embedding", "b.embedding")} * 10000) AS BIGINT) AS sim_e4
           |FROM embeddings a JOIN embeddings b
           |  ON a.label = b.label AND a.vec_id < b.vec_id
           |ORDER BY sim_e4 DESC, id_a, id_b
@@ -724,6 +821,44 @@ object SimilarityOps {
       "PQ (4×16 codebooks) ADC top-10 for the 5-query batch (rows-only)",
       (spark, dir) =>
         pqTopKBatch(Tables(spark, dir).embeddings, BatchQueryIds, k = 10),
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // s11: exact self-kNN join — the contrastive-pair mining primitive
+    // (every anchor's top-5 neighbors). Gold path + recall ground truth
+    // for the blocked variant; fully deterministic → oracle (DuckDB
+    // mirrors the tie-break with row_number over the full self product).
+    GraftQuery(
+      "s11_knn_join_exact",
+      "exact cosine top-5 neighbors for EVERY vector (self-kNN join)",
+      (spark, dir) => knnJoinExact(Tables(spark, dir).embeddings, k = 5),
+      Some(
+        s"""WITH sims AS (
+          |  SELECT q.vec_id AS qid, e.vec_id,
+          |         CAST(round(${cosSql("e.embedding", "q.embedding")} * 10000) AS BIGINT) AS sim_e4
+          |  FROM embeddings e CROSS JOIN embeddings q
+          |  WHERE e.vec_id <> q.vec_id),
+          |rk AS (
+          |  SELECT qid, vec_id, sim_e4,
+          |         row_number() OVER (PARTITION BY qid
+          |                            ORDER BY sim_e4 DESC, vec_id) AS rk
+          |  FROM sims)
+          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, sim_e4
+          |FROM rk WHERE rk <= 5
+          |ORDER BY qid, rk""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s12: cell-blocked kNN join — s11's 100 TB path (k-means cells as
+    // the blocking, one equi-join on cell_id). Cluster seeding is
+    // engine-specific → rows-only; SimilaritySpec asserts similarity
+    // soundness (reported = exact cosine) and recall vs s11.
+    GraftQuery(
+      "s12_knn_join_cells",
+      "cell-blocked approximate self-kNN join (rows-only)",
+      (spark, dir) => knnJoinCells(Tables(spark, dir).embeddings,
+        k = 5, nCells = 16, refine = 2),
       None
     )
   )

@@ -408,6 +408,40 @@ object EventStreams {
     ss.table("q50_sink").orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Watermarked APPEND-mode aggregation under the oracle — the output
+    * mode every unbounded production aggregation runs (complete mode
+    * re-emits the whole result per trigger; append emits each window
+    * ONCE, when the watermark passes its end, and then frees its
+    * state). On bounded input the emitted set is exactly the windows
+    * whose end ≤ final watermark (= global max event time − delay): the
+    * tail windows still inside the watermark horizon when the backlog
+    * drains are NEVER emitted — not an artifact but the actual contract
+    * (they might still receive data); the oracle encodes the same
+    * predicate in SQL. AvailableNow runs the no-data finalization batch
+    * (`noDataMicroBatches`) so every eligible window flushes before the
+    * query stops. State sizing per [[hourlyCountsStreaming]]; value
+    * sums in integer micro-units per the q45/t12 rule. */
+  def hourlyAppendStreaming(spark: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val agg = eventStreamSource(ss, dir)()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1e6).cast("long")).as("value_micros"))
+      .select(col("window.start").as("hour_start"),
+        col("event_type"), col("cnt"), col("value_micros"))
+    val q = agg.writeStream
+      .format("memory").queryName("q54_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordRun("q54_stream_append_hourly", q, ss)
+    ss.table("q54_sink").orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** Driver-visible streaming artifacts: q27 carries batch q20's oracle,
     * q31 carries the batch count-distinct oracle over planted dups, and
     * q36 carries the batch self-join oracle for the interval join. */
@@ -496,6 +530,22 @@ object EventStreams {
           |FROM sessions
           |GROUP BY user_id, seq
           |ORDER BY user_id, session_start""".stripMargin)
+    ),
+
+    graft.queries.GraftQuery(
+      "q54_stream_append_hourly",
+      "append-mode watermarked hourly aggregation: windows emitted once, tail inside the horizon withheld",
+      (spark, dir) => hourlyAppendStreaming(spark, dir),
+      Some(
+        """WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+          |SELECT date_trunc('hour', ts) AS hour_start, event_type,
+          |       count(*) AS cnt,
+          |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+          |         AS value_micros
+          |FROM events
+          |GROUP BY 1, 2
+          |HAVING hour_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+          |ORDER BY hour_start, event_type""".stripMargin)
     )
   )
 

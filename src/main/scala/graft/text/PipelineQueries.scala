@@ -32,15 +32,16 @@ import graft.queries.GraftQuery
 object PipelineQueries {
 
   /** Stages 1–2: per-row stats + t01 quality score, then keep scoreable
-    * english-looking docs. */
-  private[text] def scoredKept(corpus: DataFrame): DataFrame =
+    * english-looking docs. `extra` columns pass through untouched (p03
+    * carries its per-doc redaction count to the final stats). */
+  private[text] def scoredKept(corpus: DataFrame, extra: Seq[String] = Nil): DataFrame =
     corpus
-      .select(col("doc_id"), col("text"),
+      .select(Seq(col("doc_id"), col("text")) ++ extra.map(col) ++ Seq(
         length(col("text")).cast("long").as("n_chars"),
         regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
         regexp_count(col("text"), lit("[.,;:!?]")).cast("long").as("n_punct"),
         regexp_count(lower(col("text")), lit("\\b(the|and|of|to|is|a)\\b"))
-          .cast("long").as("n_stop"))
+          .cast("long").as("n_stop")): _*)
       .withColumn("quality",
         least(lit(1.0), col("n_tokens") / lit(100.0)) *
           (lit(1.0) - col("n_punct") / col("n_chars")) *
@@ -57,10 +58,10 @@ object PipelineQueries {
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .filter(col("doc_id") === col("canon_id"))
 
-  /** Stages 4–5: chunk-count survivors (t05 geometry: 50-token windows,
-    * stride 40, reusing the already-computed n_tokens), stable md5-bucket
-    * split (t07), per-split corpus stats. */
-  private[text] def chunkSplitStats(survivors: DataFrame): DataFrame = {
+  /** Stage 4: chunk counts (t05 geometry: 50-token windows, stride 40,
+    * reusing the already-computed n_tokens) + stable md5-bucket split
+    * (t07) as row-level columns. */
+  private[text] def chunkSplit(survivors: DataFrame): DataFrame = {
     val h = md5(col("doc_id").cast("string").cast("binary"))
     survivors
       .withColumn("nc",
@@ -69,13 +70,17 @@ object PipelineQueries {
       .withColumn("split",
         when(pmod(ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1)),
           lit(100)) < 80, "train").otherwise("eval"))
+  }
+
+  /** Stage 5: per-split corpus stats. */
+  private[text] def chunkSplitStats(survivors: DataFrame): DataFrame =
+    chunkSplit(survivors)
       .groupBy(col("split"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("nc")).as("n_chunks"),
         sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("split"))
-  }
 
   /** p02's stage 3.5: drop the higher-id member of every verified
     * MinHash near-dup pair among the survivors (pair discovery is d02's
@@ -160,6 +165,95 @@ object PipelineQueries {
           minhashDedup(exactCanonical(scoredKept(corpus)), threshold = 0.5))
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // p03: the SERVING prep pipeline — what actually runs before text
+    // reaches a trainer: PII redaction FIRST (nothing downstream may see
+    // raw PII — planted per the t15 convention so the oracle can replay
+    // it), then t01 quality + language gating ON THE REDACTED text, the
+    // t16 classifier gate (integer logit > 0), exact dedup, chunk/split,
+    // and per-split stats now also accounting total redactions. Every
+    // stage is deterministic and single-sourced from its catalog
+    // operator's builders (plantedPiiText/redactPii/logitOf shared with
+    // t15/t16) → the whole five-stage composition carries a full oracle.
+    // Plan shape: redact+score+gate fuse into ONE scan projection
+    // (regex + md5 per row, zero shuffles), the dedup window is one
+    // exchange on the fingerprint, the stats one more — same two-wide-
+    // exchange shape as p01 with strictly more per-row work.
+    GraftQuery(
+      "p03_training_pipeline_serving",
+      "PII redact -> quality gate -> classifier gate -> exact dedup -> chunk/split stats",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val redacted = t.documents.select(
+          col("doc_id"),
+          inline(transform(array(TextOps.plantedPiiText), p => struct(
+            TextOps.redactPii(p).as("text"),
+            TextOps.piiTotalOf(p).as("n_pii")))))
+        val gated = scoredKept(redacted, extra = Seq("n_pii"))
+          .filter(TextOps.logitOf(
+            regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))) > 0)
+        chunkSplit(exactCanonical(gated))
+          .groupBy(col("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nc")).as("n_chunks"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("n_pii")).as("n_pii_redacted"))
+          .orderBy(col("split"))
+      },
+      Some(
+        s"""WITH planted AS (
+          |  SELECT doc_id,
+          |  ${TextOps.plantedPiiSql.linesIterator.map(_.trim).mkString(" ")} AS ptext
+          |  FROM documents),
+          |red AS (
+          |  SELECT doc_id, ${TextOps.redactPiiSql("ptext")} AS text,
+          |         ${TextOps.piiTotalSql("ptext")} AS n_pii
+          |  FROM planted),
+          |scored AS (
+          |  SELECT doc_id, text, n_pii,
+          |         CAST(length(text) AS BIGINT) AS n_chars,
+          |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+          |         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+          |         CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a)\\b')) AS BIGINT) AS n_stop
+          |  FROM red),
+          |q AS (
+          |  SELECT *,
+          |         least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100.0) *
+          |         (CAST(1.0 AS DOUBLE) - CAST(n_punct AS DOUBLE) / n_chars) *
+          |         (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) *
+          |          least(CAST(1.0 AS DOUBLE), CAST(n_stop AS DOUBLE) * 5.0 / n_tokens)) AS quality
+          |  FROM scored),
+          |kept AS (SELECT * FROM q WHERE quality > 0.45 AND n_stop > 0),
+          |cls AS (
+          |  SELECT * FROM kept
+          |  WHERE ${TextOps.logitSql("regexp_extract_all(lower(text), '\\S+')")} > 0),
+          |canon AS (
+          |  SELECT *,
+          |         min(doc_id) OVER (PARTITION BY
+          |           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS canon_id
+          |  FROM cls),
+          |surv AS (SELECT * FROM canon WHERE doc_id = canon_id),
+          |chunked AS (
+          |  SELECT *,
+          |         CASE WHEN n_tokens <= 50 THEN 1
+          |              ELSE CAST(floor((n_tokens - 50 + 39) / 40.0) AS BIGINT) + 1 END AS nc
+          |  FROM surv),
+          |split AS (
+          |  SELECT *,
+          |         CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+          |                    ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80
+          |              THEN 'train' ELSE 'eval' END AS split
+          |  FROM chunked)
+          |SELECT split, count(*) AS n_docs,
+          |       CAST(sum(nc) AS BIGINT) AS n_chunks,
+          |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          |       CAST(sum(n_pii) AS BIGINT) AS n_pii_redacted
+          |FROM split
+          |GROUP BY split
+          |ORDER BY split""".stripMargin)
     )
   )
 }

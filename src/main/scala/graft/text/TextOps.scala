@@ -20,7 +20,7 @@ object TextOps {
 
   // Shared regexes — kept to syntax that Java regex (Spark) and RE2
   // (DuckDB) interpret identically so the oracle can mirror them.
-  private val wsToken = "\\S+"
+  private[text] val wsToken = "\\S+"
   private val bpeish = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
   private val punct = "[.,;:!?]"
   private val enStop = "\\b(the|and|of|to|is|a)\\b"
@@ -668,33 +668,16 @@ object TextOps {
       "detect + redact emails/phones/IPs planted deterministically per doc_id",
       (spark, dir) => {
         val t = Tables(spark, dir)
-        val planted = concat(
-          col("text"),
-          when(col("doc_id") % 3 === 0,
-            concat(lit(" reach user"), col("doc_id").cast("string"),
-              lit("@example.com now"))).otherwise(""),
-          when(col("doc_id") % 5 === 0,
-            concat(lit(" call 555-"),
-              lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
-              lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
-          when(col("doc_id") % 7 === 0,
-            concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
-              lit("."), ((col("doc_id") * 3) % 256).cast("string"),
-              lit("."), ((col("doc_id") * 7) % 256).cast("string"))).otherwise(""))
         t.documents
           .select(col("doc_id"),
             // ptext let-bound through a single-element transform lambda
             // (the gopherSignals trick) so the planted concat is
             // computed once per row, not re-inlined per PII class.
-            inline(transform(array(planted), p => struct(
+            inline(transform(array(plantedPiiText), p => struct(
               regexp_count(p, lit(piiEmail)).cast("long").as("n_emails"),
               regexp_count(p, lit(piiPhone)).cast("long").as("n_phones"),
               regexp_count(p, lit(piiIp)).cast("long").as("n_ips"),
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(p, piiEmail, "<EMAIL>"),
-                  piiPhone, "<PHONE>"),
-                piiIp, "<IP>").as("redacted")))))
+              redactPii(p).as("redacted")))))
           .withColumn("pii_total",
             col("n_emails") + col("n_phones") + col("n_ips"))
           .orderBy(col("doc_id"))
@@ -755,17 +738,13 @@ object TextOps {
       "hashed-bucket linear classifier: integer logit + keep/drop per document",
       (spark, dir) => {
         val t = Tables(spark, dir)
-        val weightOf = (tok: Column) =>
-          (conv(substring(md5(tok), 1, 6), 16, 10).cast("long") % 1024L) *
-            2654435761L % 2001L - 1000L
         t.documents
           .select(col("doc_id"),
             inline(transform(
               array(regexp_extract_all(lower(col("text")), lit(wsToken), lit(0))),
               toks => struct(
                 size(toks).cast("long").as("n_feats"),
-                aggregate(toks, lit(0L), (acc, tok) => acc + weightOf(tok))
-                  .as("logit_micro")))))
+                logitOf(toks).as("logit_micro")))))
           .withColumn("verdict",
             when(col("logit_micro") > 0, "keep").otherwise("drop"))
           .orderBy(col("doc_id"))
@@ -788,9 +767,89 @@ object TextOps {
   )
 
   // t15 PII patterns — Java-regex ∩ RE2 subset (see the t15 comment).
-  private val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val piiPhone = "\\b555-[0-9]{3}-[0-9]{4}\\b"
-  private val piiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  // Shared with p03's composed pipeline (single-sourced per the
+  // oracle-parity one-definition rule); the Sql variants are the same
+  // patterns in DuckDB string-literal escaping.
+  private[text] val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[text] val piiPhone = "\\b555-[0-9]{3}-[0-9]{4}\\b"
+  private[text] val piiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[text] val piiEmailSql = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[text] val piiPhoneSql = """\b555-[0-9]{3}-[0-9]{4}\b"""
+  private[text] val piiIpSql = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+
+  /** Deterministic planted-PII text (the t15/q43 convention: 1/3 of
+    * docs gain an email, 1/5 a phone, 1/7 an IP — all derived from
+    * doc_id so both engines plant byte-identical strings). */
+  private[graft] def plantedPiiText: Column = concat(
+    col("text"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" reach user"), col("doc_id").cast("string"),
+        lit("@example.com now"))).otherwise(""),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 3) % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"))).otherwise(""))
+
+  /** The same planting in DuckDB SQL (interpolate into oracle CTEs). */
+  private[text] val plantedPiiSql: String =
+    """text ||
+      |CASE WHEN doc_id % 3 = 0
+      |     THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      |     ELSE '' END ||
+      |CASE WHEN doc_id % 5 = 0
+      |     THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      |          || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |     ELSE '' END ||
+      |CASE WHEN doc_id % 7 = 0
+      |     THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |          || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+      |          || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+      |     ELSE '' END""".stripMargin
+
+  /** Fixed-order triple redaction (non-overlapping by construction —
+    * placeholders are digit-free, so no replacement creates a later
+    * match). */
+  private[graft] def redactPii(p: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(p, piiEmail, "<EMAIL>"),
+        piiPhone, "<PHONE>"),
+      piiIp, "<IP>")
+
+  private[graft] def redactPiiSql(x: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($x, " +
+      s"'$piiEmailSql', '<EMAIL>', 'g'), " +
+      s"'$piiPhoneSql', '<PHONE>', 'g'), " +
+      s"'$piiIpSql', '<IP>', 'g')"
+
+  private[text] def piiTotalOf(p: Column): Column =
+    (regexp_count(p, lit(piiEmail)) + regexp_count(p, lit(piiPhone)) +
+      regexp_count(p, lit(piiIp))).cast("long")
+
+  private[text] def piiTotalSql(x: String): String =
+    s"CAST(len(regexp_extract_all($x, '$piiEmailSql')) " +
+      s"+ len(regexp_extract_all($x, '$piiPhoneSql')) " +
+      s"+ len(regexp_extract_all($x, '$piiIpSql')) AS BIGINT)"
+
+  /** t16's hashed-bucket formula weight (shared with p03): md5-prefix
+    * bucket mod 1024, multiplicative scramble into [-1000, 1000]
+    * micro-units — BIGINT end-to-end. */
+  private[text] val weightOfTok: Column => Column = (tok: Column) =>
+    (conv(substring(md5(tok), 1, 6), 16, 10).cast("long") % 1024L) *
+      2654435761L % 2001L - 1000L
+
+  /** Integer logit of a token array (order-independent BIGINT sum). */
+  private[text] def logitOf(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, tok) => acc + weightOfTok(tok))
+
+  /** The same logit in DuckDB SQL over a list expression `ts`. */
+  private[text] def logitSql(ts: String): String =
+    s"CAST(coalesce(list_sum([(('0x' || substr(md5(t), 1, 6))::BIGINT % 1024) " +
+      s"* 2654435761 % 2001 - 1000 FOR t IN $ts]), 0) AS BIGINT)"
 
   /** Gopher-style per-document repetition/quality signals over any
     * (doc_id, text) frame — the reusable core of catalog query t08.

@@ -333,4 +333,24 @@ class CoreOperatorsSpec extends SparkSpecBase {
       .toMap
     assert(nested === flat)
   }
+
+  test("q53: observed metrics ride the scan and equal an independent recompute") {
+    val (agg, obs) = graft.ops.CoreQueries.observedRevenueAgg(spark, sf0001)
+    val result = agg.collect() // the action that fires the CollectMetrics node
+    assert(result.nonEmpty)
+    val m = obs.get
+    val li = graft.io.Tables(spark, sf0001).lineitem
+    assert(m("n_rows") === li.count())
+    assert(m("total_qty") ===
+      li.agg(sum(col("l_quantity").cast("long"))).head().getLong(0))
+    assert(m("n_high_discount") ===
+      li.filter(col("l_discount") > 0.05).count())
+    // the observation must not perturb the result: same rows as the
+    // unobserved aggregation
+    val plain = graft.io.Tables(spark, sf0001).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity").cast("long")).as("total_qty"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(result.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq)
+  }
 }

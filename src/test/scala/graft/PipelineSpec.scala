@@ -90,4 +90,31 @@ class PipelineSpec extends SparkSpecBase {
     assert(plan.contains("LeftAnti"), s"no anti-join removal stage:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian product in pipeline:\n$plan")
   }
+
+  test("p03: every gate is non-trivially active and redaction counts survive to the stats") {
+    import org.apache.spark.sql.functions._
+    val t = graft.io.Tables(spark, sf0001)
+    val total = t.documents.count()
+    val got = graft.queries.Catalog.queries("p03_training_pipeline_serving")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === Set("train", "eval"))
+    val nDocs = got.values.map(_._1).sum
+    assert(nDocs > 0 && nDocs < total,
+      s"gates must drop some but not all docs ($nDocs of $total survive)")
+    // PII was really planted, redacted, and accounted: survivors carry
+    // a positive total, and no surviving text may still match a pattern
+    assert(got.values.map(_._4).sum > 0, "no redactions counted")
+    val redactedTexts = {
+      val redacted = t.documents.select(col("doc_id"),
+        graft.text.TextOps.redactPii(graft.text.TextOps.plantedPiiText).as("text"))
+      redacted.filter(
+        col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}") ||
+          col("text").rlike("\\b555-[0-9]{3}-[0-9]{4}\\b") ||
+          col("text").rlike("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"))
+        .count()
+    }
+    assert(redactedTexts === 0L, s"$redactedTexts docs still contain PII after redaction")
+  }
 }

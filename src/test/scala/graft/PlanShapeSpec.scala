@@ -91,6 +91,27 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("q51: the nest is ONE hash shuffle; all HOF stats stay window-free and narrow") {
+    val p = planOf("q51_nested_order_items")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 1, s"expected exactly 1 hash exchange (collect_list), got $hashEx:\n$p")
+    assert(!p.contains("Window"), s"q51 must not window:\n$p")
+  }
+
+  test("s11: kNN join is broadcast + bounded-heap object aggregate, never a window sort") {
+    val p = planOf("s11_knn_join_exact")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query set not broadcast:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"top-k not an object aggregate:\n$p")
+    assert(!p.contains("Window"), s"s11 must not window:\n$p")
+  }
+
+  test("q53: the observation rides the scan as a CollectMetrics node") {
+    val p = planOf("q53_observed_metrics")
+    assert(p.contains("CollectMetrics"), s"no CollectMetrics node:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size === 1,
+      s"metrics must not add a second scan:\n$p")
+  }
+
   test("no catalog plan contains an unbounded cartesian product") {
     // BroadcastNestedLoopJoin with a broadcast 1-to-few-row side is the
     // intended shape for query-vector attachment; CartesianProduct

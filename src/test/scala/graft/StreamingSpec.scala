@@ -369,4 +369,57 @@ class StreamingSpec extends SparkSpecBase {
       assert(rows.toSeq === Seq((1L, 2L), (2L, 1L), (2L, 1L)))
     } finally q.stop()
   }
+
+  test("q54 append mode emits exactly the windows behind the final watermark") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.hourlyAppendStreaming(spark, sf0001)
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
+    val stats = EventStreams.lastRunStats("q54_stream_append_hourly")
+    assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
+    val ev = graft.io.Tables(spark, sf0001).events
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmUs = maxTs - 3600L * 1000000L
+    val all = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1e6).cast("long")).as("value_micros"))
+      .orderBy(col("hour_start"), col("event_type"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getLong(3),
+        java.sql.Timestamp.valueOf(r.get(0).toString).getTime * 1000L + 3600L * 1000000L))
+    val behind = all.filter(_._5 <= wmUs).map(t => (t._1, t._2, t._3, t._4))
+    val withheld = all.filterNot(_._5 <= wmUs)
+    assert(withheld.nonEmpty,
+      "the last hour inside the watermark horizon must exist and be withheld")
+    assert(streamed.toSeq === behind.toSeq,
+      "append mode must emit exactly the finalized windows")
+  }
+
+  test("q54 boundary pin: a window whose end EQUALS the watermark is emitted") {
+    import org.apache.spark.sql.functions._
+    val input = newStream()
+    val agg = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("cnt"))
+    val q = agg.writeStream
+      .format("memory").queryName("q54_boundary_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // watermark advances to 12:00 - 1h = 11:00 == end of [10:00, 11:00)
+      input.addData(Event(2L, ts("2024-01-01 12:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // one more batch so the post-advance emission lands
+      input.addData(Event(3L, ts("2024-01-01 12:00:01"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val emitted = spark.table("q54_boundary_test").collect()
+        .map(r => r.get(0).toString)
+      // end == watermark → finalized (the oracle's `end <= wm` predicate)
+      assert(emitted.contains("2024-01-01 10:00:00.0"),
+        s"window [10:00,11:00) not emitted at watermark 11:00: ${emitted.toSeq}")
+    } finally q.stop()
+  }
 }

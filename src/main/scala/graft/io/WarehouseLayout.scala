@@ -36,4 +36,30 @@ object WarehouseLayout {
       Writers.partitionedParquet(li, out, "ship_quarter")
       out
     })
+
+  /** lineitem range-partitioned AND sorted by ship DATE within each
+    * file — the sort-on-write clustering that makes parquet min/max
+    * row-group statistics selective: a date-slice predicate skips whole
+    * row groups (and, via the range partitioning, whole FILES) instead
+    * of reading and discarding. The hive-partitioned quarter layout
+    * above prunes at directory granularity; this one prunes INSIDE the
+    * files — the two compose at 100 TB (partition by coarse time, sort
+    * by fine time within). The sort/filter key is a materialized DATE
+    * column: Spark still writes TimestampType as parquet INT96 by
+    * default, and INT96 carries no usable min/max statistics — a
+    * timestamp-sorted layout silently loses ALL skipping (measured: the
+    * one-week slice read every row); DATE is INT32 with exact stats and
+    * full predicate pushdown. WritersSpec quantifies the effect by
+    * comparing scan-output rows against a shuffled (stats-useless)
+    * layout of the same rows. */
+  def lineitemSortedByShipdate(spark: SparkSession, dir: String): String =
+    cache.computeIfAbsent(new java.io.File(dir).getCanonicalPath + "#li_sorted", _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_warehouse_ls_").toString
+      Tables(spark, dir).lineitem
+        .withColumn("ship_date", to_date(col("l_shipdate")))
+        .repartitionByRange(8, col("ship_date"))
+        .sortWithinPartitions(col("ship_date"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
 }

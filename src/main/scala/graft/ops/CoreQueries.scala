@@ -1664,6 +1664,103 @@ object CoreQueries {
     ),
 
     // ------------------------------------------------------------------
+    // q57: unpivot (melt) — the inverse of q12: the wide quarter ×
+    // returnflag matrix back to long (quarter, flag, cnt) rows via the
+    // native `unpivot` operator (Catalyst Expand node — each wide row
+    // fans out to |values| long rows in-place, no shuffle beyond the
+    // pivot's own aggregation). Wide-to-long is the serving→analysis
+    // reshape (a dashboard matrix back into a groupable fact), and
+    // round-tripping q12's exact output proves the two operators are
+    // true inverses.
+    GraftQuery(
+      "q57_unpivot",
+      "melt q12's wide quarter × returnflag matrix back to long (quarter, flag, cnt) rows",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val wide = t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .select(quarterLabel(col("o_orderdate")).as("quarter"), col("l_returnflag"))
+          .groupBy(col("quarter"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(cnt)
+          .na.fill(0L)
+        wide.unpivot(
+            ids = Array(col("quarter")),
+            values = Array(col("A"), col("N"), col("R")),
+            variableColumnName = "l_returnflag",
+            valueColumnName = "cnt")
+          .orderBy(col("quarter"), col("l_returnflag"))
+      },
+      Some(
+        // densified like the unpivot output: a (quarter, flag) cell the
+        // data never produced still exists as an explicit 0 row
+        """WITH base AS (
+          |  SELECT 'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+          |         l_returnflag, count(*) AS cnt
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2)
+          |SELECT q.quarter, f.l_returnflag,
+          |       CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt
+          |FROM (SELECT DISTINCT quarter FROM base) q
+          |CROSS JOIN (VALUES ('A'), ('N'), ('R')) f(l_returnflag)
+          |LEFT JOIN base b
+          |  ON b.quarter = q.quarter AND b.l_returnflag = f.l_returnflag
+          |ORDER BY q.quarter, f.l_returnflag""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q55: sort-on-write data skipping — the INTRA-file complement to
+    // q38's directory-level partition pruning. The layout range-
+    // partitions and sorts lineitem by l_shipdate, so every parquet row
+    // group covers a narrow date span and a one-week slice predicate
+    // skips almost all of them via min/max statistics (plus whole files
+    // via the range partitioning). At 100 TB the two compose: partition
+    // by coarse time, sort by fine time within — the standard warehouse
+    // clustering discipline. Layout must never change results → the
+    // oracle is the same slice over the raw table; WritersSpec measures
+    // scan-output rows vs a shuffled layout of the same data (the
+    // skipped-bytes evidence).
+    GraftQuery(
+      "q55_sorted_layout_skipping",
+      "one-week shipdate slice over the sorted-by-shipdate layout (row-group skipping)",
+      (spark, dir) => sortedLayoutSlice(spark, dir),
+      Some(
+        """SELECT l_returnflag, count(*) AS cnt,
+          |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+          |FROM lineitem
+          |WHERE l_shipdate >= DATE '1995-06-01' AND l_shipdate < DATE '1995-06-08'
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q56: mergeable-sketch rollup — the two-level distinct-count
+    // pattern a 100 TB warehouse actually runs: per-day HLL sketches
+    // (Apache DataSketches via hll_sketch_agg) materialize ONCE, and
+    // any coarser rollup (here monthly) UNIONS the sketches instead of
+    // re-scanning the raw events — re-aggregable where q22's plain
+    // approx_count_distinct is not. Sketch binaries are engine-specific
+    // → rows-only; CoreOperatorsSpec bounds every month's estimate
+    // within 5% of the exact distinct count.
+    GraftQuery(
+      "q56_sketch_rollup",
+      "per-day HLL user sketches unioned into monthly distinct-user estimates (rows-only)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val daily = t.events
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            count(lit(1)).as("n_events"))
+        daily
+          .groupBy(date_format(col("d"), "yyyy-MM").as("month"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+            sum(col("n_events")).as("n_events"))
+          .orderBy(col("month"))
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
     // q53: observed metrics — pipeline-health counters collected ON THE
     // SIDE of a real aggregation with `observe()`: the scan that feeds
     // the revenue rollup also emits row/volume/quality counters through
@@ -1685,6 +1782,18 @@ object CoreQueries {
           |ORDER BY l_returnflag""".stripMargin)
     )
   )
+
+  /** q55's slice over the shipdate-sorted layout, exposed for the
+    * WritersSpec scan-metrics comparison. */
+  def sortedLayoutSlice(spark: SparkSession, dir: String): DataFrame = {
+    val layout = graft.io.WarehouseLayout.lineitemSortedByShipdate(spark, dir)
+    spark.read.parquet(layout)
+      .where(col("ship_date") >= lit("1995-06-01").cast("date") &&
+        col("ship_date") < lit("1995-06-08").cast("date"))
+      .groupBy(col("l_returnflag"))
+      .agg(cnt.as("cnt"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
 
   /** q53's builder, returning the plan AND its Observation handle (the
     * spec reads the metrics after an action has run; the catalog entry

@@ -54,6 +54,12 @@ object GraphOps {
     val edges = graft.InternalCaches.track {
       val e = tradeEdges(t)
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // NOT broadcast on purpose (measured 3.8s → 6.3s/run if either deg
+      // or the rank vector broadcasts): the shuffle join leaves the
+      // persisted edges HASH-PARTITIONED BY src, so every iteration's
+      // join reuses that layout and only the 16k-row rank vector moves —
+      // broadcasting removes the shuffle here but forfeits the layout,
+      // and then all five iteration joins shuffle the full edge set.
       e.join(deg, "src")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }

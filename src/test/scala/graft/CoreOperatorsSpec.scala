@@ -334,6 +334,22 @@ class CoreOperatorsSpec extends SparkSpecBase {
     assert(nested === flat)
   }
 
+  test("q56: every monthly HLL estimate is within 5% of the exact distinct count") {
+    val got = graft.queries.Catalog.queries("q56_sketch_rollup")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    val exact = graft.io.Tables(spark, sf0001).events
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM").as("month"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === exact.keySet)
+    got.foreach { case (m, est) =>
+      val ex = exact(m).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05,
+        s"month $m: estimate $est vs exact ${exact(m)}")
+    }
+  }
+
   test("q53: observed metrics ride the scan and equal an independent recompute") {
     val (agg, obs) = graft.ops.CoreQueries.observedRevenueAgg(spark, sf0001)
     val result = agg.collect() // the action that fires the CollectMetrics node

@@ -135,4 +135,37 @@ class EdgeCaseSpec extends SparkSpecBase {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("g02 triangle counting on a triangle-free graph returns empty (not an error)") {
+    // a path graph has wedges but no closures — the wedge join must
+    // produce candidates and the closure join must kill them all
+    val edges = (0L until 10L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("u", "v")
+    assert(graft.ops.GraphOps.trianglesFromEdges(edges).count() === 0L)
+    graft.InternalCaches.releaseAll()
+  }
+
+  test("s11 kNN join with k larger than the corpus returns all neighbors, ranked") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.similarity.SimilarityOps.knnJoinExact(emb, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every anchor gets exactly n-1 = 2 neighbors despite k=10
+    assert(got.groupBy(_._1).forall(_._2.length === 2))
+    // ranks are dense 1..2 per anchor
+    assert(got.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq === Seq(1L, 2L)))
+  }
+
+  test("q51 nesting a single-item order yields size-1 arrays and consistent stats") {
+    // the smallest real order in sf0.001 must have n_items >= 1 and
+    // first_ln equal to its min linenumber; total==max for 1-item orders
+    val rows = graft.queries.Catalog.queries("q51_nested_order_items")(spark, sf0001)
+      .collect()
+    val singles = rows.filter(_.getAs[Long]("n_items") == 1L)
+    assert(singles.nonEmpty, "sf0.001 should contain single-item orders")
+    singles.foreach { r =>
+      assert(r.getAs[Long]("revenue_cents") === r.getAs[Long]("max_item_cents"))
+    }
+  }
 }

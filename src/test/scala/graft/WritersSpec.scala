@@ -141,6 +141,46 @@ class WritersSpec extends SparkSpecBase {
     assert(table.collect().map(_.toSeq).toSeq === want.toSeq)
   }
 
+  test("q55 sorted layout: shipdate slice reads far fewer rows than a shuffled layout") {
+    import graft.ops.CoreQueries
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      scans(df.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum
+    }
+    val total = graft.io.Tables(spark, sf0001).lineitem.count()
+    val sorted = CoreQueries.sortedLayoutSlice(spark, sf0001)
+    val sortedRows = scanRows(sorted)
+    // control: same rows, same filter, but written in hash-shuffled
+    // order — min/max stats cover the whole date range per row group,
+    // so nothing skips
+    val shuffledDir = Files.createTempDirectory("graft_li_shuffled_").toString
+    try {
+      graft.io.Tables(spark, sf0001).lineitem
+        .withColumn("ship_date", to_date(col("l_shipdate")))
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").parquet(shuffledDir)
+      val shuffled = spark.read.parquet(shuffledDir)
+        .where(col("ship_date") >= lit("1995-06-01").cast("date") &&
+          col("ship_date") < lit("1995-06-08").cast("date"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"))
+      val shuffledRows = scanRows(shuffled)
+      // the shuffled layout reads essentially everything; the sorted one
+      // skips the row groups outside the week
+      assert(shuffledRows > total / 2, s"control layout unexpectedly skipped: $shuffledRows of $total")
+      assert(sortedRows < shuffledRows / 4,
+        s"sorted layout read $sortedRows rows vs shuffled $shuffledRows — no skipping evidence")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(shuffledDir))
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     spark.sql("DROP TABLE IF EXISTS graft_fact_b")
     spark.sql("DROP TABLE IF EXISTS graft_dim_b")

@@ -152,6 +152,59 @@ object GraphOps {
       .orderBy(col("node_id"))
   }
 
+  /** Hierarchy resolution by POINTER DOUBLING — the engine's answer to
+    * the recursive CTE Spark does not have. A synthetic management
+    * forest over customers (roots 1..8; parent(c) = c div 2 otherwise)
+    * stands in for any parent-pointer table; each node must learn its
+    * ROOT, its DEPTH, and its subtree's rolled-up account balance.
+    *
+    * The naive loop walks one parent edge per round — O(max depth)
+    * shuffles, a non-starter for a million-deep chain. Pointer doubling
+    * composes the link table with ITSELF each round ((node → anc, d)
+    * ∘ (anc → anc', d') = (node → anc', d + d')), so covered distance
+    * doubles per round: O(log depth) self-joins resolve ANY depth — 5
+    * rounds here cover 2⁵ = 32 levels, deeper than a 4-billion-node
+    * binary tree. Root links are fixed points ((root → root, 0)), so
+    * resolved nodes pass through later rounds unchanged. Same iterative
+    * discipline as g01/d05: per-round localCheckpoint keeps the plan
+    * flat; every join is an equi-join on the ancestor key.
+    *
+    * All-integer (depths; balances in floor-cents) → the full fixed
+    * point carries a DuckDB `WITH RECURSIVE` oracle — the two engines
+    * compute the same closure by entirely different algorithms. */
+  def hierarchyResolve(t: Tables, rounds: Int = 5): DataFrame = {
+    val nodes = t.customer.select(col("c_custkey").as("node"),
+      floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val links0 = nodes.select(col("node"),
+      when(col("node") <= 8, col("node")).otherwise(expr("node div 2")).as("anc"),
+      when(col("node") <= 8, 0L).otherwise(1L).as("d"))
+    val links = resolvePointers(links0, rounds)
+    val totals = links.join(nodes, "node")
+      .groupBy(col("anc")).agg(sum(col("bal_cents")).as("root_total_bal_cents"))
+    links
+      .join(broadcast(totals), "anc")
+      .select(col("node").as("node_id"), col("anc").as("root_id"),
+        col("d").as("depth"), col("root_total_bal_cents"))
+      .orderBy(col("node_id"))
+  }
+
+  /** Pointer-doubling core: `links0` is one row per node —
+    * (node, parent-or-self, 1-or-0) — a functional link table (exactly
+    * one ancestor pointer per node, roots self-looped at distance 0).
+    * Each round composes the table with itself, doubling the covered
+    * distance; `rounds` rounds resolve any forest of depth ≤ 2^rounds
+    * while keeping exactly one row per node throughout. */
+  def resolvePointers(links0: DataFrame, rounds: Int): DataFrame = {
+    var links = links0.localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      links = links.as("a")
+        .join(links.as("b"), col("a.anc") === col("b.node"))
+        .select(col("a.node"), col("b.anc"), (col("a.d") + col("b.d")).as("d"))
+        .localCheckpoint(true)
+    }
+    links
+  }
+
   private def oracleIter(prev: String, cur: String): String =
     s"""$cur AS (
        |  SELECT n.node, (SELECT (15 * (${Scale} // count(*))) // 100 FROM nodes)
@@ -214,6 +267,31 @@ object GraphOps {
           |SELECT node_id, count(*) AS n_triangles
           |FROM (SELECT unnest([a, b, c]) AS node_id FROM tri)
           |GROUP BY node_id
+          |ORDER BY node_id""".stripMargin)
+    ),
+
+    GraftQuery(
+      "g03_hierarchy_resolve",
+      "root/depth/subtree-rollup of a parent-pointer forest via pointer doubling (log-depth rounds)",
+      (spark, dir) => hierarchyResolve(Tables(spark, dir)),
+      Some(
+        """WITH RECURSIVE walk AS (
+          |  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+          |  UNION ALL
+          |  SELECT node, cur // 2, depth + 1 FROM walk WHERE cur > 8),
+          |resolved AS (
+          |  SELECT node, cur AS root_id, depth FROM walk WHERE cur <= 8),
+          |bal AS (
+          |  SELECT c_custkey AS node,
+          |         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+          |  FROM customer),
+          |totals AS (
+          |  SELECT r.root_id, CAST(sum(b.bal_cents) AS BIGINT) AS root_total_bal_cents
+          |  FROM resolved r JOIN bal b USING (node)
+          |  GROUP BY r.root_id)
+          |SELECT r.node AS node_id, r.root_id,
+          |       CAST(r.depth AS BIGINT) AS depth, t.root_total_bal_cents
+          |FROM resolved r JOIN totals t USING (root_id)
           |ORDER BY node_id""".stripMargin)
     )
   )

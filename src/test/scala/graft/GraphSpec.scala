@@ -93,4 +93,43 @@ class GraphSpec extends SparkSpecBase {
     assert(got === want)
     assert(want.values.sum % 3 === 0, "each triangle counted at all 3 nodes")
   }
+
+  test("g03: root/depth/rollup equal a driver-side parent walk") {
+    val t = Tables(spark, sf0001)
+    val bal = t.customer.select(col("c_custkey"),
+        floor(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def walk(n: Long): (Long, Long) = { // (root, depth)
+      var cur = n; var d = 0L
+      while (cur > 8) { cur /= 2; d += 1 }
+      (cur, d)
+    }
+    val resolved = bal.keys.map(n => n -> walk(n)).toMap
+    val totals = resolved.toSeq.groupBy(_._2._1).view
+      .mapValues(_.map { case (n, _) => bal(n) }.sum).toMap
+    val got = graft.queries.Catalog.queries("g03_hierarchy_resolve")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === bal.keys.toSeq.sorted, "one row per node")
+    got.foreach { case (n, root, depth, tot) =>
+      assert((root, depth) === resolved(n), s"node $n root/depth")
+      assert(tot === totals(root), s"node $n rollup")
+    }
+    // the forest must be deep enough that doubling actually iterates
+    assert(got.map(_._3).max >= 3, "forest depth exercises the loop")
+  }
+
+  test("g03 core: 9 doubling rounds resolve a 500-deep chain (log-depth, not O(depth))") {
+    import testImplicits._
+    // chain 0 <- 1 <- 2 <- ... <- 499: node i's parent is i-1, root 0
+    val links0 = (0L until 500L)
+      .map(i => (i, math.max(i - 1, 0L), if (i == 0) 0L else 1L))
+      .toDF("node", "anc", "d")
+    val got = GraphOps.resolvePointers(links0, rounds = 9) // 2^9 = 512 >= 499
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 500, "exactly one row per node throughout")
+    got.foreach { case (n, root, d) =>
+      assert(root === 0L, s"node $n root")
+      assert(d === n, s"node $n depth")
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** JVM-cached warehouse layouts derived from the raw tables — the
@@ -59,6 +59,63 @@ object WarehouseLayout {
         .withColumn("ship_date", to_date(col("l_shipdate")))
         .repartitionByRange(8, col("ship_date"))
         .sortWithinPartitions(col("ship_date"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Spreads the low 32 bits of a non-negative long so they occupy the
+    * EVEN bit positions of the result (Morton bit interleave, the
+    * shift-or-mask formulation — 5 codegen'd bitwise steps, no UDF). */
+  private def spreadBits(c: Column): Column = {
+    var x = c.bitwiseAND(lit(0xFFFFFFFFL))
+    Seq(16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+      4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+      1 -> 0x5555555555555555L).foreach { case (s, m) =>
+      x = x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+    }
+    x
+  }
+
+  /** Morton z-value of two non-negative 32-bit keys: bits of `a` at even
+    * positions, bits of `b` at odd — points close in z are close in BOTH
+    * key dimensions, so sorting by z clusters the file layout for range
+    * predicates on EITHER key. */
+  def mortonZ(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** lineitem Z-ORDERED by (l_partkey, l_suppkey) — multi-dimensional
+    * clustering, the layout q55's single-key sort cannot give: a sort by
+    * partkey makes suppkey min/max stats useless (each row group spans
+    * the whole supplier range) and vice versa, while a z-sort makes each
+    * row group a compact RECTANGLE in (partkey, suppkey) space, so
+    * min/max skipping works on both dimensions at once — the standard
+    * lakehouse answer when two independent access paths hit one fact
+    * table.
+    *
+    * Each key is min-max scaled to the common 16-bit range BEFORE the
+    * interleave — interleaving raw keys silently starves the
+    * smaller-domain dimension (measured here: 10 suppliers vs 2,000
+    * parts left suppkey with the low bits only, every file spanned all
+    * suppliers, zero skipping on that dim). Min/max come from one cheap
+    * agg over the keys; at 100 TB with skewed/non-dense keys the same
+    * slot takes equi-DEPTH quantile buckets (approx_percentile) instead
+    * of equi-width — the interleave is unchanged. The z column is
+    * dropped before the write: it orders the rows, the pruning runs on
+    * the real key columns' statistics. */
+  def lineitemZOrdered(spark: SparkSession, dir: String): String =
+    cache.computeIfAbsent(new java.io.File(dir).getCanonicalPath + "#li_zorder", _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_warehouse_lz_").toString
+      val li = Tables(spark, dir).lineitem
+      val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head()
+      def scaled(c: Column, lo: Long, hi: Long): Column =
+        (c - lit(lo)) * lit(65535L) / lit(math.max(1L, hi - lo))
+      li.withColumn("zval", mortonZ(
+          scaled(col("l_partkey"), b.getLong(0), b.getLong(1)).cast("long"),
+          scaled(col("l_suppkey"), b.getLong(2), b.getLong(3)).cast("long")))
+        .repartitionByRange(64, col("zval"))
+        .sortWithinPartitions(col("zval"))
+        .drop("zval")
         .write.mode("overwrite").parquet(out)
       out
     })

@@ -1780,8 +1780,44 @@ object CoreQueries {
           |FROM lineitem
           |GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q58: Z-ORDER multi-dimensional clustering — what q55's single-key
+    // sort cannot do: serve selective range predicates on TWO
+    // independent keys from one layout. lineitem is rewritten sorted by
+    // the Morton interleave of (l_partkey, l_suppkey)
+    // (WarehouseLayout.mortonZ — 5 bitwise shift-or-mask steps, pure
+    // codegen, no UDF), so every parquet row group covers a compact
+    // rectangle in key space and min/max stats skip on EITHER key.
+    // Layout never changes results → the oracle is the same slice over
+    // raw lineitem; WritersSpec measures scan-output rows on BOTH key
+    // dimensions against a single-key-sorted control (which serves only
+    // its own sort key).
+    GraftQuery(
+      "q58_zorder_layout_skipping",
+      "part-range slice over the (partkey,suppkey) z-ordered layout (two-dimensional skipping)",
+      (spark, dir) => zorderLayoutSlice(spark, dir),
+      Some(
+        """SELECT l_suppkey, count(*) AS cnt,
+          |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+          |FROM lineitem
+          |WHERE l_partkey BETWEEN 40 AND 80
+          |GROUP BY l_suppkey
+          |ORDER BY l_suppkey""".stripMargin)
     )
   )
+
+  /** q58's slice over the z-ordered layout, exposed for the WritersSpec
+    * scan-metrics comparison. */
+  def zorderLayoutSlice(spark: SparkSession, dir: String): DataFrame = {
+    val layout = graft.io.WarehouseLayout.lineitemZOrdered(spark, dir)
+    spark.read.parquet(layout)
+      .where(col("l_partkey").between(40, 80))
+      .groupBy(col("l_suppkey"))
+      .agg(cnt.as("cnt"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy(col("l_suppkey"))
+  }
 
   /** q55's slice over the shipdate-sorted layout, exposed for the
     * WritersSpec scan-metrics comparison. */

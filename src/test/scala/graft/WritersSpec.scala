@@ -181,6 +181,69 @@ class WritersSpec extends SparkSpecBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(shuffledDir))
   }
 
+  test("mortonZ equals a driver-side bit interleave") {
+    import graft.io.WarehouseLayout
+    def ref(a: Long, b: Long): Long = (0 until 32).map(i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val rnd = new scala.util.Random(7)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0xFFFFFFFFL, 0xFFFFFFFFL)) ++
+      Seq.fill(200)((rnd.nextLong().abs & 0xFFFFFFFFL, rnd.nextLong().abs & 0xFFFFFFFFL))
+    val got = cases.toDF("a", "b")
+      .select(WarehouseLayout.mortonZ(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((a, b), z) =>
+      assert(z === ref(a, b), s"mortonZ($a, $b)")
+    }
+  }
+
+  test("q58 z-order layout: skips on BOTH key dims where a single-key sort serves only its own") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      scans(df.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum
+    }
+    val raw = graft.io.Tables(spark, sf0001).lineitem
+    val total = raw.count()
+    val (pLo, pHi) = (40L, 80L)   // the q58 slice
+    val (sLo, sHi) = (3L, 4L)     // a supplier slice of similar selectivity
+    def slice(df: org.apache.spark.sql.DataFrame, c: String, lo: Long, hi: Long) =
+      df.where(col(c).between(lo, hi)).agg(count(lit(1)).as("cnt"))
+
+    val zdir = graft.io.WarehouseLayout.lineitemZOrdered(spark, sf0001)
+    val z = spark.read.parquet(zdir)
+    val zP = scanRows(slice(z, "l_partkey", pLo, pHi))
+    val zS = scanRows(slice(z, "l_suppkey", sLo, sHi))
+
+    // control: same rows sorted by partkey ONLY — perfect on partkey,
+    // stats-useless on suppkey (every row group spans all suppliers)
+    val controlDir = Files.createTempDirectory("graft_li_psorted_").toString
+    try {
+      raw.repartitionByRange(32, col("l_partkey"))
+        .sortWithinPartitions(col("l_partkey"))
+        .write.mode("overwrite").parquet(controlDir)
+      val c = spark.read.parquet(controlDir)
+      val cP = scanRows(slice(c, "l_partkey", pLo, pHi))
+      val cS = scanRows(slice(c, "l_suppkey", sLo, sHi))
+      info(s"total=$total zP=$zP zS=$zS cP=$cP cS=$cS")
+      assert(cS > total / 2,
+        s"single-key control unexpectedly skipped on suppkey: $cS of $total")
+      assert(zP < total / 2, s"z layout no partkey skipping: $zP of $total")
+      assert(zS < total / 2, s"z layout no suppkey skipping: $zS of $total")
+      assert(zS < cS / 2,
+        s"z layout not better than single-key sort on the second dim: $zS vs $cS")
+      // results are layout-invariant (the identity the q58 oracle checks)
+      assert(slice(z, "l_partkey", pLo, pHi).head.getLong(0) ===
+        slice(raw, "l_partkey", pLo, pHi).head.getLong(0))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(controlDir))
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     spark.sql("DROP TABLE IF EXISTS graft_fact_b")
     spark.sql("DROP TABLE IF EXISTS graft_dim_b")

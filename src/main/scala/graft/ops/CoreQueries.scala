@@ -1135,27 +1135,7 @@ object CoreQueries {
     GraftQuery(
       "q39_scd2_dimension",
       "SCD type-2 versioned dimension from the order-priority change log",
-      (spark, dir) => {
-        val t = Tables(spark, dir)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("o_custkey"))
-          .orderBy(col("o_orderdate"), col("o_orderkey"))
-        val changes = t.orders
-          .select(col("o_custkey"), col("o_orderpriority"), col("o_orderdate"),
-            col("o_orderkey"))
-          .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
-          .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
-        changes
-          .select(
-            col("o_custkey").as("custkey"),
-            col("o_orderpriority").as("priority"),
-            date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
-            date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd").as("valid_to"),
-            row_number().over(w).cast("long").as("version"),
-            when(lead(col("o_orderdate"), 1).over(w).isNull, lit(1L)).otherwise(lit(0L))
-              .as("is_current"))
-          .orderBy(col("custkey"), col("version"))
-      },
+      (spark, dir) => scd2Dimension(spark, dir).orderBy(col("custkey"), col("version")),
       Some(
         """WITH ch AS (
           |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
@@ -1805,8 +1785,146 @@ object CoreQueries {
           |WHERE l_partkey BETWEEN 40 AND 80
           |GROUP BY l_suppkey
           |ORDER BY l_suppkey""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q59: exact integer co-moments — correlation/covariance computed as
+    // ONE partial-aggregating scan of five integer sums per group (n,
+    // Σq, Σq², Σp, Σpp, Σqp). Floating `corr()` is run-order-dependent
+    // on a cluster (doubles don't associate); the integer moments are
+    // exact, order-independent, MERGEABLE (a rollup over groups just
+    // adds them — the q56 materialize-once pattern for second-order
+    // stats), and Pearson r derives losslessly downstream. Price is
+    // floored to whole dollars so Σp² at 100 TB (~6×10⁸ rows × 10¹⁰)
+    // stays inside BIGINT; past that the same sums shift to DECIMAL(38)
+    // unchanged. CoreOperatorsSpec derives r from the moments and
+    // matches Spark's own corr() to 1e-9.
+    GraftQuery(
+      "q59_integer_moments",
+      "exact mergeable integer co-moments of (quantity, price-dollars) per returnflag",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.lineitem
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("q"),
+            floor(col("l_extendedprice")).cast("long").as("p"))
+          .groupBy(col("l_returnflag"))
+          .agg(cnt.as("n"),
+            sum(col("q")).as("sum_q"),
+            sum(col("q") * col("q")).as("sum_qq"),
+            sum(col("p")).as("sum_p"),
+            sum(col("p") * col("p")).as("sum_pp"),
+            sum(col("q") * col("p")).as("sum_qp"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+          |         CAST(floor(l_extendedprice) AS BIGINT) AS p
+          |  FROM lineitem)
+          |SELECT l_returnflag, count(*) AS n,
+          |       CAST(sum(q) AS BIGINT) AS sum_q,
+          |       CAST(sum(q * q) AS BIGINT) AS sum_qq,
+          |       CAST(sum(p) AS BIGINT) AS sum_p,
+          |       CAST(sum(p * p) AS BIGINT) AS sum_pp,
+          |       CAST(sum(q * p) AS BIGINT) AS sum_qp
+          |FROM b
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q60: point-in-time (temporal) join — the lookup every historical
+    // dimension exists FOR: each fact row joined to the q39 SCD2 version
+    // in effect at the fact's own date (valid_from <= d < valid_to,
+    // open-ended current version). Both sides single-sourced: the
+    // dimension is scd2Dimension (q39's builder), so q39's semantics and
+    // this probe can never drift apart. Scale shape: an EQUI-join on
+    // custkey with the interval test as a cheap post-filter — per-key
+    // version lists are tiny (bounded by a customer's priority changes),
+    // so this never becomes a range-join blowup; the versions tile each
+    // customer's timeline, so every fact matches EXACTLY one version
+    // (row preservation asserted in spec). Same-date multi-order edges
+    // resolve deterministically: an empty [d, d) version matches
+    // nothing, the same-date successor wins — which is what makes
+    // n_mismatched (order's own priority vs the version in effect)
+    // nonzero and interesting. String yyyy-MM-dd compares are
+    // chronological, matching q39's emitted dtype-strict dates.
+    GraftQuery(
+      "q60_scd2_point_in_time",
+      "orders joined to the SCD2 priority version in effect at order date (temporal lookup)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val dim = scd2Dimension(spark, dir)
+        val probe = t.orders.select(col("o_custkey"), col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        probe.join(dim,
+            probe("o_custkey") === dim("custkey") &&
+              col("od") >= col("valid_from") &&
+              (col("valid_to").isNull || col("od") < col("valid_to")))
+          .groupBy(col("priority"))
+          .agg(cnt.as("n_orders"),
+            sum(when(col("o_orderpriority") =!= col("priority"), 1L).otherwise(0L))
+              .as("n_mismatched"),
+            sum(col("price_cents")).as("sum_price_cents"))
+          .orderBy(col("priority"))
+      },
+      Some(
+        """WITH ch AS (
+          |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+          |         lag(o_orderpriority) OVER w AS prev
+          |  FROM orders
+          |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+          |v AS (
+          |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+          |  FROM ch WHERE prev IS NULL OR prev <> o_orderpriority),
+          |dim AS (
+          |  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+          |         strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+          |         strftime(lead(o_orderdate) OVER w2, '%Y-%m-%d') AS valid_to
+          |  FROM v
+          |  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+          |probe AS (
+          |  SELECT o_custkey, o_orderpriority,
+          |         strftime(o_orderdate, '%Y-%m-%d') AS od,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+          |  FROM orders)
+          |SELECT d.priority, count(*) AS n_orders,
+          |       CAST(sum(CASE WHEN p.o_orderpriority <> d.priority THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_mismatched,
+          |       CAST(sum(p.price_cents) AS BIGINT) AS sum_price_cents
+          |FROM probe p JOIN dim d
+          |  ON p.o_custkey = d.custkey
+          | AND p.od >= d.valid_from
+          | AND (d.valid_to IS NULL OR p.od < d.valid_to)
+          |GROUP BY d.priority
+          |ORDER BY d.priority""".stripMargin)
     )
   )
+
+  /** q39's SCD2 builder, single-sourced so q60 composes the same
+    * dimension (the p03 convention). Unordered — callers sort. */
+  def scd2Dimension(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = t.orders
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_orderdate"),
+        col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+    changes
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("priority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd").as("valid_to"),
+        row_number().over(w).cast("long").as("version"),
+        when(lead(col("o_orderdate"), 1).over(w).isNull, lit(1L)).otherwise(lit(0L))
+          .as("is_current"))
+  }
 
   /** q58's slice over the z-ordered layout, exposed for the WritersSpec
     * scan-metrics comparison. */

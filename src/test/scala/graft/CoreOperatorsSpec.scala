@@ -369,4 +369,63 @@ class CoreOperatorsSpec extends SparkSpecBase {
       .orderBy(col("l_returnflag")).collect()
     assert(result.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq)
   }
+
+  test("q59: Pearson r derived from the integer moments matches Spark corr()") {
+    val moments = graft.queries.Catalog.queries("q59_integer_moments")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val direct = graft.io.Tables(spark, sf0001).lineitem
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"),
+        floor(col("l_extendedprice")).cast("long").as("p"))
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("q"), col("p")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(moments.keySet === direct.keySet)
+    moments.foreach { case (flag, (n, sq, sqq, sp, spp, sqp)) =>
+      val (nd, sqd, sqqd, spd, sppd, sqpd) =
+        (n.toDouble, sq.toDouble, sqq.toDouble, sp.toDouble, spp.toDouble, sqp.toDouble)
+      val r = (nd * sqpd - sqd * spd) /
+        math.sqrt((nd * sqqd - sqd * sqd) * (nd * sppd - spd * spd))
+      assert(math.abs(r - direct(flag)) < 1e-9, s"flag $flag: $r vs ${direct(flag)}")
+      // this corpus generates price independently of quantity, so r is
+      // near zero — the spec's content is moments→r ≡ corr(), plus a
+      // well-definedness check (nonzero variance on both margins)
+      assert(!r.isNaN && math.abs(r) < 1.0, s"flag $flag: degenerate correlation $r")
+    }
+  }
+
+  test("q60: every order matches exactly one SCD2 version; mismatches equal a driver walk") {
+    val t = graft.io.Tables(spark, sf0001)
+    val got = graft.queries.Catalog.queries("q60_scd2_point_in_time")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // row preservation: versions tile each customer's timeline, so the
+    // temporal join neither drops nor duplicates facts
+    assert(got.values.map(_._1).sum === t.orders.count())
+    // driver walk: effective priority at date d = the LAST change with
+    // change-date <= d in (date, orderkey) order — recomputed from raw
+    // orders, independent of the window/join machinery
+    val orders = t.orders.select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val byCust = orders.groupBy(_._1)
+    val mism = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cnt = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    byCust.values.foreach { os =>
+      val sorted = os.sortBy(o => (o._3, o._2))
+      val changes = sorted.foldLeft(Vector.empty[(String, String)]) { (acc, o) =>
+        if (acc.nonEmpty && acc.last._2 == o._4) acc else acc :+ (o._3, o._4)
+      }
+      os.foreach { case (_, _, od, own) =>
+        val eff = changes.takeWhile(_._1 <= od).last._2
+        cnt(eff) += 1L
+        if (eff != own) mism(eff) += 1L
+      }
+    }
+    got.foreach { case (prio, (n, nMism, _)) =>
+      assert(n === cnt(prio), s"priority $prio order count")
+      assert(nMism === mism(prio), s"priority $prio mismatch count")
+    }
+  }
 }

@@ -157,6 +157,27 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(got.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq === Seq(1L, 2L)))
   }
 
+  test("g03 pointer doubling: an all-roots forest passes through unchanged at any round count") {
+    // every link is a fixed point (root → root, 0): composition must be
+    // the identity, one row per node, zero depths
+    val links0 = (1L to 20L).map(n => (n, n, 0L)).toDF("node", "anc", "d")
+    val got = graft.ops.GraphOps.resolvePointers(links0, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === (1L to 20L).map(n => (n, n, 0L)))
+  }
+
+  test("g03 pointer doubling: rounds beyond convergence are idempotent") {
+    // depth-3 chain resolves in 2 rounds (2^2 = 4 >= 3); extra rounds
+    // must not change the fixed point (resolved links self-compose)
+    val links0 = Seq((0L, 0L, 0L), (1L, 0L, 1L), (2L, 1L, 1L), (3L, 2L, 1L))
+      .toDF("node", "anc", "d")
+    def run(rounds: Int) = graft.ops.GraphOps.resolvePointers(links0, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val want = Seq((0L, 0L, 0L), (1L, 0L, 1L), (2L, 0L, 2L), (3L, 0L, 3L))
+    assert(run(2) === want)
+    assert(run(6) === want)
+  }
+
   test("q51 nesting a single-item order yields size-1 arrays and consistent stats") {
     // the smallest real order in sf0.001 must have n_items >= 1 and
     // first_ln equal to its min linenumber; total==max for 1-item orders

@@ -13,6 +13,14 @@ object Profile {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
     val iters = args.lift(2).map(_.toInt).getOrElse(3)
+    // Fail on mistyped query names BEFORE paying SparkSession startup.
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[profile] unknown queries: ${unknown.mkString(", ")}\n" +
+          s"[profile] known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = GraftSession.cpus
     val spark = GraftSession.tune(
       SparkSession.builder()

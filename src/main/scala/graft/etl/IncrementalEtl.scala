@@ -26,15 +26,6 @@ import graft.queries.GraftQuery
   */
 object IncrementalEtl {
 
-  private val dirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    dirCache.values().forEach(p => deleteRecursively(new java.io.File(p)))))
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
-
   private def dailyEvents(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .select(to_date(col("ts")).as("event_date"), col("event_type"), col("event_id"))
@@ -71,13 +62,17 @@ object IncrementalEtl {
       .orderBy(col("event_date"), col("event_type"))
 
   /** Run the two-load pipeline; returns (final table, layout path). A
-    * fresh layout dir per invocation (keyed only for exit cleanup) — a
-    * catalog entry must not serve stale state across runs. */
+    * fresh layout dir per invocation — a catalog entry must not serve
+    * stale state across runs — but [[graft.io.TempLayouts.replacing]]
+    * deletes the dir the rebuild displaces, so repeated bench/Verify
+    * iterations in one JVM hold one live dir, not an unbounded trail
+    * (round-4 advisory). */
   def dailyCountsWithLatePatch(spark: SparkSession, dir: String): (DataFrame, String) = {
-    val out = java.nio.file.Files.createTempDirectory("graft_incr_etl_").toString
-    dirCache.put(out, out)
-    fullLoad(spark, dir, out)
-    latePatch(spark, dir, out)
+    val out = graft.io.TempLayouts.replacing(
+      "incr#" + new java.io.File(dir).getCanonicalPath, "graft_incr_etl_") { out =>
+      fullLoad(spark, dir, out)
+      latePatch(spark, dir, out)
+    }
     (finalTable(spark, out), out)
   }
 
@@ -103,18 +98,19 @@ object IncrementalEtl {
     * per-day file counts. Values travel as integer micro-units so the
     * identity is hash-exact. */
   def compactSmallFiles(spark: SparkSession, dir: String): (DataFrame, String) = {
-    val out = java.nio.file.Files.createTempDirectory("graft_compact_").toString
-    dirCache.put(out, out)
-    val ev = Tables(spark, dir).events
-      .select(col("event_id"), to_date(col("ts")).as("event_date"),
-        col("event_type"), floor(col("value") * 1e6).cast("long").as("value_micros"))
-    // ingest shape: ~8 small files per day partition (hash by (day, bucket))
-    ev.repartition(256, col("event_date"), pmod(col("event_id"), lit(8)))
-      .write.partitionBy("event_date").mode("overwrite").parquet(s"$out/v0")
-    // compaction: one task (= one file) per day, committed as a new version
-    spark.read.parquet(s"$out/v0")
-      .repartition(col("event_date"))
-      .write.partitionBy("event_date").mode("overwrite").parquet(s"$out/v1")
+    val out = graft.io.TempLayouts.replacing(
+      "compact#" + new java.io.File(dir).getCanonicalPath, "graft_compact_") { out =>
+      val ev = Tables(spark, dir).events
+        .select(col("event_id"), to_date(col("ts")).as("event_date"),
+          col("event_type"), floor(col("value") * 1e6).cast("long").as("value_micros"))
+      // ingest shape: ~8 small files per day partition (hash by (day, bucket))
+      ev.repartition(256, col("event_date"), pmod(col("event_id"), lit(8)))
+        .write.partitionBy("event_date").mode("overwrite").parquet(s"$out/v0")
+      // compaction: one task (= one file) per day, committed as a new version
+      spark.read.parquet(s"$out/v0")
+        .repartition(col("event_date"))
+        .write.partitionBy("event_date").mode("overwrite").parquet(s"$out/v1")
+    }
     val table = spark.read.parquet(s"$out/v1")
       .select(col("event_id"),
         date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),

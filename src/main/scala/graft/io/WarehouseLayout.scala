@@ -8,18 +8,13 @@ import org.apache.spark.sql.functions._
   * billing shape as the persistent IVF index (SimilarityOps s07/s08):
   * the first request for a dataset pays the one-time partitioned write;
   * every query after that pays only the partition-pruned scan. Layout
-  * dirs are per-(JVM, dataset) temp directories, removed on exit.
+  * dirs are per-(JVM, dataset) temp directories ([[TempLayouts.cached]]),
+  * removed on exit.
   */
 object WarehouseLayout {
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    cache.values().forEach(p => deleteRecursively(new java.io.File(p)))))
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
+  private def layoutKey(dir: String, tag: String): String =
+    "warehouse#" + new java.io.File(dir).getCanonicalPath + "#" + tag
 
   /** lineitem re-laid-out hive-partitioned by ship-quarter label
     * (`ship_quarter=1995Q2/…`) — the time-sliced dashboard's serving
@@ -28,14 +23,12 @@ object WarehouseLayout {
     * layout bounds a quarter slice to its own files no matter how large
     * the fact table grows. */
   def lineitemByShipQuarter(spark: SparkSession, dir: String): String =
-    cache.computeIfAbsent(new java.io.File(dir).getCanonicalPath + "#lineitem", _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft_warehouse_li_").toString
+    TempLayouts.cached(layoutKey(dir, "lineitem"), "graft_warehouse_li_") { out =>
       val li = Tables(spark, dir).lineitem.withColumn("ship_quarter",
         concat(year(col("l_shipdate")).cast("string"),
           graft.ops.CoreQueries.quarterLabel(col("l_shipdate"))))
       Writers.partitionedParquet(li, out, "ship_quarter")
-      out
-    })
+    }
 
   /** lineitem range-partitioned AND sorted by ship DATE within each
     * file — the sort-on-write clustering that makes parquet min/max
@@ -53,15 +46,13 @@ object WarehouseLayout {
     * comparing scan-output rows against a shuffled (stats-useless)
     * layout of the same rows. */
   def lineitemSortedByShipdate(spark: SparkSession, dir: String): String =
-    cache.computeIfAbsent(new java.io.File(dir).getCanonicalPath + "#li_sorted", _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft_warehouse_ls_").toString
+    TempLayouts.cached(layoutKey(dir, "li_sorted"), "graft_warehouse_ls_") { out =>
       Tables(spark, dir).lineitem
         .withColumn("ship_date", to_date(col("l_shipdate")))
         .repartitionByRange(8, col("ship_date"))
         .sortWithinPartitions(col("ship_date"))
         .write.mode("overwrite").parquet(out)
-      out
-    })
+    }
 
   /** Spreads the low 32 bits of a non-negative long so they occupy the
     * EVEN bit positions of the result (Morton bit interleave, the
@@ -103,8 +94,7 @@ object WarehouseLayout {
     * dropped before the write: it orders the rows, the pruning runs on
     * the real key columns' statistics. */
   def lineitemZOrdered(spark: SparkSession, dir: String): String =
-    cache.computeIfAbsent(new java.io.File(dir).getCanonicalPath + "#li_zorder", _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft_warehouse_lz_").toString
+    TempLayouts.cached(layoutKey(dir, "li_zorder"), "graft_warehouse_lz_") { out =>
       val li = Tables(spark, dir).lineitem
       val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
         min(col("l_suppkey")), max(col("l_suppkey"))).head()
@@ -117,6 +107,5 @@ object WarehouseLayout {
         .sortWithinPartitions(col("zval"))
         .drop("zval")
         .write.mode("overwrite").parquet(out)
-      out
-    })
+    }
 }

@@ -193,15 +193,52 @@ object GraphOps {
     * one ancestor pointer per node, roots self-looped at distance 0).
     * Each round composes the table with itself, doubling the covered
     * distance; `rounds` rounds resolve any forest of depth ≤ 2^rounds
-    * while keeping exactly one row per node throughout. */
+    * while keeping exactly one row per node throughout.
+    *
+    * Convergence guard: `rounds` is a HINT, not a correctness
+    * precondition. After the hinted rounds one anti-join count checks the
+    * fixed point (every `anc` must be a root, i.e. a self-looped node);
+    * if any pointer is still mid-tree the loop keeps doubling — a deeper
+    * forest costs extra rounds, never a silently wrong `anc` (the round-4
+    * advisory's failure mode). Termination: in a valid forest every extra
+    * round STRICTLY shrinks the unresolved set — an unresolved node at
+    * depth D > 2^k has an ancestor at every depth below it, so depths in
+    * (2^k, min(D, 2^(k+1))] exist and resolve that round — so a round
+    * with no progress proves a cycle with no self-looped root (no fixed
+    * point exists) and fails loudly after ONE wasted round instead of
+    * spinning; the 62-round cap (a chain deeper than 2⁶²) is an
+    * unreachable backstop. */
   def resolvePointers(links0: DataFrame, rounds: Int): DataFrame = {
+    val MaxRounds = 62
     var links = links0.localCheckpoint(true)
-    (1 to rounds).foreach { _ =>
+    def step(): Unit = {
       links = links.as("a")
         .join(links.as("b"), col("a.anc") === col("b.node"))
         .select(col("a.node"), col("b.anc"), (col("a.d") + col("b.d")).as("d"))
         .localCheckpoint(true)
     }
+    (1 to rounds).foreach(_ => step())
+    // A pointer is resolved iff its anc is a TRUE root: self-looped AT
+    // DISTANCE 0. The d=0 guard matters — doubling collapses a cycle of
+    // even length into self-loops with d>0 (1→2→1 becomes 1→1 at d=2),
+    // which would otherwise masquerade as roots.
+    def unresolved(): Long = {
+      val roots = links.where(col("node") === col("anc") && col("d") === 0)
+        .select(col("node").as("root"))
+      links.join(roots, col("anc") === col("root"), "left_anti").count()
+    }
+    var round = rounds
+    var pending = unresolved()
+    var prev = Long.MaxValue
+    while (pending > 0 && pending < prev && round < MaxRounds) {
+      prev = pending
+      step(); round += 1; pending = unresolved()
+    }
+    if (pending > 0)
+      throw new IllegalStateException(
+        s"resolvePointers: $pending pointers unresolved after $round rounds " +
+          "with no further progress — the link table has a cycle with no " +
+          "self-looped root")
     links
   }
 

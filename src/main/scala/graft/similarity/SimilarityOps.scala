@@ -519,41 +519,25 @@ object SimilarityOps {
   /** The fixed query set for the batch catalog entries. */
   val BatchQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
-  /** Built-index locations, one per (JVM, dataset dir). Each build goes
-    * to a fresh per-invocation temp directory — never a fixed shared
-    * path, which would race concurrent sessions on Overwrite and could
-    * serve a stale index if the underlying table changed between runs.
-    * The JVM-scoped cache is what separates billing: the build entry
-    * always pays the full layout shuffle; the probe entry reuses the
-    * newest built index and pays only the pruned scan. Superseded and
-    * leftover index dirs are deleted (rebuild replaces exactly one live
-    * dir per dataset; a shutdown hook clears the rest), so a long-lived
-    * JVM rebuilding repeatedly cannot leak temp space. */
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    indexCache.values().forEach(deleteIndexDir)))
-
-  private def deleteIndexDir(path: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rec))
-      f.delete(): Unit
-    }
-    rec(new java.io.File(path))
-  }
+  /** Built-index locations, one per (JVM, dataset dir), held in
+    * [[graft.io.TempLayouts]]. Each build goes to a fresh per-invocation
+    * temp directory — never a fixed shared path, which would race
+    * concurrent sessions on Overwrite and could serve a stale index if
+    * the underlying table changed between runs. The JVM-scoped registry
+    * is what separates billing: the build entry always pays the full
+    * layout shuffle ([[graft.io.TempLayouts.replacing]] — the displaced
+    * dir is deleted after the swap, so rebuilding cannot leak temp
+    * space); the probe entry reuses the newest built index and pays only
+    * the pruned scan. */
+  private def indexKey(dataDir: String): String = "ivf#" + dataDir
 
   /** Build into a fresh temp dir and make it the served index for
     * `dataDir`; returns the per-cell vector counts as the build
-    * artifact's summary (a partition-column-only scan of the layout).
-    * The dir the rebuild replaces is deleted AFTER the swap: a
-    * concurrent reader that resolved the old path mid-probe keeps a
-    * consistent (if stale) layout only until the delete lands — the
-    * same read-after-replace caveat any non-transactional file index
-    * carries; production layouts get atomicity from a table format. */
+    * artifact's summary (a partition-column-only scan of the layout). */
   private def buildIndexFresh(emb: DataFrame, dataDir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf_index_").toString
-    IvfIndex.build(emb, path, nCells = 16)
-    Option(indexCache.put(dataDir, path)).foreach(deleteIndexDir)
+    val path = graft.io.TempLayouts.replacing(indexKey(dataDir), "graft_ivf_index_") {
+      p => IvfIndex.build(emb, p, nCells = 16)
+    }
     emb.sparkSession.read.parquet(s"$path/cells")
       .groupBy(col("cell_id")).agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cell_id"))
@@ -562,11 +546,9 @@ object SimilarityOps {
   /** The serving index for `dataDir`, building once per JVM if no build
     * entry ran first. */
   private def ensureIndex(emb: DataFrame, dataDir: String): String =
-    indexCache.computeIfAbsent(dataDir, { _ =>
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_index_").toString
-      IvfIndex.build(emb, path, nCells = 16)
-      path
-    })
+    graft.io.TempLayouts.cached(indexKey(dataDir), "graft_ivf_index_") {
+      p => IvfIndex.build(emb, p, nCells = 16)
+    }
 
   /** DuckDB SQL computing cosine similarity BIT-IDENTICALLY to the
     * native [[graft.functions.expressions.CosineSimilarity]] expression:

@@ -65,15 +65,8 @@ object EventStreams {
     * VERDICT r3 flagged). */
   val SplitFiles = 3
 
-  // split dirs are JVM-scoped (one per source dataset) and removed on exit
-  private val splitCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    splitCache.values().forEach(p => deleteRecursively(new java.io.File(p)))))
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
+  // split dirs are JVM-scoped (one per source dataset) and removed on
+  // exit — lifecycle via the shared graft.io.TempLayouts registry
 
   /** Split `events.parquet` into [[SplitFiles]] TIME-RANGE part files with
     * strictly ascending modification times. Contiguity + processing order
@@ -86,8 +79,10 @@ object EventStreams {
     * exactly the out-of-order-ingest discipline a production deployment
     * needs from its upstream (per-source ordered offsets in Kafka terms). */
   private def splitEventsDir(ss: SparkSession, dir: String): String =
-    splitCache.computeIfAbsent(new java.io.File(dir).getCanonicalPath, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft_events_split_")
+    graft.io.TempLayouts.cached(
+      "events_split#" + new java.io.File(dir).getCanonicalPath,
+      "graft_events_split_") { outDir =>
+      val out = java.nio.file.Paths.get(outDir)
       val staging = out.resolve("_staging")
       ss.read.parquet(s"$dir/events.parquet")
         .repartitionByRange(SplitFiles, col("ts"))
@@ -101,9 +96,8 @@ object EventStreams {
         java.nio.file.Files.move(f.toPath, dst.toPath)
         dst.setLastModified(base - (parts.length - i) * 60000L): Unit
       }
-      deleteRecursively(staging.toFile)
-      out.toString
-    })
+      graft.io.TempLayouts.delete(staging.toString)
+    }
 
   /** Streaming file source over the split events layout for an isolated
     * session, one file per micro-batch, with the TIMESTAMP(NANOS)
@@ -292,47 +286,84 @@ object EventStreams {
     * map-side before the shuffle. */
   def latestRowUpsertStreaming(spark: SparkSession, dir: String,
       statePartitions: Int = 8): DataFrame = {
+    val base = graft.io.TempLayouts.scratch("graft_upsert_")
+    val ckpt = graft.io.TempLayouts.scratch("graft_upsert_ckpt_")
+    try {
+      runUpsertStreaming(spark, dir, base, ckpt, statePartitions)
+      upsertResult(spark, base, dir).localCheckpoint(true)
+    } finally {
+      graft.io.TempLayouts.discard(base)
+      graft.io.TempLayouts.discard(ckpt)
+    }
+  }
+
+  private def latestPerUser(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+        .as("last"))
+
+  /** Committed version dirs under `base` (have a `_SUCCESS` marker — a
+    * crash mid-write leaves none, so a half-written version is never
+    * mistaken for a predecessor), newest-first by batch id. */
+  private def committedVersions(base: String): Seq[Long] =
+    Option(new java.io.File(base).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.drop(1).toLong).toSeq.sorted.reverse
+
+  /** One streaming run of the upsert job against `base` (versioned keyed
+    * table) and `ckpt` (streaming checkpoint). RESTART-SAFE BY
+    * CONSTRUCTION: the merge input for batch N is the newest COMMITTED
+    * version with id < N, discovered from DISK — never in-JVM state (the
+    * round-4 shape held `current` in a `@volatile var`, which a restarted
+    * JVM would lose, silently dropping all pre-crash state). A batch
+    * replayed after a failure between sink write and checkpoint commit
+    * therefore re-derives the same predecessor and OVERWRITES its own
+    * version dir with identical content — the foreachBatch idempotence
+    * contract. `failAtBatch` injects a crash before that batch id's sink
+    * write (the recovery spec's lever); the StreamingQueryException it
+    * causes propagates to the caller. */
+  def runUpsertStreaming(spark: SparkSession, dir: String, base: String,
+      ckpt: String, statePartitions: Int = 8,
+      failAtBatch: Option[Long] = None): Unit = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val base = java.nio.file.Files.createTempDirectory("graft_upsert").toFile
-    @volatile var current: Option[String] = None
-    def latestPerUser(df: DataFrame): DataFrame =
-      df.groupBy(col("user_id"))
-        .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
-          .as("last"))
     val q = eventStreamSource(ss, dir)()
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
       .writeStream
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val merged = current match {
+        if (failAtBatch.contains(id))
+          throw new RuntimeException(s"injected failure before batch $id commit")
+        val merged = committedVersions(base).find(_ < id) match {
           case Some(prev) =>
-            latestPerUser(batch.sparkSession.read.parquet(prev)
+            latestPerUser(batch.sparkSession.read.parquet(s"$base/v$prev")
               .select(col("user_id"), col("last.ts").as("ts"),
                 col("last.event_id").as("event_id"),
                 col("last.event_type").as("event_type"), col("last.value").as("value"))
               .unionByName(batch))
           case None => latestPerUser(batch)
         }
-        val out = s"$base/v$id"
-        merged.write.mode("overwrite").parquet(out)
-        current = Some(out)
+        merged.write.mode("overwrite").parquet(s"$base/v$id")
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    recordRun("q44_stream_upsert_latest", q, ss)
-    val result = current match {
-      case Some(p) => ss.read.parquet(p)
-      case None => latestPerUser(ss.read.parquet(dir + "/events.parquet").limit(0))
+    try q.awaitTermination()
+    finally recordRun("q44_stream_upsert_latest", q, ss)
+  }
+
+  /** The upsert table as of the newest committed version (empty-input
+    * fallback keeps the catalog schema). */
+  def upsertResult(spark: SparkSession, base: String, dir: String): DataFrame = {
+    val result = committedVersions(base).headOption match {
+      case Some(v) => spark.read.parquet(s"$base/v$v")
+      case None => latestPerUser(spark.read.parquet(dir + "/events.parquet").limit(0))
     }
-    val out = result.select(col("user_id"),
+    result.select(col("user_id"),
         col("last.ts").as("last_ts"), col("last.event_id").as("last_event_id"),
         col("last.event_type").as("last_type"), col("last.value").as("last_value"))
       .orderBy(col("user_id"))
-      .localCheckpoint(true)
-    deleteRecursively(base)
-    out
   }
 
   /** Stream-static broadcast enrichment under the oracle: the events

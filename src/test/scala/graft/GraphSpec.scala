@@ -132,4 +132,31 @@ class GraphSpec extends SparkSpecBase {
       assert(d === n, s"node $n depth")
     }
   }
+
+  test("g03 core: an underestimated rounds hint auto-extends to the fixed point") {
+    import testImplicits._
+    // depth-19 chain but only 2 hinted rounds (2^2 = 4 < 19): the
+    // convergence guard must keep doubling instead of returning
+    // mid-tree ancestors (the round-4 advisory's silent-wrong case)
+    val links0 = (0L until 20L)
+      .map(i => (i, math.max(i - 1, 0L), if (i == 0) 0L else 1L))
+      .toDF("node", "anc", "d")
+    val got = GraphOps.resolvePointers(links0, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 20)
+    got.foreach { case (n, root, d) =>
+      assert(root === 0L, s"node $n root")
+      assert(d === n, s"node $n depth")
+    }
+  }
+
+  test("g03 core: a rootless cycle fails loudly instead of spinning or resolving wrong") {
+    import testImplicits._
+    // 1 -> 2 -> 1 with no self-looped root: there is NO fixed point
+    val links0 = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("node", "anc", "d")
+    val e = intercept[IllegalStateException] {
+      GraphOps.resolvePointers(links0, rounds = 1)
+    }
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+  }
 }

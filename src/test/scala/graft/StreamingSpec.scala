@@ -220,6 +220,52 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("q44 upsert recovers from a mid-backlog crash: restart from checkpoint still equals batch argmax") {
+    val base = graft.io.TempLayouts.scratch("graft_upsert_rec_")
+    val ckpt = graft.io.TempLayouts.scratch("graft_upsert_rec_ckpt_")
+    try {
+      // Run 1: injected crash before batch 1's sink write — batch 0
+      // commits its version AND its checkpoint entry, the rest of the
+      // backlog is unprocessed when the query dies.
+      val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        EventStreams.runUpsertStreaming(spark, sf0001, base, ckpt,
+          failAtBatch = Some(1L))
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(failure).exists(t =>
+          Option(t.getMessage).exists(_.contains("injected failure"))),
+        s"query died for an unexpected reason: $failure")
+      def committed: Seq[String] =
+        Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
+          .map(_.getName).sorted.toSeq
+      assert(committed === Seq("v0"),
+        s"expected exactly batch 0's version committed before the crash, got $committed")
+      // Run 2: same checkpoint, no failure — the engine must resume from
+      // the WAL (re-executing the uncommitted batch 1, then batch 2), NOT
+      // reprocess batch 0.
+      EventStreams.runUpsertStreaming(spark, sf0001, base, ckpt)
+      val stats = EventStreams.lastRunStats("q44_stream_upsert_latest")
+      assert(stats.nBatches === EventStreams.SplitFiles - 1,
+        s"restart should process exactly the ${EventStreams.SplitFiles - 1} " +
+          s"unfinished batches, got ${stats.nBatches}")
+      val streamed = EventStreams.upsertResult(spark, base, sf0001)
+        .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2)))
+      import org.apache.spark.sql.functions._
+      val batch = graft.io.Tables(spark, sf0001).events
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.ts"), col("last.event_id"))
+        .orderBy(col("user_id"))
+        .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2)))
+      assert(streamed.toSeq === batch.toSeq)
+    } finally {
+      graft.io.TempLayouts.discard(base)
+      graft.io.TempLayouts.discard(ckpt)
+    }
+  }
+
   test("chained stateful ops: streaming dedup over doubled events equals batch count-distinct") {
     val streamed = EventStreams.dedupCountsStreaming(spark, sf0001)
       .collect()

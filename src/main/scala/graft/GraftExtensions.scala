@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CharNgramHashes, CosineSimilarity, HammingDistance, MinHashSignature, SimHash64, SortedIntersectSize, TopRepeatCountsExpr, WinnowSketch, WordNgramHashes}
+import graft.functions.expressions.{CharNgramHashes, CosineSimilarity, HammingDistance, MinHashSignature, SimHash64, SortedIntersectSize, TopRepeatCountsExpr, WinnowSketch, WinnowSketchMd5, WordNgramHashes}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (set in [[GraftSession.tune]]). Injects the native vector
@@ -64,6 +64,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("winnow_sketch",
         "winnow_sketch(text, n, k) - k smallest xxhash64 values over char n-grams"),
       (args: Seq[Expression]) => WinnowSketch(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_sketch_md5"),
+      info("winnow_sketch_md5",
+        "winnow_sketch_md5(text, n, k) - k smallest 16-hex-char md5 prefixes over char n-grams (engine-portable hash family)"),
+      (args: Seq[Expression]) => WinnowSketchMd5(args(0),
         args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
   }
 }

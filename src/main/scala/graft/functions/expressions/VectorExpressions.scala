@@ -318,6 +318,85 @@ case class WinnowSketch(child: Expression, gramLen: Int, k: Int)
   override def prettyName: String = "winnow_sketch"
 }
 
+/** winnow_sketch_md5(text, n, k) → array<string>: the k smallest
+  * 16-hex-char md5 PREFIXES over the string's character n-grams,
+  * ascending — [[WinnowSketch]] with the hash family swapped from
+  * Spark's xxhash64 to an engine-portable one. Fixed-width lowercase hex
+  * sorts lexicographically exactly as the unsigned 64-bit prefix sorts
+  * numerically, so `substr(md5(gram), 1, 16)` in ANY engine with md5
+  * (the DuckDB oracle included) reproduces the sketch bit-for-bit:
+  * this is the variant whose catalog entry (t04) is fully oracled,
+  * where xxhash64's Spark-private family forces a rows-only check.
+  * Cost: one md5 per gram (~10× the xxhash64 family) — same one-pass
+  * bounded-insertion bottom-k, no substring/array materialization;
+  * prefer [[WinnowSketch]] when the sketch never leaves this engine. */
+case class WinnowSketchMd5(child: Expression, gramLen: Int, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"winnow_sketch_md5 requires string, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    val starts = new Array[Int](s.numChars() + 1)
+    var i = 0; var c = 0
+    while (i < nBytes) {
+      starts(c) = i; c += 1
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    starts(c) = nBytes
+    val nChars = c
+    val nGrams = math.max(nChars - gramLen + 1, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // bottom-k over the UNSIGNED first-8-byte prefix (big-endian, i.e.
+    // hex-string order); -1L is unsigned max, the empty-slot sentinel
+    val cap = math.min(k, nGrams)
+    val top = Array.fill(cap)(-1L)
+    var filled = 0
+    var g = 0
+    while (g < nGrams) {
+      val from = starts(g)
+      val until = starts(math.min(g + gramLen, nChars))
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      if (filled < cap || java.lang.Long.compareUnsigned(h, top(cap - 1)) < 0) {
+        var dup = false
+        var q = 0
+        while (q < filled && !dup) { dup = top(q) == h; q += 1 }
+        if (!dup) {
+          if (filled < cap) filled += 1
+          var p = filled - 1
+          while (p > 0 && java.lang.Long.compareUnsigned(top(p - 1), h) > 0) {
+            top(p) = top(p - 1); p -= 1
+          }
+          top(p) = h
+        }
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      top.take(filled).map(h =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(f"$h%016x")))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_sketch_md5"
+}
+
 object MinHashSignature {
   /** 31-bit universal-hash domain: a·h+b stays < 2^62 (no overflow under
     * ANSI semantics — not that eval-side Java would throw, but parity

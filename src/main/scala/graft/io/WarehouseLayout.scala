@@ -108,4 +108,30 @@ object WarehouseLayout {
         .drop("zval")
         .write.mode("overwrite").parquet(out)
     }
+
+  /** orders + lineitem written ONCE per (JVM, dataset) as bucketed
+    * tables on the order key — the write-once/join-forever layout: every
+    * later fact-fact join on that key runs with ZERO Exchange on either
+    * side, because both scans already report the matching hash
+    * partitioning (q61 demonstrates it under the oracle). Returns the
+    * two catalog table names. Tables are EXTERNAL with their files in a
+    * [[TempLayouts]] dir (cleaned at exit; the in-memory catalog entries
+    * die with the JVM), named per-dataset so two datasets never serve
+    * each other's buckets. 8 buckets fit the test scale; at 100 TB the
+    * same layout takes O(cluster cores) buckets — the bucket COUNT is
+    * the only scale knob, the join plan is unchanged. */
+  def bucketedFactTables(spark: SparkSession, dir: String): (String, String) = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val suffix = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(canon) & 0x7fffffff)
+    val (ordersT, lineitemT) = (s"graft_orders_bk_$suffix", s"graft_lineitem_bk_$suffix")
+    TempLayouts.cached("buckets#" + canon, "graft_warehouse_bk_") { out =>
+      val t = Tables(spark, dir)
+      Writers.bucketedExternalTable(t.orders, ordersT, s"$out/orders",
+        "o_orderkey", buckets = 8)
+      Writers.bucketedExternalTable(t.lineitem, lineitemT, s"$out/lineitem",
+        "l_orderkey", buckets = 8)
+    }
+    (ordersT, lineitemT)
+  }
 }

@@ -46,6 +46,25 @@ object Writers {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Bucketed EXTERNAL table: bucket metadata in the (in-memory) session
+    * catalog, data files at `path` — so the layout's disk lifecycle can
+    * be owned by [[TempLayouts]] like every other JVM-scoped layout
+    * instead of accumulating in the default warehouse dir. The input is
+    * pre-shuffled into exactly `buckets` partitions on the bucket column:
+    * `repartition(buckets, col)` and the bucketed-write hash are the same
+    * Murmur3-mod, so each task holds exactly one bucket's rows and each
+    * bucket lands as ONE sorted file — which is what lets a downstream
+    * sort-merge join skip the per-bucket re-sort, not just the shuffle. */
+  def bucketedExternalTable(df: DataFrame, table: String, path: String,
+      bucketCol: String, buckets: Int): Unit =
+    df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** ORC sink — the columnar alternative where the lake standard is ORC;
     * same pushdown/pruning properties as parquet via the vectorized
     * reader. */

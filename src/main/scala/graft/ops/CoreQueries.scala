@@ -1900,6 +1900,43 @@ object CoreQueries {
           | AND (d.valid_to IS NULL OR p.od < d.valid_to)
           |GROUP BY d.priority
           |ORDER BY d.priority""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q61: bucketed fact-fact join — the write-once/join-forever layout.
+    // orders and lineitem are written ONCE per (JVM, dataset) as
+    // 8-bucket tables on the order key (WarehouseLayout.bucketedFactTables);
+    // this entry then joins them with ZERO Exchange on either join input:
+    // both scans report the matching hash partitioning, so the sort-merge
+    // join consumes them in place (PlanShapeSpec asserts no
+    // hashpartitioning exchange on either key, and — because each bucket
+    // is one pre-sorted file — no per-bucket re-sort either). The
+    // isolated session turns broadcast off: at 100 TB BOTH sides are
+    // facts and the entire point is that the one unavoidable shuffle was
+    // paid at write time, amortized over every later join on that key.
+    // The oracle is the plain join on the raw tables — a serving layout
+    // must never change results, only cost. Revenue is floored to cents
+    // per row before summing (the q44 exactness discipline).
+    GraftQuery(
+      "q61_bucketed_fact_join",
+      "orders⋈lineitem over pre-bucketed tables: shuffle-free fact-fact join (oracle = plain join)",
+      (spark, dir) => {
+        bucketedFactJoin(spark, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(cnt.as("cnt"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+              .cast("long")).as("revenue_cents"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(
+        """SELECT o_orderstatus, count(*) AS cnt,
+          |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+          |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
     )
   )
 
@@ -1924,6 +1961,29 @@ object CoreQueries {
         row_number().over(w).cast("long").as("version"),
         when(lead(col("o_orderdate"), 1).over(w).isNull, lit(1L)).otherwise(lit(0L))
           .as("is_current"))
+  }
+
+  /** q61's pre-aggregation join over the bucketed fact tables, exposed
+    * so PlanShapeSpec can assert the join subtree alone is exchange-free
+    * (the catalog entry's final groupBy adds its own legitimate
+    * exchange on o_orderstatus). Runs in a no-broadcast child session:
+    * the layout's value is precisely the shuffle a 100 TB fact-fact join
+    * could not broadcast away. */
+  def bucketedFactJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // each bucket is ONE sorted file (bucketedExternalTable pre-shuffles),
+    // so the scan may report per-bucket ordering and the SMJ drops its
+    // Sort nodes too; off by default since 3.0 because deriving ordering
+    // means listing files at planning time — cheap here, and the file
+    // listing is already needed for the scan itself
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val (ordersT, lineitemT) = graft.io.WarehouseLayout.bucketedFactTables(s, dir)
+    s.table(lineitemT)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      .join(s.table(ordersT).select(col("o_orderkey"), col("o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
   }
 
   /** q58's slice over the z-ordered layout, exposed for the WritersSpec

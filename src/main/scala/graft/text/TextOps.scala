@@ -131,28 +131,52 @@ object TextOps {
     ),
 
     // ------------------------------------------------------------------
-    // t04: rolling-hash (winnowing-style) fingerprint sketch: the 4
-    // smallest xxhash64 values over the document's char 8-grams (a
-    // bottom-k sketch — two near-identical documents share most of their
-    // gram set, so w.h.p. most of their bottom-k). Hash family is
-    // Spark-specific → rows-only check; TextSpec asserts determinism,
-    // ordering, and the shared-sketch property on whitespace twins.
-    // The sketch is emitted as a comma-joined string, not array<long>:
-    // the driver's row checker hashes scalar cells only.
+    // t04: winnowing-style fingerprint sketch: the 4 smallest hash
+    // values over the document's char 8-grams (a bottom-k sketch — two
+    // near-identical documents share most of their gram set, so w.h.p.
+    // most of their bottom-k). The hash family is the md5 16-hex-char
+    // prefix (winnow_sketch_md5): fixed-width hex sorts exactly as the
+    // unsigned 64-bit prefix, so DuckDB's substr(md5(gram),1,16)
+    // replays the sketch bit-for-bit — a FULL oracle where the
+    // xxhash64 family (winnow_sketch, still the fast path for sketches
+    // that never leave the engine — TextSpec covers it) forces
+    // rows-only. Same native one-pass bounded-insertion expression, no
+    // substring/array materialization. The sketch is emitted as a
+    // comma-joined string, not array: the driver's checker hashes
+    // scalar cells only.
     GraftQuery(
       "t04_winnow_fingerprint",
-      "bottom-4 sketch of char-8-gram rolling hashes (rows-only)",
+      "bottom-4 sketch of char-8-gram md5-prefix hashes (engine-portable, fully oracled)",
       (spark, dir) => {
         val t = Tables(spark, dir)
         t.documents
           .select(col("doc_id"),
             concat_ws(",",
-              call_function("winnow_sketch", col("text"), lit(8), lit(4)))
+              call_function("winnow_sketch_md5", col("text"), lit(8), lit(4)))
               .as("sketch"),
             greatest(length(col("text")) - 7, lit(1)).cast("long").as("n_windows"))
           .orderBy(col("doc_id"))
       },
-      None
+      Some(
+        """WITH pos AS (
+          |  SELECT doc_id, text,
+          |         unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+          |  FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id,
+          |         substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 16) AS h
+          |  FROM pos),
+          |ranked AS (
+          |  SELECT doc_id, h,
+          |         row_number() OVER (PARTITION BY doc_id ORDER BY h) AS r
+          |  FROM grams),
+          |sk AS (
+          |  SELECT doc_id, string_agg(h, ',' ORDER BY h) AS sketch
+          |  FROM ranked WHERE r <= 4 GROUP BY doc_id)
+          |SELECT d.doc_id, sk.sketch,
+          |       CAST(greatest(length(d.text) - 7, 1) AS BIGINT) AS n_windows
+          |FROM documents d JOIN sk USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)
     ),
 
     // ------------------------------------------------------------------

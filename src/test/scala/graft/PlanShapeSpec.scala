@@ -112,6 +112,24 @@ class PlanShapeSpec extends SparkSpecBase {
       s"metrics must not add a second scan:\n$p")
   }
 
+  test("q61: bucketed fact-fact join runs with zero Exchange and zero Sort") {
+    // the join alone (pre-agg): both inputs come from the bucketed
+    // layout, so nothing may shuffle OR re-sort below the join
+    val j = graft.ops.CoreQueries.bucketedFactJoin(spark, sf0001)
+    val jp = j.queryExecution.executedPlan.toString
+    assert(jp.contains("SortMergeJoin"), s"expected sort-merge join:\n$jp")
+    assert(!jp.contains("Exchange"), s"bucketed join input shuffled:\n$jp")
+    assert(!jp.contains("Sort "), s"bucketed join input re-sorted:\n$jp")
+    assert(j.count() === spark.read
+      .parquet(s"$sf0001/lineitem.parquet").count())
+    // the full catalog entry: its ONLY hash exchange is the final
+    // aggregate's, never one on a join key
+    val p = planOf("q61_bucketed_fact_join")
+    assert(!p.contains("hashpartitioning(l_orderkey") &&
+      !p.contains("hashpartitioning(o_orderkey"),
+      s"join key exchange leaked into the bucketed plan:\n$p")
+  }
+
   test("no catalog plan contains an unbounded cartesian product") {
     // BroadcastNestedLoopJoin with a broadcast 1-to-few-row side is the
     // intended shape for query-vector attachment; CartesianProduct

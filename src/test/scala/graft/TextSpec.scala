@@ -19,12 +19,28 @@ class TextSpec extends SparkSpecBase {
     run1.foreach { r =>
       // The catalog emits the sketch comma-joined (driver checker hashes
       // scalar cells only); parse it back for the property checks.
-      val sketch = r.getAs[String]("sketch").split(",").map(_.toLong).toSeq
+      val sketch = r.getAs[String]("sketch").split(",").toSeq
       val nWindows = r.getAs[Long]("n_windows")
       assert(sketch.length === math.min(4L, nWindows).toInt) // ≥4 distinct grams in this corpus
+      assert(sketch.forall(_.matches("[0-9a-f]{16}")),
+        s"sketch entries must be 16-hex-char md5 prefixes: $sketch")
       assert(sketch.zip(sketch.tail).forall { case (a, b) => a <= b },
         s"sketch not ascending: $sketch")
     }
+  }
+
+  test("native winnow_sketch_md5 equals the built-in md5/substring HOF formulation") {
+    val hof = docs
+      .withColumn("grams", graft.functions.TextFunctions.charShingles("text", 8))
+      .withColumn("hashes",
+        array_distinct(transform(col("grams"), g => substring(md5(g), 1, 16))))
+      .select(col("doc_id"), slice(array_sort(col("hashes")), 1, 4).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val native = docs
+      .select(col("doc_id"),
+        call_function("winnow_sketch_md5", col("text"), lit(8), lit(4)).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(hof === native)
   }
 
   test("native winnow_sketch is bit-identical to the HOF formulation") {

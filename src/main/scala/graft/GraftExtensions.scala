@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CharNgramHashes, CosineSimilarity, HammingDistance, MinHashSignature, SimHash64, SortedIntersectSize, TopRepeatCountsExpr, WinnowSketch, WinnowSketchMd5, WordNgramHashes}
+import graft.functions.expressions.{BpeDecode, BpeEncodeIds, CharNgramHashes, CosineSimilarity, HammingDistance, MinHashSignature, SimHash64, SortedIntersectSize, TopRepeatCountsExpr, WinnowSketch, WinnowSketchMd5, WordNgramHashes}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (set in [[GraftSession.tune]]). Injects the native vector
@@ -71,5 +71,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "winnow_sketch_md5(text, n, k) - k smallest 16-hex-char md5 prefixes over char n-grams (engine-portable hash family)"),
       (args: Seq[Expression]) => WinnowSketchMd5(args(0),
         args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_encode"),
+      info("bpe_encode",
+        "bpe_encode(text, merges) - byte-level BPE token ids for a packed array<long> merge list"),
+      (args: Seq[Expression]) => BpeEncodeIds(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_decode"),
+      info("bpe_decode",
+        "bpe_decode(ids, merges) - UTF-8 decode of BPE token ids for a packed array<long> merge list"),
+      (args: Seq[Expression]) => BpeDecode(args(0), args(1))))
   }
 }

@@ -25,6 +25,7 @@ object Catalog {
       graft.etl.EtlQueries.all ++
       graft.etl.IncrementalEtl.all ++
       graft.text.TextOps.all ++
+      graft.text.Bpe.all ++
       graft.text.PipelineQueries.all ++
       graft.dedup.DedupOps.all ++
       graft.similarity.SimilarityOps.all ++

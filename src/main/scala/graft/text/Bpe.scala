@@ -1,0 +1,217 @@
+package graft.text
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.BpeCodec
+import graft.io.Tables
+import graft.queries.GraftQuery
+
+/** Byte-level BPE tokenization over the documents corpus — the token
+  * accounting a training-data pipeline actually bills in (whitespace
+  * tokens, t05/t11, undercount CJK text and punctuation-dense code by
+  * integer factors; budgets, chunk sizes, and mixture weights are all
+  * BPE-token quantities in practice).
+  *
+  * Split of labor, and why it scales to 100 TB:
+  *  - TRAINING is a bounded driver-side job over a deterministic corpus
+  *    sample (first [[SampleDocs]] docs by doc_id — one
+  *    TakeOrderedAndProject, collected once per (JVM, dataset) and
+  *    cached). This mirrors production practice: tokenizers are trained
+  *    ONCE on a sample — GPT-2's own merges came from a fixed corpus
+  *    snapshot — then frozen and applied everywhere; the training set
+  *    never scales with the table. The classic pair-count/merge loop is
+  *    O(merges × sample bytes) on the driver, no cluster involvement.
+  *  - APPLICATION is the 100 TB side: one native expression per row
+  *    (`bpe_encode`), embarrassingly parallel, no shuffle anywhere; the
+  *    frozen merge list travels to executors as a single array<long>
+  *    literal in the plan (~KB — the broadcast-variable pattern without
+  *    the ceremony).
+  *
+  * The learned-merge list is engine-opaque (greedy merging is not
+  * ANSI-SQL-expressible), so t17/t18/t19 are rows-only entries backed by
+  * BpeSpec: an INDEPENDENT sequential-replay implementation of both
+  * training and encoding (the greedy-rank/sequential-order equivalence
+  * is the cross-check), plus the decode(encode(x)) == x round trip the
+  * lossless pre-tokenizer guarantees.
+  */
+object Bpe {
+
+  /** Merge-list size: enough for the sample's frequent alnum runs and
+    * multi-byte sequences to fuse while staying a driver-trivial loop. */
+  val NumMerges = 200
+
+  /** Training-sample bound: first docs by doc_id — deterministic, and
+    * independent of the table's total size (the scale invariant). */
+  val SampleDocs = 256
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  /** The frozen merge list for a dataset dir (trained once per JVM). */
+  def merges(spark: SparkSession, dir: String): Array[Long] =
+    cache.computeIfAbsent(
+      new java.io.File(dir).getCanonicalPath,
+      _ => train(sampleTexts(spark, dir), NumMerges))
+
+  private def sampleTexts(spark: SparkSession, dir: String): Seq[String] =
+    Tables(spark, dir).documents
+      .orderBy(col("doc_id")).limit(SampleDocs)
+      .select(col("text")).collect().toSeq.map(_.getString(0))
+
+  /** Classic BPE training (Sennrich et al. 2016) over byte-level
+    * pre-tokens: count adjacent-pair frequencies across the word-freq
+    * table, fuse the most frequent pair (ties broken by smallest packed
+    * pair — fully deterministic), repeat. Stops early when no pair
+    * occurs twice: a singleton merge memorizes one sample string. */
+  def train(texts: Seq[String], numMerges: Int): Array[Long] = {
+    var words = scala.collection.mutable.HashMap.empty[Vector[Int], Long]
+    texts.foreach { t =>
+      val m = BpeCodec.PreToken.matcher(t)
+      while (m.find()) {
+        val w = t.substring(m.start, m.end)
+          .getBytes(StandardCharsets.UTF_8).toVector.map(_ & 0xff)
+        words.updateWith(w) { c => Some(c.getOrElse(0L) + 1L) }
+      }
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[Long, Long]
+      words.foreach { case (w, f) =>
+        var i = 0
+        while (i < w.length - 1) {
+          pairCounts.updateWith(BpeCodec.pack(w(i), w(i + 1))) {
+            c => Some(c.getOrElse(0L) + f)
+          }
+          i += 1
+        }
+      }
+      val best = pairCounts.reduceOption { (x, y) =>
+        if (x._2 > y._2 || (x._2 == y._2 && x._1 < y._1)) x else y
+      }
+      best match {
+        case Some((packed, cnt)) if cnt >= 2 =>
+          val newId = 256 + merges.length
+          merges += packed
+          val a = BpeCodec.left(packed); val b = BpeCodec.right(packed)
+          val next = scala.collection.mutable.HashMap.empty[Vector[Int], Long]
+          words.foreach { case (w, f) =>
+            val nw = Vector.newBuilder[Int]
+            var i = 0
+            while (i < w.length) {
+              if (i < w.length - 1 && w(i) == a && w(i + 1) == b) {
+                nw += newId; i += 2
+              } else { nw += w(i); i += 1 }
+            }
+            val k = nw.result()
+            next.updateWith(k) { c => Some(c.getOrElse(0L) + f) }
+          }
+          words = next
+        case _ => done = true
+      }
+    }
+    merges.toArray
+  }
+
+  private val chunkTok = 50
+  private val stride = 40 // = chunkTok - overlap(10)
+
+  val all: Seq[GraftQuery] = Seq(
+    // ------------------------------------------------------------------
+    // t17: the tokenizer itself — per-document BPE token ids + the
+    // byte-per-token compression the merges buy. `ids` is persisted as
+    // a barrier so size/head/ratio read the materialized array instead
+    // of CollapseProject re-running the encoder per reference.
+    GraftQuery(
+      "t17_bpe_tokenize",
+      "byte-level BPE encoding (sample-trained merges): token counts, id head, bytes/token",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val mlit = lit(merges(spark, dir))
+        val ids = graft.InternalCaches.track(
+          t.documents.select(col("doc_id"),
+            octet_length(col("text")).cast("long").as("n_bytes"),
+            call_function("bpe_encode", col("text"), mlit).as("ids"))
+            .persist())
+        ids.select(col("doc_id"), col("n_bytes"),
+          size(col("ids")).cast("long").as("n_bpe_tokens"),
+          concat_ws(",",
+            transform(slice(col("ids"), 1, 16), i => i.cast("string")))
+            .as("ids_head"))
+          .withColumn("bytes_per_token_e3",
+            floor(col("n_bytes") * 1000 / greatest(col("n_bpe_tokens"), lit(1L)))
+              .cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // t18: t05's chunking re-billed in BPE tokens — fixed 50-token
+    // windows, stride 40. Chunk text is the exact byte decode of the id
+    // slice (the lossless pre-tokenizer makes full-document decode
+    // byte-identical to the source; a window edge may split a multi-byte
+    // char, surfacing as U+FFFD at that edge only). Same no-shuffle
+    // fan-out shape as t05: lambda-generated array + posexplode.
+    GraftQuery(
+      "t18_chunk_documents_bpe",
+      "50-BPE-token chunks with 10-token overlap (stride 40) per document",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val mlit = lit(merges(spark, dir))
+        val ids = graft.InternalCaches.track(
+          t.documents.select(col("doc_id"),
+            call_function("bpe_encode", col("text"), mlit).as("ids"))
+            .persist())
+        ids
+          .withColumn("n", size(col("ids")).cast("long"))
+          .withColumn("nc",
+            when(col("n") <= chunkTok, lit(1L))
+              .otherwise(floor((col("n") - chunkTok + (stride - 1)) / lit(stride.toDouble))
+                .cast("long") + 1L))
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0L), col("nc") - 1),
+              i => call_function("bpe_decode",
+                slice(col("ids"), (i * stride + 1).cast("int"), lit(chunkTok)),
+                mlit))))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+            col("col").as("chunk_text"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      None
+    ),
+
+    // ------------------------------------------------------------------
+    // t19: t11's per-language token-budget fill re-billed in BPE tokens
+    // (the number a mixture designer actually allocates). Budget scales
+    // with t11's 5,000 whitespace tokens by the corpus' observed ~2.4×
+    // BPE inflation → 12,000. Same greedy shape: order each language by
+    // (quality desc, doc_id), keep while the inclusive running BPE-token
+    // sum fits.
+    GraftQuery(
+      "t19_token_budget_bpe",
+      "greedy per-language 12k-BPE-token budget fill, best-quality first",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(spark, dir)
+        val mlit = lit(merges(spark, dir))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("quality_score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.documents
+          .select(col("doc_id"), col("lang"),
+            size(call_function("bpe_encode", col("text"), mlit)).cast("long")
+              .as("n_bpe_tokens"),
+            TextOps.qualityExpr.as("quality_score"))
+          .withColumn("cum_tokens", sum(col("n_bpe_tokens")).over(w))
+          .where(col("cum_tokens") <= 12000L)
+          .select(col("doc_id"), col("lang"), col("n_bpe_tokens"), col("cum_tokens"))
+          .orderBy(col("lang"), col("cum_tokens"))
+      },
+      None
+    )
+  )
+}

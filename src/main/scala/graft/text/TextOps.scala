@@ -959,7 +959,7 @@ object TextOps {
   /** The t01 quality score as a reusable column over `text` (per-row
     * double arithmetic in a fixed operation order → bit-identical across
     * engines; see t01). */
-  private def qualityExpr: Column = qualityFrom(
+  private[graft] def qualityExpr: Column = qualityFrom(
     regexp_count(col("text"), lit(wsToken)).cast("long"),
     regexp_count(col("text"), lit(punct)).cast("long"),
     length(col("text")).cast("long"),

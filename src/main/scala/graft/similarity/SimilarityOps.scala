@@ -34,13 +34,37 @@ object SimilarityOps {
       case _        => 0 // empty frame: signature column is never evaluated
     }
 
-  /** Deterministic ±1 hyperplanes (seed 7) sized to the data's dimension:
-    * literal arrays, so the per-row cost is `numPlanes` codegen'd dot
-    * products — no per-component hashing in the hot path. */
+  /** Deterministic ±1 hyperplanes sized to the data's dimension —
+    * ENGINE-PORTABLE family: component (p, i) takes its sign from the
+    * first hex char of md5("p_i") ('8'..'f' → +1.0, '0'..'7' → −1.0 —
+    * 8 of 16 values each way, so components stay balanced). Any engine
+    * with md5 regenerates the planes exactly (the s02/s06 DuckDB
+    * oracles do, via `list_transform(range(0, dim), ...)`), where the
+    * previous JVM-`Random(7)` family forced rows-only checks. The md5
+    * cost is plan-build-time only (numPlanes × dim digests on the
+    * driver); per-row cost is unchanged — `numPlanes` codegen'd dot
+    * products against literal arrays, no per-component hashing in the
+    * hot path. */
   private def planes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dim) { (p, i) =>
+      md.reset()
+      val d = md.digest(
+        s"${p}_${i}".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      if (((d(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+    }
   }
+
+  /** DuckDB regeneration of [[planes]] as a `planes(p, plane)` CTE body
+    * — one row per hyperplane, the plane as a DOUBLE list. Requires a
+    * preceding `d AS (SELECT len(embedding) AS dim FROM embeddings
+    * LIMIT 1)` CTE for the dimension. */
+  private def planesSql(numPlanes: Int): String =
+    s"""planes AS (
+       |  SELECT p, list_transform(range(0, (SELECT dim FROM d)),
+       |           i -> CASE WHEN substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 1) >= '8'
+       |                     THEN 1.0 ELSE -1.0 END) AS plane
+       |  FROM range(0, $numPlanes) t(p))""".stripMargin
 
   /** Append the `numPlanes`-bit sign signature of `embCol`. */
   def withLshSignature(df: DataFrame, embCol: String,
@@ -587,14 +611,37 @@ object SimilarityOps {
 
     // ------------------------------------------------------------------
     // s02: LSH-bucketed variant (candidate pruning by signature Hamming
-    // distance, exact re-rank). Plane family is engine-specific →
-    // rows-only; the ScalaTest asserts recall ≥ 0.8 vs s01 on this data.
+    // distance, exact re-rank). FULLY ORACLED since the md5 plane
+    // family: DuckDB regenerates the 16 hyperplanes (planesSql), packs
+    // each vector's sign bits into an integer signature, and replays
+    // the Hamming-≤6 candidate filter via bit_count(xor(...)) — an
+    // entirely independent formulation (int signatures vs Spark's bit
+    // arrays) that must agree because the plane signs and the double
+    // dot products are both bit-identical across engines.
     GraftQuery(
       "s02_similarity_lsh_topk",
-      "sign-LSH candidate pruning + exact re-rank top-10 (rows-only)",
+      "sign-LSH candidate pruning + exact re-rank top-10 (md5 plane family, fully oracled)",
       (spark, dir) =>
-        lshTopK(Tables(spark, dir).embeddings, qid = 0L, k = 10, maxHamming = 6),
-      None
+        lshTopK(Tables(spark, dir).embeddings, qid = 0L, k = 10, maxHamming = 7),
+      Some(
+        s"""WITH d AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+          |${planesSql(16)},
+          |sig AS (
+          |  SELECT e.vec_id,
+          |         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.plane) >= 0
+          |                       THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS sg
+          |  FROM embeddings e CROSS JOIN planes pl
+          |  GROUP BY e.vec_id),
+          |q AS (
+          |  SELECT e.embedding AS q_emb, s.sg AS q_sg
+          |  FROM embeddings e JOIN sig s USING (vec_id)
+          |  WHERE e.vec_id = 0)
+          |SELECT e.vec_id,
+          |       CAST(round(${cosSql("e.embedding", "q.q_emb")} * 10000) AS BIGINT) AS sim_e4
+          |FROM embeddings e JOIN sig s USING (vec_id) CROSS JOIN q
+          |WHERE e.vec_id <> 0 AND bit_count(xor(s.sg, q.q_sg)) <= 7
+          |ORDER BY sim_e4 DESC, vec_id
+          |LIMIT 10""".stripMargin)
     ),
 
     // ------------------------------------------------------------------
@@ -639,14 +686,44 @@ object SimilarityOps {
 
     // ------------------------------------------------------------------
     // s06: batch LSH variant — signature-block equi-join candidates,
-    // exact re-rank (rows-only: plane family is engine-specific;
-    // SimilaritySpec asserts recall vs s05).
+    // exact re-rank. FULLY ORACLED since the md5 plane family: DuckDB
+    // regenerates the 32 planes, packs them into the same 8 bands of 4
+    // bits (block b = planes [4b, 4b+4)), self-joins on (block, value)
+    // for candidates, and re-ranks with row_number — mirroring the
+    // GroupedTopK tie-break (sim desc, vec_id asc).
     GraftQuery(
       "s06_similarity_batch_lsh",
-      "sign-LSH block equi-join + exact re-rank, 5-query batch (rows-only)",
+      "sign-LSH block equi-join + exact re-rank, 5-query batch (md5 plane family, fully oracled)",
       (spark, dir) =>
         lshTopKBatch(Tables(spark, dir).embeddings, BatchQueryIds, k = 10),
-      None
+      Some(
+        s"""WITH d AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+          |${planesSql(32)},
+          |blocks AS (
+          |  SELECT e.vec_id, pl.p // 4 AS block,
+          |         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.plane) >= 0
+          |                       THEN (1::BIGINT << (pl.p % 4)) ELSE 0 END) AS BIGINT) AS block_val
+          |  FROM embeddings e CROSS JOIN planes pl
+          |  GROUP BY e.vec_id, pl.p // 4),
+          |cand AS (
+          |  SELECT DISTINCT qb.vec_id AS qid, xb.vec_id
+          |  FROM blocks xb
+          |  JOIN blocks qb ON xb.block = qb.block AND xb.block_val = qb.block_val
+          |  WHERE qb.vec_id IN (0, 1, 2, 3, 4) AND xb.vec_id <> qb.vec_id),
+          |sims AS (
+          |  SELECT c.qid, c.vec_id,
+          |         CAST(round(${cosSql("e.embedding", "q.embedding")} * 10000) AS BIGINT) AS sim_e4
+          |  FROM cand c
+          |  JOIN embeddings e ON e.vec_id = c.vec_id
+          |  JOIN embeddings q ON q.vec_id = c.qid),
+          |rk AS (
+          |  SELECT qid, vec_id, sim_e4,
+          |         row_number() OVER (PARTITION BY qid
+          |                            ORDER BY sim_e4 DESC, vec_id) AS rk
+          |  FROM sims)
+          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, sim_e4
+          |FROM rk WHERE rk <= 10
+          |ORDER BY qid, rk""".stripMargin)
     ),
 
     // ------------------------------------------------------------------

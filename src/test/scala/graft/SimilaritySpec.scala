@@ -64,7 +64,7 @@ class SimilaritySpec extends SparkSpecBase {
   test("LSH top-k achieves recall ≥ 0.5 vs exact on this data") {
     val exact = SimilarityOps.bruteForceTopK(emb, 0L, 10)
       .collect().map(_.getAs[Long]("vec_id")).toSet
-    val approx = SimilarityOps.lshTopK(emb, 0L, 10, maxHamming = 6)
+    val approx = SimilarityOps.lshTopK(emb, 0L, 10, maxHamming = 7)
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(approx.nonEmpty)
     assert(exact.intersect(approx).size >= 5,

@@ -27,8 +27,64 @@ import org.apache.spark.sql.SparkSession
   * A query that throws is recorded as -1 (sentinel), never as a fast pass.
   */
 object Bench {
-  private val Iters = 3
+  private[graft] val Iters = 3
   private val ExtraSubSecondIters = 2
+
+  /** One query's measurement: best-of-N seconds (-1 = failed), loadavg
+    * at query start, iterations actually run. */
+  final case class QueryTiming(name: String, sec: Double, qload1: Double,
+      iters: Int)
+
+  /** Warm up one-time JVM costs (codegen compiler, parquet reader,
+    * broadcast machinery, shuffle system) so they don't land on the
+    * alphabetically-first measured query. */
+  private[graft] def warmUp(spark: SparkSession, sfDir: String): Unit =
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val pt = spark.read.parquet(s"$sfDir/part.parquet")
+      li.join(org.apache.spark.sql.functions.broadcast(pt),
+          li("l_partkey") === pt("p_partkey"))
+        .groupBy("l_returnflag").count()
+        .write.mode("overwrite").format("noop").save()
+    } catch { case _: Throwable => () }
+
+  /** Time every catalog query against `sfDir` with the bench discipline
+    * (min-of-[[Iters]], extra iterations for sub-second queries,
+    * inter-iteration cache release, per-query loadavg; -1 sentinel on
+    * failure) — shared by [[Bench]] and [[Scaling]].
+    *
+    * The noop sink forces full evaluation of every operator in the plan
+    * (a bare count() would let Catalyst prune projections and sorts). */
+  private[graft] def timeCatalog(spark: SparkSession,
+      sfDir: String): Seq[QueryTiming] = {
+    def loadNow: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val qLoad = loadNow
+      def runOnce(): Double = {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+        finally {
+          // Each invocation persists fresh intermediate frames (MinHash,
+          // IVF centroids); drop them between runs (outside the timed
+          // region) so cached blocks don't accumulate across iterations.
+          InternalCaches.releaseAll()
+          spark.catalog.clearCache()
+        }
+      }
+      val base = (1 to Iters).map(_ => runOnce())
+      val times =
+        if (base.forall(_ >= 0) && base.min < 1.0)
+          base ++ (1 to ExtraSubSecondIters).map(_ => runOnce())
+        else base
+      // Any failed iteration marks the query failed; otherwise best-of-N.
+      QueryTiming(name, if (times.exists(_ < 0)) -1.0 else times.min,
+        qLoad, times.length)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,54 +107,17 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up one-time JVM costs (codegen compiler, parquet reader,
-    // broadcast machinery, shuffle system) so they don't land on the
-    // alphabetically-first measured query.
-    try {
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val pt = spark.read.parquet(s"$sfDir/part.parquet")
-      li.join(org.apache.spark.sql.functions.broadcast(pt),
-          li("l_partkey") === pt("p_partkey"))
-        .groupBy("l_returnflag").count()
-        .write.mode("overwrite").format("noop").save()
-    } catch { case _: Throwable => () }
-    // noop sink forces full evaluation of every operator in the plan
-    // (a bare count() would let Catalyst prune projections and sorts).
-    def loadNow: Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val qLoad = loadNow
-      def runOnce(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => -1.0 }
-        finally {
-          // Each invocation persists fresh intermediate frames (MinHash,
-          // IVF centroids); drop them between runs (outside the timed
-          // region) so cached blocks don't accumulate across iterations.
-          InternalCaches.releaseAll()
-          spark.catalog.clearCache()
-        }
-      }
-      val base = (1 to Iters).map(_ => runOnce())
-      val times =
-        if (base.forall(_ >= 0) && base.min < 1.0)
-          base ++ (1 to ExtraSubSecondIters).map(_ => runOnce())
-        else base
-      // Any failed iteration marks the query failed; otherwise best-of-N.
-      (name, if (times.exists(_ < 0)) -1.0 else times.min, qLoad, times.length)
-    }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    warmUp(spark, sfDir)
+    val results = timeCatalog(spark, sfDir)
+    val qs = results.map(r => s"\"" + r.name + "\":" + r.sec)
       .mkString("{", ",", "}")
-    val qloads = results.map { case (k, _, l, _) =>
-      s"\"" + k + "\":" + math.round(l * 100) / 100.0 }
+    val qloads = results.map(r =>
+      s"\"" + r.name + "\":" + math.round(r.qload1 * 100) / 100.0)
       .mkString("{", ",", "}")
-    val qiters = results.map { case (k, _, _, n) => s"\"" + k + "\":" + n }
+    val qiters = results.map(r => s"\"" + r.name + "\":" + r.iters)
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.count(_._2 < 0)
+    val total = results.map(_.sec).filter(_ >= 0).sum
+    val failed = results.count(_.sec < 0)
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","iters":$Iters,"agg":"min","failed":$failed,""" +

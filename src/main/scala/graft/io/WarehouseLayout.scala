@@ -109,6 +109,51 @@ object WarehouseLayout {
         .write.mode("overwrite").parquet(out)
     }
 
+  /** Equi-depth bucket id (0..bounds.length) of a column against sorted
+    * interior cut points: one codegen'd HOF pass counting cuts ≤ value —
+    * the monotone quantile-bucket map [[eventsZOrderedEquiDepth]]
+    * interleaves. Exposed for the WritersSpec occupancy measurement. */
+  private[graft] def equiDepthBucket(value: Column, bounds: Array[Double]): Column =
+    aggregate(
+      array(bounds.map(lit(_)): _*), lit(0),
+      (acc, b) => acc + when(value >= b, 1).otherwise(0))
+
+  /** events Z-ORDERED by (equi-depth bucket of `value`, user_id) — the
+    * quantile-bucket variant the [[lineitemZOrdered]] scaladoc promises
+    * for skewed/non-dense keys, demonstrated and measured (q62 +
+    * WritersSpec) rather than just documented. `value` is a
+    * right-skewed double (median ≈ 36, max ≈ 328 in this data):
+    * equi-WIDTH 16-bit scaling packs ~6× the ideal mass into its
+    * fullest bucket (measured in WritersSpec), so z-cells in the dense
+    * region carry unbounded mass — at 100 TB that is an unsplittable
+    * hot file. Equi-DEPTH buckets via approx_percentile hold ~1/64 of
+    * the rows each BY CONSTRUCTION regardless of skew, bounding every
+    * z-cell's mass; the Morton interleave is unchanged (the documented
+    * claim). The quantile sketch is one distributed pass
+    * (approxQuantile, rel. error 1e-3 — boundary exactness is never a
+    * correctness input, the layout only orders rows); user_id, dense
+    * and tiny-domain, takes the plain min-max scale. */
+  def eventsZOrderedEquiDepth(spark: SparkSession, dir: String): String =
+    TempLayouts.cached(layoutKey(dir, "ev_zed"), "graft_warehouse_ze_") { out =>
+      val ev = Tables(spark, dir).events
+      val nb = 64
+      // distinct ascending interior cuts (heavy skew can collapse
+      // neighboring quantiles; duplicate cuts would waste bucket ids)
+      val bounds = ev.stat.approxQuantile("value",
+        (1 until nb).map(_.toDouble / nb).toArray, 0.001).distinct.sorted
+      val u = ev.agg(min(col("user_id")), max(col("user_id"))).head()
+      val (uLo, uHi) = (u.getLong(0), u.getLong(1))
+      ev.withColumn("zval", mortonZ(
+          (equiDepthBucket(col("value"), bounds).cast("long") * lit(65535L) /
+            lit(math.max(1, bounds.length))).cast("long"),
+          ((col("user_id") - lit(uLo)) * lit(65535L) /
+            lit(math.max(1L, uHi - uLo))).cast("long")))
+        .repartitionByRange(64, col("zval"))
+        .sortWithinPartitions(col("zval"))
+        .drop("zval")
+        .write.mode("overwrite").parquet(out)
+    }
+
   /** orders + lineitem written ONCE per (JVM, dataset) as bucketed
     * tables on the order key — the write-once/join-forever layout: every
     * later fact-fact join on that key runs with ZERO Exchange on either

@@ -1937,6 +1937,31 @@ object CoreQueries {
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY o_orderstatus
           |ORDER BY o_orderstatus""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q62: EQUI-DEPTH z-order — q58's layout family on a SKEWED key.
+    // events is rewritten z-ordered by (quantile bucket of `value`,
+    // user_id): the 64 equi-depth buckets each hold ~1/64 of the rows
+    // by construction (equi-width scaling measures 6× ideal occupancy
+    // on this value distribution — WritersSpec), so every z-cell's
+    // mass is bounded no matter the skew — the property that keeps
+    // file sizes and row-group spans uniform at 100 TB. Layout never
+    // changes results → the oracle is the same slice over raw events;
+    // sums travel as floored integer micros (the compaction-entry
+    // discipline) so the hash compare is exact.
+    GraftQuery(
+      "q62_zorder_equidepth_skipping",
+      "value-range slice over the equi-depth (value,user_id) z-ordered events layout",
+      (spark, dir) => equiDepthZorderSlice(spark, dir),
+      Some(
+        """SELECT event_type, count(*) AS cnt,
+          |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+          |         AS value_micros
+          |FROM events
+          |WHERE value BETWEEN 30.0 AND 60.0
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
     )
   )
 
@@ -1995,6 +2020,20 @@ object CoreQueries {
       .groupBy(col("l_suppkey"))
       .agg(cnt.as("cnt"), sum(col("l_quantity")).cast("long").as("sum_qty"))
       .orderBy(col("l_suppkey"))
+  }
+
+  /** q62's slice over the equi-depth z-ordered events layout, exposed
+    * for the WritersSpec scan-metrics + occupancy comparison. The slice
+    * [30, 60] sits in the DENSE region of the value distribution
+    * (~24% of rows) — exactly where equi-width z-cells overload. */
+  def equiDepthZorderSlice(spark: SparkSession, dir: String): DataFrame = {
+    val layout = graft.io.WarehouseLayout.eventsZOrderedEquiDepth(spark, dir)
+    spark.read.parquet(layout)
+      .where(col("value").between(30.0, 60.0))
+      .groupBy(col("event_type"))
+      .agg(cnt.as("cnt"),
+        sum(floor(col("value") * 1e6).cast("long")).as("value_micros"))
+      .orderBy(col("event_type"))
   }
 
   /** q55's slice over the shipdate-sorted layout, exposed for the

@@ -11,6 +11,23 @@ import graft.io.Writers
 class WritersSpec extends SparkSpecBase {
   import testImplicits._
 
+  /** Sum of rows OUTPUT by the plan's file scans after running `df` —
+    * the skipping metric both z-order tests compare: parquet min/max
+    * stats drop whole row groups, so a clustered layout's scan emits
+    * far fewer rows than the filter's survivors would suggest. */
+  private def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    df.collect()
+    scans(df.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum
+  }
+
   test("quarter-partitioned wide table prunes partitions for sliced reads") {
     val dir = Files.createTempDirectory("graft_wide").toString
     val wide = Seq(
@@ -197,18 +214,7 @@ class WritersSpec extends SparkSpecBase {
   }
 
   test("q58 z-order layout: skips on BOTH key dims where a single-key sort serves only its own") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec => scans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
-      df.collect()
-      scans(df.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum
-    }
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = scanOutputRows(df)
     val raw = graft.io.Tables(spark, sf0001).lineitem
     val total = raw.count()
     val (pLo, pHi) = (40L, 80L)   // the q58 slice
@@ -268,5 +274,52 @@ class WritersSpec extends SparkSpecBase {
         s"bucketed join still shuffles:\n$plan")
       assert(j.count() === 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("q62 equi-depth z-order: bounded bucket mass under skew + two-dim skipping") {
+    import graft.io.WarehouseLayout
+    val ev = graft.io.Tables(spark, sf0001).events
+    val total = ev.count()
+    val nb = 64
+
+    // 1) the occupancy claim: the skewed value distribution overloads
+    // equi-width buckets (~6× ideal here) while equi-depth stays ~ideal
+    // by construction — the bounded-z-cell-mass property q62 exists for.
+    val bounds = ev.stat.approxQuantile("value",
+      (1 until nb).map(_.toDouble / nb).toArray, 0.001).distinct.sorted
+    val ideal = total.toDouble / (bounds.length + 1)
+    val depthMax = ev
+      .groupBy(WarehouseLayout.equiDepthBucket(col("value"), bounds).as("bk"))
+      .count().agg(max(col("count"))).head().getLong(0)
+    val mm = ev.agg(min(col("value")), max(col("value"))).head()
+    val (vLo, vHi) = (mm.getDouble(0), mm.getDouble(1))
+    val widthMax = ev
+      .groupBy(least(lit(nb - 1),
+        floor((col("value") - vLo) / ((vHi - vLo) / nb)).cast("int")).as("bk"))
+      .count().agg(max(col("count"))).head().getLong(0)
+    info(s"ideal=$ideal depthMax=$depthMax widthMax=$widthMax")
+    assert(depthMax <= 2 * ideal,
+      s"equi-depth bucket overloaded: $depthMax vs ideal $ideal")
+    assert(widthMax >= 3 * ideal,
+      s"data not skewed enough to demonstrate anything: $widthMax vs ideal $ideal")
+    assert(widthMax >= 2 * depthMax,
+      s"equi-depth no better than equi-width: $depthMax vs $widthMax")
+
+    // 2) the skipping claim (q58's measurement on this layout): row-group
+    // stats serve BOTH dimensions from one z-ordered layout
+    val z = spark.read.parquet(WarehouseLayout.eventsZOrderedEquiDepth(spark, sf0001))
+    // literal types must match the column types — a double literal on the
+    // bigint user_id would wrap the column in a cast and kill pushdown
+    def cntSlice(df: org.apache.spark.sql.DataFrame, c: String, lo: Any, hi: Any) =
+      df.where(col(c).between(lo, hi)).agg(count(lit(1)).as("cnt"))
+    val zV = scanOutputRows(cntSlice(z, "value", 30.0, 60.0))
+    val zU = scanOutputRows(cntSlice(z, "user_id", 3L, 4L))
+    info(s"total=$total zV=$zV zU=$zU")
+    assert(zV < total / 2, s"no value-dim skipping: $zV of $total")
+    assert(zU < total / 2, s"no user-dim skipping: $zU of $total")
+
+    // 3) layout invariance (the identity the q62 oracle hash-checks)
+    assert(cntSlice(z, "value", 30.0, 60.0).head().getLong(0) ===
+      cntSlice(ev, "value", 30.0, 60.0).head().getLong(0))
   }
 }

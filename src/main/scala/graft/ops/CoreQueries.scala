@@ -1962,6 +1962,85 @@ object CoreQueries {
           |WHERE value BETWEEN 30.0 AND 60.0
           |GROUP BY event_type
           |ORDER BY event_type""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q63: MERGEABLE quantile sketch — the q56 materialize-once/
+    // rollup-anywhere pattern for ORDER STATISTICS, and fully oracled
+    // where q56's HLL is engine-opaque. The sketch is a fixed-bin
+    // integer histogram of price cents (bin = cents div 2^16, a
+    // DATA-INDEPENDENT spec, so sketches from different datasets, days,
+    // or clusters merge by adding counts — exactly what t-digest gives
+    // approximately, here exact-to-the-bin): build ONCE at fine
+    // granularity (returnflag × linestatus × ship year — one
+    // partial-agg shuffle of ≤ groups×256 sketch rows), then answer
+    // p50/p90/p99 at ANY coarser grouping by summing bins — the rollup
+    // touches sketch rows only, never the fact table again. Quantile =
+    // the lower edge of the first bin whose cumulative count reaches
+    // ceil(q·n): integers end to end (the 2^16 divisor keeps even the
+    // double formulation exact — division by a power of two never
+    // rounds), so the DuckDB replay is hash-identical. Error ≤ one bin
+    // width by construction (CoreOperatorsSpec pins it against exact
+    // percentiles). At 100 TB: the fine sketch is a few thousand rows
+    // per day — store THAT, and every later quantile query at any
+    // rollup level is a metadata-scale aggregation.
+    GraftQuery(
+      "q63_quantile_sketch_rollup",
+      "fixed-bin integer histogram sketches rolled up to returnflag p50/p90/p99 price quantiles",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val binW = 65536L // cents per bin (2^16: exact under double division too)
+        val nBins = 256L
+        val cents = floor(col("l_extendedprice") * 100).cast("long")
+        // materialize-once: the fine-granularity sketch
+        val fine = t.lineitem
+          .select(col("l_returnflag"), col("l_linestatus"),
+            year(col("l_shipdate")).cast("long").as("ship_year"),
+            least(lit(nBins - 1), floor(cents / lit(binW)).cast("long")).as("bin"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"), col("ship_year"),
+            col("bin"))
+          .agg(cnt.as("cnt"))
+        // rollup-anywhere: merge sketches to returnflag granularity
+        val merged = fine.groupBy(col("l_returnflag"), col("bin"))
+          .agg(sum(col("cnt")).as("cnt"))
+        val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("l_returnflag"))
+        def qEdge(q: Double, name: String) =
+          min(when(col("cum") >= ceil(col("n") * lit(q)), col("bin") * lit(binW)))
+            .as(name)
+        merged
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .groupBy(col("l_returnflag"))
+          .agg(max(col("n")).as("n"),
+            qEdge(0.5, "p50_lo_cents"), qEdge(0.9, "p90_lo_cents"),
+            qEdge(0.99, "p99_lo_cents"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        """WITH fine AS (
+          |  SELECT l_returnflag, l_linestatus,
+          |         CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+          |         least(255, CAST(floor(l_extendedprice * 100) AS BIGINT) // 65536) AS bin,
+          |         count(*) AS cnt
+          |  FROM lineitem GROUP BY 1, 2, 3, 4),
+          |merged AS (
+          |  SELECT l_returnflag, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+          |  FROM fine GROUP BY 1, 2),
+          |c AS (
+          |  SELECT l_returnflag, bin, cnt,
+          |         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+          |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |         sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+          |  FROM merged)
+          |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+          |       CAST(min(CASE WHEN cum >= ceil(n * 0.5) THEN bin * 65536 END) AS BIGINT) AS p50_lo_cents,
+          |       CAST(min(CASE WHEN cum >= ceil(n * 0.9) THEN bin * 65536 END) AS BIGINT) AS p90_lo_cents,
+          |       CAST(min(CASE WHEN cum >= ceil(n * 0.99) THEN bin * 65536 END) AS BIGINT) AS p99_lo_cents
+          |FROM c
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
     )
   )
 

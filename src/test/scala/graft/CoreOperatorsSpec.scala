@@ -428,4 +428,31 @@ class CoreOperatorsSpec extends SparkSpecBase {
       assert(nMism === mism(prio), s"priority $prio mismatch count")
     }
   }
+
+  test("q63: sketch quantile bins contain the exact order statistics (error ≤ one bin)") {
+    val binW = 65536L
+    val rows = graft.queries.Catalog.queries("q63_quantile_sketch_rollup")(spark, sf0001)
+      .collect()
+    // independent ground truth: the exact discrete order statistic
+    // x_(ceil(q·n)) per group, from collected integer cents
+    val cents = graft.io.Tables(spark, sf0001).lineitem
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.nonEmpty && rows.length === cents.size)
+    rows.foreach { r =>
+      val g = r.getAs[String]("l_returnflag")
+      val xs = cents(g)
+      assert(r.getAs[Long]("n") === xs.length.toLong)
+      Seq(0.5 -> "p50_lo_cents", 0.9 -> "p90_lo_cents", 0.99 -> "p99_lo_cents")
+        .foreach { case (q, cName) =>
+          val k = math.ceil(q * xs.length).toLong
+          val exact = xs(k.toInt - 1)
+          val lo = r.getAs[Long](cName)
+          assert(lo <= exact && exact < lo + binW,
+            s"$g $cName: sketch bin [$lo, ${lo + binW}) misses exact $exact")
+        }
+    }
+  }
 }

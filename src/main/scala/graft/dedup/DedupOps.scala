@@ -265,7 +265,9 @@ object DedupOps {
   def withSimhashBits(corpus: DataFrame): DataFrame =
     corpus
       .withColumn("toks", tokens(col("text")))
-      .withColumn("th", expr("transform(array_distinct(toks), t -> xxhash64(t))"))
+      .withColumn("th",
+        transform(array_distinct(col("toks")),
+          t => call_function("md5_prefix64", t)))
       .withColumn("sums", expr(
         """aggregate(th, array_repeat(0L, 64),
           |  (acc, h) -> zip_with(acc,
@@ -278,10 +280,18 @@ object DedupOps {
     * [[graft.functions.expressions.SimHash64]]): Hamming distance becomes
     * `bit_count(a ^ b)` and the LSH blocks are 16-bit slices of the long —
     * no per-row arrays survive into the shuffle. */
+  /** Per-doc 64-bit SimHash over distinct whitespace tokens. Token hash
+    * family is the ENGINE-PORTABLE md5 prefix (`md5_prefix64`) — the
+    * same bits DuckDB reads with `CAST('0x' || substr(md5(t),1,16) AS
+    * UBIGINT)` — which is what lets d04 carry a full oracle (the t04 /
+    * s02 discipline); the signature fold is the native majority-bit
+    * expression (`simhash64`). */
   def simhashSignature(corpus: DataFrame): DataFrame =
     corpus
       .withColumn("toks", tokens(col("text")))
-      .withColumn("th", expr("transform(array_distinct(toks), t -> xxhash64(t))"))
+      .withColumn("th",
+        transform(array_distinct(col("toks")),
+          t => call_function("md5_prefix64", t)))
       .withColumn("sig", call_function("simhash64", col("th")))
       .select(col("doc_id"), col("sig"))
 
@@ -416,15 +426,50 @@ object DedupOps {
     ),
 
     // ------------------------------------------------------------------
-    // d04: SimHash near-dup pairs (rows-only — hash-family-specific).
+    // d04: SimHash near-dup pairs — FULLY ORACLED since the md5 token
+    // hash family: DuckDB rebuilds every signature independently
+    // (UBIGINT bit arithmetic: per-bit majority over the distinct
+    // tokens' md5-prefix hashes, bit_or-assembled) and takes the DIRECT
+    // quadratic pair join, which must equal the engine's 4×16-bit-block
+    // LSH because the blocking is EXHAUSTIVE for Hamming ≤ 3 by
+    // pigeonhole — the oracle checks the algorithmic equivalence, not a
+    // replay of the same plan.
     GraftQuery(
       "d04_dedup_simhash",
-      "SimHash(64-bit) near-dup pairs via 16-bit-block LSH (rows-only)",
+      "SimHash(64-bit, md5 token hashes) near-dup pairs via 16-bit-block LSH (fully oracled)",
       (spark, dir) => {
         val t = Tables(spark, dir)
         simhashNearDups(nearDupCorpus(t.documents), maxHamming = 3)
       },
-      None
+      Some(
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id,
+          |         regexp_replace(text, '(\s+\S+){3}$', '') AS text
+          |  FROM documents),
+          |tok AS (
+          |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS t
+          |  FROM corpus),
+          |h AS (
+          |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT) AS h
+          |  FROM tok),
+          |bits AS (
+          |  SELECT doc_id, b.b,
+          |         CASE WHEN 2 * sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE 0 END)
+          |                   >= count(*)
+          |              THEN 1 ELSE 0 END AS bit
+          |  FROM h CROSS JOIN range(0, 64) b(b)
+          |  GROUP BY doc_id, b.b),
+          |sig AS (
+          |  SELECT doc_id,
+          |         bit_or(CASE WHEN bit = 1 THEN 1::UBIGINT << b ELSE 0::UBIGINT END) AS sig
+          |  FROM bits GROUP BY doc_id)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+          |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
     // ------------------------------------------------------------------

@@ -397,6 +397,43 @@ case class WinnowSketchMd5(child: Expression, gramLen: Int, k: Int)
   override def prettyName: String = "winnow_sketch_md5"
 }
 
+/** md5_prefix64(text) → bigint: the first 8 bytes of md5(text), read
+  * big-endian as a (signed) 64-bit value — the same bits any engine
+  * gets from the md5 hex string's first 16 chars, so `CAST('0x' ||
+  * substr(md5(t), 1, 16) AS UBIGINT)` in DuckDB reproduces the hash
+  * bit-for-bit (two's complement: only the bits matter, and SimHash /
+  * Hamming logic never interprets the sign). The engine-portable token
+  * hash family behind the fully-oracled d04 (where xxhash64's
+  * Spark-private family forces rows-only); ~10× slower per hash than
+  * xxhash64 — keep xxhash64 for hashes that never leave the engine. */
+case class Md5Prefix64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"md5_prefix64 requires string, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    var h = 0L
+    var b = 0
+    while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_prefix64"
+}
+
 object MinHashSignature {
   /** 31-bit universal-hash domain: a·h+b stays < 2^62 (no overflow under
     * ANSI semantics — not that eval-side Java would throw, but parity

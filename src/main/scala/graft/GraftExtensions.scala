@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{BpeDecode, BpeEncodeIds, CharNgramHashes, CosineSimilarity, HammingDistance, Md5Prefix64, MinHashSignature, SimHash64, SortedIntersectSize, TopRepeatCountsExpr, WinnowSketch, WinnowSketchMd5, WordNgramHashes}
+import graft.functions.expressions.{BpeDecode, BpeEncodeIds, CharNgramHashes, CosineSimilarity, HammingDistance, Md5Prefix64, MinHashSignature, SimHash64, SortedIntersectSize, TopRepeatCountsExpr, WinnowSketch, WinnowSketchMd5, WordNgramHashes, WordNgramMd5Hashes}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (set in [[GraftSession.tune]]). Injects the native vector
@@ -71,6 +71,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "winnow_sketch_md5(text, n, k) - k smallest 16-hex-char md5 prefixes over char n-grams (engine-portable hash family)"),
       (args: Seq[Expression]) => WinnowSketchMd5(args(0),
         args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngram_md5_hashes"),
+      info("word_ngram_md5_hashes",
+        "word_ngram_md5_hashes(text, n) - sorted distinct md5-prefix hashes of space-joined token n-grams (engine-portable hash family)"),
+      (args: Seq[Expression]) => WordNgramMd5Hashes(args(0),
+        args(1).eval().asInstanceOf[Int])))
     ext.injectFunction((
       FunctionIdentifier("md5_prefix64"),
       info("md5_prefix64",

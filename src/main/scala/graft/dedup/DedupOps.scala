@@ -97,16 +97,22 @@ object DedupOps {
   }
 
   /** doc_id + sorted distinct word-5-shingle HASH set via the native
-    * one-pass [[graft.functions.expressions.WordNgramHashes]]: shingle
-    * hashes are combined from per-token xxhash64s with order-sensitive
-    * rotate-xor mixing, so no shingle strings are ever materialized;
+    * one-pass [[graft.functions.expressions.WordNgramMd5Hashes]] —
+    * gram = 5 tokens joined by one space, hash = md5 first-8-bytes, the
+    * ENGINE-PORTABLE family (t04/s02/d04 discipline) that lets the
+    * whole MinHash-LSH pipeline (d02) carry a DuckDB oracle: the other
+    * engine recomputes every gram hash as
+    * `md5(array_to_string(tokens[i:i+4], ' '))`. No shingle strings are
+    * materialized engine-side (token ranges feed the digest directly);
     * downstream Jaccard verification runs on the sorted hash sets via
-    * the native O(n+m) merge. Values equal string-shingle Jaccard modulo
-    * 64-bit collisions (negligible). [[shingledHof]] is the retained
-    * HOF formulation the specs cross-check bit-for-bit. */
+    * the native O(n+m) merge. Values equal string-shingle Jaccard
+    * modulo 64-bit collisions (negligible). [[shingledHof]] remains the
+    * HOF cross-check for the xxhash64 family still used by d05's edge
+    * generator ([[shingleJaccardEdges]]). */
   private def shingled(corpus: DataFrame): DataFrame =
     corpus.select(col("doc_id"),
-      call_function("word_ngram_hashes", col("text"), lit(ShingleWords)).as("shingles"))
+      call_function("word_ngram_md5_hashes", col("text"), lit(ShingleWords))
+        .as("shingles"))
 
   /** The pre-native HOF formulation of [[shingled]] — spec cross-check
     * only (interpreted lambda dispatch per gram makes it the measured
@@ -129,10 +135,17 @@ object DedupOps {
     sh.withColumn("minhash",
       call_function("minhash_signature", col("shingles"), lit(NumHashes)))
 
-  /** Explode the signature into (band, band_sig) LSH keys. */
+  /** Explode the signature into (band, band_sig) LSH keys. The band key
+    * is the RAW RowsPerBand-tuple of minhash values, not a hash of it:
+    * equality is then exactly tuple equality (no 32-bit hash collision
+    * can smuggle extra candidates in), and — since the minhash values
+    * are already engine-portable — the d02 oracle replays the banding
+    * verbatim. A 4-long array key costs 32 bytes per row in the shuffle
+    * vs 4 for a hash; band rows are signature-scale, not data-scale, so
+    * the collision-freeness is worth more than the bytes. */
   private def banded(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map(i =>
-      hash(lit(i), slice(col("minhash"), i * RowsPerBand + 1, RowsPerBand)))
+      slice(col("minhash"), i * RowsPerBand + 1, RowsPerBand))
     sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_sig")
@@ -330,6 +343,52 @@ object DedupOps {
     hamming64Pairs(sig, "doc_id", "sig", maxHamming)
   }
 
+  /** Shared DuckDB replay of the shingle→minhash→band chain over a
+    * preceding `corpus(doc_id, text)` CTE — the SQL twin of
+    * [[shingled]] → [[withSignature]] → [[banded]], used by the d02 and
+    * d07 oracles. The universal-hash coefficients are interpolated as a
+    * VALUES table: they are driver-side constants published as part of
+    * the engine spec (seed 42), not data-dependent randomness. Emits
+    * CTE bodies `toks, pos, grams, hs, coeff, mh, sigl, bands`;
+    * `grams` doubles as the exact-Jaccard verification input. */
+  private def minhashBandSql: String = {
+    val (ca, cb) = graft.functions.expressions.MinHashSignature
+      .coefficients(NumHashes)
+    val coeffRows = (0 until NumHashes)
+      .map(j => s"(${j}, ${ca(j)}, ${cb(j)})").mkString(", ")
+    s"""toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM corpus),
+       |pos AS (
+       |  SELECT doc_id, tk,
+       |         CAST(unnest(range(1, greatest(len(tk) - ${ShingleWords - 1}, 1) + 1)) AS INT) AS i
+       |  FROM toks),
+       |grams AS (
+       |  SELECT DISTINCT doc_id,
+       |         CAST('0x' || substr(md5(array_to_string(tk[i:i+${ShingleWords - 1}], ' ')), 1, 16)
+       |              AS UBIGINT) AS h
+       |  FROM pos),
+       |hs AS (
+       |  SELECT doc_id,
+       |         ((CASE WHEN h >= 9223372036854775808::UBIGINT
+       |                THEN CAST(h AS HUGEINT) - 18446744073709551616::HUGEINT
+       |                ELSE CAST(h AS HUGEINT) END % 2147483647)
+       |          + 2147483647) % 2147483647 AS hm
+       |  FROM grams),
+       |coeff(j, a, b) AS (VALUES $coeffRows),
+       |mh AS (
+       |  SELECT doc_id, coeff.j, CAST(min((coeff.a * hm + coeff.b) % 2147483647) AS BIGINT) AS v
+       |  FROM hs CROSS JOIN coeff
+       |  GROUP BY doc_id, coeff.j),
+       |sigl AS (
+       |  SELECT doc_id, list(v ORDER BY j) AS mhl FROM mh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, bb.b AS band,
+       |         array_to_string(mhl[CAST(${RowsPerBand} * bb.b + 1 AS INT)
+       |                             :CAST(${RowsPerBand} * bb.b + ${RowsPerBand} AS INT)], ',') AS bkey
+       |  FROM sigl CROSS JOIN range(0, ${Bands}) bb(b)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id)""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     // ------------------------------------------------------------------
     // d01: exact dedup = hash-groupBy on the normalized content
@@ -363,17 +422,56 @@ object DedupOps {
 
     // ------------------------------------------------------------------
     // d02: MinHash+LSH near-dup detection (shingle→minhash→band→
-    // bucket-join→verify). Hash-family-specific → rows-only check; the
-    // ScalaTest asserts every planted near-dup pair (i, i+100000) is
-    // recovered and no false positive survives verification.
+    // bucket-join→verify). FULLY ORACLED: the gram hashes are the
+    // engine-portable md5 family, the universal-hash coefficients are
+    // published driver constants (interpolated into the SQL as a VALUES
+    // table — they are part of the engine spec, seed 42), and the band
+    // key is the raw 4-tuple — so DuckDB replays the ENTIRE pipeline
+    // end to end: shingle hashes, the 32 (a·h+b mod p) minhash minima,
+    // the 8-band bucketing with the MaxBucket hot-bucket drop, the
+    // candidate self-join, and the exact-Jaccard verification. The two
+    // engines share only the algorithm description, not one line of
+    // execution machinery. The ScalaTest additionally asserts recovery
+    // of every planted near-dup pair and corpus-wide soundness against
+    // STRING-shingle Jaccard (no hashing at all).
     GraftQuery(
       "d02_dedup_minhash_lsh",
-      "MinHash+LSH near-dup pairs with exact-Jaccard verification (rows-only)",
+      "MinHash+LSH near-dup pairs with exact-Jaccard verification (md5 gram hashes, fully oracled)",
       (spark, dir) => {
         val t = Tables(spark, dir)
         minhashNearDups(nearDupCorpus(t.documents), threshold = 0.5)
       },
-      None
+      Some(
+        s"""WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id,
+          |         regexp_replace(text, '(\\s+\\S+){3}$$', '') AS text
+          |  FROM documents),
+          |$minhashBandSql,
+          |buckets AS (
+          |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= ${MaxBucket}),
+          |pruned AS (
+          |  SELECT bands.doc_id, bands.band, bands.bkey
+          |  FROM bands JOIN buckets USING (band, bkey)),
+          |cand AS (
+          |  SELECT DISTINCT pa.doc_id AS doc_a, pb.doc_id AS doc_b
+          |  FROM pruned pa
+          |  JOIN pruned pb ON pa.band = pb.band AND pa.bkey = pb.bkey
+          |                AND pa.doc_id < pb.doc_id),
+          |inter AS (
+          |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+          |  FROM cand c
+          |  JOIN grams ga ON ga.doc_id = c.doc_a
+          |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.h = ga.h
+          |  GROUP BY c.doc_a, c.doc_b)
+          |SELECT i.doc_a, i.doc_b,
+          |       CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+          |FROM inter i
+          |JOIN sizes sa ON sa.doc_id = i.doc_a
+          |JOIN sizes sb ON sb.doc_id = i.doc_b
+          |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5
+          |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
     // ------------------------------------------------------------------
@@ -530,12 +628,17 @@ object DedupOps {
     // the planted truncations of the cluster corpus (ids ≥ 100000),
     // eval side = the originals; every train doc is a light edit of an
     // eval doc, exactly the case exact-overlap decontamination (t14)
-    // exists to catch but can miss under edits. Hash-family-specific →
-    // rows-only; DedupSpec proves reported Jaccards against exact
-    // string-shingle values and full recall on the planted structure.
+    // exists to catch but can miss under edits. FULLY ORACLED via the
+    // same md5-family replay as d02 (shared minhashBandSql chain):
+    // DuckDB rebuilds both sides' signatures, bands each side, drops
+    // each side's hot buckets independently, joins, verifies exact
+    // Jaccard, and mirrors the argmax tie-break (jaccard desc, eval_id
+    // asc). DedupSpec additionally proves reported Jaccards against
+    // exact STRING-shingle values and full recall on the planted
+    // structure.
     GraftQuery(
       "d07_fuzzy_decontaminate",
-      "two-sided MinHash-LSH join: train docs matched to eval docs at Jaccard >= 0.5 (rows-only)",
+      "two-sided MinHash-LSH join: train docs matched to eval docs at Jaccard >= 0.5 (md5 gram hashes, fully oracled)",
       (spark, dir) => {
         val corpus = clusterCorpus(Tables(spark, dir).documents)
         minhashCrossMatches(
@@ -543,7 +646,54 @@ object DedupOps {
           corpus.filter(col("doc_id") < 100000L).select(col("doc_id"), col("text")),
           threshold = 0.5)
       },
-      None
+      Some(
+        s"""WITH base AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+          |corpus AS (
+          |  SELECT doc_id, text FROM base
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id,
+          |         regexp_replace(text, '(\\s+\\S+){3}$$', '') AS text FROM base
+          |  UNION ALL
+          |  SELECT doc_id + 200000 AS doc_id,
+          |         regexp_replace(text, '(\\s+\\S+){6}$$', '') AS text FROM base),
+          |$minhashBandSql,
+          |bt AS (SELECT * FROM bands WHERE doc_id >= 100000),
+          |be AS (SELECT * FROM bands WHERE doc_id < 100000),
+          |btp AS (
+          |  SELECT bt.* FROM bt JOIN (
+          |    SELECT band, bkey FROM bt GROUP BY band, bkey
+          |    HAVING count(*) <= ${MaxBucket}) kt USING (band, bkey)),
+          |bep AS (
+          |  SELECT be.* FROM be JOIN (
+          |    SELECT band, bkey FROM be GROUP BY band, bkey
+          |    HAVING count(*) <= ${MaxBucket}) ke USING (band, bkey)),
+          |cand AS (
+          |  SELECT DISTINCT btp.doc_id AS train_id, bep.doc_id AS eval_id
+          |  FROM btp JOIN bep ON btp.band = bep.band AND btp.bkey = bep.bkey),
+          |inter AS (
+          |  SELECT c.train_id, c.eval_id, count(*) AS inter
+          |  FROM cand c
+          |  JOIN grams gt ON gt.doc_id = c.train_id
+          |  JOIN grams ge ON ge.doc_id = c.eval_id AND ge.h = gt.h
+          |  GROUP BY c.train_id, c.eval_id),
+          |ver AS (
+          |  SELECT i.train_id, i.eval_id,
+          |         CAST(i.inter AS DOUBLE) / CAST(st.n + se.n - i.inter AS DOUBLE) AS jaccard
+          |  FROM inter i
+          |  JOIN sizes st ON st.doc_id = i.train_id
+          |  JOIN sizes se ON se.doc_id = i.eval_id
+          |  WHERE CAST(i.inter AS DOUBLE) / CAST(st.n + se.n - i.inter AS DOUBLE) >= 0.5),
+          |rk AS (
+          |  SELECT train_id, eval_id, jaccard,
+          |         count(*) OVER (PARTITION BY train_id) AS n_eval_matches,
+          |         row_number() OVER (PARTITION BY train_id
+          |                            ORDER BY jaccard DESC, eval_id) AS rk
+          |  FROM ver)
+          |SELECT train_id, CAST(n_eval_matches AS BIGINT) AS n_eval_matches,
+          |       eval_id AS best_eval_id, jaccard AS best_jaccard
+          |FROM rk WHERE rk = 1
+          |ORDER BY train_id""".stripMargin)
     )
   )
 }

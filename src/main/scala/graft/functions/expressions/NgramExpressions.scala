@@ -48,6 +48,84 @@ object NgramHashes {
     System.arraycopy(a, 0, out, 0, n)
     new GenericArrayData(out)
   }
+
+  @inline def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D) // space, \t \n \x0B \f \r
+}
+
+/** word_ngram_md5_hashes(text, n) → sorted distinct md5-prefix hashes
+  * of whitespace-token n-grams — [[WordNgramHashes]] with the hash
+  * family swapped from the Spark-private xxhash64/rotate-xor fold to an
+  * ENGINE-PORTABLE one: gram = the n tokens joined by a single space,
+  * hash = first 8 bytes of md5(gram) big-endian (the [[Md5Prefix64]]
+  * family). Any engine reproduces it as
+  * `md5(array_to_string(tokens[i:i+n-1], ' '))` — which is what lets
+  * d02's full MinHash-LSH pipeline carry a DuckDB oracle. Fewer than n
+  * tokens → ONE gram over all tokens; zero tokens → md5("") (both
+  * mirroring the clamped-slice semantics of the xxhash64 variant).
+  * ~10× the per-gram cost of [[WordNgramHashes]] — the documented
+  * portability price (t04/s02/d04 discipline). */
+case class WordNgramMd5Hashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"word_ngram_md5_hashes needs n >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_ngram_md5_hashes requires string, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val nBytes = bytes.length
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var nTok = 0
+    var i = 0
+    while (i < nBytes) {
+      while (i < nBytes && NgramHashes.isWs(bytes(i))) i += 1
+      if (i < nBytes) {
+        val st = i
+        while (i < nBytes && !NgramHashes.isWs(bytes(i))) i += 1
+        if (nTok == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(nTok) = st; ends(nTok) = i; nTok += 1
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nGrams = math.max(nTok - n + 1, 1)
+    val gs = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      md.reset()
+      var t = g
+      val until = math.min(g + n, nTok)
+      while (t < until) {
+        if (t > g) md.update(0x20.toByte)
+        md.update(bytes, starts(t), ends(t) - starts(t))
+        t += 1
+      }
+      val d = md.digest()
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      gs(g) = h
+      g += 1
+    }
+    NgramHashes.result(gs, NgramHashes.sortDistinct(gs, nGrams))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngram_md5_hashes"
 }
 
 /** word_ngram_hashes(text, n) → sorted distinct rotate-xor hashes of

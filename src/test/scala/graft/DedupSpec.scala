@@ -248,6 +248,36 @@ class DedupSpec extends SparkSpecBase {
     en.foreach { case (id, s) => assert(s === eh(id), s"edge case doc $id diverges") }
   }
 
+  test("native word_ngram_md5_hashes equals a built-in md5/conv HOF formulation") {
+    import org.apache.spark.sql.functions.{call_function, expr, lit}
+    // independent formulation: gram strings via slice+array_join, hash =
+    // first 16 md5 hex chars reassembled from two 32-bit conv() halves
+    // (shiftleft into the sign bit IS the two's-complement reinterpretation)
+    def hofOf(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("tk", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .withColumn("sh", expr(
+        """array_sort(array_distinct(transform(
+          |  transform(sequence(1, greatest(size(tk) - 4, 1)),
+          |            i -> array_join(slice(tk, i, 5), ' ')),
+          |  g -> shiftleft(cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint), 32)
+          |       | cast(conv(substr(md5(g), 9, 8), 16, 10) as bigint))))""".stripMargin))
+      .select(col("doc_id"), col("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def natOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        call_function("word_ngram_md5_hashes", col("text"), lit(5)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val (nat, hof) = (natOf(docs), hofOf(docs))
+    assert(nat.keySet === hof.keySet)
+    nat.foreach { case (id, s) => assert(s === hof(id), s"md5 grams diverge for doc $id") }
+    import testImplicits._
+    val edge = Seq((1L, "one"), (2L, "a b"), (3L, "  x   y  "), (4L, ""),
+        (5L, "exactly five words in here"), (6L, "six words now in this one here"))
+      .toDF("doc_id", "text")
+    val (en, eh) = (natOf(edge), hofOf(edge))
+    en.foreach { case (id, s) => assert(s === eh(id), s"md5 edge case doc $id diverges") }
+  }
+
   test("native word_ngram_hashes beats the HOF on a 100k-token document (warm, ≥3×)") {
     import org.apache.spark.sql.functions.{call_function, lit}
     import testImplicits._

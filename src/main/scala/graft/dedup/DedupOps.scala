@@ -351,13 +351,18 @@ object DedupOps {
     * the engine spec (seed 42), not data-dependent randomness. Emits
     * CTE bodies `toks, pos, grams, hs, coeff, mh, sigl, bands`;
     * `grams` doubles as the exact-Jaccard verification input. */
-  private def minhashBandSql: String = {
+  private[graft] def minhashBandSql: String = minhashBandSqlOver("corpus")
+
+  /** [[minhashBandSql]] with the input CTE name parameterized (p02 runs
+    * the chain over the pipeline's exact-dedup SURVIVORS, not a CTE
+    * named `corpus`). */
+  private[graft] def minhashBandSqlOver(corpusCte: String): String = {
     val (ca, cb) = graft.functions.expressions.MinHashSignature
       .coefficients(NumHashes)
     val coeffRows = (0 until NumHashes)
       .map(j => s"(${j}, ${ca(j)}, ${cb(j)})").mkString(", ")
     s"""toks AS (
-       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM corpus),
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM $corpusCte),
        |pos AS (
        |  SELECT doc_id, tk,
        |         CAST(unnest(range(1, greatest(len(tk) - ${ShingleWords - 1}, 1) + 1)) AS INT) AS i
@@ -388,6 +393,36 @@ object DedupOps {
        |  FROM sigl CROSS JOIN range(0, ${Bands}) bb(b)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id)""".stripMargin
   }
+
+  /** The self-join half of the d02 replay (CTEs buckets, pruned, cand,
+    * inter, pairs) over the chain emitted by [[minhashBandSqlOver]]:
+    * hot-bucket drop, candidate generation, exact-Jaccard verification.
+    * `pairs(doc_a, doc_b, jaccard)` holds the verified ≥ `threshold`
+    * pairs — shared by the d02 and p02 oracles. */
+  private[graft] def minhashPairSql(threshold: Double): String =
+    s"""buckets AS (
+       |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= ${MaxBucket}),
+       |pruned AS (
+       |  SELECT bands.doc_id, bands.band, bands.bkey
+       |  FROM bands JOIN buckets USING (band, bkey)),
+       |cand AS (
+       |  SELECT DISTINCT pa.doc_id AS doc_a, pb.doc_id AS doc_b
+       |  FROM pruned pa
+       |  JOIN pruned pb ON pa.band = pb.band AND pa.bkey = pb.bkey
+       |                AND pa.doc_id < pb.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN grams ga ON ga.doc_id = c.doc_a
+       |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.h = ga.h
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |         CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= $threshold)""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
     // ------------------------------------------------------------------
@@ -449,28 +484,8 @@ object DedupOps {
           |         regexp_replace(text, '(\\s+\\S+){3}$$', '') AS text
           |  FROM documents),
           |$minhashBandSql,
-          |buckets AS (
-          |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= ${MaxBucket}),
-          |pruned AS (
-          |  SELECT bands.doc_id, bands.band, bands.bkey
-          |  FROM bands JOIN buckets USING (band, bkey)),
-          |cand AS (
-          |  SELECT DISTINCT pa.doc_id AS doc_a, pb.doc_id AS doc_b
-          |  FROM pruned pa
-          |  JOIN pruned pb ON pa.band = pb.band AND pa.bkey = pb.bkey
-          |                AND pa.doc_id < pb.doc_id),
-          |inter AS (
-          |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-          |  FROM cand c
-          |  JOIN grams ga ON ga.doc_id = c.doc_a
-          |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.h = ga.h
-          |  GROUP BY c.doc_a, c.doc_b)
-          |SELECT i.doc_a, i.doc_b,
-          |       CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
-          |FROM inter i
-          |JOIN sizes sa ON sa.doc_id = i.doc_a
-          |JOIN sizes sb ON sb.doc_id = i.doc_b
-          |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5
+          |${minhashPairSql(0.5)}
+          |SELECT doc_a, doc_b, jaccard FROM pairs
           |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 

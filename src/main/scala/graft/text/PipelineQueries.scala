@@ -20,14 +20,18 @@ import graft.queries.GraftQuery
   * dedup is one wide exchange, and chunk fan-out happens after filtering
   * (never chunk what you are about to drop).
   *
-  * p01 (no fuzzy stage) is hash-verified end to end — the DuckDB oracle
-  * replays the same stages as CTEs. p02 adds the minhash stage on a
-  * planted-near-dup corpus; minhash pair recovery is probabilistic for
-  * borderline-Jaccard pairs (the band-miss probability at j≈0.5 is
-  * ~0.6), so an exact-Jaccard DuckDB oracle would be flaky by
-  * construction — p02 is rows-only and PipelineSpec recomputes every
-  * stage driver-side instead, with the pair set itself covered by d02's
-  * corpus-wide soundness spec.
+  * Both pipelines are hash-verified end to end — the DuckDB oracles
+  * replay the same stages as CTEs. p02's minhash stage became
+  * oracle-able with the md5 gram-hash family (round 5): the oracle
+  * REPLAYS the banding (DedupOps.minhashBandSqlOver over the
+  * exact-dedup survivors + the shared pair chain), so the band-miss
+  * behavior for borderline-Jaccard pairs — probabilistic over corpora,
+  * deterministic for a given corpus — is bit-identical in both engines.
+  * (An oracle that recomputed pairs by exact Jaccard INSTEAD of
+  * replaying the bands would be flaky by construction; replay is what
+  * makes this sound.) PipelineSpec still recomputes every stage
+  * driver-side, with the pair set itself covered by d02's corpus-wide
+  * soundness spec.
   */
 object PipelineQueries {
 
@@ -152,19 +156,71 @@ object PipelineQueries {
     // between exact dedup and chunking — the real pipeline dedups fuzzily
     // too. The exact stage is a no-op on this corpus (truncation changes
     // the fingerprint), which is exactly the point: only the fuzzy stage
-    // can catch these. Rows-only (see object scaladoc for why an exact-
-    // Jaccard oracle would be flaky); PipelineSpec recomputes all stages
-    // driver-side.
+    // can catch these. FULLY ORACLED since the md5 gram-hash family:
+    // DuckDB replays p01's stages as CTEs AND the entire minhash
+    // pipeline (d02's shared band/pair chain) over the exact-dedup
+    // survivors — deterministic band replay, so the probabilistic
+    // band-miss behavior is identical in both engines, never flaky.
     GraftQuery(
       "p02_training_pipeline_neardup",
-      "p01 with a MinHash near-dup dedup stage between exact dedup and chunking (rows-only)",
+      "p01 with a MinHash near-dup dedup stage between exact dedup and chunking (fully oracled)",
       (spark, dir) => {
         val t = Tables(spark, dir)
         val corpus = graft.dedup.DedupOps.nearDupCorpus(t.documents)
         chunkSplitStats(
           minhashDedup(exactCanonical(scoredKept(corpus)), threshold = 0.5))
       },
-      None
+      Some(
+        s"""WITH corpus0 AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id,
+          |         regexp_replace(text, '(\\s+\\S+){3}$$', '') AS text
+          |  FROM documents),
+          |scored AS (
+          |  SELECT doc_id, text,
+          |         CAST(length(text) AS BIGINT) AS n_chars,
+          |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+          |         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+          |         CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a)\\b')) AS BIGINT) AS n_stop
+          |  FROM corpus0),
+          |q AS (
+          |  SELECT *,
+          |         least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100.0) *
+          |         (CAST(1.0 AS DOUBLE) - CAST(n_punct AS DOUBLE) / n_chars) *
+          |         (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) *
+          |          least(CAST(1.0 AS DOUBLE), CAST(n_stop AS DOUBLE) * 5.0 / n_tokens)) AS quality
+          |  FROM scored),
+          |kept AS (SELECT * FROM q WHERE quality > 0.45 AND n_stop > 0),
+          |canon AS (
+          |  SELECT *,
+          |         min(doc_id) OVER (PARTITION BY
+          |           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS canon_id
+          |  FROM kept),
+          |surv AS (SELECT * FROM canon WHERE doc_id = canon_id),
+          |${graft.dedup.DedupOps.minhashBandSqlOver("surv")},
+          |${graft.dedup.DedupOps.minhashPairSql(0.5)},
+          |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+          |surv2 AS (
+          |  SELECT surv.* FROM surv
+          |  WHERE surv.doc_id NOT IN (SELECT doc_id FROM drops)),
+          |chunked AS (
+          |  SELECT *,
+          |         CASE WHEN n_tokens <= 50 THEN 1
+          |              ELSE CAST(floor((n_tokens - 50 + 39) / 40.0) AS BIGINT) + 1 END AS nc
+          |  FROM surv2),
+          |spl AS (
+          |  SELECT *,
+          |         CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+          |                    ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80
+          |              THEN 'train' ELSE 'eval' END AS split
+          |  FROM chunked)
+          |SELECT split, count(*) AS n_docs,
+          |       CAST(sum(nc) AS BIGINT) AS n_chunks,
+          |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+          |FROM spl
+          |GROUP BY split
+          |ORDER BY split""".stripMargin)
     ),
 
     // ------------------------------------------------------------------

@@ -61,7 +61,14 @@ final class BpeCodec(merges: Array[Long]) extends Serializable {
     while (i < 256) { v(i) = Array(i.toByte); i += 1 }
     var r = 0
     while (r < merges.length) {
-      v(256 + r) = v(BpeCodec.left(merges(r))) ++ v(BpeCodec.right(merges(r)))
+      val (l, rt) = (BpeCodec.left(merges(r)), BpeCodec.right(merges(r)))
+      // a merge may only pair ids that exist before it (bytes or earlier
+      // merges) — fail with the malformed value, not a bare index error
+      // deep in the array build (merge lists can arrive from SQL text)
+      require(l < 256 + r && rt < 256 + r,
+        s"malformed BPE merge at rank $r: packed ${merges(r)} pairs id " +
+          s"${math.max(l, rt)}, but only ${256 + r} ids exist yet")
+      v(256 + r) = v(l) ++ v(rt)
       r += 1
     }
     v

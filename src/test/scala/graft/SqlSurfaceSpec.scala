@@ -29,6 +29,28 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.getAs[Int]("ws") === 3) // 10 chars → 3 distinct 8-grams
   }
 
+  test("round-5 native functions resolve from SQL text") {
+    // one learned merge: ('h','i') → id 256
+    val hi = graft.functions.expressions.BpeCodec.pack('h'.toInt, 'i'.toInt)
+    val r = spark.sql(
+      s"""SELECT winnow_sketch_md5('abcdefghij', 8, 4) AS wm,
+        |       md5_prefix64('token') AS mp,
+        |       word_ngram_md5_hashes('a b c d e f', 5) AS wn,
+        |       bpe_decode(bpe_encode('hi hi', array(CAST($hi AS BIGINT))),
+        |                  array(CAST($hi AS BIGINT))) AS rt""".stripMargin)
+      .head()
+    assert(r.getSeq[String](0).length === 3 &&
+      r.getSeq[String](0).forall(_.matches("[0-9a-f]{16}")))
+    // cross-check the hash against java's own MD5 of the same bytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest("token".getBytes("UTF-8"))
+    val exp = (0 until 8).foldLeft(0L)((h, b) => (h << 8) | (d(b) & 0xffL))
+    assert(r.getAs[Long]("mp") === exp)
+    assert(r.getSeq[Long](2).length === 2) // 6 tokens → 2 distinct 5-grams
+    // the round trip through one learned merge must reproduce the text
+    assert(r.getAs[String]("rt") === "hi hi")
+  }
+
   test("a full dashboard-style query runs as pure SQL over registered views") {
     val t = Tables(spark, sf0001)
     t.lineitem.createOrReplaceTempView("sql_lineitem")

@@ -2041,6 +2041,161 @@ object CoreQueries {
           |FROM c
           |GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q64: MERGEABLE count-min sketch — the q56/q63 materialize-once/
+    // rollup-anywhere pattern for FREQUENCY estimation (heavy hitters),
+    // fully oracled because the hash family is the engine-portable md5
+    // prefix (the t04/s02/d04 discipline: both engines compute
+    // md5('cms'||row||':'||key) identically). Sketch spec is
+    // data-independent — d=4 rows × w=64 buckets — so sketches built per
+    // event_type (or per day, per cluster) merge by ADDING counters;
+    // CoreOperatorsSpec proves merged-equals-direct exactly. Build cost:
+    // one partial-agg shuffle of 4× mapped rows collapsing to ≤ types×256
+    // counter rows; the merged sketch is 256 rows → broadcast to the
+    // probe join, so estimating any candidate set never reshuffles the
+    // facts. est ≥ true for EVERY key (one-sided CMS guarantee, spec-
+    // pinned). At 100 TB: store the per-day 256-row sketches and answer
+    // "how often did key k appear in any date range" from counters alone.
+    GraftQuery(
+      "q64_heavy_hitters_cms",
+      "count-min sketch built per event type, merged by counter adds, probed for top-20 heavy hitters",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val w = 64L
+        def bucket(r: Column, key: Column): Column =
+          conv(substring(md5(concat(lit("cms"), r.cast("string"), lit(":"),
+            key.cast("string"))), 1, 8), 16, 10).cast("long") % w
+        val hashRows = array((0 to 3).map(lit): _*)
+        // materialize-once: one 256-counter sketch per event_type
+        val fine = t.events
+          .select(col("event_type"), col("user_id"))
+          .withColumn("r", explode(hashRows))
+          .withColumn("bucket", bucket(col("r"), col("user_id")))
+          .groupBy(col("event_type"), col("r"), col("bucket"))
+          .agg(cnt.as("cnt"))
+        // rollup-anywhere: merge sketches by adding counters
+        val merged = fine.groupBy(col("r"), col("bucket"))
+          .agg(sum(col("cnt")).as("cnt"))
+        // probe: est(key) = min over rows of the key's counter
+        val keys = t.events.groupBy(col("user_id")).agg(cnt.as("true_cnt"))
+        keys
+          .withColumn("r", explode(hashRows))
+          .withColumn("bucket", bucket(col("r"), col("user_id")))
+          .join(merged, Seq("r", "bucket"))
+          .groupBy(col("user_id"), col("true_cnt"))
+          .agg(min(col("cnt")).as("est"))
+          .select(col("user_id"), col("est"), col("true_cnt"),
+            (col("est") - col("true_cnt")).as("overcount"))
+          .orderBy(col("est").desc, col("user_id"))
+          .limit(20)
+      },
+      Some(
+        """WITH hrows AS (SELECT CAST(r AS BIGINT) AS r FROM range(0, 4) t(r)),
+          |fine AS (
+          |  SELECT event_type, r,
+          |         CAST('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':'
+          |              || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS bucket,
+          |         count(*) AS cnt
+          |  FROM events, hrows GROUP BY 1, 2, 3),
+          |merged AS (
+          |  SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+          |  FROM fine GROUP BY 1, 2),
+          |keys AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY 1),
+          |probe AS (
+          |  SELECT k.user_id, k.true_cnt, h.r,
+          |         CAST('0x' || substr(md5('cms' || CAST(h.r AS VARCHAR) || ':'
+          |              || CAST(k.user_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS bucket
+          |  FROM keys k, hrows h),
+          |est AS (
+          |  SELECT p.user_id, p.true_cnt, CAST(min(m.cnt) AS BIGINT) AS est
+          |  FROM probe p JOIN merged m ON m.r = p.r AND m.bucket = p.bucket
+          |  GROUP BY 1, 2)
+          |SELECT user_id, est, true_cnt, est - true_cnt AS overcount
+          |FROM est
+          |ORDER BY est DESC, user_id
+          |LIMIT 20""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q65: CDC MERGE apply — the warehouse upsert primitive (MERGE INTO /
+    // "apply changes"): a deterministic I/U/D changeset is applied to the
+    // customer snapshot in ONE full-outer join on the key. Changeset
+    // derivation is itself relational (latest order per customer by
+    // (o_orderdate, o_orderkey) desc → op U, key%10=7 → op D; synthetic
+    // inserts keyed above the snapshot's key space from supplier).
+    // Balances are integer cents end to end, so the oracle hash-matches.
+    // At 100 TB: the snapshot lives bucketed by key (the q61 layout), so
+    // the daily MERGE shuffles only the changeset — the snapshot side
+    // joins in place; the full-outer shape is exactly what Delta/Iceberg
+    // MERGE compiles to before file rewriting.
+    GraftQuery(
+      "q65_merge_upsert",
+      "apply an insert/update/delete changeset onto the customer snapshot via one full-outer join",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val wLatest = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        val latest = t.orders
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            col("o_totalprice"))
+          .withColumn("rn", row_number().over(wLatest))
+          .filter(col("rn") === 1)
+        val upserts = latest.select(
+          col("o_custkey").as("k"),
+          when(col("o_custkey") % 10 === 7, "D").otherwise("U").as("op"),
+          floor(col("o_totalprice") * 100).cast("long").as("new_bal_cents"))
+        val inserts = t.supplier.select(
+          (col("s_suppkey") + lit(1000000L)).as("k"),
+          lit("I").as("op"),
+          floor(col("s_acctbal") * 100).cast("long").as("new_bal_cents"))
+        val changes = upserts.unionByName(inserts)
+        val snap = t.customer.select(
+          col("c_custkey").as("k"), col("c_name"),
+          floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        snap.join(changes, Seq("k"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(
+            col("k").as("custkey"),
+            coalesce(col("c_name"), concat(lit("NEW#"), col("k").cast("string")))
+              .as("name"),
+            when(col("op").isNotNull, col("new_bal_cents"))
+              .otherwise(col("bal_cents")).as("bal_cents"),
+            when(col("op").isNull, "kept")
+              .when(col("op") === "U", "updated")
+              .otherwise("inserted").as("merge_action"))
+          .orderBy(col("custkey"))
+      },
+      Some(
+        """WITH latest AS (
+          |  SELECT o_custkey, o_totalprice,
+          |         row_number() OVER (PARTITION BY o_custkey
+          |             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          |  FROM orders),
+          |changes AS (
+          |  SELECT o_custkey AS k,
+          |         CASE WHEN o_custkey % 10 = 7 THEN 'D' ELSE 'U' END AS op,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS new_bal_cents
+          |  FROM latest WHERE rn = 1
+          |  UNION ALL
+          |  SELECT s_suppkey + 1000000 AS k, 'I' AS op,
+          |         CAST(floor(s_acctbal * 100) AS BIGINT) AS new_bal_cents
+          |  FROM supplier),
+          |snap AS (
+          |  SELECT c_custkey AS k, c_name,
+          |         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+          |  FROM customer)
+          |SELECT coalesce(s.k, c.k) AS custkey,
+          |       coalesce(c_name, 'NEW#' || CAST(c.k AS VARCHAR)) AS name,
+          |       CASE WHEN c.op IS NOT NULL THEN c.new_bal_cents
+          |            ELSE s.bal_cents END AS bal_cents,
+          |       CASE WHEN c.op IS NULL THEN 'kept'
+          |            WHEN c.op = 'U' THEN 'updated'
+          |            ELSE 'inserted' END AS merge_action
+          |FROM snap s FULL OUTER JOIN changes c ON s.k = c.k
+          |WHERE c.op IS NULL OR c.op <> 'D'
+          |ORDER BY custkey""".stripMargin)
     )
   )
 

@@ -26,6 +26,7 @@ object Catalog {
       graft.etl.IncrementalEtl.all ++
       graft.text.TextOps.all ++
       graft.text.Bpe.all ++
+      graft.text.PackingOps.all ++
       graft.text.PipelineQueries.all ++
       graft.dedup.DedupOps.all ++
       graft.similarity.SimilarityOps.all ++

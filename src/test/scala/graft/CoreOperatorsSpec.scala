@@ -455,4 +455,81 @@ class CoreOperatorsSpec extends SparkSpecBase {
         }
     }
   }
+
+  test("q64: CMS never undercounts; merged sketch equals the direct-build sketch") {
+    def bucket(r: Int, key: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"cms$r:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 64L
+    }
+    val events = graft.io.Tables(spark, sf0001).events
+      .select(col("user_id").cast("long")).collect().map(_.getLong(0))
+    val truth = events.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // direct single-pass sketch build (no per-type split) — mergeability
+    // says the catalog's per-type-then-summed counters must equal this
+    val direct = collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    events.foreach(k => (0 to 3).foreach(r => direct((r, bucket(r, k))) += 1L))
+    def est(k: Long): Long = (0 to 3).map(r => direct((r, bucket(r, k)))).min
+    // one-sided guarantee over EVERY key in the corpus
+    truth.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS undercounts key $k: est ${est(k)} < true $n")
+    }
+    val got = graft.queries.Catalog.queries("q64_heavy_hitters_cms")(spark, sf0001)
+      .collect()
+    assert(got.length === math.min(20, truth.size))
+    got.foreach { r =>
+      val k = r.getAs[Long]("user_id")
+      assert(r.getAs[Long]("true_cnt") === truth(k))
+      assert(r.getAs[Long]("est") === est(k),
+        s"catalog estimate for $k diverges from the direct sketch (merge broken)")
+      assert(r.getAs[Long]("overcount") >= 0L)
+    }
+  }
+
+  test("q65: deletes vanish, inserts appear, updates carry the latest order's balance") {
+    val t = graft.io.Tables(spark, sf0001)
+    val got = graft.queries.Catalog.queries("q65_merge_upsert")(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("custkey") ->
+        (r.getAs[String]("name"), r.getAs[Long]("bal_cents"),
+          r.getAs[String]("merge_action"))).toMap
+    val custs = t.customer.select(col("c_custkey"), col("c_name"),
+        floor(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val latest = t.orders
+      .select(col("o_custkey"), col("o_orderdate").cast("string"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(os => os.maxBy(o => (o._2, o._3))._4).toMap
+    val nSupp = t.supplier.count()
+    // every snapshot key: deleted iff (has orders && key%10==7); else kept/updated
+    custs.foreach { case (k, (name, bal)) =>
+      latest.get(k) match {
+        case Some(newBal) if k % 10 == 7 =>
+          assert(!got.contains(k), s"deleted key $k survived the merge")
+        case Some(newBal) =>
+          assert(got(k) === ((name, newBal, "updated")), s"update for $k")
+        case None =>
+          assert(got(k) === ((name, bal, "kept")), s"untouched key $k changed")
+      }
+    }
+    // inserts: one per supplier (keyed above the snapshot space) PLUS
+    // upsert semantics — a U-change whose key is absent from the
+    // snapshot inserts it (orders here reference custkeys the sampled
+    // customer table lacks; real CDC feeds do the same after a missed
+    // snapshot load)
+    val missingU = latest.keys.filter(k => !custs.contains(k) && k % 10 != 7).toSet
+    val inserted = got.filter(_._2._3 == "inserted")
+    assert(inserted.size === nSupp + missingU.size)
+    assert(missingU.subsetOf(inserted.keySet))
+    assert(inserted.keys.filterNot(missingU).forall(_ >= 1000000L)) // suppkeys start at 0
+    inserted.foreach { case (k, (name, bal, _)) =>
+      assert(name === s"NEW#$k", s"insert $k name")
+      if (missingU(k)) assert(bal === latest(k), s"upsert-insert $k balance")
+    }
+    assert(got.size === custs.size - custs.keys.count(k =>
+      latest.contains(k) && k % 10 == 7) + nSupp.toInt + missingU.size)
+  }
 }

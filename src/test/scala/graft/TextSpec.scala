@@ -373,4 +373,40 @@ class TextSpec extends SparkSpecBase {
     // the formula weights actually split the corpus (not all-keep/all-drop)
     assert(kept > 0 && kept < texts.length, s"degenerate classifier: $kept/${texts.length}")
   }
+
+  test("t20: packing is gapless per shard and the offsets replay from raw text") {
+    val L = graft.text.PackingOps.SeqLen
+    val got = graft.queries.Catalog.queries("t20_sequence_pack")(spark, sf0001).collect()
+    val texts = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), r.getAs[String]("text")))
+      .toMap
+    assert(got.length === texts.size)
+    var straddlers = 0
+    got.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+      var expectStart = 0L
+      ordered.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val (docSrc, text) = texts(id)
+        assert(docSrc === src)
+        val nTok = text.split("\\s+").count(_.nonEmpty).toLong + 1L // + EOS
+        assert(r.getAs[Long]("n_tok") === nTok, s"doc $id n_tok")
+        // gapless concat: every shard's token stream has no holes/overlaps
+        assert(r.getAs[Long]("tok_start") === expectStart, s"doc $id tok_start")
+        assert(r.getAs[Long]("seq_first") === expectStart / L)
+        assert(r.getAs[Long]("seq_last") === (expectStart + nTok - 1) / L)
+        assert(r.getAs[Long]("n_seqs") ===
+          (expectStart + nTok - 1) / L - expectStart / L + 1L)
+        if (r.getAs[Long]("n_seqs") > 1L) straddlers += 1
+        expectStart += nTok
+      }
+      // contiguity ⇒ sequence ids 0..max are all inhabited (no dead seqs)
+      val seqs = ordered.flatMap(r =>
+        r.getAs[Long]("seq_first") to r.getAs[Long]("seq_last")).toSet
+      assert(seqs === (0L to seqs.max).toSet, s"shard $src has sequence holes")
+    }
+    // the corpus actually exercises the straddle arithmetic
+    assert(straddlers > 0, "no document straddles a sequence boundary")
+  }
 }

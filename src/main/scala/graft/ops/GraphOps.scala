@@ -242,6 +242,67 @@ object GraphOps {
     links
   }
 
+  /** Multi-source BFS hop distances over the trading graph — the
+    * "blast radius" primitive (how far is every entity from a seed set:
+    * compromised suppliers, recalled parts, a marketing cohort).
+    * Sources are derived relationally from the graph itself (supplier
+    * nodes with suppkey ≡ 0 mod 4), so both engines agree on the seed
+    * set without a side channel.
+    *
+    * This is DELTA iteration, not bulk iteration: each round joins the
+    * edge set against only the FRONTIER (nodes first reached last
+    * round), takes the map-side-combining min over arriving distances,
+    * and anti-joins the known set so the frontier stays minimal —
+    * visited nodes never re-enter the join. Rounds = eccentricity of
+    * the seed set (~6 on this near-bipartite graph), each round ONE
+    * shuffle-join + ONE partial agg + ONE anti-join. The edge table is
+    * persisted hash-partitioned by src once (the g01 discipline), so
+    * per-round joins move only frontier rows. Termination is exact: the
+    * loop ends when the frontier empties; a 64-round backstop turns a
+    * pathological input into a loud failure instead of an endless loop.
+    *
+    * All-integer distances (unreached = -1) → full DuckDB oracle: a
+    * bounded `WITH RECURSIVE ... UNION` walk computes min hop counts by
+    * a completely different algorithm (level-synchronous dedup walk vs
+    * frontier delta iteration) and must agree bit-for-bit. */
+  def bfsDistances(t: Tables, maxRounds: Int = 20): DataFrame = {
+    val edges = graft.InternalCaches.track {
+      tradeEdges(t).repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val sources = nodes
+      .filter(col("node") % 2 === 1 && expr("((node - 1) div 2) % 4") === 0)
+    var dist = sources.select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
+    var frontier = dist
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      val arrivals = edges
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val discovered = arrivals
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      if (discovered.isEmpty) converged = true
+      else {
+        dist = dist.unionByName(discovered).localCheckpoint(true)
+        frontier = discovered
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"bfsDistances: frontier still live after $maxRounds rounds — " +
+          "eccentricity exceeds the hint; raise maxRounds")
+    nodes.join(dist, Seq("node"), "left")
+      .select(col("node").as("node_id"),
+        when(col("node") % 2 === 1, "supplier").otherwise("customer").as("kind"),
+        coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy(col("node_id"))
+  }
+
   private def oracleIter(prev: String, cur: String): String =
     s"""$cur AS (
        |  SELECT n.node, (SELECT (15 * (${Scale} // count(*))) // 100 FROM nodes)
@@ -329,6 +390,33 @@ object GraphOps {
           |SELECT r.node AS node_id, r.root_id,
           |       CAST(r.depth AS BIGINT) AS depth, t.root_total_bal_cents
           |FROM resolved r JOIN totals t USING (root_id)
+          |ORDER BY node_id""".stripMargin)
+    ),
+
+    GraftQuery(
+      "g04_bfs_distance",
+      "multi-source BFS hop distances from seed suppliers via frontier delta iteration",
+      (spark, dir) => bfsDistances(Tables(spark, dir)),
+      Some(
+        """WITH RECURSIVE e0 AS (
+          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |eraw AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+          |nodes AS (SELECT DISTINCT src AS node FROM eraw),
+          |sources AS (
+          |  SELECT node FROM nodes
+          |  WHERE node % 2 = 1 AND ((node - 1) // 2) % 4 = 0),
+          |walk AS (
+          |  SELECT node, 0 AS dist FROM sources
+          |  UNION
+          |  SELECT e.dst AS node, w.dist + 1 AS dist
+          |  FROM walk w JOIN eraw e ON e.src = w.node
+          |  WHERE w.dist < 20),
+          |d AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+          |SELECT n.node AS node_id,
+          |       CASE WHEN n.node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS kind,
+          |       CAST(coalesce(d.dist, -1) AS BIGINT) AS dist
+          |FROM nodes n LEFT JOIN d USING (node)
           |ORDER BY node_id""".stripMargin)
     )
   )

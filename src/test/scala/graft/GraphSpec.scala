@@ -118,6 +118,48 @@ class GraphSpec extends SparkSpecBase {
     assert(got.map(_._3).max >= 3, "forest depth exercises the loop")
   }
 
+  test("g04: distances equal a driver-side BFS; parity respects the bipartite graph") {
+    val t = Tables(spark, sf0001)
+    val edges = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    edges.foreach { case (u, v) => adj(u) ::= v; adj(v) ::= u }
+    val nodes = adj.keySet.toSet
+    val sources = nodes.filter(n => n % 2 == 1 && ((n - 1) / 2) % 4 == 0)
+    assert(sources.nonEmpty, "seed derivation must select at least one supplier")
+    // textbook queue BFS from the whole seed set at once
+    val want = collection.mutable.Map.empty[Long, Long]
+    val queue = collection.mutable.Queue.empty[Long]
+    sources.foreach { s => want(s) = 0L; queue += s }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      adj(u).foreach { v =>
+        if (!want.contains(v)) { want(v) = want(u) + 1L; queue += v }
+      }
+    }
+    val got = graft.queries.Catalog.queries("g04_bfs_distance")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("node_id"), r.getAs[String]("kind"),
+        r.getAs[Long]("dist")))
+    graft.InternalCaches.releaseAll()
+    assert(got.map(_._1).toSet === nodes, "one row per graph node")
+    got.foreach { case (n, kind, d) =>
+      assert(kind === (if (n % 2 == 1) "supplier" else "customer"))
+      assert(d === want.getOrElse(n, -1L), s"node $n dist")
+      // suppliers sit at even hop counts from supplier seeds, customers odd
+      if (d >= 0) assert(d % 2 === (if (n % 2 == 1) 0L else 1L) || d == 0L,
+        s"node $n parity")
+    }
+    // the seed set itself must surface at dist 0
+    sources.foreach(s => assert(want(s) === 0L))
+    // the walk must actually iterate (eccentricity > 1) and stay within
+    // the oracle's dist < 20 bound so the bounded recursive replay is exact
+    val reached = got.collect { case (_, _, d) if d >= 0 => d }
+    assert(reached.max > 1L && reached.max < 20L)
+  }
+
   test("g03 core: 9 doubling rounds resolve a 500-deep chain (log-depth, not O(depth))") {
     import testImplicits._
     // chain 0 <- 1 <- 2 <- ... <- 499: node i's parent is i-1, root 0

@@ -29,6 +29,7 @@ object Catalog {
       graft.text.PackingOps.all ++
       graft.text.PipelineQueries.all ++
       graft.dedup.DedupOps.all ++
+      graft.dedup.SpanDedup.all ++
       graft.similarity.SimilarityOps.all ++
       graft.multimodal.MultimodalOps.all ++
       graft.streaming.EventStreams.catalog

@@ -410,4 +410,54 @@ class DedupSpec extends SparkSpecBase {
         Set(cid, cid + 100000L, cid + 200000L))
     }
   }
+
+  test("d08: spans equal a driver-side gram-inversion + interval-union replay") {
+    val k = graft.dedup.SpanDedup.K
+    val texts = graft.io.Tables(spark, sf0001).documents
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // gram -> set of docs containing it (positions are 1-based chars)
+    val gramDocs = collection.mutable.Map.empty[String, collection.mutable.Set[Long]]
+    texts.foreach { case (id, s) =>
+      (0 to s.length - k).foreach { i =>
+        gramDocs.getOrElseUpdate(s.substring(i, i + k), collection.mutable.Set()) += id
+      }
+    }
+    val want = texts.flatMap { case (id, s) =>
+      val starts = (0 to s.length - k)
+        .filter(i => gramDocs(s.substring(i, i + k)).exists(_ != id))
+      if (starts.isEmpty) None
+      else {
+        // union of [i, i+k-1] intervals via the same sweep the engine uses
+        var spans = 0L; var dupChars = 0L
+        var curS = -1L; var curE = -2L
+        starts.foreach { i =>
+          if (i > curE) {
+            if (curS >= 0) { spans += 1; dupChars += curE - curS + 1 }
+            curS = i; curE = i + k - 1
+          } else curE = math.max(curE, i + k - 1)
+        }
+        spans += 1; dupChars += curE - curS + 1
+        Some(id -> (starts.length.toLong, spans, dupChars))
+      }
+    }
+    val got = graft.queries.Catalog.queries("d08_dup_span_detect")(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_starts"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("dup_chars"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("dup_permille"))).toMap
+    graft.InternalCaches.releaseAll()
+    assert(got.keySet === want.keySet, "docs with duplicated spans")
+    assert(got.nonEmpty, "corpus must contain cross-doc verbatim spans")
+    want.foreach { case (id, (nStarts, nSpans, dupChars)) =>
+      val (gStarts, gSpans, gChars, nChars, permille) = got(id)
+      assert(gStarts === nStarts, s"doc $id starts")
+      assert(gSpans === nSpans, s"doc $id spans")
+      assert(gChars === dupChars, s"doc $id dup chars")
+      assert(nChars === texts(id).length.toLong)
+      assert(permille === dupChars * 1000L / nChars)
+      assert(dupChars <= nChars)
+    }
+  }
 }

@@ -2196,6 +2196,87 @@ object CoreQueries {
           |FROM snap s FULL OUTER JOIN changes c ON s.k = c.k
           |WHERE c.op IS NULL OR c.op <> 'D'
           |ORDER BY custkey""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q66: KMV (k-minimum-values) distinct sketch — the PORTABLE twin of
+    // q56's HLL rollup. q22/q56 are rows-only forever because Spark's
+    // DataSketches binaries are engine-opaque; KMV has no binary: the
+    // sketch IS the set of the k smallest 52-bit md5-prefix hashes of
+    // the keys, so it lives in plain columns, merges by
+    // union-then-rebottom-k (bottom-k of per-month bottom-k's equals
+    // bottom-k of the year exactly — any hash in the year's true
+    // bottom-k is necessarily within its month's), and the estimator
+    // (k-1)·2^52 div h_(k) (Bar-Yossef et al. 2002; Beyer et al.
+    // SIGMOD'07 unbiased KMV) is INTEGER arithmetic end to end → the
+    // DuckDB oracle hash-matches the whole two-level pipeline, estimate
+    // included. Cost shape at 100 TB: the monthly sketch is one
+    // distinct + per-group bottom-k (window over ≤ months×k rows after
+    // the distinct's partial agg); the rollup touches sketch rows only
+    // — never the fact table — exactly like q56/q63. Exact per-year
+    // distincts ride alongside so the output exposes the real error.
+    GraftQuery(
+      "q66_kmv_distinct_rollup",
+      "monthly k-minimum-values part sketches merged into yearly distinct estimates, fully oracled",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val k = 64
+        val hashSpace = 4503599627370496L // 2^52: 13 hex chars of md5
+        val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 13), 16, 10)
+          .cast("long")
+        val base = t.lineitem
+          .select(date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+            year(col("l_shipdate")).cast("long").as("ship_year"), h.as("h"))
+          .distinct()
+        val wM = Window.partitionBy(col("m")).orderBy(col("h"))
+        val monthSketch = base
+          .withColumn("rn", row_number().over(wM)).filter(col("rn") <= k)
+        val pool = monthSketch.select(col("ship_year"), col("h")).distinct()
+        val wY = Window.partitionBy(col("ship_year")).orderBy(col("h"))
+        val yearSketch = pool
+          .withColumn("rn", row_number().over(wY)).filter(col("rn") <= k)
+        val exact = t.lineitem
+          .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+          .agg(count_distinct(col("l_partkey")).as("n_exact"))
+        yearSketch
+          .groupBy(col("ship_year"))
+          .agg(cnt.as("kmv_size"),
+            coalesce(max(when(col("rn") === k, col("h"))), lit(0L)).as("kth_hash"))
+          .join(exact, "ship_year")
+          .select(col("ship_year"), col("n_exact"), col("kmv_size"), col("kth_hash"),
+            when(col("kmv_size") < k, col("kmv_size"))
+              .otherwise(expr(s"${k - 1}L * ${hashSpace}L div kth_hash"))
+              .as("est_distinct"))
+          .orderBy(col("ship_year"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS m,
+          |         CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+          |         CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13) AS BIGINT) AS h
+          |  FROM lineitem),
+          |ms AS (
+          |  SELECT m, ship_year, h,
+          |         row_number() OVER (PARTITION BY m ORDER BY h) AS rn
+          |  FROM base),
+          |pool AS (SELECT DISTINCT ship_year, h FROM ms WHERE rn <= 64),
+          |ys AS (
+          |  SELECT ship_year, h,
+          |         row_number() OVER (PARTITION BY ship_year ORDER BY h) AS rn
+          |  FROM pool),
+          |sk AS (
+          |  SELECT ship_year, CAST(count(*) AS BIGINT) AS kmv_size,
+          |         CAST(coalesce(max(CASE WHEN rn = 64 THEN h END), 0) AS BIGINT) AS kth_hash
+          |  FROM ys WHERE rn <= 64 GROUP BY ship_year),
+          |ex AS (
+          |  SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+          |         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+          |  FROM lineitem GROUP BY 1)
+          |SELECT s.ship_year, e.n_exact, s.kmv_size, s.kth_hash,
+          |       CAST(CASE WHEN s.kmv_size < 64 THEN s.kmv_size
+          |            ELSE 63 * 4503599627370496 // s.kth_hash END AS BIGINT) AS est_distinct
+          |FROM sk s JOIN ex e USING (ship_year)
+          |ORDER BY s.ship_year""".stripMargin)
     )
   )
 

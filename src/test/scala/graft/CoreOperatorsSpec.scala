@@ -487,6 +487,54 @@ class CoreOperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("q66: KMV rollup equals a driver replay; merged sketch = direct year sketch") {
+    def h(key: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val k = 64
+    val li = graft.io.Tables(spark, sf0001).lineitem
+      .select(col("l_shipdate").cast("string"), col("l_partkey"))
+      .collect().map(r => (r.getString(0).substring(0, 7), r.getString(0).substring(0, 4).toLong,
+        r.getLong(1)))
+    // month-level bottom-k sketches over distinct hashes
+    val monthHashes = li.map(x => (x._1, x._2, h(x._3))).distinct
+    val monthSketch = monthHashes.groupBy(_._1).view
+      .mapValues(_.map(_._3).distinct.sorted.take(k)).toMap
+    // merge within year = union month sketches, re-bottom-k
+    val merged = monthHashes.groupBy(_._2).view.mapValues { rows =>
+      rows.groupBy(_._1).values
+        .flatMap(_.map(_._3).distinct.sorted.take(k))
+        .toSeq.distinct.sorted.take(k)
+    }.toMap
+    // KMV exactness of merge: bottom-k of month bottom-k's == bottom-k of year
+    val direct = li.groupBy(_._2).view
+      .mapValues(_.map(x => h(x._3)).distinct.sorted.take(k)).toMap
+    merged.foreach { case (y, sk) =>
+      assert(sk === direct(y), s"year $y merged sketch diverges from direct bottom-k")
+    }
+    val exact = li.groupBy(_._2).view.mapValues(_.map(_._3).distinct.size.toLong).toMap
+    val got = graft.queries.Catalog.queries("q66_kmv_distinct_rollup")(spark, sf0001)
+      .collect()
+    assert(got.map(_.getAs[Long]("ship_year")).toSet === merged.keySet)
+    got.foreach { r =>
+      val y = r.getAs[Long]("ship_year")
+      val sk = merged(y)
+      assert(r.getAs[Long]("n_exact") === exact(y))
+      assert(r.getAs[Long]("kmv_size") === sk.length.toLong)
+      assert(r.getAs[Long]("kth_hash") === (if (sk.length == k) sk.last else 0L))
+      val est = if (sk.length < k) sk.length.toLong
+        else 63L * 4503599627370496L / sk.last
+      assert(r.getAs[Long]("est_distinct") === est, s"year $y estimate")
+      // the estimator is actually an estimator: within ~3 sigma of exact
+      if (sk.length == k)
+        assert(math.abs(est - exact(y)).toDouble / exact(y) < 0.4,
+          s"year $y: est $est vs exact ${exact(y)}")
+    }
+  }
+
   test("q65: deletes vanish, inserts appear, updates carry the latest order's balance") {
     val t = graft.io.Tables(spark, sf0001)
     val got = graft.queries.Catalog.queries("q65_merge_upsert")(spark, sf0001)

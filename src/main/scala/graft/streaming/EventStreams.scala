@@ -106,9 +106,11 @@ object EventStreams {
     * unchanged — mirrors Tables.normalizeEventTs). Returns a thunk so
     * callers can attach the same source more than once (q31's union,
     * q36's two sides). */
-  private def eventStreamSource(ss: SparkSession, dir: String): () => DataFrame = {
+  private def eventStreamSource(ss: SparkSession, dir: String): () => DataFrame =
+    streamFromSplitDir(ss, splitEventsDir(ss, dir))
+
+  private def streamFromSplitDir(ss: SparkSession, srcDir: String): () => DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val srcDir = splitEventsDir(ss, dir)
     val batchSchema = ss.read.parquet(srcDir).schema
     val tsIsLong = batchSchema("ts").dataType == LongType
     () => {
@@ -119,6 +121,30 @@ object EventStreams {
     }
   }
 
+  /** The [[splitEventsDir]] layout plus a FOURTH, latest-mtime file that
+    * replays the EARLIEST time range — deliberately ~10 days late against
+    * the watermark the first three batches will have advanced. Input for
+    * q67's late-data-drop demonstration. */
+  private def splitEventsWithReplayDir(ss: SparkSession, dir: String): String = {
+    val srcDir = splitEventsDir(ss, dir) // build (or reuse) the ordered split
+    graft.io.TempLayouts.cached(
+      "events_split_replay#" + new java.io.File(dir).getCanonicalPath,
+      "graft_events_replay_") { outDir =>
+      val parts = new java.io.File(srcDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val out = java.nio.file.Paths.get(outDir)
+      val base = System.currentTimeMillis()
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val dst = out.resolve(f.getName).toFile
+        java.nio.file.Files.copy(f.toPath, dst.toPath)
+        dst.setLastModified(base - (parts.length + 1 - i) * 60000L): Unit
+      }
+      val late = out.resolve(f"events_${parts.length}%04d_late.parquet").toFile
+      java.nio.file.Files.copy(parts.head.toPath, late.toPath)
+      late.setLastModified(base): Unit
+    }
+  }
+
   /** Progress evidence from the most recent run of each streaming catalog
     * query: micro-batch count (batches that read input), total state rows
     * after each batch, and the state-store provider class — what
@@ -126,7 +152,9 @@ object EventStreams {
     * triggers. */
   final case class StreamRunStats(
       nBatches: Int, stateRowsPerBatch: Seq[Long], provider: String,
-      commitMsTotal: Long)
+      commitMsTotal: Long,
+      inputRowsPerBatch: Seq[Long] = Seq.empty,
+      droppedByWatermarkPerBatch: Seq[Long] = Seq.empty)
 
   @volatile private var runStats: Map[String, StreamRunStats] = Map.empty
   def lastRunStats: Map[String, StreamRunStats] = runStats
@@ -139,7 +167,9 @@ object EventStreams {
       withInput.length,
       withInput.map(_.stateOperators.map(_.numRowsTotal).sum).toSeq,
       ss.conf.get("spark.sql.streaming.stateStore.providerClass", "default-hdfs"),
-      withInput.map(_.stateOperators.map(_.commitTimeMs).sum).sum)
+      withInput.map(_.stateOperators.map(_.commitTimeMs).sum).sum,
+      withInput.map(_.numInputRows).toSeq,
+      withInput.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).toSeq)
   }
 
   /** The hourly aggregation (q20's shape) executed as an ACTUAL
@@ -473,6 +503,47 @@ object EventStreams {
     ss.table("q54_sink").orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** The late-data contract under the oracle: the earliest time-range
+    * file is REPLAYED as a fourth micro-batch after three in-order
+    * batches have advanced the watermark ~20 days past its windows, and
+    * the watermarked append aggregation must DROP every replayed row —
+    * those windows were emitted and their state freed batches ago. The
+    * final table is therefore identical to the no-replay run, which is
+    * exactly what the DuckDB oracle encodes (counts over the ORIGINAL
+    * events, windows whose end ≤ max event time); if the engine failed
+    * to drop, every early window would double and the oracle would
+    * catch it. The drop is also evidenced directly:
+    * numRowsDroppedByWatermark over the run equals the replayed row
+    * count (StreamingSpec). Delay 0 keeps every original row on time
+    * (files arrive in ascending time ranges) while making the replay
+    * maximally late.
+    *
+    * At 100 TB this is the guarantee that makes streaming state
+    * BOUNDED: reprocessed or duplicated upstream data cannot resurrect
+    * evicted windows, so state size tracks the watermark horizon, not
+    * the backlog or the reprocessing history. */
+  def lateDataStreaming(spark: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = streamFromSplitDir(ss, splitEventsWithReplayDir(ss, dir))
+    val agg = src()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1e6).cast("long")).as("value_micros"))
+      .select(col("window.start").as("hour_start"),
+        col("event_type"), col("cnt"), col("value_micros"))
+    val q = agg.writeStream
+      .format("memory").queryName("q67_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordRun("q67_stream_late_data", q, ss)
+    ss.table("q67_sink").orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** Driver-visible streaming artifacts: q27 carries batch q20's oracle,
     * q31 carries the batch count-distinct oracle over planted dups, and
     * q36 carries the batch self-join oracle for the interval join. */
@@ -569,6 +640,22 @@ object EventStreams {
       (spark, dir) => hourlyAppendStreaming(spark, dir),
       Some(
         """WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+          |SELECT date_trunc('hour', ts) AS hour_start, event_type,
+          |       count(*) AS cnt,
+          |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+          |         AS value_micros
+          |FROM events
+          |GROUP BY 1, 2
+          |HAVING hour_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+          |ORDER BY hour_start, event_type""".stripMargin)
+    ),
+
+    graft.queries.GraftQuery(
+      "q67_stream_late_data",
+      "watermark drops a replayed late batch: result identical to the no-replay run, drop count evidenced",
+      (spark, dir) => lateDataStreaming(spark, dir),
+      Some(
+        """WITH wm AS (SELECT max(ts) AS w FROM events)
           |SELECT date_trunc('hour', ts) AS hour_start, event_type,
           |       count(*) AS cnt,
           |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)

@@ -203,6 +203,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
   }
 
+  test("q67 drops exactly the replayed batch: result unchanged, drop count evidenced") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.lateDataStreaming(spark, sf0001)
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
+    val nEvents = graft.io.Tables(spark, sf0001).events.count()
+    val stats = EventStreams.lastRunStats("q67_stream_late_data")
+    // 3 in-order batches + 1 replayed late batch
+    assert(stats.nBatches === 4, s"expected 4 micro-batches, got $stats")
+    val replaySize = stats.inputRowsPerBatch.sum - nEvents
+    assert(replaySize > 0L, s"replay batch carried no rows: $stats")
+    assert(stats.inputRowsPerBatch.last === replaySize,
+      s"replay must be the final batch: $stats")
+    // replay = a byte-copy of the first file
+    assert(stats.inputRowsPerBatch.last === stats.inputRowsPerBatch.head, stats.toString)
+    // the in-order batches drop nothing; the replay batch drops EVERYTHING.
+    // numRowsDroppedByWatermark counts rows REACHING THE STATE OPERATOR —
+    // i.e. after partial aggregation — so the replay's drop count equals
+    // its distinct (window, event_type) group count, which is exactly the
+    // state row count after batch 0 (the same file, no eviction yet).
+    assert(stats.droppedByWatermarkPerBatch.init.forall(_ === 0L),
+      s"on-time batches must not drop rows: $stats")
+    assert(stats.droppedByWatermarkPerBatch.last === stats.stateRowsPerBatch.head,
+      s"every replayed group must fall to the watermark: $stats")
+    // after the replay batch the watermark sits at global max event time:
+    // everything except the final partial hour has been emitted and freed
+    assert(stats.stateRowsPerBatch.last < stats.stateRowsPerBatch.head / 10,
+      s"state not freed after the horizon passed: $stats")
+    // and the emitted table equals the no-replay horizon aggregation
+    val t = graft.io.Tables(spark, sf0001)
+    val wm = t.events.agg(max(col("ts"))).head().getTimestamp(0)
+    val batch = t.events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1e6).cast("long")).as("value_micros"))
+      .filter(col("hour_start") + expr("INTERVAL 1 HOUR") <= lit(wm))
+      .orderBy(col("hour_start"), col("event_type"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("q44 foreachBatch upsert merges across ≥3 micro-batches and equals batch argmax") {
     val streamed = EventStreams.latestRowUpsertStreaming(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2)))

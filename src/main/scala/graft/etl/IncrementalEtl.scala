@@ -119,6 +119,44 @@ object IncrementalEtl {
     (table, out)
   }
 
+  /** Snapshot TIME TRAVEL + diff — the read side of the versioned-commit
+    * discipline q44/q52 write by: because a commit lands as a NEW
+    * versioned directory and the current pointer moves (never an
+    * in-place mutation), every prior snapshot stays readable, so
+    * yesterday's report is reproducible and "what changed between v0
+    * and v1" is a plain two-snapshot join — `VERSION AS OF` plus CDC
+    * diff in transactional-format terms. v0 = the daily counts; v1 =
+    * the same counts recommitted after q48's deterministic late batch
+    * (latest day's event_id ≡ 0 mod 13 arrive again). The diff reads
+    * BOTH version directories — the proof that committing v1 destroyed
+    * nothing. Group sets match by construction (the late batch only
+    * re-delivers existing events), so the diff is an inner join;
+    * all-integer counts → full oracle. At 100 TB: snapshots share
+    * unchanged files in a real table format (here each version is
+    * self-contained — the pointer-move commit is the part under test);
+    * the diff query touches only the two aggregate snapshots, never
+    * the raw events. */
+  def snapshotDiff(spark: SparkSession, dir: String): (DataFrame, String) = {
+    val out = graft.io.TempLayouts.replacing(
+      "ttravel#" + new java.io.File(dir).getCanonicalPath, "graft_time_travel_") { out =>
+      val ev = dailyEvents(spark, dir)
+      counts(ev).write.mode("overwrite").parquet(s"$out/v0")
+      val maxDate = ev.agg(max(col("event_date"))).head().getDate(0)
+      val late = ev.filter(col("event_date") === lit(maxDate)
+        && col("event_id") % 13 === 0)
+      counts(ev.unionByName(late)).write.mode("overwrite").parquet(s"$out/v1")
+    }
+    def snap(v: String, cName: String) = spark.read.parquet(s"$out/$v")
+      .select(col("event_date"), col("event_type"), col("cnt").as(cName))
+    val diff = snap("v0", "cnt_v0")
+      .join(snap("v1", "cnt_v1"), Seq("event_date", "event_type"))
+      .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"), col("cnt_v0"), col("cnt_v1"),
+        (col("cnt_v1") - col("cnt_v0")).as("delta"))
+      .orderBy(col("event_date"), col("event_type"))
+    (diff, out)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q48_incremental_partition_etl",
@@ -153,6 +191,30 @@ object IncrementalEtl {
           |       CAST(floor(value * 1000000) AS BIGINT) AS value_micros
           |FROM events
           |ORDER BY event_id""".stripMargin)
+    ),
+
+    GraftQuery(
+      "q68_snapshot_time_travel",
+      "read two committed snapshot versions and diff them: reproducible history + CDC-style delta",
+      (spark, dir) => snapshotDiff(spark, dir)._1,
+      Some(
+        """WITH ev AS (
+          |  SELECT CAST(ts AS DATE) AS event_date, event_type, event_id FROM events),
+          |mx AS (SELECT max(event_date) AS d FROM ev),
+          |v0 AS (
+          |  SELECT event_date, event_type, count(*) AS c FROM ev GROUP BY 1, 2),
+          |v1 AS (
+          |  SELECT event_date, event_type, count(*) AS c FROM (
+          |    SELECT event_date, event_type, event_id FROM ev
+          |    UNION ALL
+          |    SELECT ev.event_date, ev.event_type, ev.event_id
+          |    FROM ev, mx WHERE ev.event_date = mx.d AND ev.event_id % 13 = 0)
+          |  GROUP BY 1, 2)
+          |SELECT CAST(v0.event_date AS VARCHAR) AS event_date, v0.event_type,
+          |       CAST(v0.c AS BIGINT) AS cnt_v0, CAST(v1.c AS BIGINT) AS cnt_v1,
+          |       CAST(v1.c - v0.c AS BIGINT) AS delta
+          |FROM v0 JOIN v1 USING (event_date, event_type)
+          |ORDER BY 1, 2""".stripMargin)
     )
   )
 }

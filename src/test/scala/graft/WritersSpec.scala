@@ -130,6 +130,42 @@ class WritersSpec extends SparkSpecBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("q68 time travel: v0 stays readable after v1 commits; delta isolates the late day") {
+    import graft.etl.IncrementalEtl
+    val (diff, out) = IncrementalEtl.snapshotDiff(spark, sf0001)
+    val rows = diff.collect()
+    // both version directories coexist — committing v1 destroyed nothing
+    assert(new java.io.File(s"$out/v0").isDirectory)
+    assert(new java.io.File(s"$out/v1").isDirectory)
+    // v0 re-read AFTER the v1 commit equals the plain daily counts
+    val v0 = spark.read.parquet(s"$out/v0")
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) -> r.getAs[Long]("cnt"))
+      .toMap
+    val want = graft.io.Tables(spark, sf0001).events
+      .groupBy(to_date(col("ts")).as("d"), col("event_type")).count()
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) -> r.getAs[Long]("count"))
+      .toMap
+    assert(v0 === want, "v0 snapshot must reproduce the original report")
+    // the delta is nonzero ONLY on the latest day, and equals the replay size
+    val maxDay = rows.map(_.getAs[String]("event_date")).max
+    val ev = graft.io.Tables(spark, sf0001).events
+      .select(to_date(col("ts")).as("d"), col("event_type"), col("event_id"))
+    val replay = ev.filter(col("d") === lit(java.sql.Date.valueOf(maxDay))
+        && col("event_id") % 13 === 0)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val d = r.getAs[String]("event_date")
+      val delta = r.getAs[Long]("delta")
+      assert(r.getAs[Long]("cnt_v1") - r.getAs[Long]("cnt_v0") === delta)
+      if (d == maxDay)
+        assert(delta === replay.getOrElse(r.getAs[String]("event_type"), 0L),
+          s"$d ${r.getAs[String]("event_type")} delta")
+      else assert(delta === 0L, s"day $d must be identical across versions")
+    }
+    assert(rows.exists(_.getAs[Long]("delta") > 0L), "the diff must be non-trivial")
+  }
+
   test("q52 compaction: one file per day partition, contents bit-identical") {
     import graft.etl.IncrementalEtl
     val (table, out) = IncrementalEtl.compactSmallFiles(spark, sf0001)

@@ -2210,9 +2210,12 @@ object CoreQueries {
     // (k-1)·2^52 div h_(k) (Bar-Yossef et al. 2002; Beyer et al.
     // SIGMOD'07 unbiased KMV) is INTEGER arithmetic end to end → the
     // DuckDB oracle hash-matches the whole two-level pipeline, estimate
-    // included. Cost shape at 100 TB: the monthly sketch is one
-    // distinct + per-group bottom-k (window over ≤ months×k rows after
-    // the distinct's partial agg); the rollup touches sketch rows only
+    // included. Cost shape at 100 TB: BOTH bottom-k stages run on the
+    // GroupedTopK bounded heap (score = the NEGATED hash — 52 bits is
+    // exact in a double — so "top-k by score" is "k minimum hashes"):
+    // at most k rows per (group, partition) survive each partial
+    // aggregate, where a window-rank formulation would sort every
+    // distinct hash of every month. The rollup touches sketch rows only
     // — never the fact table — exactly like q56/q63. Exact per-year
     // distincts ride alongside so the output exposes the real error.
     GraftQuery(
@@ -2222,19 +2225,26 @@ object CoreQueries {
         val t = Tables(spark, dir)
         val k = 64
         val hashSpace = 4503599627370496L // 2^52: 13 hex chars of md5
+        val topk = graft.functions.expressions.GroupedTopK.topK(k)
         val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 13), 16, 10)
           .cast("long")
         val base = t.lineitem
           .select(date_format(col("l_shipdate"), "yyyy-MM").as("m"),
             year(col("l_shipdate")).cast("long").as("ship_year"), h.as("h"))
           .distinct()
-        val wM = Window.partitionBy(col("m")).orderBy(col("h"))
+        // bottom-k per month via the bounded heap (negated-hash score)
         val monthSketch = base
-          .withColumn("rn", row_number().over(wM)).filter(col("rn") <= k)
-        val pool = monthSketch.select(col("ship_year"), col("h")).distinct()
-        val wY = Window.partitionBy(col("ship_year")).orderBy(col("h"))
+          .groupBy(col("m"), col("ship_year"))
+          .agg(topk((-col("h")).cast("double"), col("h")).as("sk"))
+          .select(col("ship_year"), explode(col("sk")).as("e"))
+          .select(col("ship_year"), col("e.id").as("h"))
+        val pool = monthSketch.distinct()
         val yearSketch = pool
-          .withColumn("rn", row_number().over(wY)).filter(col("rn") <= k)
+          .groupBy(col("ship_year"))
+          .agg(topk((-col("h")).cast("double"), col("h")).as("sk"))
+          .select(col("ship_year"), posexplode(col("sk")))
+          .select(col("ship_year"), (col("pos") + 1).cast("long").as("rn"),
+            col("col").getField("id").as("h"))
         val exact = t.lineitem
           .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
           .agg(count_distinct(col("l_partkey")).as("n_exact"))

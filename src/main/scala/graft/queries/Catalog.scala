@@ -30,6 +30,7 @@ object Catalog {
       graft.text.PipelineQueries.all ++
       graft.dedup.DedupOps.all ++
       graft.dedup.SpanDedup.all ++
+      graft.dedup.EditJoin.all ++
       graft.similarity.SimilarityOps.all ++
       graft.multimodal.MultimodalOps.all ++
       graft.streaming.EventStreams.catalog

@@ -299,6 +299,50 @@ object EventStreams {
     ss.table("q36_sink").orderBy(col("user_id"), col("v_ts"), col("p_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join — q36's inner join plus the
+    * semantics that make outer joins hard in streaming: a view with no
+    * purchase in its hour can only emit its null-extended row once the
+    * engine can PROVE no match will arrive, i.e. once the global
+    * event-time watermark (min across both inputs of max-event-time −
+    * delay) passes the view's match window [v_ts, v_ts + 1h]. Matched
+    * pairs emit as they meet, exactly as in the inner join; unmatched
+    * views in the final watermark horizon are withheld FOREVER on
+    * bounded input — the same still-might-match contract as q54's tail
+    * windows, encoded in the oracle's horizon predicate. AvailableNow
+    * runs the no-data finalization batch so every provably-unmatched
+    * view flushes before the query stops.
+    *
+    * At 100 TB the interval bound + watermark are what keep BOTH state
+    * stores finite (evict once the window passes) — an unconstrained
+    * outer join would buffer the full history of both streams AND never
+    * be able to emit a single null row. */
+  def leftOuterIntervalJoinStreaming(spark: SparkSession, dir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = eventStreamSource(ss, dir)
+    val views = src().where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("user_id"), col("v_ts"), col("p_ts"))
+    val q = joined.writeStream
+      .format("memory").queryName("q69_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordRun("q69_stream_outer_join", q, ss)
+    ss.table("q69_sink").orderBy(col("user_id"), col("v_ts"), col("p_ts"))
+  }
+
   /** Streaming keyed UPSERT through `foreachBatch` — the sink-side
     * pattern the memory-sink demos don't cover: each micro-batch merges
     * its latest-row-per-user into a keyed parquet table (read previous
@@ -582,6 +626,36 @@ object EventStreams {
           | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
           |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
           |ORDER BY v.user_id, v_ts, p_ts""".stripMargin)
+    ),
+
+    graft.queries.GraftQuery(
+      "q69_stream_outer_join",
+      "LEFT OUTER watermarked stream-stream interval join: null rows emitted only once the watermark proves no match",
+      (spark, dir) => leftOuterIntervalJoinStreaming(spark, dir),
+      Some(
+        """WITH v AS (
+          |  SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'),
+          |p AS (
+          |  SELECT user_id AS p_user, ts AS p_ts FROM events
+          |  WHERE event_type = 'purchase'),
+          |wm AS (
+          |  SELECT least((SELECT max(v_ts) FROM v), (SELECT max(p_ts) FROM p))
+          |         - INTERVAL 1 HOUR AS w),
+          |matched AS (
+          |  SELECT v.user_id, v.v_ts, p.p_ts
+          |  FROM v JOIN p ON v.user_id = p.p_user
+          |   AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR),
+          |unmatched AS (
+          |  SELECT v.user_id, v.v_ts, CAST(NULL AS TIMESTAMP) AS p_ts
+          |  FROM v, wm
+          |  WHERE v.v_ts + INTERVAL 1 HOUR < wm.w
+          |    AND NOT EXISTS (
+          |      SELECT 1 FROM p
+          |      WHERE p.p_user = v.user_id
+          |        AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR))
+          |SELECT * FROM matched
+          |UNION ALL SELECT * FROM unmatched
+          |ORDER BY user_id, v_ts, p_ts""".stripMargin)
     ),
 
     graft.queries.GraftQuery(

@@ -203,6 +203,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
   }
 
+  test("q69 outer join: matched rows equal the inner join; null rows only below the horizon") {
+    import org.apache.spark.sql.functions._
+    val out = EventStreams.leftOuterIntervalJoinStreaming(spark, sf0001)
+    val t = graft.io.Tables(spark, sf0001)
+    val v = t.events.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val p = t.events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val cond = col("user_id") === col("p_user") &&
+      col("p_ts") >= col("v_ts") &&
+      col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR")
+    // matched subset ≡ the batch inner join
+    assert(out.filter(col("p_ts").isNotNull).count() === v.join(p, cond).count())
+    // final global watermark = min(max v_ts, max p_ts) − 1h; a null row
+    // may only exist for a view whose whole match window is below it
+    val maxV = v.agg(max(col("v_ts"))).head().getTimestamp(0).getTime
+    val maxP = p.agg(max(col("p_ts"))).head().getTimestamp(0).getTime
+    val wmMs = math.min(maxV, maxP) - 3600L * 1000
+    val badNull = out.filter(col("p_ts").isNull &&
+      col("v_ts") + expr("INTERVAL 1 HOUR") >= timestamp_millis(lit(wmMs)))
+    assert(badNull.isEmpty, "null row emitted inside the watermark horizon")
+    // and the withheld tail is real: unmatched views above the horizon
+    // exist in the data but are absent from the output
+    val unmatchedTail = v.join(p, cond, "left_anti")
+      .filter(col("v_ts") + expr("INTERVAL 1 HOUR") >= timestamp_millis(lit(wmMs)))
+    assert(unmatchedTail.count() > 0, "corpus has no tail views; spec is vacuous")
+    assert(out.filter(col("p_ts").isNull).count() ===
+      v.join(p, cond, "left_anti").count() - unmatchedTail.count())
+    val stats = EventStreams.lastRunStats("q69_stream_outer_join")
+    assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
+  }
+
   test("q67 drops exactly the replayed batch: result unchanged, drop count evidenced") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.lateDataStreaming(spark, sf0001)

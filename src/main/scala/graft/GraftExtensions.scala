@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{BpeDecode, BpeEncodeIds, CharNgramHashes, CosineSimilarity, HammingDistance, Md5Prefix64, MinHashSignature, SimHash64, SortedIntersectSize, TopRepeatCountsExpr, WinnowSketch, WinnowSketchMd5, WordNgramHashes, WordNgramMd5Hashes}
+import graft.functions.expressions.{BpeDecode, BpeEncodeIds, CharNgramHashes, CosineSimilarity, HammingDistance, Md5Prefix64, MinHashSignature, SimHash64, SortedIntersectSize, SquaredDistanceLong, TopRepeatCountsExpr, WinnowSketch, WinnowSketchMd5, WordNgramHashes, WordNgramMd5Hashes}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (set in [[GraftSession.tune]]). Injects the native vector
@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hamming_distance",
         "hamming_distance(a, b) - number of differing positions of two int arrays"),
       (args: Seq[Expression]) => HammingDistance(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("squared_distance_long"),
+      info("squared_distance_long",
+        "squared_distance_long(a, b) - integer squared L2 distance of two bigint arrays"),
+      (args: Seq[Expression]) => SquaredDistanceLong(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       info("sorted_intersect_size",

@@ -44,4 +44,10 @@ object VectorFunctions {
     * expression via GraftExtensions). */
   def hammingDistance(a: Column, b: Column): Column =
     call_function("hamming_distance", a, b)
+
+  /** Integer squared L2 distance of two bigint-array columns (native
+    * codegen'd expression via GraftExtensions) — the engine-portable
+    * k-means distance over quantized embeddings. */
+  def squaredDistanceLong(a: Column, b: Column): Column =
+    call_function("squared_distance_long", a, b)
 }

@@ -88,6 +88,63 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_similarity"
 }
 
+/** squared_distance_long(array<bigint>, array<bigint>) → bigint: integer
+  * squared Euclidean distance Σ(aᵢ−bᵢ)².
+  *
+  * THE engine-portable k-means primitive: on quantized embeddings
+  * ([[graft.similarity.SimilarityOps.quantizeEmb]]) every distance,
+  * argmin and centroid mean stays in exact BIGINT arithmetic, so cell
+  * assignments replay bit-identically in any engine (integer sums are
+  * order-free, unlike the float `avg` the previous k-means used — THE
+  * reason d06/s03/s12 could not be oracled before). Range: components
+  * < 2²², so a squared difference < 2⁴⁴ and a 64-dim sum < 2⁵⁰ — no
+  * overflow headroom concerns even at 4096 dims.
+  */
+case class SquaredDistanceLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkArrayInputs("squared_distance_long", LongType, left, right)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "squared_distance_long"
+}
+
 /** hamming_distance(array<int>, array<int>) → bigint: count of positions
   * whose values differ (LSH signature / SimHash bit-vector distance). */
 case class HammingDistance(left: Expression, right: Expression)

@@ -51,10 +51,17 @@ object IvfIndex {
       .collect()
       .map(r => (r.getAs[Long]("cell_id"),
         r.getSeq[Float](r.fieldIndex("c_emb")).toArray))
+    // Bit-identical to the CosineSimilarity expression AND the DuckDB
+    // cosSql replay: each float is widened to double BEFORE the multiply
+    // (a float×float product rounds to float32 first and can differ in
+    // the last ulp — enough to flip a probe-cell choice under ties).
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      while (i < n) {
+        val xi = a(i).toDouble; val yi = b(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+      }
       if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
     val probeCells = centroids

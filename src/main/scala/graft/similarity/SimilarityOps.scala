@@ -133,28 +133,88 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"),
         (-col("best").getField("neg_cell")).as("cell_id"))
 
-  /** Lloyd's k-means over embedding vectors: seeds = the first k vectors
-    * by id (deterministic), `iters` assign/recompute rounds. Each round
-    * is one distributed assign (N×k cosine, broadcast centroids, argmax
-    * aggregate) + one groupBy average; only the k×d centroid matrix ever
-    * reaches the driver (equivalent to a broadcast variable, not a data
-    * collect). */
-  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val spark = emb.sparkSession
-    var centroids = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+  // --------------------------------------------------------------------
+  // Engine-portable integer k-means. The float formulation's centroid
+  // `avg` is summation-order-dependent, so no other engine could replay
+  // the cells and every k-means-blocked entry (d06/s03/s12) was stuck
+  // rows-only. The discipline that oracled t04/s02/d04/d02 applies here
+  // too: derive every cell decision from EXACT integer arithmetic.
+  //
+  //  - Quantize once: qᵢ = floor(xᵢ·2²⁰) + 2²¹. Multiplying a float by a
+  //    power of two is an exponent shift (exact in double), floor is
+  //    exact, and the offset keeps every component positive so integer
+  //    division truncation = floor in every engine.
+  //  - Distance = Σ(aᵢ−bᵢ)² in BIGINT ([[SquaredDistanceLong]] native
+  //    codegen expression); integer sums are order-free, so partial
+  //    aggregation cannot perturb results. The embeddings are
+  //    unit-normalized, so L2-argmin ≡ cosine-argmax on the raw vectors
+  //    — the cells are the same cells, now portable.
+  //  - Centroid update = component-wise sum DIV count (truncating
+  //    integer division on positive values — `//` in DuckDB).
+  //
+  // Exact final ranking still happens in double cosine on the ORIGINAL
+  // float vectors (the established replayable path, see cosSql): the
+  // integer space only decides blocking/probing.
+
+  /** 2²⁰ quantization scale — a power of two so the double multiply is
+    * an exact exponent shift in every engine. */
+  private val QuantScale = 1048576.0
+
+  /** 2²¹ offset: |xᵢ| < 2 for unit-norm embeddings, so quantized
+    * components land in (0, 2²²) — strictly positive, making truncating
+    * and flooring integer division indistinguishable cross-engine. */
+  private val QuantOffset = 2097152L
+
+  /** Integer quantization of a float embedding column (see above). */
+  private[similarity] def quantizeEmb(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * lit(QuantScale)) + lit(QuantOffset))
+
+  /** DuckDB replay of [[quantizeEmb]]. */
+  private def quantSql(c: String): String =
+    s"list_transform($c, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) + 2097152)"
+
+  /** DuckDB replay of [[SquaredDistanceLong]] over two BIGINT lists. */
+  private def intDistSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+
+  /** `emb` extended with the quantized `qemb` column. */
+  private def withQuant(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      quantizeEmb(col("embedding")).as("qemb"))
+
+  /** Integer nearest-centroid assignment: `min(struct(dist, cell_id))`
+    * picks (min distance, min cell id on ties) with the same map-side
+    * partial-aggregation shape as [[assignCells]]. `carry` names the
+    * columns to keep alongside the assignment. */
+  private[similarity] def assignCellsInt(embQ: DataFrame, centroids: DataFrame,
+      carry: Seq[String] = Seq("embedding", "qemb")): DataFrame =
+    embQ.crossJoin(broadcast(centroids))
+      .withColumn("cell_dist", squaredDistanceLong(col("qemb"), col("c_qemb")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cell_dist"), col("cell_id"))).as("best"),
+        carry.map(c => first(col(c)).as(c)): _*)
+      .select(col("vec_id") +: col("best").getField("cell_id").as("cell_id") +:
+        carry.map(col): _*)
+
+  /** Lloyd's k-means in quantized integer space: seeds = the first k
+    * vectors by id, `iters` assign/recompute rounds, centroid update =
+    * component-wise sum DIV count. Each round is one distributed assign
+    * (N×k integer distances, broadcast centroids, argmin aggregate) +
+    * one groupBy integer mean; only the k×d centroid matrix ever reaches
+    * the driver. Bit-replayable in any engine (see [[kmeansCteSql]]). */
+  def kmeansCentroidsInt(embQ: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids = embQ.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell_id"), col("qemb").as("c_qemb"))
     (1 to iters).foreach { _ =>
-      val assigned = assignCells(emb, centroids)
-        .select(col("cell_id"), col("embedding"))
-      // mean per cell, component-wise, via posexplode + re-assemble
+      val assigned = assignCellsInt(embQ, centroids, carry = Seq("qemb"))
+        .select(col("cell_id"), col("qemb"))
       val means = assigned
-        .select(col("cell_id"), posexplode(col("embedding")))
+        .select(col("cell_id"), posexplode(col("qemb")))
         .groupBy(col("cell_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg(expr("sum(col) DIV count(col)").as("m"))
         .groupBy(col("cell_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell_id"),
-          expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("c_emb"))
+        .select(col("cell_id"), expr("transform(pm, x -> x.m)").as("c_qemb"))
       // k×d rows only: eagerly truncate lineage so the per-iteration plan
       // stays constant-size instead of doubling (the assign stage embeds
       // the previous centroids' whole plan otherwise). On a cluster a
@@ -164,32 +224,75 @@ object SimilarityOps {
     centroids
   }
 
-  /** IVF: assign every vector to its nearest centroid cell (seed
-    * centroids by default; pass `refine > 0` for k-means rounds), then
-    * probe the nprobe cells nearest the query and search only those. */
+  /** Chained-CTE DuckDB replay of [[kmeansCentroidsInt]] +
+    * [[assignCellsInt]]: emits CTE bodies `qe` (vec_id, q — quantized
+    * vectors), `cent` (cell_id, c — final centroids) and `asg`
+    * (vec_id, cell_id — final assignments). The fixed iteration count
+    * unrolls to plain CTEs — no recursion, no aggregate-in-recursive-term
+    * portability risk. Meant to be embedded inside `WITH ...`. */
+  private def kmeansCteSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"qe AS (SELECT vec_id, ${quantSql("embedding")} AS q FROM embeddings),\n"
+    sb ++= s"cent0 AS (SELECT vec_id AS cell_id, q AS c FROM qe WHERE vec_id < $k),\n"
+    for (it <- 1 to iters) {
+      sb ++=
+        s"""asg$it AS (
+           |  SELECT vec_id, cell_id, q FROM (
+           |    SELECT e.vec_id, c.cell_id, e.q,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${intDistSql("e.q", "c.c")} ASC, c.cell_id ASC) AS rn
+           |    FROM qe e CROSS JOIN cent${it - 1} c) WHERE rn = 1),
+           |cent$it AS (
+           |  SELECT cell_id, list(m ORDER BY pos) AS c FROM (
+           |    SELECT cell_id, pos, CAST(sum(v) // count(v) AS BIGINT) AS m FROM (
+           |      SELECT cell_id, generate_subscripts(q, 1) AS pos, unnest(q) AS v
+           |      FROM asg$it)
+           |    GROUP BY cell_id, pos)
+           |  GROUP BY cell_id),
+           |""".stripMargin
+    }
+    sb ++= s"cent AS (SELECT cell_id, c FROM cent$iters),\n"
+    sb ++=
+      s"""asg AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${intDistSql("e.q", "c.c")} ASC, c.cell_id ASC) AS rn
+         |    FROM qe e CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
+    sb.toString
+  }
+
+  /** IVF: assign every vector to its nearest centroid cell in quantized
+    * integer space (seed centroids by default; pass `refine > 0` for
+    * k-means rounds), then probe the nprobe cells nearest the query and
+    * re-rank only those with exact double cosine. Cells and probes are
+    * integer decisions → the whole query replays in DuckDB (s03). */
   def ivfTopK(emb: DataFrame, qid: Long, k: Int, nCells: Int, nprobe: Int,
       refine: Int = 0): DataFrame = {
+    val embQ = withQuant(emb)
     val centroids = graft.InternalCaches.track(
-      (if (refine > 0) kmeansCentroids(emb, nCells, refine)
-       else emb.filter(col("vec_id") < nCells)
-         .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb")))
+      (if (refine > 0)
+         kmeansCentroidsInt(embQ.select(col("vec_id"), col("qemb")), nCells, refine)
+       else embQ.filter(col("vec_id") < nCells)
+         .select(col("vec_id").as("cell_id"), col("qemb").as("c_qemb")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // build: one row per (vector, cell) → argmax aggregate (map-side
-    // partial; see assignCells)
-    val assigned = assignCells(emb, centroids)
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
-    // probe: the nprobe cells nearest the query
+    // build: one row per (vector, cell) → argmin aggregate (map-side
+    // partial; see assignCellsInt)
+    val assigned = assignCellsInt(embQ, centroids)
+    val qQ = embQ.filter(col("vec_id") === qid)
+      .select(col("embedding").as("q_emb"), col("qemb").as("q_qemb"))
+    // probe: the nprobe cells nearest the query, by integer distance
     val probeCells = centroids
-      .crossJoin(broadcast(queryVec(emb, qid)))
+      .crossJoin(broadcast(qQ))
       .select(col("cell_id"),
-        cosineSimilarity(col("c_emb"), col("q_emb")).as("q_cell_sim"))
-      .orderBy(col("q_cell_sim").desc, col("cell_id"))
+        squaredDistanceLong(col("c_qemb"), col("q_qemb")).as("q_cell_dist"))
+      .orderBy(col("q_cell_dist").asc, col("cell_id"))
       .limit(nprobe)
       .select(col("cell_id"))
     assigned
       .join(broadcast(probeCells), Seq("cell_id"), "left_semi")
       .filter(col("vec_id") =!= qid)
-      .crossJoin(broadcast(queryVec(emb, qid)))
+      .crossJoin(broadcast(qQ))
       .select(col("vec_id"),
         simE4(cosineSimilarity(col("embedding"), col("q_emb"))).as("sim_e4"))
       .orderBy(col("sim_e4").desc, col("vec_id"))
@@ -210,19 +313,22 @@ object SimilarityOps {
     * in-cell neighbor at ≥ threshold — d01's keep-first-occurrence
     * convention), with its strongest such neighbor as evidence and its
     * duplicate-link count. The transitive canonical-per-cluster step is
-    * d05's connected components over these pairs. Cluster seeds are
-    * engine-specific → rows-only in the catalog; SimilaritySpec asserts
-    * pair soundness (every reported link re-checks above threshold
-    * against exact cosine) and drop-set monotonicity vs the global
-    * brute-force pair set. */
+    * d05's connected components over these pairs. Clusters come from the
+    * engine-portable integer k-means, so the whole pipeline — cells,
+    * cap, in-cell pairs, threshold, argmax link — replays in DuckDB
+    * (full oracle); SimilaritySpec additionally asserts pair soundness
+    * (every reported link re-checks above threshold against exact
+    * cosine) and drop-set monotonicity vs the global brute-force pair
+    * set. */
   def semanticDedup(emb: DataFrame, nCells: Int, refine: Int,
       simThresholdE4: Long): DataFrame = {
+    val embQ = withQuant(emb)
     val centroids = graft.InternalCaches.track(
-      kmeansCentroids(emb, nCells, refine)
+      kmeansCentroidsInt(embQ.select(col("vec_id"), col("qemb")), nCells, refine)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val assigned = graft.InternalCaches.track(
       graft.dedup.DedupOps.capBlocks(
-        assignCells(emb, centroids)
+        assignCellsInt(embQ, centroids, carry = Seq("embedding"))
           .select(col("vec_id"), col("embedding"), col("cell_id")),
         Seq("cell_id"), graft.dedup.DedupOps.MaxBlock)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -434,25 +540,29 @@ object SimilarityOps {
     * outside the probed cells are still missed — that is the recall
     * trade; SimilaritySpec measures recall against [[knnJoinExact]] and
     * asserts every reported similarity is the true cosine
-    * (approximation can only MISS pairs, never misscore them). Cluster
-    * seeding is engine-specific → rows-only in the catalog. */
+    * (approximation can only MISS pairs, never misscore them). Cells and
+    * probes come from the engine-portable integer k-means → full DuckDB
+    * oracle (the probe score −dist stays exact in double: distances
+    * < 2⁵⁰ ≪ 2⁵³). */
   def knnJoinCells(emb: DataFrame, k: Int, nCells: Int, refine: Int,
       nprobe: Int = 4): DataFrame = {
+    val embQ = withQuant(emb)
     val centroids = graft.InternalCaches.track(
-      kmeansCentroids(emb, nCells, refine)
+      kmeansCentroidsInt(embQ.select(col("vec_id"), col("qemb")), nCells, refine)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val assigned = graft.InternalCaches.track(
       graft.dedup.DedupOps.capBlocks(
-        assignCells(emb, centroids)
+        assignCellsInt(embQ, centroids, carry = Seq("embedding"))
           .select(col("vec_id"), col("embedding"), col("cell_id")),
         Seq("cell_id"), graft.dedup.DedupOps.MaxBlock)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // anchor side: each vector fanned out to its nprobe nearest cells
     // (bounded-heap top-k over the broadcast centroid set — window-free)
     val probeK = graft.functions.expressions.GroupedTopK.topK(nprobe)
-    val probes = emb.crossJoin(broadcast(centroids))
+    val probes = embQ.crossJoin(broadcast(centroids))
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-        cosineSimilarity(col("embedding"), col("c_emb")).as("cell_sim"),
+        (-squaredDistanceLong(col("qemb"), col("c_qemb")).cast("double"))
+          .as("cell_sim"),
         col("cell_id"))
       .groupBy(col("qid"))
       .agg(first(col("q_emb")).as("q_emb"),

@@ -115,24 +115,6 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** Nearest-centroid assignment as a partial-aggregating ARGMAX, not a
-    * window: `max(struct(cell_sim, -cell_id))` picks (max similarity,
-    * min cell id on ties) — identical to the former
-    * `row_number().over(partitionBy(vec_id).orderBy(sim desc, cell))`
-    * filter, but as a HashAggregate whose map side reduces the N×k
-    * candidate rows to one row per vector BEFORE the shuffle, where the
-    * window formulation shuffled and sorted all N×k. At a billion
-    * vectors × 1024 cells that is a 1024× cut in shuffled rows. */
-  private[similarity] def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .withColumn("cell_sim", cosineSimilarity(col("embedding"), col("c_emb")))
-      .groupBy(col("vec_id"))
-      .agg(
-        first(col("embedding")).as("embedding"),
-        max(struct(col("cell_sim"), (-col("cell_id")).as("neg_cell"))).as("best"))
-      .select(col("vec_id"), col("embedding"),
-        (-col("best").getField("neg_cell")).as("cell_id"))
-
   // --------------------------------------------------------------------
   // Engine-portable integer k-means. The float formulation's centroid
   // `avg` is summation-order-dependent, so no other engine could replay
@@ -158,12 +140,12 @@ object SimilarityOps {
 
   /** 2²⁰ quantization scale — a power of two so the double multiply is
     * an exact exponent shift in every engine. */
-  private val QuantScale = 1048576.0
+  private[similarity] val QuantScale = 1048576.0
 
   /** 2²¹ offset: |xᵢ| < 2 for unit-norm embeddings, so quantized
     * components land in (0, 2²²) — strictly positive, making truncating
     * and flooring integer division indistinguishable cross-engine. */
-  private val QuantOffset = 2097152L
+  private[similarity] val QuantOffset = 2097152L
 
   /** Integer quantization of a float embedding column (see above). */
   private[similarity] def quantizeEmb(c: Column): Column =
@@ -178,14 +160,19 @@ object SimilarityOps {
     s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
 
   /** `emb` extended with the quantized `qemb` column. */
-  private def withQuant(emb: DataFrame): DataFrame =
+  private[similarity] def withQuant(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
       quantizeEmb(col("embedding")).as("qemb"))
 
-  /** Integer nearest-centroid assignment: `min(struct(dist, cell_id))`
-    * picks (min distance, min cell id on ties) with the same map-side
-    * partial-aggregation shape as [[assignCells]]. `carry` names the
-    * columns to keep alongside the assignment. */
+  /** Integer nearest-centroid assignment as a partial-aggregating
+    * ARGMIN, not a window: `min(struct(dist, cell_id))` picks (min
+    * distance, min cell id on ties) — identical to a
+    * `row_number().over(partitionBy(vec_id).orderBy(dist, cell))`
+    * filter, but as a HashAggregate whose map side reduces the N×k
+    * candidate rows to one row per vector BEFORE the shuffle, where the
+    * window formulation would shuffle and sort all N×k. At a billion
+    * vectors × 1024 cells that is a 1024× cut in shuffled rows. `carry`
+    * names the columns to keep alongside the assignment. */
   private[similarity] def assignCellsInt(embQ: DataFrame, centroids: DataFrame,
       carry: Seq[String] = Seq("embedding", "qemb")): DataFrame =
     embQ.crossJoin(broadcast(centroids))

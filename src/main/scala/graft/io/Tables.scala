@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table catalog over a driver test-data directory
   * (`/root/testdata/sf*` — see TESTDATA.md).
@@ -54,12 +54,21 @@ object Tables {
     )
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS): with
-    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as long
-    * nanoseconds; convert with integer division (exact — a double
-    * division would lose precision above 2^53 ns). */
-  private def normalizeEventTs(events: DataFrame): DataFrame =
-    if (events.schema("ts").dataType == LongType)
-      events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else events
+  /** events.ts normalization to session-TZ TIMESTAMP, the engine-wide
+    * timestamp convention (session TZ is pinned UTC in GraftSession, so
+    * instants and the DuckDB oracle's naive micros coincide):
+    *  - parquet TIMESTAMP(NANOS) (+ `spark.sql.legacy.parquet.nanosAsLong`)
+    *    arrives as long nanoseconds → convert with integer division
+    *    (exact — a double division would lose precision above 2^53 ns);
+    *  - parquet TIMESTAMP(MICROS) with isAdjustedToUTC=false arrives as
+    *    TIMESTAMP_NTZ under Spark's NTZ inference → cast to TIMESTAMP
+    *    (exact under the UTC session TZ: same micros, instant-typed). */
+  private[graft] def normalizeEventTs(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case LongType =>
+        events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        events.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => events
+    }
 }

@@ -27,15 +27,21 @@ object IvfIndex {
   private def centroidsPath(path: String) = s"$path/centroids"
 
   /** Assign every vector to its nearest centroid and persist the layout.
-    * `refine > 0` runs that many k-means rounds first
-    * ([[SimilarityOps.kmeansCentroids]]). One shuffle of the corpus
-    * (the partitionBy write), one tiny centroid write. */
+    * `refine > 0` runs that many integer k-means rounds first
+    * ([[SimilarityOps.kmeansCentroidsInt]]). Centroids are stored in the
+    * quantized integer space (`c_qemb`) — the same space assignments are
+    * made in, so probe-cell selection at query time replays the exact
+    * build-time argmin. One shuffle of the corpus (the partitionBy
+    * write), one tiny centroid write. */
   def build(emb: DataFrame, path: String, nCells: Int, refine: Int = 0): Unit = {
+    val embQ = SimilarityOps.withQuant(emb)
     val centroids =
-      (if (refine > 0) SimilarityOps.kmeansCentroids(emb, nCells, refine)
-       else emb.filter(col("vec_id") < nCells)
-         .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb")))
-    SimilarityOps.assignCells(emb, centroids)
+      (if (refine > 0)
+         SimilarityOps.kmeansCentroidsInt(
+           embQ.select(col("vec_id"), col("qemb")), nCells, refine)
+       else embQ.filter(col("vec_id") < nCells)
+         .select(col("vec_id").as("cell_id"), col("qemb").as("c_qemb")))
+    SimilarityOps.assignCellsInt(embQ, centroids, carry = Seq("embedding"))
       .select(col("vec_id"), col("embedding"), col("cell_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell_id")
       .parquet(cellsPath(path))
@@ -44,29 +50,30 @@ object IvfIndex {
 
   /** Exact-rerank top-k over the persisted index: pick the `nprobe`
     * cells nearest the query from the (driver-held) centroid matrix,
-    * scan only those partitions, re-rank with exact cosine. */
+    * scan only those partitions, re-rank with exact cosine. Probe-cell
+    * choice happens in the quantized integer space — exact arithmetic,
+    * so the choice is bit-replayable in any engine and immune to the
+    * float-summation-order hazards a cosine probe would carry. */
   def topK(spark: SparkSession, path: String, queryVec: Array[Float],
       k: Int, nprobe: Int): DataFrame = {
     val centroids = spark.read.parquet(centroidsPath(path))
       .collect()
       .map(r => (r.getAs[Long]("cell_id"),
-        r.getSeq[Float](r.fieldIndex("c_emb")).toArray))
-    // Bit-identical to the CosineSimilarity expression AND the DuckDB
-    // cosSql replay: each float is widened to double BEFORE the multiply
-    // (a float×float product rounds to float32 first and can differ in
-    // the last ulp — enough to flip a probe-cell choice under ties).
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        r.getSeq[Long](r.fieldIndex("c_qemb")).toArray))
+    // Driver-side twin of SimilarityOps.quantizeEmb / SquaredDistanceLong:
+    // floor(x * 2^20) + 2^21 per component, then Σ(aᵢ-bᵢ)² in Long.
+    val qQ = queryVec.map(v =>
+      math.floor(v.toDouble * SimilarityOps.QuantScale).toLong +
+        SimilarityOps.QuantOffset)
+    def distL(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
       val n = math.min(a.length, b.length)
-      while (i < n) {
-        val xi = a(i).toDouble; val yi = b(i).toDouble
-        dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
-      }
-      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
     }
     val probeCells = centroids
-      .map { case (id, c) => (id, cos(c, queryVec)) }
-      .sortBy { case (id, s) => (-s, id) }
+      .map { case (id, c) => (id, distL(c, qQ)) }
+      .sortBy { case (id, d) => (d, id) }
       .take(nprobe).map(_._1)
     val q = array(queryVec.map(v => lit(v)): _*)
     spark.read.parquet(cellsPath(path))

@@ -660,7 +660,8 @@ object SimilarityOps {
       p => IvfIndex.build(emb, p, nCells = 16)
     }
     emb.sparkSession.read.parquet(s"$path/cells")
-      .groupBy(col("cell_id")).agg(count(lit(1)).as("n_vectors"))
+      .groupBy(col("cell_id").cast("long").as("cell_id"))
+      .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cell_id"))
   }
 
@@ -742,15 +743,36 @@ object SimilarityOps {
     ),
 
     // ------------------------------------------------------------------
-    // s03: IVF coarse-quantizer variant (rows-only; ScalaTest checks
-    // recall vs s01).
+    // s03: IVF coarse-quantizer variant. FULLY ORACLED since the integer
+    // k-means: DuckDB replays quantization, the 2 unrolled Lloyd's
+    // rounds, the final cell assignment (kmeansCteSql), the integer
+    // probe-cell choice, and the exact double-cosine re-rank — every
+    // approximation decision is exact integer arithmetic, so the two
+    // engines MUST agree row-for-row.
     GraftQuery(
       "s03_similarity_ivf_topk",
-      "IVF(16 cells, 2 k-means rounds, nprobe=4) + exact re-rank top-10 (rows-only)",
+      "IVF(16 cells, 2 k-means rounds, nprobe=4) + exact re-rank top-10 (integer k-means, fully oracled)",
       (spark, dir) =>
         ivfTopK(Tables(spark, dir).embeddings, qid = 0L, k = 10, nCells = 16,
           nprobe = 4, refine = 2),
-      None
+      Some(
+        s"""WITH ${kmeansCteSql(16, 2)},
+          |qv AS (SELECT q FROM qe WHERE vec_id = 0),
+          |probe AS (
+          |  SELECT cell_id FROM (
+          |    SELECT c.cell_id, ${intDistSql("c.c", "qv.q")} AS d
+          |    FROM cent c CROSS JOIN qv)
+          |  ORDER BY d ASC, cell_id ASC LIMIT 4),
+          |qemb AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+          |SELECT a.vec_id,
+          |       CAST(round(${cosSql("e.embedding", "qemb.q_emb")} * 10000) AS BIGINT) AS sim_e4
+          |FROM asg a
+          |JOIN probe USING (cell_id)
+          |JOIN embeddings e ON e.vec_id = a.vec_id
+          |CROSS JOIN qemb
+          |WHERE a.vec_id <> 0
+          |ORDER BY sim_e4 DESC, a.vec_id
+          |LIMIT 10""".stripMargin)
     ),
 
     // ------------------------------------------------------------------
@@ -831,23 +853,31 @@ object SimilarityOps {
     // (plan-time partition pruning; see IvfIndex). Round 2 ran
     // build+probe as one entry, so the bench billed every probe at
     // build cost (8.2s) when serving is the number that matters.
-    // Rows-only: layout + hash-family specifics; the ScalaTest asserts
-    // the pruning and recall.
+    // FULLY ORACLED since the integer path: the build's cell assignment
+    // is the seed-centroid integer argmin (kmeansCteSql at 0 refine
+    // rounds), so DuckDB replays the per-cell layout counts (s07) and
+    // the probe's integer cell choice + exact cosine re-rank (s08);
+    // the ScalaTest still asserts the physical pruning (PartitionFilters
+    // in the probe scan) and recall.
     GraftQuery(
       "s07_similarity_ivf_build",
-      "persistent cell-partitioned IVF index build: one corpus shuffle into cell_id= partitions (rows-only)",
+      "persistent cell-partitioned IVF index build: one corpus shuffle into cell_id= partitions",
       (spark, dir) => {
         val summary = buildIndexFresh(Tables(spark, dir).embeddings, dir)
         // per-cell vector counts: proves the layout without re-reading
         // payload columns (partition-column-only scan)
         summary
       },
-      None
+      Some(
+        s"""WITH ${kmeansCteSql(16, 0)}
+          |SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vectors
+          |FROM asg GROUP BY cell_id
+          |ORDER BY cell_id""".stripMargin)
     ),
 
     GraftQuery(
       "s08_similarity_ivf_probe",
-      "partition-pruned probe of the prebuilt IVF index: top-10 for vec_id=0 (rows-only)",
+      "partition-pruned probe of the prebuilt IVF index: top-10 for vec_id=0",
       (spark, dir) => {
         val emb = Tables(spark, dir).embeddings
         val path = ensureIndex(emb, dir)
@@ -855,7 +885,25 @@ object SimilarityOps {
           .head().getSeq[Float](1).toArray
         IvfIndex.topK(spark, path, qVec, k = 10, nprobe = 4)
       },
-      None
+      // the probe does not know the query's corpus id, so the query
+      // vector itself (sim 10000) is eligible — the replay keeps it
+      Some(
+        s"""WITH ${kmeansCteSql(16, 0)},
+          |qv AS (SELECT q FROM qe WHERE vec_id = 0),
+          |probe AS (
+          |  SELECT cell_id FROM (
+          |    SELECT c.cell_id, ${intDistSql("c.c", "qv.q")} AS d
+          |    FROM cent c CROSS JOIN qv)
+          |  ORDER BY d ASC, cell_id ASC LIMIT 4),
+          |qemb AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+          |SELECT a.vec_id,
+          |       CAST(round(${cosSql("e.embedding", "qemb.q_emb")} * 10000) AS BIGINT) AS sim_e4
+          |FROM asg a
+          |JOIN probe USING (cell_id)
+          |JOIN embeddings e ON e.vec_id = a.vec_id
+          |CROSS JOIN qemb
+          |ORDER BY sim_e4 DESC, a.vec_id
+          |LIMIT 10""".stripMargin)
     ),
 
     // ------------------------------------------------------------------
@@ -893,15 +941,42 @@ object SimilarityOps {
     // ------------------------------------------------------------------
     // d06: SemDeDup semantic deduplication — k-means cells as the
     // blocking structure, within-cell cosine ≥ 0.35 → drop the higher
-    // id. Cluster seeding is engine-specific → rows-only;
-    // SimilaritySpec proves every reported link against exact cosine
-    // and checks the drop set against the global brute-force pair set.
+    // id. FULLY ORACLED since the integer k-means: DuckDB replays the
+    // clustering (kmeansCteSql), the block cap, the within-cell pair
+    // product, the threshold, and the argmax evidence link;
+    // SimilaritySpec additionally proves every reported link against
+    // exact cosine and checks the drop set against the global
+    // brute-force pair set.
     GraftQuery(
       "d06_semantic_dedup",
-      "SemDeDup: k-means-blocked embedding near-dup drop set (rows-only)",
+      "SemDeDup: k-means-blocked embedding near-dup drop set (integer k-means, fully oracled)",
       (spark, dir) => semanticDedup(Tables(spark, dir).embeddings,
         nCells = 16, refine = 2, simThresholdE4 = 3500L),
-      None
+      Some(
+        s"""WITH ${kmeansCteSql(16, 2)},
+          |keep AS (
+          |  SELECT a.vec_id, a.cell_id FROM asg a
+          |  JOIN (SELECT cell_id, count(*) AS n FROM asg GROUP BY cell_id) c
+          |    USING (cell_id)
+          |  WHERE c.n <= ${graft.dedup.DedupOps.MaxBlock}),
+          |pairs AS (
+          |  SELECT b.vec_id AS id_b, a.vec_id AS id_a,
+          |         CAST(round(${cosSql("ea.embedding", "eb.embedding")} * 10000) AS BIGINT) AS sim_e4
+          |  FROM keep a
+          |  JOIN keep b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+          |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+          |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+          |hits AS (SELECT * FROM pairs WHERE sim_e4 >= 3500),
+          |ranked AS (
+          |  SELECT id_b, id_a, sim_e4,
+          |         row_number() OVER (PARTITION BY id_b
+          |                            ORDER BY sim_e4 DESC, id_a ASC) AS rn,
+          |         count(*) OVER (PARTITION BY id_b) AS n_links
+          |  FROM hits)
+          |SELECT id_b AS dropped_id, id_a AS kept_id, sim_e4,
+          |       CAST(n_links AS BIGINT) AS n_dup_links
+          |FROM ranked WHERE rn = 1
+          |ORDER BY dropped_id""".stripMargin)
     ),
 
     // ------------------------------------------------------------------
@@ -1007,15 +1082,45 @@ object SimilarityOps {
 
     // ------------------------------------------------------------------
     // s12: cell-blocked kNN join — s11's 100 TB path (k-means cells as
-    // the blocking, one equi-join on cell_id). Cluster seeding is
-    // engine-specific → rows-only; SimilaritySpec asserts similarity
-    // soundness (reported = exact cosine) and recall vs s11.
+    // the blocking, one equi-join on cell_id). FULLY ORACLED since the
+    // integer k-means: cells, block cap, per-anchor probe-cell choice,
+    // and the exact cosine re-rank all replay in DuckDB;
+    // SimilaritySpec additionally asserts similarity soundness
+    // (reported = exact cosine) and recall vs s11.
     GraftQuery(
       "s12_knn_join_cells",
-      "cell-blocked approximate self-kNN join (rows-only)",
+      "cell-blocked approximate self-kNN join (integer k-means, fully oracled)",
       (spark, dir) => knnJoinCells(Tables(spark, dir).embeddings,
         k = 5, nCells = 16, refine = 2),
-      None
+      Some(
+        s"""WITH ${kmeansCteSql(16, 2)},
+          |keep AS (
+          |  SELECT a.vec_id, a.cell_id FROM asg a
+          |  JOIN (SELECT cell_id, count(*) AS n FROM asg GROUP BY cell_id) c
+          |    USING (cell_id)
+          |  WHERE c.n <= ${graft.dedup.DedupOps.MaxBlock}),
+          |probe AS (
+          |  SELECT vec_id AS qid, cell_id FROM (
+          |    SELECT e.vec_id, c.cell_id,
+          |           row_number() OVER (PARTITION BY e.vec_id
+          |             ORDER BY ${intDistSql("e.q", "c.c")} ASC, c.cell_id ASC) AS rn
+          |    FROM qe e CROSS JOIN cent c) WHERE rn <= 4),
+          |sims AS (
+          |  SELECT p.qid, k.vec_id,
+          |         CAST(round(${cosSql("e.embedding", "q.embedding")} * 10000) AS BIGINT) AS sim_e4
+          |  FROM probe p
+          |  JOIN keep k USING (cell_id)
+          |  JOIN embeddings e ON e.vec_id = k.vec_id
+          |  JOIN embeddings q ON q.vec_id = p.qid
+          |  WHERE k.vec_id <> p.qid),
+          |rk AS (
+          |  SELECT qid, vec_id, sim_e4,
+          |         row_number() OVER (PARTITION BY qid
+          |                            ORDER BY sim_e4 DESC, vec_id) AS rk
+          |  FROM sims)
+          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, sim_e4
+          |FROM rk WHERE rk <= 5
+          |ORDER BY qid, rk""".stripMargin)
     )
   )
 }

@@ -84,7 +84,11 @@ object EventStreams {
       "graft_events_split_") { outDir =>
       val out = java.nio.file.Paths.get(outDir)
       val staging = out.resolve("_staging")
-      ss.read.parquet(s"$dir/events.parquet")
+      // normalize ts to the engine-wide TIMESTAMP convention BEFORE the
+      // split write (one place), so the stream's inferred schema and
+      // watermark arithmetic match the batch twins regardless of the
+      // source file's physical timestamp encoding
+      graft.io.Tables.normalizeEventTs(ss.read.parquet(s"$dir/events.parquet"))
         .repartitionByRange(SplitFiles, col("ts"))
         .write.mode("overwrite").parquet(staging.toString)
       // part-NNNNN names follow range order (partition 0 = earliest ts)
@@ -110,14 +114,17 @@ object EventStreams {
     streamFromSplitDir(ss, splitEventsDir(ss, dir))
 
   private def streamFromSplitDir(ss: SparkSession, srcDir: String): () => DataFrame = {
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val batchSchema = ss.read.parquet(srcDir).schema
-    val tsIsLong = batchSchema("ts").dataType == LongType
+    val tsType = batchSchema("ts").dataType
     () => {
       val raw = ss.readStream.schema(batchSchema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      tsType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     }
   }
 

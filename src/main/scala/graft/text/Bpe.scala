@@ -212,6 +212,30 @@ object Bpe {
           .orderBy(col("lang"), col("cum_tokens"))
       },
       None
+    ),
+
+    // ------------------------------------------------------------------
+    // t21: the frozen merge table ITSELF as data — tokenizer identity
+    // pinned as rows. t17–t19 verify encoding behavior; this entry makes
+    // the trained artifact directly observable, so any drift in the
+    // training corpus sample, tie-breaking, or merge order shows up as a
+    // changed row set in the verify dump rather than hiding inside
+    // opaque token ids. Rows-only by necessity (greedy pair-count
+    // training is not ANSI-SQL-expressible); BpeSpec pins the table
+    // against an independent sequential-replay trainer.
+    GraftQuery(
+      "t21_bpe_merge_table",
+      "frozen BPE merge table: (rank, left id, right id, packed) per learned merge",
+      (spark, dir) => {
+        val ms = merges(spark, dir)
+        val rows = ms.zipWithIndex.map { case (p, r) =>
+          (r.toLong, BpeCodec.left(p).toLong, BpeCodec.right(p).toLong, p)
+        }.toIndexedSeq
+        import spark.implicits._
+        rows.toDF("merge_rank", "left_id", "right_id", "packed")
+          .orderBy(col("merge_rank"))
+      },
+      None
     )
   )
 }

@@ -89,6 +89,18 @@ class BpeSpec extends SparkSpecBase {
     assert(m.length === 2 && m(1) === BpeCodec.pack(256, 256))
   }
 
+  test("t21 catalog entry: the emitted merge table IS the trained artifact") {
+    val rows = graft.queries.Catalog.queries("t21_bpe_merge_table")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === merges.length)
+    rows.foreach { case (rank, l, rgt, packed) =>
+      assert(packed === merges(rank.toInt), s"rank $rank packed drifted")
+      assert(l === BpeCodec.left(packed).toLong &&
+        rgt === BpeCodec.right(packed).toLong, s"rank $rank unpack drifted")
+    }
+  }
+
   // ---- encoding ----
 
   test("t17: native greedy encoding equals sequential merge replay (whole corpus)") {

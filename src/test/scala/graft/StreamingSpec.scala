@@ -118,20 +118,23 @@ class StreamingSpec extends SparkSpecBase {
     // batch/stream unification: the same tumblingCounts transform over a
     // readStream file source, processed to completion in one trigger.
     val t = graft.io.Tables(spark, sf0001)
-    // under nanosAsLong the parquet TIMESTAMP(NANOS) column arrives as
-    // INT64 — declare it long in the stream schema and convert exactly,
-    // the same way the batch path (Tables.normalizeEventTs) does
-    val schema = org.apache.spark.sql.types.StructType(t.events.schema.map {
-      case f if f.name == "ts" =>
-        f.copy(dataType = org.apache.spark.sql.types.LongType)
-      case f => f
-    })
+    // take the stream schema from the RAW parquet footer (long nanos or
+    // NTZ micros, whatever the file stores) and normalize ts the same
+    // way the batch path (Tables.normalizeEventTs) does
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
     // file streaming sources need a directory; glob-filter to the table
-    val stream = spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sf0001)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val stream = schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
     val counts = EventStreams.tumblingCounts(stream, "1 hour", "0 seconds")
     val q = counts.writeStream
       .format("memory").queryName("file_stream_test")
@@ -233,6 +236,16 @@ class StreamingSpec extends SparkSpecBase {
       v.join(p, cond, "left_anti").count() - unmatchedTail.count())
     val stats = EventStreams.lastRunStats("q69_stream_outer_join")
     assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
+    // state-eviction evidence (the 100 TB boundedness claim): the outer
+    // join buffers BOTH sides, so without watermark eviction the state
+    // store would end holding every view and purchase row streamed in.
+    // The input files are time-ordered, so by the last data batch the
+    // watermark has passed the early windows and evicted them — final
+    // state must be strictly smaller than the total two-sided input.
+    val twoSidedInput = v.count() + p.count()
+    assert(stats.stateRowsPerBatch.nonEmpty, stats.toString)
+    assert(stats.stateRowsPerBatch.last < twoSidedInput,
+      s"join state never evicted: $stats vs $twoSidedInput buffered-side rows")
   }
 
   test("q67 drops exactly the replayed batch: result unchanged, drop count evidenced") {

@@ -19,8 +19,9 @@ import graft.queries.GraftQuery
   * So an equi-join on the deletion keys has PERFECT recall at d = 1 and
   * the exact `levenshtein` predicate prunes false candidates — which is
   * what lets the quadratic DuckDB join serve as a full value-level
-  * oracle. For d ≥ 2 the same scheme iterates deletions (fan-out
-  * O(L choose d)); documented, not cataloged.
+  * oracle. For d = 2 the same scheme iterates deletions (fan-out
+  * O(L choose d)) — [[deletionKeys2]] / [[selfJoin2]], cataloged as
+  * d11 on a planted subset.
   *
   * Why not PassJoin (segment pigeonhole, Li et al. ICDE 2011)? Its d+1
   * segments are structurally hot when a long constant prefix spans a
@@ -46,9 +47,45 @@ object EditJoin {
       transform(sequence(lit(1), length(s)),
         i => concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s)))))
 
+  /** Depth-2 deletion neighborhood: `{s} ∪ del¹(s) ∪ del²(s)` — every
+    * string reachable by deleting at most two characters. FastSS's
+    * general guarantee: lev(s,t) ≤ d ⇒ the depth-d neighborhoods
+    * intersect, so an equi-join on these keys has perfect recall at
+    * d = 2. Fan-out is O(L²/2) keys per row (~170 for an 18-char name)
+    * — the quadratic moved from the PAIR space (table²) to the KEY
+    * space (row × L²), which is the trade that scales: key count grows
+    * linearly with the table. The inner `filter(j > i)` guards the
+    * pair enumeration (a `sequence(i+1, L)` with i+1 > L would count
+    * DOWN, fabricating keys). */
+  def deletionKeys2(s: Column): Column = {
+    val idx = sequence(lit(1), length(s))
+    val doubles = flatten(transform(idx, i =>
+      transform(filter(idx, j => j > i), j =>
+        concat(
+          s.substr(lit(1), i - lit(1)),
+          s.substr(i + lit(1), j - i - lit(1)),
+          s.substr(j + lit(1), length(s))))))
+    array_union(deletionKeys(s), doubles)
+  }
+
   /** Explode a `(id, name)` frame into one row per deletion key. */
   private def keyed(records: DataFrame): DataFrame =
     records.select(col("id"), col("name"), explode(deletionKeys(col("name"))).as("k"))
+
+  /** All pairs within levenshtein ≤ 2 (id_a < id_b), via the depth-2
+    * neighborhood, verified exactly. Same plan shape as [[selfJoin]]:
+    * one explode, one shuffle equi-join, distinct, codegen verify. */
+  def selfJoin2(records: DataFrame): DataFrame = {
+    val kd = records.select(col("id"), col("name"),
+      explode(deletionKeys2(col("name"))).as("k"))
+    kd.as("a").join(kd.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("lev_dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("lev_dist") <= 2)
+  }
 
   /** All pairs within levenshtein ≤ 1 of one table (id_a < id_b),
     * verified exactly. Input columns: `id` (numeric), `name`. */
@@ -105,6 +142,32 @@ object EditJoin {
           |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev_dist
           |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
           |WHERE levenshtein(a.c_name, b.c_name) <= 1
+          |ORDER BY id_a, id_b""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // d11: the same join at threshold 2 via the depth-2 deletion
+    // neighborhood — closes the "documented, not cataloged" note on the
+    // d ≥ 2 scheme. Restricted to a planted 300-id subset so the
+    // quadratic DuckDB oracle stays cheap while distance-2 pairs (names
+    // differing in two digit positions) are dense enough to exercise
+    // both the double-deletion collision paths and the exact prune.
+    GraftQuery(
+      "d11_edit_distance_join_d2",
+      "customer-name pairs within levenshtein <= 2 via depth-2 deletion neighborhoods (FastSS d=2), exact-verified",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        selfJoin2(t.customer.filter(col("c_custkey") <= 300)
+            .select(col("c_custkey").as("id"), col("c_name").as("name")))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+          |       a.c_name AS name_a, b.c_name AS name_b,
+          |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev_dist
+          |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+          |WHERE a.c_custkey <= 300 AND b.c_custkey <= 300
+          |  AND levenshtein(a.c_name, b.c_name) <= 2
           |ORDER BY id_a, id_b""".stripMargin)
     ),
 

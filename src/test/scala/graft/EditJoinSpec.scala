@@ -43,6 +43,24 @@ class EditJoinSpec extends SparkSpecBase {
     assert(!pairs.exists(p => Set(p._1, p._2) === Set(1L, 6L)))
   }
 
+  test("d11 depth-2 blocked self-join equals the brute-force quadratic at threshold 2") {
+    val recs = Tables(spark, sf0001).customer
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val blocked = EditJoin.selfJoin2(recs)
+      .select("id_a", "id_b", "lev_dist").as[(Long, Long, Long)].collect().toSet
+    val brute = recs.as("a").crossJoin(recs.as("b"))
+      .filter(col("a.id") < col("b.id") &&
+        levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.name"), col("b.name")).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(blocked === brute)
+    // the subset genuinely exercises BOTH distances: digit names give
+    // distance-1 pairs (one digit differs) and distance-2 pairs
+    assert(blocked.exists(_._3 === 1L) && blocked.exists(_._3 === 2L))
+  }
+
   test("d10 feed matches are bipartite-unique, so the closure-free oracle is sound") {
     val t = Tables(spark, sf0001)
     val masters = t.customer.select(col("c_custkey").as("id"), col("c_name").as("name"))

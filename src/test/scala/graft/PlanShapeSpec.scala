@@ -40,9 +40,16 @@ class PlanShapeSpec extends SparkSpecBase {
       s"dim-side filter not pushed:\n$p")
   }
 
-  test("q19: pure projection has no hash shuffle (only the final sort's range exchange)") {
+  test("q19: fact side unshuffled; formatter scalars memoized behind a broadcast date dictionary") {
     val p = planOf("q19_scalar_funcs")
-    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+    // the ONLY hash exchange is the distinct-date dictionary's partial
+    // aggregate (a few thousand rows); the fact table itself must reach
+    // the join via scan → broadcast probe, never a shuffle on fact rows
+    assert("Exchange hashpartitioning\\(l_shipdate".r.findAllIn(p).nonEmpty,
+      s"expected the tiny distinct-date exchange:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"fact-side shuffle leaked into the dictionary plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"date dictionary not broadcast:\n$p")
     assert(p.contains("FileScan parquet"), p)
   }
 

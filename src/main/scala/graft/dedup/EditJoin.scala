@@ -68,15 +68,19 @@ object EditJoin {
     array_union(deletionKeys(s), doubles)
   }
 
-  /** Explode a `(id, name)` frame into one row per deletion key. */
+  /** Explode a `(id, name)` frame into one row per deletion key —
+    * rebalanced first so the L+1-way fan-out (and the join behind it)
+    * inherits full parallelism, not the input's split count
+    * (see [[graft.ops.FanOut]]). */
   private def keyed(records: DataFrame): DataFrame =
-    records.select(col("id"), col("name"), explode(deletionKeys(col("name"))).as("k"))
+    graft.ops.FanOut(records)
+      .select(col("id"), col("name"), explode(deletionKeys(col("name"))).as("k"))
 
   /** All pairs within levenshtein ≤ 2 (id_a < id_b), via the depth-2
     * neighborhood, verified exactly. Same plan shape as [[selfJoin]]:
     * one explode, one shuffle equi-join, distinct, codegen verify. */
   def selfJoin2(records: DataFrame): DataFrame = {
-    val kd = records.select(col("id"), col("name"),
+    val kd = graft.ops.FanOut(records).select(col("id"), col("name"),
       explode(deletionKeys2(col("name"))).as("k"))
     kd.as("a").join(kd.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))

@@ -53,7 +53,10 @@ object SpanDedup {
         val docs = t.documents
           .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
         val grams = graft.InternalCaches.track {
-          docs.filter(col("len") >= k)
+          // ~300 grams + md5s per input row: rebalance the small doc
+          // table first so the fan-out stage uses every core, not the
+          // scan's input-split count (see graft.ops.FanOut)
+          graft.ops.FanOut(docs.filter(col("len") >= k))
             .select(col("doc_id"),
               explode(sequence(lit(1L), col("len") - lit(k - 1).cast("long"))).as("pos"),
               col("text"))

@@ -362,7 +362,7 @@ object MultimodalOps {
     * driver) — same convention as [[fakeMediaTable]]. */
   def fakeAudioTable(spark: SparkSession, docs: DataFrame): Dataset[AudioRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    graft.ops.FanOut.ds(docs.select(col("doc_id").cast("long")).as[Long])
       .mapPartitions(_.map(id => AudioRecord(id, WavCodec.encodeWav(id))))
   }
 
@@ -452,8 +452,10 @@ object MultimodalOps {
     * bytes never touch the driver. */
   def fakeMediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"))
-      .as[Long]
+    // per-row image ENCODE is ~1000× the input row's bytes: rebalance
+    // the id list first so the codec stage uses every core, not the
+    // scan's input-split count (see graft.ops.FanOut)
+    graft.ops.FanOut.ds(docs.select(col("doc_id").cast("long")).as[Long])
       .mapPartitions(_.map { id =>
         val w = 8 + (id % 25).toInt
         val h = 8 + ((id * 3) % 17).toInt
@@ -498,7 +500,11 @@ object MultimodalOps {
       "binary payload → imageio resize(64x64) + every-2nd-frame sample → per-raster frame stats",
       (spark, dir) => {
         val t = Tables(spark, dir)
-        val media = fakeMediaTable(spark, t.documents)
+        // both legs (resize + frame sampling) read the encoded corpus:
+        // persist it once so the encode pass is not run per leg
+        val media = graft.InternalCaches.track(
+          fakeMediaTable(spark, t.documents)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val resized = resize(media, 64, 64)
           .select(col("media_id"), col("width"), col("height"))
         val frames = sampleFrames(media, every = 2)
@@ -548,10 +554,15 @@ object MultimodalOps {
             MediaRecord(r.media_id + 100000L, "png", MediaCodec.encodeImagePng(img))
           }
         })
-        val sigs = media.union(perturbed).mapPartitions(_.flatMap { r =>
-          MediaCodec.decodeFrames(r.payload).headOption.map(img =>
-            (r.media_id, MediaCodec.averageHash64(img)))
-        }).toDF("media_id", "sig")
+        // persist the tiny (id, 64-bit sig) table: hamming64Pairs
+        // self-joins it, and without the barrier each side would re-run
+        // the whole encode → perturb → decode → hash lineage
+        val sigs = graft.InternalCaches.track(
+          media.union(perturbed).mapPartitions(_.flatMap { r =>
+            MediaCodec.decodeFrames(r.payload).headOption.map(img =>
+              (r.media_id, MediaCodec.averageHash64(img)))
+          }).toDF("media_id", "sig")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         graft.dedup.DedupOps.hamming64Pairs(sigs, "media_id", "sig", maxHamming = 3)
       },
       None

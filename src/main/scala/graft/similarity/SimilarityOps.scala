@@ -347,59 +347,56 @@ object SimilarityOps {
   // bits), and queries scan codes with an Asymmetric Distance
   // Computation (ADC) lookup table instead of touching floats. Public
   // literature: Jégou, Douze, Schmid, "Product Quantization for Nearest
-  // Neighbor Search" (PAMI 2011).
+  // Neighbor Search" (PAMI 2011). Trains in QUANTIZED INTEGER space
+  // (the s03/d06/s12 discipline applied per subspace): assignment
+  // argmin, centroid update (sum DIV count), codes, and ADC distances
+  // are all exact integer arithmetic — run-order-free, so the whole
+  // pipeline replays bit-for-bit in DuckDB (pqCteSql) and s10 carries a
+  // full oracle. Magnitudes stay comfortably exact: quantized
+  // components < 2²², squared diffs < 2⁴⁴, a dsub=16 subspace distance
+  // < 2⁴⁸, the M-sub ADC sum < 2⁵⁰ — inside BIGINT and double alike.
 
-  /** Squared L2 over two float-array columns (PQ trains in L2 space, per
-    * the literature — cosine would let subvector norms cancel). HOF
-    * formulation stays in whole-stage codegen. */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0d), (acc, v) => acc + v)
+  /** Explode each QUANTIZED embedding into its M integer subvectors:
+    * (vec_id, sub, sq). Pure per-row fan-out, no shuffle. */
+  private def subvectorsQ(embQ: DataFrame, m: Int, dsub: Int): DataFrame =
+    embQ.select(col("vec_id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("qemb"), s * dsub + 1, lit(dsub)))))
+      .select(col("vec_id"), col("pos").as("sub"), col("col").as("sq"))
 
-  /** Explode each embedding into its M subvectors: (vec_id, sub, svec).
-    * Pure per-row fan-out, no shuffle. */
-  private def subvectors(emb: DataFrame, m: Int, dsub: Int): DataFrame =
-    emb.select(col("vec_id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col("embedding"), s * dsub + 1, lit(dsub)))))
-      .select(col("vec_id"), col("pos").as("sub"), col("col").as("svec"))
-
-  /** Train M per-subspace codebooks of K centroids with Lloyd's L2
-    * k-means — ALL subspaces in the same distributed jobs (one assign +
-    * one mean pass per round covers every subspace; no per-subspace job
-    * fan-out). Assignment is the `min(struct(d2, code))` partial-
-    * aggregating argmin (the assignCells pattern), so the N×M×K candidate
-    * rows reduce map-side. Only M×K×dsub centroid floats are ever
-    * checkpointed. Deterministic seeds (subvectors of the first K ids);
-    * distributed float averaging makes exact codes run-order-sensitive →
-    * PQ entries are rows-only checked, with recall/behavior specs. */
+  /** Train M per-subspace codebooks of K centroids with Lloyd's k-means
+    * in integer space — ALL subspaces in the same distributed jobs (one
+    * assign + one mean pass per round covers every subspace; no
+    * per-subspace job fan-out). Assignment is the `min(struct(d2,
+    * code))` partial-aggregating argmin (the assignCells pattern), so
+    * the N×M×K candidate rows reduce map-side. Only M×K×dsub centroid
+    * longs are ever checkpointed. Deterministic seeds (subvectors of
+    * the first K ids); integer sums are order-free, so the codebooks
+    * are identical on every run and in every engine. */
   def pqCodebooks(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame =
-    pqCodebooksD(emb, m, k, iters, embeddingDim(emb, "embedding") / m)
+    pqCodebooksD(withQuant(emb), m, k, iters, embeddingDim(emb, "embedding") / m)
 
-  private def pqCodebooksD(emb: DataFrame, m: Int, k: Int, iters: Int,
+  private def pqCodebooksD(embQ: DataFrame, m: Int, k: Int, iters: Int,
       dsub: Int): DataFrame = {
     val svecs = graft.InternalCaches.track(
-      subvectors(emb, m, dsub)
+      subvectorsQ(embQ, m, dsub)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var centroids = svecs.filter(col("vec_id") < k)
-      .select(col("sub"), col("vec_id").as("code"), col("svec").as("c_vec"))
+      .select(col("sub"), col("vec_id").as("code"), col("sq").as("c_sq"))
     (1 to iters).foreach { _ =>
       val assigned = svecs.join(broadcast(centroids), Seq("sub"))
         .groupBy(col("vec_id"), col("sub"))
         .agg(
-          min(struct(l2sq(col("svec"), col("c_vec")).as("d2"), col("code").as("code")))
-            .as("best"),
-          first(col("svec")).as("svec"))
-        .select(col("sub"), col("best").getField("code").as("code"), col("svec"))
+          min(struct(squaredDistanceLong(col("sq"), col("c_sq")).as("d2"),
+            col("code").as("code"))).as("best"),
+          first(col("sq")).as("sq"))
+        .select(col("sub"), col("best").getField("code").as("code"), col("sq"))
       val means = assigned
-        .select(col("sub"), col("code"), posexplode(col("svec")))
+        .select(col("sub"), col("code"), posexplode(col("sq")))
         .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(avg(col("col")).as("mcomp"))
+        .agg(expr("sum(col) DIV count(col)").as("m"))
         .groupBy(col("sub"), col("code"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mcomp")))).as("pm"))
-        .select(col("sub"), col("code"),
-          expr("transform(pm, x -> CAST(x.mcomp AS FLOAT))").as("c_vec"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("sub"), col("code"), expr("transform(pm, x -> x.m)").as("c_sq"))
       // M×K rows: LAZY checkpoint truncates the plan immediately (the
       // LogicalRDD replaces the round's whole lineage) while deferring
       // materialization to the next round's broadcast collect — one job
@@ -413,53 +410,96 @@ object SimilarityOps {
     * per subspace — same argmin aggregate as training. M small ints per
     * vector = the 4-byte storage layout (vs 256 float32 bytes). */
   def pqEncode(emb: DataFrame, centroids: DataFrame, m: Int): DataFrame =
-    pqEncodeD(emb, centroids, m, embeddingDim(emb, "embedding") / m)
+    pqEncodeD(withQuant(emb), centroids, m, embeddingDim(emb, "embedding") / m)
 
-  private def pqEncodeD(emb: DataFrame, centroids: DataFrame, m: Int,
+  private def pqEncodeD(embQ: DataFrame, centroids: DataFrame, m: Int,
       dsub: Int): DataFrame = {
-    subvectors(emb, m, dsub).join(broadcast(centroids), Seq("sub"))
+    subvectorsQ(embQ, m, dsub).join(broadcast(centroids), Seq("sub"))
       .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(l2sq(col("svec"), col("c_vec")).as("d2"), col("code").as("code")))
-        .as("best"))
+      .agg(min(struct(squaredDistanceLong(col("sq"), col("c_sq")).as("d2"),
+        col("code").as("code"))).as("best"))
       .select(col("vec_id"), col("sub"), col("best").getField("code").as("code"))
   }
 
   /** ADC top-k for a query batch: per query, an M×K distance lookup
     * table (query subvector ↔ codebook entry, computed once — that is
     * the "asymmetric" trick); the code scan is then an integer join on
-    * (sub, code) + a per-(query, vector) SUM — no floats touched per
-    * corpus row. Top-k via the bounded-heap aggregate, ≤k rows per
-    * (query, partition) into the final shuffle. Scores are −d² in 1e-6
-    * units (integer), largest-first. */
+    * (sub, code) + a per-(query, vector) SUM of M BIGINTs — exact and
+    * order-free. Top-k via the bounded-heap aggregate, ≤k rows per
+    * (query, partition) into the final shuffle. Scores are −d² in raw
+    * integer quantization units, largest-first (< 2⁵⁰, so the heap's
+    * double score is exact). */
   def pqTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
       m: Int = 4, kCodes: Int = 16, iters: Int = 2): DataFrame = {
     val dsub = embeddingDim(emb, "embedding") / m
+    val embQ = withQuant(emb).select(col("vec_id"), col("qemb"))
     val centroids = graft.InternalCaches.track(
-      pqCodebooksD(emb, m, kCodes, iters, dsub)
+      pqCodebooksD(embQ, m, kCodes, iters, dsub)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val codes = pqEncodeD(emb, centroids, m, dsub)
-    val q = emb.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("qid"), col("embedding"))
-    val dtable = subvectors(q.withColumnRenamed("qid", "vec_id"), m, dsub)
+    val codes = pqEncodeD(embQ, centroids, m, dsub)
+    val dtable = subvectorsQ(embQ.filter(col("vec_id").isin(queryIds: _*)), m, dsub)
       .withColumnRenamed("vec_id", "qid")
       .join(broadcast(centroids), Seq("sub"))
       .select(col("qid"), col("sub"), col("code"),
-        l2sq(col("svec"), col("c_vec")).as("qd2"))
+        squaredDistanceLong(col("sq"), col("c_sq")).as("qd2"))
     val topk = graft.functions.expressions.GroupedTopK.topK(k)
     codes
       .join(broadcast(dtable), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("qd2")).as("adc_d2"))
-      .select(col("qid"), col("vec_id"),
-        round(-col("adc_d2") * 1000000).cast("long").as("neg_d2_e6"))
+      .select(col("qid"), col("vec_id"), (-col("adc_d2")).as("neg_d2"))
       .groupBy(col("qid"))
-      .agg(topk(col("neg_d2_e6").cast("double"), col("vec_id")).as("topk"))
+      .agg(topk(col("neg_d2").cast("double"), col("vec_id")).as("topk"))
       .select(col("qid"), posexplode(col("topk")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
         col("col").getField("id").as("vec_id"),
-        col("col").getField("score").cast("long").as("neg_d2_e6"))
+        col("col").getField("score").cast("long").as("neg_d2"))
       .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Chained-CTE DuckDB replay of the integer PQ pipeline: emits `sv`
+    * (vec_id, sub, sq — quantized subvectors), `pcent` (sub, code, c —
+    * final codebooks) and `pcodes` (vec_id, sub, code — final
+    * encodings). Same unrolled-iteration shape as [[kmeansCteSql]],
+    * keyed by (sub, code) instead of cell_id. */
+  private def pqCteSql(m: Int, k: Int, iters: Int): String = {
+    val subs = (0 until m).mkString("[", ", ", "]")
+    val sb = new StringBuilder
+    sb ++= s"qe AS (SELECT vec_id, ${quantSql("embedding")} AS q FROM embeddings),\n"
+    sb ++= s"dd AS (SELECT CAST(len(q) // $m AS INT) AS dsub FROM qe LIMIT 1),\n"
+    sb ++= s"""sv AS (
+       |  SELECT vec_id, s.sub,
+       |         list_slice(q, s.sub * dd.dsub + 1, (s.sub + 1) * dd.dsub) AS sq
+       |  FROM qe CROSS JOIN dd CROSS JOIN (SELECT unnest($subs) AS sub) s),
+       |pcent0 AS (SELECT sub, vec_id AS code, sq AS c FROM sv WHERE vec_id < $k),
+       |""".stripMargin
+    for (it <- 1 to iters) {
+      sb ++=
+        s"""pasg$it AS (
+           |  SELECT sub, code, sq FROM (
+           |    SELECT e.sub, c.code, e.sq,
+           |           row_number() OVER (PARTITION BY e.vec_id, e.sub
+           |             ORDER BY ${intDistSql("e.sq", "c.c")} ASC, c.code ASC) AS rn
+           |    FROM sv e JOIN pcent${it - 1} c ON e.sub = c.sub) WHERE rn = 1),
+           |pcent$it AS (
+           |  SELECT sub, code, list(mv ORDER BY pos) AS c FROM (
+           |    SELECT sub, code, pos, CAST(sum(v) // count(v) AS BIGINT) AS mv FROM (
+           |      SELECT sub, code, generate_subscripts(sq, 1) AS pos, unnest(sq) AS v
+           |      FROM pasg$it)
+           |    GROUP BY sub, code, pos)
+           |  GROUP BY sub, code),
+           |""".stripMargin
+    }
+    sb ++= s"pcent AS (SELECT sub, code, c FROM pcent$iters),\n"
+    sb ++=
+      s"""pcodes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT e.vec_id, e.sub, c.code,
+         |           row_number() OVER (PARTITION BY e.vec_id, e.sub
+         |             ORDER BY ${intDistSql("e.sq", "c.c")} ASC, c.code ASC) AS rn
+         |    FROM sv e JOIN pcent c ON e.sub = c.sub) WHERE rn = 1)""".stripMargin
+    sb.toString
   }
 
   /** Exact top-k for a SET of query vectors: broadcast the query set,
@@ -1044,15 +1084,36 @@ object SimilarityOps {
     // s10: product-quantization ANN — train 4 subspace codebooks (16
     // centroids each), compress every embedding to 4 codes (4 bytes vs
     // 256), answer the s05 query batch via the ADC lookup-table scan.
-    // Rows-only: distributed float averaging in k-means makes exact
-    // codes run-order-sensitive; SimilaritySpec asserts recall against
+    // FULLY ORACLED since the integer PQ training: codebooks, codes,
+    // and ADC sums are exact integer arithmetic, so DuckDB replays the
+    // whole pipeline (pqCteSql); SimilaritySpec asserts recall against
     // the exact batch and the code-range/coverage invariants.
     GraftQuery(
       "s10_similarity_pq_topk",
-      "PQ (4×16 codebooks) ADC top-10 for the 5-query batch (rows-only)",
+      "PQ (4×16 codebooks) ADC top-10 for the 5-query batch (integer training, fully oracled)",
       (spark, dir) =>
         pqTopKBatch(Tables(spark, dir).embeddings, BatchQueryIds, k = 10),
-      None
+      Some(
+        s"""WITH ${pqCteSql(4, 16, 2)},
+          |qsv AS (SELECT vec_id AS qid, sub, sq FROM sv
+          |        WHERE vec_id IN (0, 1, 2, 3, 4)),
+          |dt AS (
+          |  SELECT q.qid, c.sub, c.code, ${intDistSql("q.sq", "c.c")} AS qd2
+          |  FROM qsv q JOIN pcent c ON q.sub = c.sub),
+          |adc AS (
+          |  SELECT d.qid, p.vec_id, CAST(sum(d.qd2) AS BIGINT) AS d2
+          |  FROM pcodes p JOIN dt d ON p.sub = d.sub AND p.code = d.code
+          |  WHERE p.vec_id <> d.qid
+          |  GROUP BY d.qid, p.vec_id),
+          |rk AS (
+          |  SELECT qid, vec_id, d2,
+          |         row_number() OVER (PARTITION BY qid
+          |                            ORDER BY d2 ASC, vec_id) AS rk
+          |  FROM adc)
+          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id,
+          |       CAST(-d2 AS BIGINT) AS neg_d2
+          |FROM rk WHERE rk <= 10
+          |ORDER BY qid, rk""".stripMargin)
     ),
 
     // ------------------------------------------------------------------

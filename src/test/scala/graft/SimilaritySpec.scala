@@ -219,7 +219,7 @@ class SimilaritySpec extends SparkSpecBase {
     byQ.foreach { case (_, rows) =>
       assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq === (1L to 10L))
       // ADC scores are sorted: rank order must be non-increasing score
-      val scores = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("neg_d2_e6"))
+      val scores = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("neg_d2"))
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
     // 4-byte codes of 64-dim vectors lose a lot — require the ADC scan

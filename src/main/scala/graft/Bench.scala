@@ -31,9 +31,14 @@ object Bench {
   private val ExtraSubSecondIters = 2
 
   /** One query's measurement: best-of-N seconds (-1 = failed), loadavg
-    * at query start, iterations actually run. */
+    * at query start AND end, iterations actually run, and every
+    * iteration's raw seconds. The raw series is what makes one contended
+    * window reconcilable after the fact: min-of-N with per-iter data
+    * shows whether a slow headline number was one poisoned iteration
+    * (iters disagree wildly, load spiked) or a real plan regression
+    * (all iterations slow at idle load). */
   final case class QueryTiming(name: String, sec: Double, qload1: Double,
-      iters: Int)
+      qload1End: Double, iters: Int, allSecs: Seq[Double])
 
   /** Warm up one-time JVM costs (codegen compiler, parquet reader,
     * broadcast machinery, shuffle system) so they don't land on the
@@ -55,11 +60,13 @@ object Bench {
     *
     * The noop sink forces full evaluation of every operator in the plan
     * (a bare count() would let Catalyst prune projections and sorts). */
-  private[graft] def timeCatalog(spark: SparkSession,
-      sfDir: String): Seq[QueryTiming] = {
+  private[graft] def timeCatalog(spark: SparkSession, sfDir: String,
+      only: Set[String] = Set.empty): Seq[QueryTiming] = {
     def loadNow: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, fn) =>
       val qLoad = loadNow
       def runOnce(): Double = {
         val t0 = System.nanoTime()
@@ -82,12 +89,15 @@ object Bench {
         else base
       // Any failed iteration marks the query failed; otherwise best-of-N.
       QueryTiming(name, if (times.exists(_ < 0)) -1.0 else times.min,
-        qLoad, times.length)
+        qLoad, loadNow, times.length, times)
     }
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional args = run only the named queries (local iteration aid,
+    // same convention as Verify; the driver passes none).
+    val only = args.toSet
     // default to the full 32-thread harness width (GraftSession.cpus):
     // an unset env var must not quietly benchmark at local[4]
     val cpus = GraftSession.cpus
@@ -108,7 +118,7 @@ object Bench {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     warmUp(spark, sfDir)
-    val results = timeCatalog(spark, sfDir)
+    val results = timeCatalog(spark, sfDir, only)
     val qs = results.map(r => s"\"" + r.name + "\":" + r.sec)
       .mkString("{", ",", "}")
     val qloads = results.map(r =>
@@ -116,13 +126,21 @@ object Bench {
       .mkString("{", ",", "}")
     val qiters = results.map(r => s"\"" + r.name + "\":" + r.iters)
       .mkString("{", ",", "}")
+    def r3(d: Double): Double = math.round(d * 1000) / 1000.0
+    val qsecs = results.map(r =>
+      s"\"" + r.name + "\":" + r.allSecs.map(r3).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val qloadsEnd = results.map(r =>
+      s"\"" + r.name + "\":" + math.round(r.qload1End * 100) / 100.0)
+      .mkString("{", ",", "}")
     val total = results.map(_.sec).filter(_ >= 0).sum
     val failed = results.count(_.sec < 0)
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","iters":$Iters,"agg":"min","failed":$failed,""" +
         s""""load1":$load1,"otherJvms":$otherJvms,""" +
-        s""""qload1":$qloads,"qiters":$qiters}"""
+        s""""qload1":$qloads,"qload1_end":$qloadsEnd,""" +
+        s""""qsecs":$qsecs,"qiters":$qiters}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)

@@ -56,7 +56,15 @@ object EditJoin {
     * space (row × L²), which is the trade that scales: key count grows
     * linearly with the table. The inner `filter(j > i)` guards the
     * pair enumeration (a `sequence(i+1, L)` with i+1 > L would count
-    * DOWN, fabricating keys). */
+    * DOWN, fabricating keys).
+    *
+    * LENGTH CAP: O(L²/2) keys (each ~L chars, so O(L³) bytes) is the
+    * right trade only for short strings — ≤ ~800 keys at the
+    * [[LongStringCap]] of 40, but a 4 KB document id would emit 8M key
+    * chars per row. [[selfJoin2]] therefore routes rows longer than the
+    * cap through [[segRoleKeys]]/[[subRoleKeys]] (segment-pigeonhole
+    * blocking, O(1) keys per row) and reserves this neighborhood for
+    * the short class. */
   def deletionKeys2(s: Column): Column = {
     val idx = sequence(lit(1), length(s))
     val doubles = flatten(transform(idx, i =>
@@ -68,6 +76,90 @@ object EditJoin {
     array_union(deletionKeys(s), doubles)
   }
 
+  /** Strings LONGER than this use segment-pigeonhole blocking in
+    * [[selfJoin2]]; at/below it, depth-2 deletion neighborhoods. 40 keeps
+    * the deletion fan-out ≤ ~820 keys; beyond it the O(L²) key space
+    * stops being the cheap side of the trade. */
+  val LongStringCap = 40
+
+  /** Edit threshold of the d = 2 join; segment count is d + 1. */
+  private val D2 = 2
+
+  /** Segment i (0-based, of [[D2]]+1 even-split segments) start and
+    * length for a string of length `l` — first `l mod 3` segments get
+    * the extra char. Both sides of the pigeonhole join must derive the
+    * segmentation from the SAME length (the seg-role string's own), so
+    * these are pure functions of `l`. */
+  // exact integer l/3 ((l - l%3) is a multiple of 3, so the double
+  // division is exact and the cast is safe)
+  private def div3(l: Column): Column = ((l - l % 3) / 3).cast("int")
+  private def segLen(l: Column, i: Int): Column =
+    div3(l) + when(lit(i) < l % 3, 1).otherwise(0)
+  private def segStart(l: Column, i: Int): Column =
+    lit(1) + lit(i) * div3(l) + least(lit(i), l % 3)
+
+  /** Pigeonhole seg-role keys: the [[D2]]+1 even-split segments of `s`,
+    * keyed `(segment index, |s|, content)`. If lev(s,t) ≤ 2, at most 2
+    * of the 3 segments are touched by the edit script, so at least one
+    * appears VERBATIM in t — shifted by the net indel count before it,
+    * i.e. by at most 2 positions. That preserved segment is what
+    * [[subRoleKeys]] enumerates on the other side; `|s|` in the key
+    * prunes partners outside the ±2 length band for free. O(1) keys
+    * per row — the long-string replacement for the O(L²) deletion
+    * neighborhood (PassJoin-style segment blocking, Li et al.
+    * ICDE 2011; see the class doc for why it is NOT the default on
+    * short constant-prefix corpora). */
+  def segRoleKeys(s: Column): Column = {
+    val l = length(s)
+    array((0 to D2).map { i =>
+      concat_ws("|", lit(i), l, s.substr(segStart(l, i), segLen(l, i)))
+    }: _*)
+  }
+
+  /** Pigeonhole sub-role keys: every substring of `t` that could be a
+    * preserved segment of a partner s with ||s|−|t|| ≤ 2 — for each
+    * candidate partner length `l`, each segment index, each start
+    * shift in ±2 (validity-filtered). ≤ 3·5·5 = 75 keys per row
+    * regardless of length. */
+  def subRoleKeys(t: Column): Column = {
+    val tl = length(t)
+    val perSeg = (0 to D2).map { i =>
+      flatten(transform(sequence(tl - D2, tl + D2), l => {
+        val len = segLen(l, i)
+        transform(sequence(lit(-D2), lit(D2)), d => {
+          val st = segStart(l, i) + d
+          when(st >= 1 && len >= 1 && st + len - 1 <= tl,
+            concat_ws("|", lit(i), l, t.substr(st, len)))
+        })
+      }))
+    }
+    array_distinct(filter(concat(perSeg: _*), k => k.isNotNull))
+  }
+
+  /** Long-string half of [[selfJoin2]]: segment-pigeonhole candidates,
+    * exact levenshtein verify. One explode per role, ONE shuffle
+    * equi-join on the key, distinct on the pair — same plan family as
+    * the deletion scheme, but with O(1) keys per row so a 4 KB-string
+    * corpus pays ~78 keys, not millions. Directional soundness: for a
+    * pair (a, b), a's preserved segment appearing among b's substrings
+    * is guaranteed by the pigeonhole on a's OWN segmentation, so
+    * seg-role(a) ⋈ sub-role(b) with `a.id < b.id` already has perfect
+    * recall — no symmetric second join needed. */
+  private def selfJoinLong2(records: DataFrame): DataFrame = {
+    val rows = graft.ops.FanOut(records)
+    val seg = rows.select(col("id"), col("name"),
+      explode(segRoleKeys(col("name"))).as("k"))
+    val sub = rows.select(col("id"), col("name"),
+      explode(subRoleKeys(col("name"))).as("k"))
+    seg.as("a").join(sub.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("lev_dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("lev_dist") <= D2)
+  }
+
   /** Explode a `(id, name)` frame into one row per deletion key —
     * rebalanced first so the L+1-way fan-out (and the join behind it)
     * inherits full parallelism, not the input's split count
@@ -76,19 +168,30 @@ object EditJoin {
     graft.ops.FanOut(records)
       .select(col("id"), col("name"), explode(deletionKeys(col("name"))).as("k"))
 
-  /** All pairs within levenshtein ≤ 2 (id_a < id_b), via the depth-2
-    * neighborhood, verified exactly. Same plan shape as [[selfJoin]]:
-    * one explode, one shuffle equi-join, distinct, codegen verify. */
+  /** All pairs within levenshtein ≤ 2 (id_a < id_b), verified exactly.
+    * Length-routed (see [[deletionKeys2]]'s cap note): rows at or below
+    * [[LongStringCap]] use the depth-2 deletion neighborhood; longer
+    * rows use [[selfJoinLong2]]'s segment pigeonhole. The classes
+    * overlap on lengths {cap−1, cap} so cross-boundary pairs are never
+    * lost: a lev ≤ 2 pair differs in length by ≤ 2, so either both
+    * sides are ≤ cap (short scheme) or both are ≥ cap−1 (long scheme);
+    * one side ≤ cap−2 with the other > cap is impossible. Doubly-found
+    * boundary pairs collapse in the union's distinct. */
   def selfJoin2(records: DataFrame): DataFrame = {
-    val kd = graft.ops.FanOut(records).select(col("id"), col("name"),
-      explode(deletionKeys2(col("name"))).as("k"))
-    kd.as("a").join(kd.as("b"),
+    val short = graft.ops.FanOut(
+        records.filter(length(col("name")) <= LongStringCap))
+      .select(col("id"), col("name"),
+        explode(deletionKeys2(col("name"))).as("k"))
+    val shortPairs = short.as("a").join(short.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"))
       .distinct()
       .withColumn("lev_dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("lev_dist") <= 2)
+      .filter(col("lev_dist") <= D2)
+    val longPairs = selfJoinLong2(
+      records.filter(length(col("name")) >= LongStringCap - 1))
+    shortPairs.unionByName(longPairs).distinct()
   }
 
   /** All pairs within levenshtein ≤ 1 of one table (id_a < id_b),

@@ -42,7 +42,8 @@ object MultimodalOps {
       width: Int,
       height: Int,
       n_frames: Int,
-      mean_byte: Double)
+      mean_byte: Double,
+      pixel_digest: Long)
 
   /** Real JDK codec: PNG + animated GIF via `javax.imageio`, plus a
     * deterministic byte-stats fallback for payloads no installed reader
@@ -124,16 +125,34 @@ object MultimodalOps {
       else { iis.close(); None }
     }
 
-    private def meanGray(img: BufferedImage): Double = {
+    /** Exact integer sum of the blue-channel bytes — the codec-drift
+      * digest: any change in decode output (palette handling, color
+      * model, frame selection) moves this integer, so the verify dump
+      * catches drift across rounds even where no DuckDB oracle can
+      * exist (VERDICT r7 #7). */
+    def graySum(img: BufferedImage): Long = {
       val w = img.getWidth; val h = img.getHeight
-      if (w == 0 || h == 0) return 0.0
       var sum = 0L; var y = 0
       while (y < h) {
         var x = 0
         while (x < w) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
         y += 1
       }
-      sum.toDouble / (w.toLong * h)
+      sum
+    }
+
+    /** Same digest for the non-decodable stub path: exact integer sum
+      * of the payload bytes (unsigned). */
+    def byteSum(p: Array[Byte]): Long = {
+      var sum = 0L; var i = 0
+      while (i < p.length) { sum += p(i) & 0xFF; i += 1 }
+      sum
+    }
+
+    private def meanGray(img: BufferedImage): Double = {
+      val w = img.getWidth; val h = img.getHeight
+      if (w == 0 || h == 0) return 0.0
+      graySum(img).toDouble / (w.toLong * h)
     }
 
     /** Documented stub path for codecs the JDK cannot read (real video/
@@ -151,7 +170,8 @@ object MultimodalOps {
         width = 64 + (n % 576),
         height = 64 + ((n * 7) % 416),
         n_frames = 1 + (n % 8),
-        mean_byte = if (n == 0) 0.0 else sum.toDouble / n)
+        mean_byte = if (n == 0) 0.0 else sum.toDouble / n,
+        pixel_digest = sum)
     }
 
     /** Real decode: dimensions and frame count from the image container,
@@ -169,7 +189,8 @@ object MultimodalOps {
               try rd.getNumImages(true)
               catch { case _: Throwable => 1 }
             MediaFeatures(r.media_id, r.format, r.payload.length.toLong,
-              first.getWidth, first.getHeight, frames, meanGray(first))
+              first.getWidth, first.getHeight, frames, meanGray(first),
+              graySum(first))
           } catch {
             case _: Exception => byteStatsFallback(r)
           } finally rd.dispose()
@@ -383,7 +404,7 @@ object MultimodalOps {
 
   /** A media row after resizing: new dims + re-encoded payload. */
   final case class ResizedMedia(media_id: Long, format: String,
-      width: Int, height: Int, payload: Array[Byte])
+      width: Int, height: Int, payload: Array[Byte], pixel_digest: Long)
 
   /** Resize stage: per-partition batched, no shuffle, payload-in/
     * payload-out so downstream stages chain. Decodable payloads get a
@@ -396,8 +417,10 @@ object MultimodalOps {
     media.mapPartitions(_.map { r =>
       MediaCodec.decodeFrames(r.payload).headOption match {
         case Some(img) =>
-          val out = MediaCodec.encodeImagePng(MediaCodec.resizeImage(img, w, h))
-          ResizedMedia(r.media_id, "png", w, h, out)
+          val resized = MediaCodec.resizeImage(img, w, h)
+          val out = MediaCodec.encodeImagePng(resized)
+          ResizedMedia(r.media_id, "png", w, h, out,
+            MediaCodec.graySum(resized))
         case None =>
           val n = r.payload.length
           val out = new Array[Byte](w * h)
@@ -408,7 +431,8 @@ object MultimodalOps {
               i += 1
             }
           }
-          ResizedMedia(r.media_id, r.format, w, h, out)
+          ResizedMedia(r.media_id, r.format, w, h, out,
+            MediaCodec.byteSum(out))
       }
     })
   }
@@ -485,7 +509,11 @@ object MultimodalOps {
             sum(col("n_bytes")).as("total_bytes"),
             min(col("width")).as("min_width"),
             max(col("height")).as("max_height"),
-            sum(col("n_frames")).as("total_frames"))
+            sum(col("n_frames")).as("total_frames"),
+            // exact integer sum of decoded pixel bytes: driver-visible
+            // codec-drift canary (rows-only entries have no DuckDB
+            // oracle, but this integer changes if ANY decode changes)
+            sum(col("pixel_digest")).as("pixel_digest"))
           .orderBy(col("format"))
       },
       None
@@ -506,7 +534,8 @@ object MultimodalOps {
           fakeMediaTable(spark, t.documents)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val resized = resize(media, 64, 64)
-          .select(col("media_id"), col("width"), col("height"))
+          .select(col("media_id"), col("width"), col("height"),
+            col("pixel_digest"))
         val frames = sampleFrames(media, every = 2)
           .toDF()
           .groupBy(col("media_id"))
@@ -516,7 +545,9 @@ object MultimodalOps {
           .groupBy(col("width"), col("height"))
           .agg(count(lit(1)).as("n_media"),
             sum(col("n_sampled")).as("total_frames"),
-            sum(col("sampled_bytes")).as("total_bytes"))
+            sum(col("sampled_bytes")).as("total_bytes"),
+            // resized-raster drift canary (see m01's pixel_digest)
+            sum(col("pixel_digest")).as("pixel_digest"))
           .orderBy(col("width"), col("height"))
       },
       None

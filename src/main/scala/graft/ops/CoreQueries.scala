@@ -533,7 +533,12 @@ object CoreQueries {
               "dd/MM/yyyy HH:mm:ss").as("reparsed_ts"),
             quarterLabel(col("l_shipdate")).as("ship_quarter"),
             year(col("l_shipdate")).cast("long").as("ship_year"))
-        t.lineitem.join(broadcast(dateDict), Seq("l_shipdate"))
+        // LEFT join: a NULL l_shipdate never matches the dictionary, and
+        // the pure-projection original would have emitted NULL scalars
+        // for it — the left join preserves exactly that row (with NULL
+        // dict columns) instead of silently dropping it. Still a
+        // broadcast hash join (LeftOuter, build right).
+        t.lineitem.join(broadcast(dateDict), Seq("l_shipdate"), "left")
           .select(
             col("l_orderkey"), col("l_linenumber"),
             col("reparsed_ts"), col("ship_quarter"), col("ship_year"),

@@ -680,6 +680,10 @@ object SimilarityOps {
   /** The fixed query set for the batch catalog entries. */
   val BatchQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
+  /** [[BatchQueryIds]] as a SQL IN-list — interpolated into every batch
+    * oracle so the Spark and DuckDB sides can never drift. */
+  private def batchIdsSql: String = BatchQueryIds.mkString("(", ", ", ")")
+
   /** Built-index locations, one per (JVM, dataset dir), held in
     * [[graft.io.TempLayouts]]. Each build goes to a fresh per-invocation
     * temp directory — never a fixed shared path, which would race
@@ -827,7 +831,7 @@ object SimilarityOps {
       Some(
         s"""WITH q AS (
           |  SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
-          |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+          |  WHERE vec_id IN ${batchIdsSql}),
           |sims AS (
           |  SELECT q.qid, e.vec_id,
           |         CAST(round(${cosSql("e.embedding", "q.q_emb")} * 10000) AS BIGINT) AS sim_e4
@@ -868,7 +872,7 @@ object SimilarityOps {
           |  SELECT DISTINCT qb.vec_id AS qid, xb.vec_id
           |  FROM blocks xb
           |  JOIN blocks qb ON xb.block = qb.block AND xb.block_val = qb.block_val
-          |  WHERE qb.vec_id IN (0, 1, 2, 3, 4) AND xb.vec_id <> qb.vec_id),
+          |  WHERE qb.vec_id IN ${batchIdsSql} AND xb.vec_id <> qb.vec_id),
           |sims AS (
           |  SELECT c.qid, c.vec_id,
           |         CAST(round(${cosSql("e.embedding", "q.embedding")} * 10000) AS BIGINT) AS sim_e4
@@ -1096,7 +1100,7 @@ object SimilarityOps {
       Some(
         s"""WITH ${pqCteSql(4, 16, 2)},
           |qsv AS (SELECT vec_id AS qid, sub, sq FROM sv
-          |        WHERE vec_id IN (0, 1, 2, 3, 4)),
+          |        WHERE vec_id IN ${batchIdsSql}),
           |dt AS (
           |  SELECT q.qid, c.sub, c.code, ${intDistSql("q.sq", "c.c")} AS qd2
           |  FROM qsv q JOIN pcent c ON q.sub = c.sub),

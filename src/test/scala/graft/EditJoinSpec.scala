@@ -79,4 +79,50 @@ class EditJoinSpec extends SparkSpecBase {
     assert(d10.agg(max(col("n_records"))).as[Long].head() <= 2L)
     assert(d10.count() === masters.count())
   }
+
+  test("long strings route through the segment pigeonhole with perfect recall at d = 2") {
+    // Synthetic corpus straddling LongStringCap (= 40): long planted
+    // pairs at distance 0/1/2 (substitutions, indels, mixed), boundary
+    // pairs crossing the cap (39 vs 41 chars), and distance-3 decoys
+    // that must NOT appear. Recall verified against the brute-force
+    // quadratic computed by Spark itself.
+    val base = "The quick brown fox jumps over the lazy dog XXXXXXXX" // 52 chars
+    val recs = Seq(
+      (1L, base),
+      (2L, base.updated(4, 'Q').updated(20, 'J')),       // two subs -> 2
+      (3L, base.substring(1)),                           // one del  -> 1
+      (4L, base.substring(2)),                           // two dels -> 2
+      (5L, "Z" + base.updated(30, 'z')),                 // ins+sub  -> 2
+      (6L, base.updated(1, 'a').updated(10, 'Z').updated(44, 'c')), // 3 subs, decoy
+      (7L, "a" * 39),                                    // boundary short
+      (8L, "a" * 41),                                    // 2 ins from 7
+      (9L, "a" * 38 + "bb"),                             // 2 subs from 8
+      (10L, base)                                        // equal -> 0
+    ).toDF("id", "name")
+    val blocked = EditJoin.selfJoin2(recs)
+      .select("id_a", "id_b", "lev_dist").as[(Long, Long, Long)].collect().toSet
+    val brute = recs.as("a").crossJoin(recs.as("b"))
+      .filter(col("a.id") < col("b.id") &&
+        levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.name"), col("b.name")).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(blocked === brute)
+    // the plant genuinely exercises the long path and the boundary:
+    assert(blocked.contains((1L, 2L, 2L)) && blocked.contains((1L, 3L, 1L)))
+    assert(blocked.contains((7L, 8L, 2L))) // 39 vs 41: cross-cap pair
+    assert(!blocked.exists(p => Set(p._1, p._2) === Set(1L, 6L)))
+  }
+
+  test("segment-pigeonhole key fan-out is O(1) per row regardless of length") {
+    val longRow = Seq((1L, "x" * 4096)).toDF("id", "name")
+    val nSub = longRow.select(size(EditJoin.subRoleKeys(col("name"))))
+      .as[Int].head()
+    val nSeg = longRow.select(size(EditJoin.segRoleKeys(col("name"))))
+      .as[Int].head()
+    // 3 seg keys; sub keys <= 3 segments x 5 lengths x 5 shifts = 75
+    // (array_distinct may collapse some on repetitive strings)
+    assert(nSeg === 3)
+    assert(nSub <= 75)
+  }
 }

@@ -561,7 +561,7 @@ object SimilarityOps {
     * scoring. Each CORPUS vector lives in exactly one cell; each ANCHOR
     * probes its `nprobe` nearest cells (the IVF serving knob — a single
     * probe misses every neighbor that fell just across a cell boundary;
-    * measured here, nprobe 1→4 of 16 lifts recall@5 0.24→0.57 on the
+    * measured here, nprobe 1→8 of 16 lifts recall@5 0.24→0.83 on the
     * sf0.001 corpus). The probe fan-out multiplies only the anchor-side
     * rows (nprobe×n into the join), never the corpus side. Neighbors
     * outside the probed cells are still missed — that is the recall
@@ -570,9 +570,22 @@ object SimilarityOps {
     * (approximation can only MISS pairs, never misscore them). Cells and
     * probes come from the engine-portable integer k-means → full DuckDB
     * oracle (the probe score −dist stays exact in double: distances
-    * < 2⁵⁰ ≪ 2⁵³). */
+    * < 2⁵⁰ ≪ 2⁵³).
+    *
+    * Default nprobe: [[KnnJoinNprobe]] — chosen from the measured
+    * recall@5 curve (RecallProbe, sf0.001 AND sf0.01 agree to ±0.01):
+    * {{{
+    * nCells=16: nprobe 1 → 0.24, 2 → 0.38, 4 → 0.57, 6 → 0.72, 8 → 0.83
+    * nCells= 8: nprobe 1 → 0.29, 2 → 0.49, 4 → 0.76, 6 → 0.92
+    * }}}
+    * nprobe=8 of 16 cells is the first retrieval-grade point (≥ 0.8)
+    * and scans ~half the corpus per anchor — steep because THIS corpus
+    * is near-uniform random, the worst case for any partition-based
+    * ANN (no cluster structure to exploit; real embedding corpora sit
+    * far left of this curve). SimilaritySpec asserts the ≥ 0.8 floor
+    * at the shipped default. */
   def knnJoinCells(emb: DataFrame, k: Int, nCells: Int, refine: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = KnnJoinNprobe): DataFrame = {
     val embQ = withQuant(emb)
     val centroids = graft.InternalCaches.track(
       kmeansCentroidsInt(embQ.select(col("vec_id"), col("qemb")), nCells, refine)
@@ -683,6 +696,11 @@ object SimilarityOps {
   /** [[BatchQueryIds]] as a SQL IN-list — interpolated into every batch
     * oracle so the Spark and DuckDB sides can never drift. */
   private def batchIdsSql: String = BatchQueryIds.mkString("(", ", ", ")")
+
+  /** Default probe width of [[knnJoinCells]] (s12): first point on the
+    * measured recall curve at or above recall@5 = 0.8 (see the method
+    * doc for the full curve and why this corpus is the worst case). */
+  val KnnJoinNprobe = 8
 
   /** Built-index locations, one per (JVM, dataset dir), held in
     * [[graft.io.TempLayouts]]. Each build goes to a fresh per-invocation
@@ -1169,7 +1187,7 @@ object SimilarityOps {
           |    SELECT e.vec_id, c.cell_id,
           |           row_number() OVER (PARTITION BY e.vec_id
           |             ORDER BY ${intDistSql("e.q", "c.c")} ASC, c.cell_id ASC) AS rn
-          |    FROM qe e CROSS JOIN cent c) WHERE rn <= 4),
+          |    FROM qe e CROSS JOIN cent c) WHERE rn <= $KnnJoinNprobe),
           |sims AS (
           |  SELECT p.qid, k.vec_id,
           |         CAST(round(${cosSql("e.embedding", "q.embedding")} * 10000) AS BIGINT) AS sim_e4

@@ -292,13 +292,16 @@ class SimilaritySpec extends SparkSpecBase {
     // every anchor that landed in a >1-vector cell reports neighbors
     val byQ = blocked.map(t => (t._1, t._2)).groupBy(_._1).view
       .mapValues(_.map(_._2).toSet).toMap
-    // recall: mean fraction of exact top-5 recovered (nprobe=4 of 16
-    // cells; single-probe measured 0.24 on this corpus)
+    // recall floor at the SHIPPED default (nprobe = KnnJoinNprobe of 16
+    // cells): the retrieval-grade bar from the measured curve — 0.83 on
+    // this corpus, asserted at 0.8 (see knnJoinCells scaladoc; this
+    // near-uniform corpus is the worst case for partition-based ANN)
     val recalls = exact.keys.toSeq.map { q =>
       byQ.get(q).map(n => (n & exact(q)).size.toDouble / exact(q).size).getOrElse(0.0)
     }
     val mean = recalls.sum / recalls.size
-    info(f"s12 mean recall@5 = $mean%.3f (nprobe=4, 16 cells)")
-    assert(mean >= 0.5, s"mean recall $mean too low for nprobe=4 of 16 cells")
+    info(f"s12 mean recall@5 = $mean%.3f (nprobe=${SimilarityOps.KnnJoinNprobe}, 16 cells)")
+    assert(mean >= 0.8,
+      s"mean recall $mean below the retrieval-grade default's measured floor")
   }
 }

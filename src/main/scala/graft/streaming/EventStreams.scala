@@ -161,7 +161,8 @@ object EventStreams {
       nBatches: Int, stateRowsPerBatch: Seq[Long], provider: String,
       commitMsTotal: Long,
       inputRowsPerBatch: Seq[Long] = Seq.empty,
-      droppedByWatermarkPerBatch: Seq[Long] = Seq.empty)
+      droppedByWatermarkPerBatch: Seq[Long] = Seq.empty,
+      triggerMsTotal: Long = 0L)
 
   @volatile private var runStats: Map[String, StreamRunStats] = Map.empty
   def lastRunStats: Map[String, StreamRunStats] = runStats
@@ -176,7 +177,12 @@ object EventStreams {
       ss.conf.get("spark.sql.streaming.stateStore.providerClass", "default-hdfs"),
       withInput.map(_.stateOperators.map(_.commitTimeMs).sum).sum,
       withInput.map(_.numInputRows).toSeq,
-      withInput.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).toSeq)
+      withInput.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).toSeq,
+      // Engine time across ALL micro-batches (incl. empty finalization
+      // triggers): wall-clock minus this is harness/setup cost — split
+      // corpus staging, checkpoint dir creation, query-thread startup.
+      q.recentProgress
+        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum)
   }
 
   /** The hourly aggregation (q20's shape) executed as an ACTUAL

@@ -1,10 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.ops.CoreQueries.quarterLabel
 
 /** Scratch profiling main — not part of the driver contract. */
 object DebugTiming {
@@ -19,36 +17,40 @@ object DebugTiming {
     df.write.mode("overwrite").format("noop").save()
 
   def main(args: Array[String]): Unit = {
-    val dir = "/root/testdata/sf0.1"
-    val spark = time("session") { GraftSession.local("debug") }
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local("debug")
     val t = Tables(spark, dir)
-    time("warmup") { noop(t.lineitem.select("l_orderkey")) }
-
-    val joined = t.lineitem
-      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
-      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
-      .select(
-        col("l_orderkey"), col("l_linenumber"),
-        quarterLabel(col("o_orderdate")).as("quarter"),
-        col("r_name").as("region"), col("n_name").as("nation"),
-        col("p_type"), col("l_returnflag"))
-    (1 to 2).foreach(i => time(s"q08 join only $i") { noop(joined) })
-    (1 to 2).foreach(i => time(s"q08 join+sort $i") {
-      noop(joined.orderBy(col("l_orderkey"), col("l_linenumber"), col("quarter"),
-        col("region"), col("nation"), col("p_type"), col("l_returnflag")))
-    })
-    val scalars = graft.queries.Catalog.queries("q19_scalar_funcs")
-    (1 to 2).foreach(i => time(s"q19 full $i") { noop(scalars(spark, dir)) })
-    val d02 = graft.queries.Catalog.queries("d02_dedup_minhash_lsh")
-    (1 to 2).foreach(i => time(s"d02 full $i") { noop(d02(spark, dir)) })
-    time("q19 no reparse") {
-      noop(t.lineitem.select(col("l_orderkey"), col("l_linenumber"),
-        quarterLabel(col("l_shipdate")).as("ship_quarter"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")))
-    }
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val snippets = t.documents.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(
+          slice(toks, lit(1), ceil(size(toks) * lit(0.6)).cast("int")), " ")
+          .as("text"))
+    val corpus = t.documents.select(col("doc_id"), col("text"))
+      .unionByName(snippets)
+    println("corpus " + corpus.count())
+    val gramSets = corpus.select(col("doc_id"),
+      call_function("word_ngram_hashes", col("text"), lit(5)).as("gs")).persist()
+    gramSets.select(col("doc_id"), size(col("gs")).as("n")).orderBy("doc_id").show(5)
+    val grams = gramSets.select(col("doc_id"), explode(col("gs")).as("g"))
+    println("gram rows " + grams.count())
+    val dfc = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    dfc.groupBy(col("df")).count().orderBy("df").show(10)
+    val rare = grams.join(dfc.filter(col("df").between(2, 50)), Seq("g"))
+    println("rare rows " + rare.count())
+    val cand = rare.select(col("g"), col("doc_id").as("contained_id"))
+      .join(rare.select(col("g"), col("doc_id").as("container_id")), Seq("g"))
+      .filter(col("contained_id") =!= col("container_id"))
+      .select(col("contained_id"), col("container_id")).distinct()
+    println("cand " + cand.count())
+    val out = cand
+      .join(gramSets.select(col("doc_id").as("contained_id"), col("gs").as("gs_a")), Seq("contained_id"))
+      .join(gramSets.select(col("doc_id").as("container_id"), col("gs").as("gs_b")), Seq("container_id"))
+      .select(col("contained_id"), col("container_id"),
+        size(col("gs_a")).cast("long").as("n_grams"),
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long").as("n_shared"))
+    out.orderBy(col("n_shared").desc).show(5)
+    println("pass " + out.filter(col("n_shared") * 5 >= col("n_grams") * 4).count())
     spark.stop()
   }
 }

@@ -424,6 +424,15 @@ object DedupOps {
        |  JOIN sizes sb ON sb.doc_id = i.doc_b
        |  WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= $threshold)""".stripMargin
 
+
+  /** d12's inverted-index hot-gram cap: grams with df above this are
+    * not index keys (df=1 grams cannot form a pair and are skipped
+    * too). Bounds candidate volume at Σ df² like d02's MaxBucket
+    * bounds bucket joins; a doc ALL of whose grams are hotter is the
+    * declared boilerplate-miss class. Interpolated into the oracle so
+    * the two sides cannot drift. */
+  private[dedup] val RareDfCap = 50
+
   val all: Seq[GraftQuery] = Seq(
     // ------------------------------------------------------------------
     // d01: exact dedup = hash-groupBy on the normalized content
@@ -709,6 +718,108 @@ object DedupOps {
           |       eval_id AS best_eval_id, jaccard AS best_jaccard
           |FROM rk WHERE rk = 1
           |ORDER BY train_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // d12: containment dedup — the ASYMMETRIC near-dup case symmetric
+    // Jaccard (d02/d03) structurally misses: a document that is a
+    // SUBSET of another (a quoted excerpt, a truncated mirror, a
+    // syndicated fragment) can have Jaccard ≈ |A|/|B| ≪ threshold while
+    // containment |A∩B|/|A| = 1. Corpus = documents ∪ planted prefix
+    // snippets (every 4th doc truncated to its first ⌈0.6·n⌉ tokens,
+    // id + 1,000,000); unit = distinct word-5-grams.
+    //
+    // Scale structure (set-similarity-join prefix filtering, e.g.
+    // PPJoin, Xiao et al. 2008 — public literature): candidates come
+    // from an inverted index over grams with document frequency in
+    // [2, RareDfCap] only. Soundness of the index: a contained doc's
+    // EVERY gram also occurs in its container, so each of its grams has
+    // df ≥ 2 and the pair is found unless ALL the contained doc's grams
+    // are hotter than the cap — the declared boilerplate-miss class,
+    // the same knob as d02's MaxBucket. Candidate volume is bounded by
+    // Σ_g df(g)² over capped grams (measured output-bound at all three
+    // SFs: 386→218 rows at sf0.001); the verify step is one
+    // array_intersect per candidate pair, never all-pairs. Containment
+    // is exact INTEGER arithmetic end to end (n_shared·5 ≥ n_grams·4
+    // for the 0.8 gate; micro-units by integer division) — no float in
+    // the compare. Grams are native word_ngram_hashes 64-bit sets on
+    // the Spark side vs string grams in the oracle: counts agree modulo
+    // 64-bit collisions (the d03/t14 convention).
+    GraftQuery(
+      "d12_containment_dedup",
+      "asymmetric containment >= 0.8 pairs (prefix-snippet corpus, rare-gram inverted index)",
+      (spark, dir) => {
+        import graft.InternalCaches.track
+        val t = Tables(spark, dir)
+        val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+        val snippets = t.documents.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            array_join(
+              slice(toks, lit(1), ceil(size(toks) * lit(0.6)).cast("int")), " ")
+              .as("text"))
+        val corpus = t.documents.select(col("doc_id"), col("text"))
+          .unionByName(snippets)
+        // Sorted-distinct 5-gram hash set per doc; persisted — it feeds
+        // the df index AND both sides of the candidate verification (and
+        // the persist is a CollapseProject barrier for the gram HOF).
+        val gramSets = track(corpus.select(col("doc_id"),
+          call_function("word_ngram_hashes", col("text"), lit(5)).as("gs"))
+          .persist())
+        val grams = gramSets.select(col("doc_id"), explode(col("gs")).as("g"))
+        val rare = grams
+          .join(grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+            .filter(col("df").between(2, RareDfCap)), Seq("g"))
+        val cand = rare.select(col("g"), col("doc_id").as("contained_id"))
+          .join(rare.select(col("g"), col("doc_id").as("container_id")), Seq("g"))
+          .filter(col("contained_id") =!= col("container_id"))
+          .select(col("contained_id"), col("container_id")).distinct()
+        cand
+          .join(gramSets.select(col("doc_id").as("contained_id"),
+            col("gs").as("gs_a")), Seq("contained_id"))
+          .join(gramSets.select(col("doc_id").as("container_id"),
+            col("gs").as("gs_b")), Seq("container_id"))
+          .select(col("contained_id"), col("container_id"),
+            size(col("gs_a")).cast("long").as("n_grams"),
+            size(array_intersect(col("gs_a"), col("gs_b"))).cast("long")
+              .as("n_shared"))
+          .filter(col("n_shared") * 5 >= col("n_grams") * 4)
+          .withColumn("containment_e6",
+            expr("n_shared * 1000000 div n_grams"))
+          .orderBy(col("contained_id"), col("container_id"))
+      },
+      Some(
+        s"""WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id,
+          |         array_to_string((regexp_extract_all(text, '\\S+'))
+          |           [1:CAST(ceil(0.6 * len(regexp_extract_all(text, '\\S+'))) AS INT)],
+          |           ' ') AS text
+          |  FROM documents WHERE doc_id % 4 = 0),
+          |ws AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM corpus),
+          |gsets AS (
+          |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ')
+          |                  FOR i IN range(1, greatest(len(w) - 3, 2))]) AS gs
+          |  FROM ws),
+          |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
+          |df AS (SELECT g, count(*) AS df FROM grams GROUP BY 1),
+          |rare AS (SELECT doc_id, g FROM grams JOIN df USING (g)
+          |         WHERE df BETWEEN 2 AND $RareDfCap),
+          |cand AS (
+          |  SELECT DISTINCT ra.doc_id AS contained_id, rb.doc_id AS container_id
+          |  FROM rare ra JOIN rare rb ON ra.g = rb.g AND ra.doc_id <> rb.doc_id),
+          |inter AS (
+          |  SELECT c.contained_id, c.container_id,
+          |         CAST(len(ga.gs) AS BIGINT) AS n_grams,
+          |         CAST(len(list_intersect(ga.gs, gb.gs)) AS BIGINT) AS n_shared
+          |  FROM cand c
+          |  JOIN gsets ga ON ga.doc_id = c.contained_id
+          |  JOIN gsets gb ON gb.doc_id = c.container_id)
+          |SELECT contained_id, container_id, n_grams, n_shared,
+          |       CAST((n_shared * 1000000) // n_grams AS BIGINT) AS containment_e6
+          |FROM inter
+          |WHERE n_shared * 5 >= n_grams * 4
+          |ORDER BY contained_id, container_id""".stripMargin)
     )
   )
 }

@@ -787,6 +787,87 @@ object TextOps {
           |          FOR t IN ts]), 0) > 0 THEN 'keep' ELSE 'drop' END AS verdict
           |FROM toks
           |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t22: DSIR-style importance-weighted data selection (Xie et al.
+    // 2023, "Data Selection for Language Models via Importance
+    // Resampling" — public paper): score every document by how much its
+    // hashed-unigram distribution looks like a TARGET distribution
+    // (here: the lang='en' slice) versus the RAW corpus, then keep the
+    // top-100. Per-bucket log importance ratio with add-one smoothing,
+    //   lr(b) = ln( (cnt_t(b)+1)·(R+B) / ((cnt_r(b)+1)·(T+B)) ),
+    // is quantized to integer micro-units ON THE 256-ROW BUCKET TABLE
+    // (the t12 discipline: only the tiny dimension does float math, the
+    // corpus-scale sum is an exact BIGINT in any aggregation order).
+    // Bucket = md5-prefix mod 256 (t16's hash family).
+    //
+    // Plan shape: tokenize+bucket explode → ONE groupBy(bucket) hash agg
+    // computing raw and target counts together (conditional sum — not
+    // two corpus passes), totals from the 256-row frame, broadcast the
+    // 256-row log-ratio dimension back onto the token stream, per-doc
+    // BIGINT sum, TakeOrderedAndProject top-100. Two shuffles (bucket,
+    // doc_id), both map-side-combined; the selection is a bounded heap,
+    // not a global sort — the 100 TB shape. The BIGINT products in the
+    // ratio hold to ~2^53 tokens per side; beyond that, production
+    // swaps the one-division form for ln(a)-ln(b) at the cost of exact
+    // oracle replay.
+    GraftQuery(
+      "t22_dsir_selection",
+      "DSIR hashed importance weights vs lang='en' target; top-100 selection",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val nb = 256L
+        val tok = t.documents.select(col("doc_id"), col("lang"),
+          explode(regexp_extract_all(lower(col("text")), lit(wsToken), lit(0)))
+            .as("term"))
+        val bucketed = tok.select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("term")), 1, 6), 16, 10).cast("long") % nb)
+            .as("b"))
+        val bc = bucketed.groupBy(col("b")).agg(
+          count(lit(1)).as("cnt_r"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_t"))
+        val tot = bc.agg(sum(col("cnt_r")).as("r_tot"), sum(col("cnt_t")).as("t_tot"))
+        val lr = bc.crossJoin(broadcast(tot))
+          .select(col("b"),
+            round(log(((col("cnt_t") + 1L) * (col("r_tot") + nb)).cast("double") /
+                ((col("cnt_r") + 1L) * (col("t_tot") + nb)).cast("double"))
+              * lit(1000000)).cast("long").as("lr_e6"))
+        bucketed.join(broadcast(lr), Seq("b"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("lr_e6")).as("weight_e6"))
+          .orderBy(col("weight_e6").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, lang,
+          |         unnest(regexp_extract_all(lower(text), '\S+')) AS term
+          |  FROM documents),
+          |tb AS (
+          |  SELECT doc_id, lang,
+          |         ('0x' || substr(md5(term), 1, 6))::BIGINT % 256 AS b
+          |  FROM tok),
+          |bc AS (
+          |  SELECT b, count(*) AS cnt_r,
+          |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
+          |  FROM tb GROUP BY 1),
+          |tot AS (
+          |  SELECT CAST(sum(cnt_r) AS BIGINT) AS r_tot,
+          |         CAST(sum(cnt_t) AS BIGINT) AS t_tot
+          |  FROM bc),
+          |lr AS (
+          |  SELECT b, CAST(round(ln(
+          |           CAST((cnt_t + 1) * (r_tot + 256) AS DOUBLE) /
+          |           CAST((cnt_r + 1) * (t_tot + 256) AS DOUBLE)) * 1000000)
+          |         AS BIGINT) AS lr_e6
+          |  FROM bc CROSS JOIN tot)
+          |SELECT doc_id, lang, count(*) AS n_tokens,
+          |       CAST(sum(lr_e6) AS BIGINT) AS weight_e6
+          |FROM tb JOIN lr USING (b)
+          |GROUP BY doc_id, lang
+          |ORDER BY weight_e6 DESC, doc_id
+          |LIMIT 100""".stripMargin)
     )
   )
 

@@ -460,4 +460,55 @@ class DedupSpec extends SparkSpecBase {
       assert(dupChars <= nChars)
     }
   }
+
+  test("d12 containment: planted prefix snippets recovered at exactly 1.0; string-gram recompute parity on every reported pair") {
+    val out = graft.queries.Catalog.queries("d12_containment_dedup")(spark, sf0001)
+      .collect()
+    graft.InternalCaches.releaseAll()
+    val originals = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+
+    // The corpus as the operator builds it: originals + prefix snippets.
+    def toksOf(t: String): Array[String] = t.split("\\s+").filter(_.nonEmpty)
+    val planted = originals.keys.filter(_ % 4 == 0).toSeq.sorted
+    val snippetText = planted.map { id =>
+      val toks = toksOf(originals(id))
+      (id + 1000000L) -> toks.take(math.ceil(toks.length * 0.6).toInt).mkString(" ")
+    }.toMap
+    val textOf = originals ++ snippetText
+
+    // Recall: every planted snippet is a strict token-prefix of its
+    // original, so its 5-gram set is a subset — containment must be
+    // EXACTLY 1.0 and the pair must be reported (at sf0.001 every gram
+    // df is far under RareDfCap, so the index cannot miss it).
+    val byPair = out.map(r =>
+      (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id")) -> r).toMap
+    planted.foreach { id =>
+      val row = byPair.get((id + 1000000L, id))
+      assert(row.nonEmpty, s"planted snippet of doc $id not recovered")
+      assert(row.get.getAs[Long]("containment_e6") === 1000000L,
+        s"snippet of doc $id should be fully contained")
+    }
+
+    // Soundness + hash-vs-string parity: recompute n_grams/n_shared for
+    // EVERY reported pair from raw STRING 5-grams (no hashing anywhere)
+    // and require exact agreement; re-derive the integer containment.
+    def grams5(t: String): Set[String] = {
+      val toks = toksOf(t)
+      val n = math.max(toks.length - 4, 1)
+      (0 until n).map(i => toks.slice(i, i + 5).mkString(" ")).toSet
+    }
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val a = r.getAs[Long]("contained_id")
+      val b = r.getAs[Long]("container_id")
+      val ga = grams5(textOf(a))
+      val gb = grams5(textOf(b))
+      assert(r.getAs[Long]("n_grams") === ga.size.toLong, s"pair ($a,$b) n_grams")
+      val shared = ga.intersect(gb).size.toLong
+      assert(r.getAs[Long]("n_shared") === shared, s"pair ($a,$b) n_shared")
+      assert(shared * 5 >= ga.size.toLong * 4, s"pair ($a,$b) under threshold")
+      assert(r.getAs[Long]("containment_e6") === shared * 1000000L / ga.size)
+    }
+  }
 }

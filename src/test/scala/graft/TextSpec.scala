@@ -409,4 +409,47 @@ class TextSpec extends SparkSpecBase {
     // the corpus actually exercises the straddle arithmetic
     assert(straddlers > 0, "no document straddles a sequence boundary")
   }
+
+  test("t22 DSIR selection: full driver-side recompute parity, ordering, and target enrichment") {
+    val out = graft.queries.Catalog.queries("t22_dsir_selection")(spark, sf0001)
+      .collect()
+    assert(out.length === 100)
+
+    // Independent recompute of the entire pipeline on the driver: md5
+    // bucket hashing, smoothed per-bucket log importance ratio, integer
+    // micro-unit quantization, per-doc sum, top-100 selection.
+    val corpus = docs.select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text")))
+    def bucketOf(term: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(term.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 6), 16) % 256L).toInt
+    }
+    val docBuckets = corpus.map { case (id, lang, text) =>
+      (id, lang, text.toLowerCase.split("\\s+").filter(_.nonEmpty).map(bucketOf))
+    }
+    val cntR = new Array[Long](256)
+    val cntT = new Array[Long](256)
+    docBuckets.foreach { case (_, lang, bs) =>
+      bs.foreach { b => cntR(b) += 1; if (lang == "en") cntT(b) += 1 }
+    }
+    val rTot = cntR.sum; val tTot = cntT.sum
+    val lrE6 = (0 until 256).map(b => math.round(math.log(
+      ((cntT(b) + 1) * (rTot + 256)).toDouble /
+        ((cntR(b) + 1) * (tTot + 256)).toDouble) * 1000000)).toArray
+    val want = docBuckets
+      .map { case (id, lang, bs) => (id, lang, bs.length.toLong, bs.map(lrE6).sum) }
+      .sortBy { case (id, _, _, w) => (-w, id) }
+      .take(100)
+    val got = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("weight_e6"))).toSeq
+    assert(got === want.toSeq, "weights/selection must replay exactly")
+
+    // the selection must actually enrich toward the lang='en' target
+    val enBase = corpus.count(_._2 == "en").toDouble / corpus.length
+    val enSel = got.count(_._2 == "en").toDouble / got.length
+    assert(enSel > enBase, f"no enrichment: selected $enSel%.2f vs base $enBase%.2f")
+  }
 }

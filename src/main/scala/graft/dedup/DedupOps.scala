@@ -820,6 +820,50 @@ object DedupOps {
           |FROM inter
           |WHERE n_shared * 5 >= n_grams * 4
           |ORDER BY contained_id, container_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // d13: soft dedup — instead of DROPPING duplicates (d01), every
+    // corpus row gets a sampling weight 1/cluster_size in integer
+    // micro-units, the down-weighting used when a training mix wants
+    // duplicated content represented ONCE in expectation without losing
+    // any row (the D4/SemDeDup-adjacent "soft" policy; with weights the
+    // epoch-level token distribution matches the deduplicated corpus
+    // while retaining per-copy provenance). Clusters are d01's exact
+    // fingerprint groups over the same perturbed corpus.
+    //
+    // Plan shape: ONE shuffle — count(*) over a fingerprint window with
+    // no ORDER BY (an unbounded frame needs no sort), so the whole query
+    // is scan → Exchange(fingerprint) → window → project. The groupBy +
+    // self-join alternative costs a second shuffle for nothing. Weight
+    // arithmetic is BIGINT floor division — exact, hash-safe.
+    GraftQuery(
+      "d13_dedup_soft_weights",
+      "per-row inverse-cluster-size sampling weights over the perturbed corpus",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(spark, dir)
+        exactDupCorpus(t.documents)
+          .select(col("doc_id"), contentFingerprint(col("text")).as("fingerprint"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+          .selectExpr("doc_id", "fingerprint", "cluster_size",
+            "1000000 div cluster_size AS weight_e6")
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, replace(text, ' ', '  ') || ' ' AS text FROM documents),
+          |fp AS (
+          |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+          |  FROM corpus)
+          |SELECT doc_id, fingerprint,
+          |       CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS cluster_size,
+          |       CAST(1000000 // count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS weight_e6
+          |FROM fp
+          |ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -303,6 +303,47 @@ object GraphOps {
       .orderBy(col("node_id"))
   }
 
+  /** g05's supplier-hub cap: common-neighbor evidence through a
+    * supplier trading with more customers than this is discounted to
+    * zero outright (its 1/ln(deg) weight is already near-noise) and,
+    * structurally, the candidate fan-out through it is skipped —
+    * bounding per-query-node work by deg(a)·cap at any corpus size.
+    * Inactive at the test SFs (max supplier degree ≈ 500 at sf0.1);
+    * exercised by GraphSpec at a synthetic cap of 3. Declared BEFORE
+    * [[all]]: the oracle SQL interpolates it at object-init time.
+    */
+  val LinkHubCap = 1000L
+
+  /** g05 body (see the catalog entry's doc); `hubCap` is a parameter so
+    * the spec can exercise the hub-exclusion path on test-scale data. */
+  def linkPrediction(t: Tables, hubCap: Long = LinkHubCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val inv = pairs.groupBy(col("supp")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= hubCap)
+      .select(col("supp"),
+        round(lit(1000000.0) / log(col("deg").cast("double")))
+          .cast("long").as("inv_e6"))
+    val q = pairs.filter(col("cust") % 75 === 0)
+      .select(col("cust").as("a"), col("supp"))
+    val scored = pairs.select(col("cust").as("b"), col("supp"))
+      .join(broadcast(q), Seq("supp"))
+      .filter(col("a") =!= col("b"))
+      .join(broadcast(inv), Seq("supp"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("inv_e6")).as("aa_e6"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("aa_e6").desc, col("b"))))
+      .filter(col("rk") <= 10)
+      .select(col("a").as("cust_a"), col("b").as("cust_b"),
+        col("n_common"), col("aa_e6"), col("rk").cast("long").as("rk"))
+      .orderBy(col("cust_a"), col("rk"))
+  }
+
   private def oracleIter(prev: String, cur: String): String =
     s"""$cur AS (
        |  SELECT n.node, (SELECT (15 * (${Scale} // count(*))) // 100 FROM nodes)
@@ -418,6 +459,57 @@ object GraphOps {
           |       CAST(coalesce(d.dist, -1) AS BIGINT) AS dist
           |FROM nodes n LEFT JOIN d USING (node)
           |ORDER BY node_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // g05: Adamic-Adar link prediction over the bipartite trade graph —
+    // "customers most similar to customer a" scored by their shared
+    // suppliers, each shared supplier s contributing 1/ln(deg(s))
+    // (Adamic & Adar 2003, public paper; the standard common-neighbor
+    // score with hub discounting). The float 1/ln(deg) is quantized to
+    // integer micro-units ON THE SUPPLIER-DEGREE DIMENSION (t12
+    // discipline), so per-pair sums are exact BIGINTs and the oracle
+    // hash holds. deg-1 suppliers cannot witness a pair (their only
+    // customer is `a` itself) and ln(1)=0 would divide by zero — they
+    // are excluded by definition, as are hub suppliers above
+    // [[LinkHubCap]] (inactive at test SFs, load-bearing at 100 TB:
+    // candidate volume is bounded by |Q|·deg(a)·cap instead of a hub's
+    // full neighborhood, and 1/ln(deg) already makes a mega-hub's
+    // evidence negligible — the d12 hot-key-cap discipline).
+    //
+    // Plan shape: the |Q|·deg(a)-row query edge set BROADCASTS onto the
+    // supplier-partitioned pair table (no big-side shuffle), the
+    // supplier weight dimension broadcasts onto the candidates, ONE
+    // map-side-combined shuffle aggregates (a,b) scores, and the top-10
+    // per query node is a window over per-group candidate sets bounded
+    // by deg(a)·cap. Two shuffles total (degree agg + score agg).
+    GraftQuery(
+      "g05_link_prediction",
+      "Adamic-Adar similar-customer top-10 per query customer (shared-supplier evidence)",
+      (spark, dir) => linkPrediction(Tables(spark, dir)),
+      Some(
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |inv AS (
+           |  SELECT supp,
+           |         CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS inv_e6
+           |  FROM (SELECT supp, count(*) AS deg FROM pairs GROUP BY 1)
+           |  WHERE deg BETWEEN 2 AND $LinkHubCap),
+           |q AS (SELECT cust AS a, supp FROM pairs WHERE cust % 75 = 0),
+           |scored AS (
+           |  SELECT q.a, p.cust AS b, CAST(count(*) AS BIGINT) AS n_common,
+           |         CAST(sum(i.inv_e6) AS BIGINT) AS aa_e6
+           |  FROM q JOIN pairs p USING (supp) JOIN inv i USING (supp)
+           |  WHERE p.cust <> q.a
+           |  GROUP BY 1, 2),
+           |rk AS (
+           |  SELECT a, b, n_common, aa_e6,
+           |         row_number() OVER (PARTITION BY a ORDER BY aa_e6 DESC, b) AS rk
+           |  FROM scored)
+           |SELECT a AS cust_a, b AS cust_b, n_common, aa_e6, CAST(rk AS BIGINT) AS rk
+           |FROM rk WHERE rk <= 10
+           |ORDER BY cust_a, rk""".stripMargin)
     )
   )
 }

@@ -868,6 +868,209 @@ object TextOps {
           |GROUP BY doc_id, lang
           |ORDER BY weight_e6 DESC, doc_id
           |LIMIT 100""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t23: within-document repetition signals — the OTHER half of the
+    // Gopher repetition family (Rae et al. 2021, public paper): t08
+    // measures the single most-frequent token/bigram; this measures the
+    // fraction of n-gram occurrences that are DUPLICATED inside the
+    // document (the "dup 5-gram / dup 10-gram fraction" gates applied
+    // for n ∈ 5..10 in the paper — a page of boilerplate repeated twice
+    // sails under t08's top-1 fractions but lights these up). Fractions
+    // are integer micro-units via BIGINT floor division — no float
+    // anywhere, so the compare is exact.
+    //
+    // Corpus: the synthetic documents repeat single words but almost
+    // never an exact 5-gram, so the signal is planted (the t15/q43/d12
+    // convention): every 3rd document gets its own first 25 tokens
+    // appended — deterministic from doc_id + text, byte-identical in
+    // both engines, and it pushes those docs' dup fractions over the
+    // gate so the keep/drop split is real.
+    //
+    // Plan shape: per n ∈ {5, 10}, ONE generator projection builds the
+    // sliding grams per row (guarded: Spark's sequence() runs DESCENDING
+    // when start > stop, so short docs must produce an empty array, not
+    // a [1,0] sequence), then groupBy(doc_id, gram) → groupBy(doc_id) —
+    // two map-side-combined shuffles, both keyed by doc_id first, so
+    // AQE coalesces them onto the same layout. Gram-less docs survive
+    // via a left join from `documents` with zero-fills (a doc too short
+    // to repeat anything passes the gate by definition). Work is
+    // linear in corpus tokens — the word-count shape, no pairwise term.
+    GraftQuery(
+      "t23_repetition_signals",
+      "within-doc duplicated 5/10-gram occurrence fractions + Gopher-style keep gate",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val planted = t.documents.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" "),
+              concat_ws(" ",
+                slice(regexp_extract_all(col("text"), lit(wsToken), lit(0)),
+                  1, 25))))
+            .otherwise(col("text")).as("text"))
+        def dupStats(n: Int): org.apache.spark.sql.DataFrame =
+          planted
+            .select(col("doc_id"),
+              regexp_extract_all(lower(col("text")), lit(wsToken), lit(0))
+                .as("toks"))
+            .select(col("doc_id"),
+              explode(when(size(col("toks")) >= n,
+                transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+                  i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+                .otherwise(array().cast("array<string>"))).as("gram"))
+            .groupBy(col("doc_id"), col("gram"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy(col("doc_id"))
+            .agg(sum(col("cnt")).as(s"n_grams$n"),
+              sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L))
+                .as(s"dup$n"))
+        t.documents.select(col("doc_id"))
+          .join(dupStats(5), Seq("doc_id"), "left")
+          .join(dupStats(10), Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_grams5", "dup5", "n_grams10", "dup10"))
+          .selectExpr("doc_id", "n_grams5", "dup5",
+            "CASE WHEN n_grams5 = 0 THEN CAST(0 AS BIGINT) " +
+              "ELSE dup5 * 1000000 div n_grams5 END AS dup5_frac_e6",
+            "n_grams10", "dup10",
+            "CASE WHEN n_grams10 = 0 THEN CAST(0 AS BIGINT) " +
+              "ELSE dup10 * 1000000 div n_grams10 END AS dup10_frac_e6")
+          // Gopher-style gate: ≤30% duplicated 5-gram mass, ≤10% for 10-grams
+          .withColumn("keep",
+            (col("dup5_frac_e6") <= 300000L) && (col("dup10_frac_e6") <= 100000L))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH planted AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 3 = 0
+          |              THEN text || ' ' ||
+          |                   array_to_string((regexp_extract_all(text, '\S+'))[1:25], ' ')
+          |              ELSE text END AS text
+          |  FROM documents),
+          |tok AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+          |  FROM planted),
+          |g5 AS (
+          |  SELECT doc_id, unnest([array_to_string(toks[i:i+4], ' ')
+          |           FOR i IN range(1, greatest(len(toks) - 3, 1))]) AS gram
+          |  FROM tok),
+          |gc5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+          |s5 AS (
+          |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams5,
+          |         CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup5
+          |  FROM gc5 GROUP BY 1),
+          |g10 AS (
+          |  SELECT doc_id, unnest([array_to_string(toks[i:i+9], ' ')
+          |           FOR i IN range(1, greatest(len(toks) - 8, 1))]) AS gram
+          |  FROM tok),
+          |gc10 AS (SELECT doc_id, gram, count(*) AS cnt FROM g10 GROUP BY 1, 2),
+          |s10 AS (
+          |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams10,
+          |         CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup10
+          |  FROM gc10 GROUP BY 1),
+          |j AS (
+          |  SELECT d.doc_id,
+          |         coalesce(n_grams5, 0) AS n_grams5, coalesce(dup5, 0) AS dup5,
+          |         coalesce(n_grams10, 0) AS n_grams10, coalesce(dup10, 0) AS dup10
+          |  FROM documents d LEFT JOIN s5 USING (doc_id) LEFT JOIN s10 USING (doc_id))
+          |SELECT doc_id, n_grams5, dup5,
+          |       CASE WHEN n_grams5 = 0 THEN CAST(0 AS BIGINT)
+          |            ELSE CAST(dup5 * 1000000 // n_grams5 AS BIGINT) END AS dup5_frac_e6,
+          |       n_grams10, dup10,
+          |       CASE WHEN n_grams10 = 0 THEN CAST(0 AS BIGINT)
+          |            ELSE CAST(dup10 * 1000000 // n_grams10 AS BIGINT) END AS dup10_frac_e6,
+          |       (CASE WHEN n_grams5 = 0 THEN 0 ELSE dup5 * 1000000 // n_grams5 END <= 300000
+          |        AND CASE WHEN n_grams10 = 0 THEN 0 ELSE dup10 * 1000000 // n_grams10 END <= 100000) AS keep
+          |FROM j
+          |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t24: bigram language-model scoring — t12's unigram perplexity
+    // proxy upgraded to a conditional model: each document scores by
+    // Σ ln p(w_i | w_{i-1}) with add-one smoothing,
+    //   p(w2|w1) = (c(w1,w2) + 1) / (c1(w1) + V),
+    // where c1 counts w1 AS A CONTEXT (= Σ_w2 c(w1,w2), derived from
+    // the bigram-type table — not a second corpus pass) and V is the
+    // bigram vocabulary (distinct w1 ∪ w2). The per-TYPE log-prob is
+    // quantized to integer micro-units on the vocabulary-sized
+    // dimension before the corpus-scale per-doc summation (the
+    // t12/t22 discipline: floats only on the small table; BIGINT sums
+    // are exact in any aggregation order, so the cross-engine hash
+    // holds).
+    //
+    // Plan shape: one generator projection builds per-row (w1,w2)
+    // structs (descending-sequence guard as in t23), one
+    // groupBy(w1,w2) hash agg for types, c1/V derived from that
+    // vocab-sized frame, the ≤|V²|-row log-prob dimension broadcast
+    // back onto the bigram stream, one map-side-combined per-doc sum.
+    // At 100 TB the bigram-type table outgrows a broadcast and the
+    // scoring join flips to a shuffle hash join on (w1,w2) — same
+    // plan minus the hint; everything else already shuffles only on
+    // doc_id. Scales as a word-count job.
+    GraftQuery(
+      "t24_bigram_logprob",
+      "per-document corpus bigram log-likelihood (add-one smoothed, integer micro-logprobs)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val bg = t.documents
+          .select(col("doc_id"),
+            regexp_extract_all(lower(col("text")), lit(wsToken), lit(0))
+              .as("toks"))
+          .select(col("doc_id"),
+            explode(when(size(col("toks")) >= 2,
+              transform(sequence(lit(1), size(col("toks")) - 1),
+                i => struct(element_at(col("toks"), i).as("w1"),
+                  element_at(col("toks"), i + 1).as("w2"))))
+              .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+              .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+        val vocab = c2.select(col("w1").as("w"))
+          .unionByName(c2.select(col("w2").as("w")))
+          .distinct().agg(count(lit(1)).as("v"))
+        val lp = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+          .select(col("w1"), col("w2"),
+            round(log((col("c2") + 1L).cast("double") /
+                (col("c1") + col("v")).cast("double")) * lit(1000000))
+              .cast("long").as("lp_e6"))
+        val scored = bg.join(broadcast(lp), Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_e6")).as("sum_lp_e6"))
+        t.documents.select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_bigrams", "sum_lp_e6"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+          |  FROM documents),
+          |bg0 AS (
+          |  SELECT doc_id, unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+          |           FOR i IN range(1, greatest(len(toks), 1))]) AS b
+          |  FROM tok),
+          |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+          |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+          |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+          |vv AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS v
+          |  FROM (SELECT w1 AS w FROM c2 UNION SELECT w2 FROM c2)),
+          |lp AS (
+          |  SELECT w1, w2,
+          |         CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+          |              * 1000000) AS BIGINT) AS lp_e6
+          |  FROM c2 JOIN c1 USING (w1) CROSS JOIN vv),
+          |d AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |         CAST(sum(lp_e6) AS BIGINT) AS sum_lp_e6
+          |  FROM bg JOIN lp USING (w1, w2) GROUP BY 1)
+          |SELECT doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+          |       coalesce(sum_lp_e6, 0) AS sum_lp_e6
+          |FROM documents LEFT JOIN d USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)
     )
   )
 

@@ -511,4 +511,27 @@ class DedupSpec extends SparkSpecBase {
       assert(r.getAs[Long]("containment_e6") === shared * 1000000L / ga.size)
     }
   }
+
+  test("d13: soft weights are exact inverse cluster sizes; per-cluster mass bounded") {
+    val res = graft.queries.Catalog.queries("d13_dedup_soft_weights")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byId = res.map(r => r._1 -> r).toMap
+    // corpus = docs ∪ perturbed twins → every planted twin lands in its
+    // original's fingerprint cluster, so every cluster has size ≥ 2 and
+    // no row keeps full weight
+    res.foreach { case (id, fp, cs, w) =>
+      assert(w === 1000000L / cs, s"doc $id weight")
+      assert(cs >= 2L, s"doc $id escaped its planted twin's cluster")
+      if (id >= 100000L) assert(byId(id - 100000L)._2 === fp, s"twin $id fingerprint")
+    }
+    // exact cluster arithmetic: each cluster's row count equals its
+    // declared size, and its total weight mass is 1e6 up to floor loss
+    res.groupBy(_._2).foreach { case (fp, rows) =>
+      val cs = rows.head._3
+      assert(rows.length.toLong === cs, s"cluster $fp size")
+      val mass = rows.map(_._4).sum
+      assert(mass <= 1000000L && mass > 1000000L - cs, s"cluster $fp mass $mass")
+    }
+  }
 }

@@ -201,4 +201,56 @@ class GraphSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("cycle"), e.getMessage)
   }
+
+  test("g05: Adamic-Adar top-10 equals an exact driver-side recompute; hub cap excludes") {
+    val t = Tables(spark, sf0001)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // exact recompute of the whole pipeline at a given hub cap
+    def expected(cap: Long): Seq[(Long, Long, Long, Long, Long)] = {
+      val bySupp = pairs.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+      val inv = bySupp.collect {
+        case (s, cs) if cs.length >= 2 && cs.length <= cap =>
+          s -> math.round(1000000.0 / math.log(cs.length.toDouble))
+      }.toMap
+      val qs = pairs.map(_._1).distinct.filter(_ % 75 == 0)
+      val agg = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+      for {
+        (s, w) <- inv.toSeq
+        cs = bySupp(s)
+        a <- cs if qs.contains(a)
+        b <- cs if b != a
+      } {
+        val cur = agg.getOrElse((a, b), (0L, 0L))
+        agg((a, b)) = (cur._1 + 1L, cur._2 + w)
+      }
+      agg.toSeq.groupBy(_._1._1).toSeq.flatMap { case (a, m) =>
+        m.map { case ((_, b), (c, w)) => (b, c, w) }
+          .sortBy { case (b, _, w) => (-w, b) }.take(10).zipWithIndex
+          .map { case ((b, c, w), i) => (a, b, c, w, i + 1L) }
+      }.sortBy(r => (r._1, r._5))
+    }
+
+    val got = graft.queries.Catalog.queries("g05_link_prediction")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === expected(GraphOps.LinkHubCap))
+    assert(got.nonEmpty && got.forall(r => r._5 >= 1 && r._5 <= 10))
+
+    // the hub-exclusion path: at a synthetic cap of 3, real suppliers
+    // (max degree far above 3 here) are dropped and the scores change —
+    // and the operator still matches the recompute at that cap
+    val maxDeg = pairs.groupBy(_._2).values.map(_.length).max
+    assert(maxDeg > 3, s"corpus can't exercise the cap (max supplier degree $maxDeg)")
+    val capped = GraphOps.linkPrediction(t, hubCap = 3L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(capped === expected(3L))
+    assert(capped !== got, "cap of 3 changed nothing — hub exclusion untested")
+  }
 }

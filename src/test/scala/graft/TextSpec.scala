@@ -452,4 +452,78 @@ class TextSpec extends SparkSpecBase {
     val enSel = got.count(_._2 == "en").toDouble / got.length
     assert(enSel > enBase, f"no enrichment: selected $enSel%.2f vs base $enBase%.2f")
   }
+
+  test("t23: dup-ngram fractions equal an exact driver-side recompute; gate consistent") {
+    val res = graft.queries.Catalog.queries("t23_repetition_signals")(spark, sf0001)
+      .collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def stats(toks: Array[String], n: Int): (Long, Long) =
+      if (toks.length < n) (0L, 0L)
+      else {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+        val dup = grams.groupBy(identity).values
+          .map(_.size.toLong).filter(_ >= 2).sum
+        (grams.size.toLong, dup)
+      }
+    assert(res.length === texts.size)
+    res.foreach { r =>
+      val id = r.getLong(0)
+      // replicate the planted self-repetition (first 25 tokens appended
+      // for every 3rd doc) before tokenizing
+      val raw = texts(id)
+      val ptext =
+        if (id % 3 == 0)
+          raw + " " + raw.split("\\s+").filter(_.nonEmpty).take(25).mkString(" ")
+        else raw
+      val toks = ptext.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val (t5, d5) = stats(toks, 5)
+      val (t10, d10) = stats(toks, 10)
+      assert(r.getAs[Long]("n_grams5") === t5)
+      assert(r.getAs[Long]("dup5") === d5)
+      assert(r.getAs[Long]("n_grams10") === t10)
+      assert(r.getAs[Long]("dup10") === d10)
+      val f5 = if (t5 == 0) 0L else d5 * 1000000L / t5
+      val f10 = if (t10 == 0) 0L else d10 * 1000000L / t10
+      assert(r.getAs[Long]("dup5_frac_e6") === f5)
+      assert(r.getAs[Long]("dup10_frac_e6") === f10)
+      assert(r.getAs[Boolean]("keep") === (f5 <= 300000L && f10 <= 100000L))
+    }
+    // the planted self-repetition makes the gate real: both classes
+    // non-empty, and every planted doc shows duplicated 5-grams
+    assert(res.exists(_.getAs[Boolean]("keep")), "everything dropped")
+    assert(res.exists(r => !r.getAs[Boolean]("keep")), "nothing dropped — gate inert")
+    res.filter(_.getLong(0) % 3 == 0).foreach { r =>
+      assert(r.getAs[Long]("dup5") > 0, s"planted doc ${r.getLong(0)} shows no repetition")
+    }
+  }
+
+  test("t24: bigram logprobs equal an exact driver-side add-one recompute") {
+    val res = graft.queries.Catalog.queries("t24_bigram_logprob")(spark, sf0001)
+      .collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bigrams = texts.toSeq.flatMap { case (id, tx) =>
+      val toks = tx.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 2) Seq.empty
+      else toks.sliding(2).map(p => (id, p(0), p(1))).toSeq
+    }
+    val c2 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = (c2.keys.map(_._1) ++ c2.keys.map(_._2)).toSet.size.toLong
+    val lp = c2.map { case (k, c) =>
+      k -> math.round(math.log((c + 1).toDouble / (c1(k._1) + v)) * 1e6)
+    }
+    val exp = bigrams.groupBy(_._1).view.mapValues { bs =>
+      (bs.size.toLong, bs.map(b => lp((b._2, b._3))).sum)
+    }.toMap
+    assert(res.length === texts.size)
+    res.foreach { r =>
+      val (n, s) = exp.getOrElse(r.getLong(0), (0L, 0L))
+      assert(r.getAs[Long]("n_bigrams") === n, s"doc ${r.getLong(0)} count")
+      assert(r.getAs[Long]("sum_lp_e6") === s, s"doc ${r.getLong(0)} logprob")
+      // add-one probabilities are strictly < 1, so any scored doc is negative
+      if (n > 0) assert(s < 0L)
+    }
+  }
 }

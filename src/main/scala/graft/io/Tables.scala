@@ -59,6 +59,16 @@ object Tables {
     * nation); a one-task scan is already the right plan. */
   private val CompactMinBytes = 16L * 1024
 
+  /** Source path → compacted copy path ("" = serve the raw file),
+    * memoized per JVM rather than per session: the compacted files are
+    * session-INDEPENDENT (same rows, same width), and several catalog
+    * queries isolate conf changes in `spark.newSession()` — a
+    * session-keyed memo made each of those rewrite all ten tables on
+    * every invocation (q40 measured 1.1 s → 6.2 s; every streaming
+    * query paid ~1.5 s of the same tax). */
+  private val compactPath =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def load(spark: SparkSession, dir: String): Tables = {
     def t(name: String) = compacted(spark, s"$dir/$name.parquet")
     Tables(
@@ -82,24 +92,27 @@ object Tables {
     * happens once per (session, dir) via the [[cache]] memo.
     */
   private def compacted(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.parquet(path)
-    val bytes =
-      try {
-        val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(spark.sessionState.newHadoopConf())
-          .getContentSummary(p)
-          .getLength
-      } catch { case _: java.io.IOException => return raw }
-    if (bytes < CompactMinBytes || bytes > CompactMaxBytes) raw
-    else {
-      val width =
-        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-compact-")
-        .toString
-      raw.repartition(width).write.mode("overwrite").parquet(out)
-      spark.read.parquet(out)
-    }
+    val resolved = compactPath.computeIfAbsent(path, { p =>
+      val raw = spark.read.parquet(p)
+      val bytes =
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .getContentSummary(hp)
+            .getLength
+        } catch { case _: java.io.IOException => -1L }
+      if (bytes < CompactMinBytes || bytes > CompactMaxBytes) ""
+      else {
+        val width =
+          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-compact-")
+          .toString
+        raw.repartition(width).write.mode("overwrite").parquet(out)
+        out
+      }
+    })
+    spark.read.parquet(if (resolved.isEmpty) path else resolved)
   }
 
   /** events.ts normalization to session-TZ TIMESTAMP, the engine-wide

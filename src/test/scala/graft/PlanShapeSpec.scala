@@ -144,6 +144,25 @@ class PlanShapeSpec extends SparkSpecBase {
       s"join key exchange leaked into the bucketed plan:\n$p")
   }
 
+  test("g05: query edges and supplier weights broadcast; no sort-merge join") {
+    val p = planOf("g05_link_prediction")
+    // the big pair table must meet both the |Q|·deg query edge set and
+    // the supplier weight dimension as broadcast probes — a sort-merge
+    // join here would shuffle the full pair table per join instead of
+    // once for the score aggregate
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected both g05 joins broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"pair table shuffled for a join:\n$p")
+  }
+
+  test("t24: bigram scoring join is a broadcast probe over the token stream") {
+    val p = planOf("t24_bigram_logprob")
+    // the vocabulary-sized log-prob dimension broadcasts back onto the
+    // corpus-scale bigram stream (at 100 TB this flips to shuffle-hash;
+    // at test scale a sort-merge join on (w1,w2) would be the wrong plan)
+    assert(p.contains("BroadcastHashJoin"), s"scoring join not broadcast:\n$p")
+  }
+
   test("no catalog plan contains an unbounded cartesian product") {
     // BroadcastNestedLoopJoin with a broadcast 1-to-few-row side is the
     // intended shape for query-vector attachment; CartesianProduct

@@ -24,7 +24,7 @@ object RecallProbe {
       val exact = SimilarityOps.knnJoinExact(emb, k = 5)
         .select("qid", "vec_id").as[(Long, Long)].collect().toSet
       println(s"== $dir  (truth pairs: ${exact.size})")
-      for (nCells <- Seq(8, 16); nprobe <- Seq(1, 2, 4, 6, 8) if nprobe <= nCells) {
+      for (nCells <- Seq(8, 16, 32); nprobe <- Seq(1, 2, 4, 6, 8, 12, 16) if nprobe <= nCells) {
         val t0 = System.nanoTime()
         val got = SimilarityOps
           .knnJoinCells(emb, k = 5, nCells = nCells, refine = 2, nprobe = nprobe)

@@ -90,6 +90,61 @@ object GraphOps {
       .orderBy(col("node_id"))
   }
 
+  /** g06's seed predicate — the g04 BFS seed set (every 4th supplier),
+    * a pure expression of the node id so neither engine needs a join to
+    * apply it. */
+  private def pprSeed(node: Column): Column =
+    node % 2 === 1 &&
+      (shiftright((node - 1).cast("long"), 1) % 4 === 0)
+
+  /** 5-iteration PERSONALIZED PageRank: teleport mass returns to the
+    * g04 seed suppliers instead of spreading uniformly, so ranks answer
+    * "how close is this node to the seed set under random traversal" —
+    * the seed-relative importance used for recommendation candidates
+    * and crawl frontier scoring. Same integer fixed-point discipline as
+    * [[pageRank]] (per-edge floor division BEFORE the exact BIGINT sum,
+    * five unrolled CTE replays in the oracle) and the same per-round
+    * plan (one shuffle-join on src reusing the persisted edge layout,
+    * one map-side-combined dst aggregate, eager localCheckpoint); only
+    * the base term differs — it lands on seeds alone:
+    * r₀ = [v∈S]·(Scale div |S|);
+    * rₜ₊₁(v) = [v∈S]·(15·(Scale div |S|)) div 100
+    *           + (85·Σ_{u→v} rₜ(u) div deg(u)) div 100. */
+  def personalizedPageRank(t: Tables, iters: Int = 5): DataFrame = {
+    val edges = graft.InternalCaches.track {
+      val e = tradeEdges(t)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      e.join(deg, "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val nSeeds = nodes.filter(pprSeed(col("node"))).count()
+    val r0 = Scale / nSeeds
+    val base = 15L * r0 / 100L
+    var ranks = nodes
+      .select(col("node"),
+        when(pprSeed(col("node")), lit(r0)).otherwise(lit(0L)).as("r"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      // the dst aggregate covers all nodes (bidirectional edges, every
+      // node has in-degree ≥ 1 — the g01 argument); the seed-only base
+      // is a pure projection of the dst id, no join
+      ranks = edges
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("t"))
+        .select(col("dst").as("node"),
+          (when(pprSeed(col("dst")), lit(base)).otherwise(lit(0L)) +
+            expr("85 * t div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks
+      .select(col("node").as("node_id"),
+        when(col("node") % 2 === 1, "supplier").otherwise("customer").as("kind"),
+        col("r").as("rank_scaled"))
+      .orderBy(col("node_id"))
+  }
+
   /** Per-node triangle counts over the part co-purchase graph (distinct
     * part pairs sharing an order, both line quantities ≥ 25 — the
     * "bought together in volume" graph; ~325k edges / 232k triangles at
@@ -353,6 +408,22 @@ object GraphOps {
        |    FROM edges e JOIN $prev ON e.src = $prev.node
        |    GROUP BY e.dst) s USING (node))""".stripMargin
 
+  /** The g06 seed predicate in DuckDB SQL (must mirror [[pprSeed]]). */
+  private val pprSeedSql = "(node % 2 = 1 AND ((node - 1) // 2) % 4 = 0)"
+
+  /** One unrolled PPR iteration: the base term lands on seeds only. */
+  private def pprOracleIter(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT n.node,
+       |         CASE WHEN ${pprSeedSql.replace("node", "n.node")}
+       |              THEN (SELECT (15 * (${Scale} // count(*))) // 100 FROM seeds)
+       |              ELSE 0 END
+       |           + (85 * coalesce(s.t, 0)) // 100 AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node, sum($prev.r // e.deg) AS t
+       |    FROM edges e JOIN $prev ON e.src = $prev.node
+       |    GROUP BY e.dst) s USING (node))""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
       "g01_pagerank",
@@ -510,6 +581,40 @@ object GraphOps {
            |SELECT a AS cust_a, b AS cust_b, n_common, aa_e6, CAST(rk AS BIGINT) AS rk
            |FROM rk WHERE rk <= 10
            |ORDER BY cust_a, rk""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // g06: personalized PageRank from the g04 seed suppliers — see
+    // [[personalizedPageRank]]. The oracle unrolls the same five
+    // integer iterations with the seed-conditional base term.
+    GraftQuery(
+      "g06_personalized_pagerank",
+      "5-iteration integer personalized PageRank from the g04 seed suppliers",
+      (spark, dir) => personalizedPageRank(Tables(spark, dir)),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |eraw AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |deg AS (SELECT src, count(*) AS deg FROM eraw GROUP BY src),
+           |edges AS (SELECT eraw.src, eraw.dst, deg.deg FROM eraw JOIN deg USING (src)),
+           |nodes AS (SELECT DISTINCT src AS node FROM eraw),
+           |seeds AS (SELECT node FROM nodes WHERE $pprSeedSql),
+           |r0 AS (
+           |  SELECT node,
+           |         CASE WHEN $pprSeedSql
+           |              THEN (SELECT ${Scale} // count(*) FROM seeds) ELSE 0 END AS r
+           |  FROM nodes),
+           |${pprOracleIter("r0", "r1")},
+           |${pprOracleIter("r1", "r2")},
+           |${pprOracleIter("r2", "r3")},
+           |${pprOracleIter("r3", "r4")},
+           |${pprOracleIter("r4", "r5")}
+           |SELECT node AS node_id,
+           |       CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS kind,
+           |       CAST(r AS BIGINT) AS rank_scaled
+           |FROM r5
+           |ORDER BY node_id""".stripMargin)
     )
   )
 }

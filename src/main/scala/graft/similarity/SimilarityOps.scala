@@ -525,6 +525,41 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** The driver's embeddings arrive UNIT-normalized (verified at all
+    * three SFs), under which dot ≡ cosine and MIPS would be s05 in
+    * disguise — so s13 plants the norm structure the workload is
+    * about: each ITEM vector scales by (4 + vec_id mod 7)/4, the
+    * two-tower "learned popularity norm" (item score = direction ×
+    * norm; queries stay raw). Exact binary quarters → both engines
+    * scale and accumulate bit-identically in double. */
+  def mipsItemsScaled(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => x.cast("double") *
+          ((lit(4L) + col("vec_id") % 7L).cast("double") / lit(4.0)))
+        .as("embedding"))
+
+  /** Batch MIPS — maximum-inner-product top-k of `items` for each row
+    * of `queries` (qid, q_emb): raw dot product, NOT cosine, so a
+    * high-norm item legitimately outranks a nearer-by-angle one (the
+    * recommendation-serving score where item norm carries learned
+    * popularity). Same one-pass bounded-heap plan as
+    * [[bruteForceTopKBatch]]; the score is the only difference. */
+  def mipsTopKBatch(items: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val topk = graft.functions.expressions.GroupedTopK.topK(k)
+    items.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        simE4(dotProduct(col("embedding"), col("q_emb"))).as("dot_e4"))
+      .groupBy(col("qid"))
+      .agg(topk(col("dot_e4").cast("double"), col("vec_id")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as("vec_id"),
+        col("col").getField("score").cast("long").as("dot_e4"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Exact self-kNN JOIN — every vector gets its top-k neighbors (the
     * contrastive-pair / hard-negative mining primitive: each anchor's
     * nearest neighbors become its training pairs). One pass: the whole
@@ -1203,6 +1238,56 @@ object SimilarityOps {
           |  FROM sims)
           |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, sim_e4
           |FROM rk WHERE rk <= 5
+          |ORDER BY qid, rk""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s13: maximum-inner-product top-k (MIPS) — the recommendation
+    // retrieval primitive cosine cannot serve: when norms vary, a
+    // high-norm item legitimately outranks a nearer-by-angle one (norm
+    // carries learned popularity/quality in two-tower models), so
+    // dot-product order ≠ cosine order and s05 gives the WRONG answer
+    // for this workload. Item norms are planted ([[mipsItemsScaled]] —
+    // the driver embeddings are unit-norm, see its doc); queries stay
+    // raw. Brute batch pass = the oracle-exact gold path (one corpus
+    // scan, bounded-heap top-k, same shape as s05; integer 1e-4 score
+    // units). Scale path, documented not duplicated: the
+    // norm-augmentation reduction (Bachrach et al. 2014; Shrivastava &
+    // Li 2014, public papers) appends sqrt(M² − |x|²) to items and 0 to
+    // queries, making augmented-cosine order equal MIPS order — the
+    // EXISTING IVF/sign-LSH paths (s03/s06/s12) then serve MIPS with no
+    // new operator; only the embedding projection changes.
+    GraftQuery(
+      "s13_similarity_mips_topk",
+      "exact max-inner-product top-10 for a 5-query batch (planted item norms; dot order ≠ cosine order)",
+      (spark, dir) => {
+        val emb = Tables(spark, dir).embeddings
+        val queries = emb.filter(col("vec_id").isin(BatchQueryIds: _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+        mipsTopKBatch(mipsItemsScaled(emb), queries, k = 10)
+      },
+      Some(
+        s"""WITH items AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding::DOUBLE[],
+          |                        x -> x * ((4 + vec_id % 7) / 4.0)) AS emb
+          |  FROM embeddings),
+          |q AS (
+          |  SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+          |  WHERE vec_id IN ${batchIdsSql}),
+          |sims AS (
+          |  SELECT q.qid, e.vec_id,
+          |         CAST(round(list_dot_product(e.emb, q.q_emb::DOUBLE[])
+          |              * 10000) AS BIGINT) AS dot_e4
+          |  FROM items e CROSS JOIN q
+          |  WHERE e.vec_id <> q.qid),
+          |rk AS (
+          |  SELECT qid, vec_id, dot_e4,
+          |         row_number() OVER (PARTITION BY qid
+          |                            ORDER BY dot_e4 DESC, vec_id) AS rk
+          |  FROM sims)
+          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, dot_e4
+          |FROM rk WHERE rk <= 10
           |ORDER BY qid, rk""".stripMargin)
     )
   )

@@ -310,6 +310,73 @@ object PipelineQueries {
           |FROM split
           |GROUP BY split
           |ORDER BY split""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // p04: training-mix ASSEMBLY — the selection step downstream of the
+    // prep pipelines (p01–p03 produce clean corpora; p04 decides what
+    // the training run actually consumes): exact dedup over a corpus
+    // with planted duplicates (d01's convention, lang carried) → t22
+    // DSIR importance weights over the SURVIVORS (the distributions see
+    // each content once — weighting before dedup would double-count
+    // duplicated text) → greedy per-language 3k-token budget fill, best
+    // importance first (t11's window shape — partitioned by lang, so
+    // the cumulative sum parallelizes across languages; never a global
+    // single-partition window).
+    //
+    // Stages single-sourced: exactCanonical (p01's stage 3),
+    // TextOps.dsirWeights / dsirSqlOverCorpus (t22). Integer end to
+    // end: weights are exact BIGINT micro-unit sums, the budget gate is
+    // an exact cumulative BIGINT — full oracle.
+    GraftQuery(
+      "p04_training_mix",
+      "dedup -> DSIR importance weights -> per-language 3k-token budget mix",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val corpus = t.documents.select(col("doc_id"), col("lang"), col("text"))
+          .unionByName(t.documents.select(
+            (col("doc_id") + lit(100000L)).as("doc_id"), col("lang"),
+            concat(regexp_replace(col("text"), " ", "  "), lit(" ")).as("text")))
+        val survivors = exactCanonical(corpus)
+          .select(col("doc_id"), col("lang"), col("text"))
+        val weighted = TextOps.dsirWeights(survivors)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("weight_e6").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        weighted
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .where(col("cum_tokens") <= 3000L)
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("weight_e6"), col("cum_tokens"))
+          .orderBy(col("lang"), col("cum_tokens"))
+      },
+      Some(
+        s"""WITH corpus0 AS (
+          |  SELECT doc_id, lang, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, lang,
+          |         replace(text, ' ', '  ') || ' ' AS text
+          |  FROM documents),
+          |fp AS (
+          |  SELECT doc_id, lang, text,
+          |         min(doc_id) OVER (PARTITION BY
+          |           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS canon_id
+          |  FROM corpus0),
+          |corpus AS (SELECT doc_id, lang, text FROM fp WHERE doc_id = canon_id),
+          |${TextOps.dsirSqlOverCorpus},
+          |r AS (
+          |  SELECT doc_id, lang, n_tokens, weight_e6,
+          |         CAST(sum(n_tokens) OVER (PARTITION BY lang
+          |              ORDER BY weight_e6 DESC, doc_id
+          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |           AS cum_tokens
+          |  FROM dsir)
+          |SELECT doc_id, lang, n_tokens, weight_e6, cum_tokens
+          |FROM r
+          |WHERE cum_tokens <= 3000
+          |ORDER BY lang, cum_tokens""".stripMargin)
     )
   )
 }

@@ -25,6 +25,64 @@ object TextOps {
   private val punct = "[.,;:!?]"
   private val enStop = "\\b(the|and|of|to|is|a)\\b"
 
+  /** t22's DSIR scoring stage over an arbitrary (doc_id, lang, text)
+    * frame — single-sourced so composed pipelines (p04) run the EXACT
+    * same stage the standalone catalog entry oracles. See the t22
+    * entry's doc for the model and the integer-quantization argument.
+    * Returns (doc_id, lang, n_tokens, weight_e6). */
+  private[graft] def dsirWeights(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nb = 256L
+    val bucketed = docs.select(col("doc_id"), col("lang"),
+      explode(regexp_extract_all(lower(col("text")), lit(wsToken), lit(0)))
+        .as("term"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("term")), 1, 6), 16, 10).cast("long") % nb)
+          .as("b"))
+    val bc = bucketed.groupBy(col("b")).agg(
+      count(lit(1)).as("cnt_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_t"))
+    val tot = bc.agg(sum(col("cnt_r")).as("r_tot"), sum(col("cnt_t")).as("t_tot"))
+    val lr = bc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log(((col("cnt_t") + 1L) * (col("r_tot") + nb)).cast("double") /
+            ((col("cnt_r") + 1L) * (col("t_tot") + nb)).cast("double"))
+          * lit(1000000)).cast("long").as("lr_e6"))
+    bucketed.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_e6")).as("weight_e6"))
+  }
+
+  /** [[dsirWeights]] in DuckDB SQL over a CTE named `corpus`
+    * (doc_id, lang, text); terminates in a relation `dsir`
+    * (doc_id, lang, n_tokens, weight_e6). Declared before [[all]]:
+    * interpolated into oracle strings at object-init time. */
+  private[graft] val dsirSqlOverCorpus: String =
+    """tb AS (
+      |  SELECT doc_id, lang,
+      |         ('0x' || substr(md5(term), 1, 6))::BIGINT % 256 AS b
+      |  FROM (SELECT doc_id, lang,
+      |               unnest(regexp_extract_all(lower(text), '\S+')) AS term
+      |        FROM corpus)),
+      |bc AS (
+      |  SELECT b, count(*) AS cnt_r,
+      |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
+      |  FROM tb GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(cnt_r) AS BIGINT) AS r_tot,
+      |         CAST(sum(cnt_t) AS BIGINT) AS t_tot
+      |  FROM bc),
+      |lr AS (
+      |  SELECT b, CAST(round(ln(
+      |           CAST((cnt_t + 1) * (r_tot + 256) AS DOUBLE) /
+      |           CAST((cnt_r + 1) * (t_tot + 256) AS DOUBLE)) * 1000000)
+      |         AS BIGINT) AS lr_e6
+      |  FROM bc CROSS JOIN tot),
+      |dsir AS (
+      |  SELECT doc_id, lang, count(*) AS n_tokens,
+      |         CAST(sum(lr_e6) AS BIGINT) AS weight_e6
+      |  FROM tb JOIN lr USING (b)
+      |  GROUP BY doc_id, lang)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     // ------------------------------------------------------------------
     // t01: token counting + quality scoring. Counts are ints (exact);
@@ -815,57 +873,14 @@ object TextOps {
     GraftQuery(
       "t22_dsir_selection",
       "DSIR hashed importance weights vs lang='en' target; top-100 selection",
-      (spark, dir) => {
-        val t = Tables(spark, dir)
-        val nb = 256L
-        val tok = t.documents.select(col("doc_id"), col("lang"),
-          explode(regexp_extract_all(lower(col("text")), lit(wsToken), lit(0)))
-            .as("term"))
-        val bucketed = tok.select(col("doc_id"), col("lang"),
-          (conv(substring(md5(col("term")), 1, 6), 16, 10).cast("long") % nb)
-            .as("b"))
-        val bc = bucketed.groupBy(col("b")).agg(
-          count(lit(1)).as("cnt_r"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_t"))
-        val tot = bc.agg(sum(col("cnt_r")).as("r_tot"), sum(col("cnt_t")).as("t_tot"))
-        val lr = bc.crossJoin(broadcast(tot))
-          .select(col("b"),
-            round(log(((col("cnt_t") + 1L) * (col("r_tot") + nb)).cast("double") /
-                ((col("cnt_r") + 1L) * (col("t_tot") + nb)).cast("double"))
-              * lit(1000000)).cast("long").as("lr_e6"))
-        bucketed.join(broadcast(lr), Seq("b"))
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(count(lit(1)).as("n_tokens"), sum(col("lr_e6")).as("weight_e6"))
-          .orderBy(col("weight_e6").desc, col("doc_id"))
-          .limit(100)
-      },
+      (spark, dir) => dsirWeights(Tables(spark, dir).documents)
+        .orderBy(col("weight_e6").desc, col("doc_id"))
+        .limit(100),
       Some(
-        """WITH tok AS (
-          |  SELECT doc_id, lang,
-          |         unnest(regexp_extract_all(lower(text), '\S+')) AS term
-          |  FROM documents),
-          |tb AS (
-          |  SELECT doc_id, lang,
-          |         ('0x' || substr(md5(term), 1, 6))::BIGINT % 256 AS b
-          |  FROM tok),
-          |bc AS (
-          |  SELECT b, count(*) AS cnt_r,
-          |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
-          |  FROM tb GROUP BY 1),
-          |tot AS (
-          |  SELECT CAST(sum(cnt_r) AS BIGINT) AS r_tot,
-          |         CAST(sum(cnt_t) AS BIGINT) AS t_tot
-          |  FROM bc),
-          |lr AS (
-          |  SELECT b, CAST(round(ln(
-          |           CAST((cnt_t + 1) * (r_tot + 256) AS DOUBLE) /
-          |           CAST((cnt_r + 1) * (t_tot + 256) AS DOUBLE)) * 1000000)
-          |         AS BIGINT) AS lr_e6
-          |  FROM bc CROSS JOIN tot)
-          |SELECT doc_id, lang, count(*) AS n_tokens,
-          |       CAST(sum(lr_e6) AS BIGINT) AS weight_e6
-          |FROM tb JOIN lr USING (b)
-          |GROUP BY doc_id, lang
+        s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents),
+          |$dsirSqlOverCorpus
+          |SELECT doc_id, lang, n_tokens, weight_e6
+          |FROM dsir
           |ORDER BY weight_e6 DESC, doc_id
           |LIMIT 100""".stripMargin)
     ),

@@ -253,4 +253,44 @@ class GraphSpec extends SparkSpecBase {
     assert(capped === expected(3L))
     assert(capped !== got, "cap of 3 changed nothing — hub exclusion untested")
   }
+
+  test("g06: personalized ranks equal an exact driver-side integer replay; mass stays near seeds") {
+    val t = Tables(spark, sf0001)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (pairs ++ pairs.map(_.swap)).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nodes = edges.map(_._1).distinct.sorted
+    def isSeed(v: Long) = v % 2 == 1 && ((v - 1) / 2) % 4 == 0
+    val seeds = nodes.filter(isSeed)
+    val r0 = GraphOps.Scale / seeds.length
+    val base = 15L * r0 / 100L
+    var ranks = nodes.map(v => v -> (if (isSeed(v)) r0 else 0L)).toMap
+    (1 to 5).foreach { _ =>
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => ranks(s) / deg(s) }.sum).toMap
+      ranks = nodes.map(v =>
+        v -> ((if (isSeed(v)) base else 0L) + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val got = graft.queries.Catalog.queries("g06_personalized_pagerank")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    graft.InternalCaches.releaseAll()
+    assert(got.map(_._1).toSeq === nodes.toSeq, "node set")
+    got.foreach { case (id, kind, r) =>
+      assert(kind === (if (id % 2 == 1) "supplier" else "customer"))
+      assert(r === ranks(id), s"node $id rank")
+    }
+    // personalization: teleport mass returns to seeds, so the seed-set
+    // average rank must dominate the non-seed average
+    val (seedRanks, otherRanks) = got.partition(g => isSeed(g._1))
+    val seedAvg = seedRanks.map(_._3).sum / seedRanks.length
+    val otherAvg = otherRanks.map(_._3).sum / otherRanks.length
+    assert(seedAvg > otherAvg * 2,
+      s"ranks not personalized: seed avg $seedAvg vs other avg $otherAvg")
+    // mass conservation up to integer floor losses
+    val total = got.map(_._3).sum
+    assert(total <= GraphOps.Scale)
+  }
 }

@@ -117,4 +117,34 @@ class PipelineSpec extends SparkSpecBase {
     }
     assert(redactedTexts === 0L, s"$redactedTexts docs still contain PII after redaction")
   }
+
+  test("p04: dedup removes every planted copy; budget binds per language; selection is a weight prefix") {
+    val res = graft.queries.Catalog.queries("p04_training_mix")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(res.nonEmpty)
+    // the planted perturbed copies (id ≥ 100000) normalize-equal their
+    // originals and must all lose the canonical selection
+    assert(res.forall(_._1 < 100000L), "a planted duplicate survived into the mix")
+    res.groupBy(_._2).foreach { case (lang, rows) =>
+      // cumulative budget respected and consistent with the row order
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.last._5 <= 3000L, s"$lang over budget")
+      assert(sorted.map(_._3).scanLeft(0L)(_ + _).tail === sorted.map(_._5).toSeq,
+        s"$lang cumulative sum inconsistent")
+      // the selection is a PREFIX of the weight-descending order: every
+      // selected doc's weight is ≥ any unselected doc's weight would be —
+      // check monotone weights down the prefix instead (total order by
+      // (weight desc, doc_id) makes this deterministic)
+      val ws = sorted.map(r => (-r._4, r._1))
+      assert(ws === ws.sorted, s"$lang selection not in weight order")
+    }
+    // the budget actually bins: not every language fits all its docs
+    val docsPerLang = graft.io.Tables(spark, sf0001).documents
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val selPerLang = res.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(docsPerLang.exists { case (l, n) => selPerLang.getOrElse(l, 0L) < n },
+      "budget gate inert — every document of every language selected")
+  }
 }

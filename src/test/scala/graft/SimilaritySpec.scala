@@ -304,4 +304,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(mean >= 0.8,
       s"mean recall $mean below the retrieval-grade default's measured floor")
   }
+
+  test("s13: MIPS top-k equals an exact driver-side dot-product recompute and differs from cosine order") {
+    val emb = graft.io.Tables(spark, sf0001).embeddings
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // replicate the planted item norm: scale item id's vector by
+    // (4 + id mod 7)/4 in double; queries stay raw
+    def dotE4(id: Long, item: Array[Float], q: Array[Float]): Long = {
+      val f = (4L + id % 7L).toDouble / 4.0
+      var s = 0.0; var i = 0
+      while (i < item.length) { s += item(i).toDouble * f * q(i).toDouble; i += 1 }
+      math.round(s * 10000)
+    }
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val expected = qids.flatMap { q =>
+      emb.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, dotE4(id, v, emb(q))) }
+        .sortBy { case (id, d) => (-d, id) }.take(10).zipWithIndex
+        .map { case ((id, d), i) => (q, i + 1L, id, d) }
+    }
+    val got = graft.queries.Catalog.queries("s13_similarity_mips_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // the corpus has varying norms, so MIPS order must differ from
+    // cosine order for at least one query — otherwise s13 adds nothing
+    val cosine = graft.queries.Catalog.queries("s05_similarity_batch_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val mipsIds = got.map(g => (g._1, g._2, g._3))
+    assert(mipsIds !== cosine, "MIPS top-k identical to cosine top-k — norms carry no signal here")
+  }
 }

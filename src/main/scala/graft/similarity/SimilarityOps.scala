@@ -458,15 +458,86 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** IVF-PQ ADC top-k — the production ANN layout (FAISS IVFPQ family):
+    * the IVF coarse quantizer (s03/s12's integer k-means cells) bounds
+    * WHICH vectors are scored, the PQ codes (s10) bound WHAT is read
+    * per vector — M small ints instead of the raw embedding. A query
+    * probes its nprobe nearest cells and ADC-scores only the code rows
+    * of capped cells: candidate volume ≈ (nprobe/nCells)·N and bytes
+    * per candidate ≈ M — both knobs of the 100 TB cost model, composed.
+    * PQ here encodes RAW vectors, not residuals (FAISS
+    * `by_residual=false`): residual encoding refines accuracy but
+    * needs a per-cell recentering pass; the structural composition —
+    * the part with a distributed plan — is identical, and every stage
+    * stays integer → the whole index + query replays in DuckDB.
+    *
+    * Plan shape: both codebooks train once (persisted, driver sees only
+    * k×d ints), the probe choice and distance table are per-query
+    * broadcasts, and the single corpus-scale operation is the
+    * (cell-restricted codes) ⋈ (broadcast dtable) join feeding one
+    * map-side-combined SUM per (query, vector) — no window, no sort,
+    * ≤k rows per partition into the final heap. */
+  def ivfPqTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nCells: Int = 16, refine: Int = 2, nprobe: Int = 4,
+      m: Int = 4, kCodes: Int = 16, iters: Int = 2): DataFrame = {
+    val dsub = embeddingDim(emb, "embedding") / m
+    val embQ = withQuant(emb)
+    val centroids = graft.InternalCaches.track(
+      kmeansCentroidsInt(embQ.select(col("vec_id"), col("qemb")), nCells, refine)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val assigned = graft.dedup.DedupOps.capBlocks(
+      assignCellsInt(embQ, centroids, carry = Seq.empty),
+      Seq("cell_id"), graft.dedup.DedupOps.MaxBlock)
+    val pqCent = graft.InternalCaches.track(
+      pqCodebooksD(embQ.select(col("vec_id"), col("qemb")), m, kCodes, iters, dsub)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val codes = pqEncodeD(embQ.select(col("vec_id"), col("qemb")), pqCent, m, dsub)
+    val queriesQ = embQ.filter(col("vec_id").isin(queryIds: _*))
+    val probeK = graft.functions.expressions.GroupedTopK.topK(nprobe)
+    val probes = queriesQ.crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("qid"),
+        (-squaredDistanceLong(col("qemb"), col("c_qemb")).cast("double"))
+          .as("cell_sim"),
+        col("cell_id"))
+      .groupBy(col("qid"))
+      .agg(probeK(col("cell_sim"), col("cell_id")).as("cells"))
+      .select(col("qid"), explode(col("cells").getField("id")).as("cell_id"))
+    val dtable = subvectorsQ(queriesQ.select(col("vec_id"), col("qemb")), m, dsub)
+      .withColumnRenamed("vec_id", "qid")
+      .join(broadcast(pqCent), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        squaredDistanceLong(col("sq"), col("c_sq")).as("qd2"))
+    val topk = graft.functions.expressions.GroupedTopK.topK(k)
+    codes
+      .join(assigned.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+      .join(broadcast(probes), Seq("cell_id"))
+      .join(broadcast(dtable), Seq("qid", "sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd2")).as("adc_d2"))
+      .select(col("qid"), col("vec_id"), (-col("adc_d2")).as("neg_d2"))
+      .groupBy(col("qid"))
+      .agg(topk(col("neg_d2").cast("double"), col("vec_id")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as("vec_id"),
+        col("col").getField("score").cast("long").as("neg_d2"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Chained-CTE DuckDB replay of the integer PQ pipeline: emits `sv`
     * (vec_id, sub, sq — quantized subvectors), `pcent` (sub, code, c —
     * final codebooks) and `pcodes` (vec_id, sub, code — final
     * encodings). Same unrolled-iteration shape as [[kmeansCteSql]],
     * keyed by (sub, code) instead of cell_id. */
-  private def pqCteSql(m: Int, k: Int, iters: Int): String = {
+  private def pqCteSql(m: Int, k: Int, iters: Int,
+      withQe: Boolean = true): String = {
     val subs = (0 until m).mkString("[", ", ", "]")
     val sb = new StringBuilder
-    sb ++= s"qe AS (SELECT vec_id, ${quantSql("embedding")} AS q FROM embeddings),\n"
+    // s14 composes this after kmeansCteSql, which already emits an
+    // identical `qe` — emitting it twice is a CTE name collision
+    if (withQe)
+      sb ++= s"qe AS (SELECT vec_id, ${quantSql("embedding")} AS q FROM embeddings),\n"
     sb ++= s"dd AS (SELECT CAST(len(q) // $m AS INT) AS dsub FROM qe LIMIT 1),\n"
     sb ++= s"""sv AS (
        |  SELECT vec_id, s.sub,
@@ -1287,6 +1358,59 @@ object SimilarityOps {
           |                            ORDER BY dot_e4 DESC, vec_id) AS rk
           |  FROM sims)
           |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, dot_e4
+          |FROM rk WHERE rk <= 10
+          |ORDER BY qid, rk""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s14: IVF-PQ ADC — the two index structures the catalog builds
+    // separately (s03's coarse cells, s10's codes), composed into the
+    // production layout — see [[ivfPqTopKBatch]]. The oracle composes
+    // the SAME two CTE replays (kmeans chain + PQ chain, `qe` shared)
+    // with s12's hot-cell cap and s10's ADC scan restricted to the
+    // probed cells.
+    GraftQuery(
+      "s14_similarity_ivfpq_topk",
+      "IVF-PQ ADC top-10 for the 5-query batch (coarse cells × PQ codes, fully oracled)",
+      (spark, dir) =>
+        ivfPqTopKBatch(Tables(spark, dir).embeddings, BatchQueryIds, k = 10),
+      Some(
+        s"""WITH ${kmeansCteSql(16, 2)},
+          |keep AS (
+          |  SELECT a.vec_id, a.cell_id FROM asg a
+          |  JOIN (SELECT cell_id, count(*) AS n FROM asg GROUP BY cell_id) c
+          |    USING (cell_id)
+          |  WHERE c.n <= ${graft.dedup.DedupOps.MaxBlock}),
+          |${pqCteSql(4, 16, 2, withQe = false)},
+          |probe AS (
+          |  SELECT qid, cell_id FROM (
+          |    SELECT e.vec_id AS qid, c.cell_id,
+          |           row_number() OVER (PARTITION BY e.vec_id
+          |             ORDER BY ${intDistSql("e.q", "c.c")} ASC, c.cell_id ASC) AS rn
+          |    FROM qe e CROSS JOIN cent c
+          |    WHERE e.vec_id IN ${batchIdsSql}) WHERE rn <= 4),
+          |qsv AS (SELECT vec_id AS qid, sub, sq FROM sv
+          |        WHERE vec_id IN ${batchIdsSql}),
+          |dt AS (
+          |  SELECT q.qid, c.sub, c.code, ${intDistSql("q.sq", "c.c")} AS qd2
+          |  FROM qsv q JOIN pcent c ON q.sub = c.sub),
+          |cand AS (
+          |  SELECT p.qid, kp.vec_id
+          |  FROM probe p JOIN keep kp USING (cell_id)
+          |  WHERE kp.vec_id <> p.qid),
+          |adc AS (
+          |  SELECT c2.qid, c2.vec_id, CAST(sum(d.qd2) AS BIGINT) AS d2
+          |  FROM cand c2
+          |  JOIN pcodes p2 ON p2.vec_id = c2.vec_id
+          |  JOIN dt d ON d.qid = c2.qid AND d.sub = p2.sub AND d.code = p2.code
+          |  GROUP BY c2.qid, c2.vec_id),
+          |rk AS (
+          |  SELECT qid, vec_id, d2,
+          |         row_number() OVER (PARTITION BY qid
+          |                            ORDER BY d2 ASC, vec_id) AS rk
+          |  FROM adc)
+          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id,
+          |       CAST(-d2 AS BIGINT) AS neg_d2
           |FROM rk WHERE rk <= 10
           |ORDER BY qid, rk""".stripMargin)
     )

@@ -333,4 +333,28 @@ class SimilaritySpec extends SparkSpecBase {
     val mipsIds = got.map(g => (g._1, g._2, g._3))
     assert(mipsIds !== cosine, "MIPS top-k identical to cosine top-k — norms carry no signal here")
   }
+
+  test("s14: IVF-PQ is deterministic, score-ordered, and finds real neighbors through both quantizers") {
+    def run() = graft.queries.Catalog.queries("s14_similarity_ivfpq_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = run()
+    graft.InternalCaches.releaseAll()
+    assert(run() === got, "IVF-PQ not deterministic across runs")
+    graft.InternalCaches.releaseAll()
+    assert(got.map(_._1).distinct.sorted === Seq(0L, 1L, 2L, 3L, 4L))
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.size === 10)
+      // ADC scores are negated squared distances: descending down the list
+      assert(sorted.map(_._4).zip(sorted.map(_._4).tail).forall { case (a, b) => a >= b })
+    }
+    // through BOTH lossy quantizers (coarse cells + 4×16 PQ), the index
+    // must still find a real share of the exact top-10 — the point of
+    // composing the structures instead of stacking noise
+    val exact = graft.queries.Catalog.queries("s05_similarity_batch_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.map(g => (g._1, g._3)).count(exact.contains).toDouble / exact.size
+    info(f"s14 recall@10 vs exact = $recall%.3f (nprobe=4/16 cells, 4x16 PQ)")
+    assert(recall >= 0.3, s"IVF-PQ recall $recall collapsed")
+  }
 }

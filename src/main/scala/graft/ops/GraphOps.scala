@@ -373,10 +373,15 @@ object GraphOps {
     * the spec can exercise the hub-exclusion path on test-scale data. */
   def linkPrediction(t: Tables, hubCap: Long = LinkHubCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = t.orders
-      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
+    // persisted: the distinct pair table feeds THREE consumers (degree
+    // dimension, query edge set, candidate side) — without the barrier
+    // Catalyst recomputes the orders⋈lineitem distinct per consumer
+    val pairs = graft.InternalCaches.track(
+      t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val inv = pairs.groupBy(col("supp")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2 && col("deg") <= hubCap)
       .select(col("supp"),

@@ -1086,6 +1086,64 @@ object TextOps {
           |       coalesce(sum_lp_e6, 0) AS sum_lp_e6
           |FROM documents LEFT JOIN d USING (doc_id)
           |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t25: per-source lexical diversity profile — the corpus-triage
+    // metrics a mix designer reads before weighting sources: vocabulary
+    // size, type-token ratio (distinct terms per token), hapax ratio
+    // (fraction of the vocabulary seen exactly once — high = diverse or
+    // noisy, low = templated), and the top single term's token share
+    // (boilerplate detector at source granularity, complementing t08's
+    // per-document gate). All ratios in integer micro-units by BIGINT
+    // floor division — exact cross-engine.
+    //
+    // Plan shape: two map-side-combined hash aggregates — (source,
+    // term) term frequencies, then per-source rollup over the
+    // vocabulary-sized frame; no window, no join. A billion-row source
+    // reduces its term counts map-side — the word-count shape.
+    GraftQuery(
+      "t25_source_lexical_profile",
+      "per-source vocab size, type-token ratio, hapax ratio, top-term share (integer micro-units)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.documents
+          .select(col("source"),
+            explode(regexp_extract_all(lower(col("text")), lit(wsToken), lit(0)))
+              .as("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .groupBy(col("source"))
+          .agg(sum(col("tf")).as("n_tokens"),
+            count(lit(1)).as("n_vocab"),
+            sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+            max(col("tf")).as("top_tf"))
+          .selectExpr("source", "n_tokens", "n_vocab", "n_hapax", "top_tf",
+            "n_vocab * 1000000 div n_tokens AS ttr_e6",
+            "n_hapax * 1000000 div n_vocab AS hapax_e6",
+            "top_tf * 1000000 div n_tokens AS top_share_e6")
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH tf AS (
+          |  SELECT source, term, count(*) AS tf FROM (
+          |    SELECT source,
+          |           unnest(regexp_extract_all(lower(text), '\S+')) AS term
+          |    FROM documents)
+          |  GROUP BY 1, 2),
+          |prof AS (
+          |  SELECT source,
+          |         CAST(sum(tf) AS BIGINT) AS n_tokens,
+          |         CAST(count(*) AS BIGINT) AS n_vocab,
+          |         CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+          |         CAST(max(tf) AS BIGINT) AS top_tf
+          |  FROM tf GROUP BY 1)
+          |SELECT source, n_tokens, n_vocab, n_hapax, top_tf,
+          |       CAST(n_vocab * 1000000 // n_tokens AS BIGINT) AS ttr_e6,
+          |       CAST(n_hapax * 1000000 // n_vocab AS BIGINT) AS hapax_e6,
+          |       CAST(top_tf * 1000000 // n_tokens AS BIGINT) AS top_share_e6
+          |FROM prof
+          |ORDER BY source""".stripMargin)
     )
   )
 

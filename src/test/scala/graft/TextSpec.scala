@@ -526,4 +526,32 @@ class TextSpec extends SparkSpecBase {
       if (n > 0) assert(s < 0L)
     }
   }
+
+  test("t25: per-source lexical profile equals an exact driver-side recompute") {
+    val res = graft.queries.Catalog.queries("t25_source_lexical_profile")(spark, sf0001)
+      .collect()
+    val rows = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = rows.groupBy(_._1)
+    assert(res.length === bySource.size)
+    res.foreach { r =>
+      val src = r.getString(0)
+      val toks = bySource(src)
+        .flatMap(_._2.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      val tf = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = toks.length.toLong
+      val v = tf.size.toLong
+      val hapax = tf.values.count(_ == 1L).toLong
+      val top = tf.values.max
+      assert(r.getAs[Long]("n_tokens") === n, s"$src n_tokens")
+      assert(r.getAs[Long]("n_vocab") === v, s"$src n_vocab")
+      assert(r.getAs[Long]("n_hapax") === hapax, s"$src n_hapax")
+      assert(r.getAs[Long]("top_tf") === top, s"$src top_tf")
+      assert(r.getAs[Long]("ttr_e6") === v * 1000000L / n)
+      assert(r.getAs[Long]("hapax_e6") === hapax * 1000000L / v)
+      assert(r.getAs[Long]("top_share_e6") === top * 1000000L / n)
+    }
+    // profiles must differentiate sources (otherwise the metric is inert)
+    assert(res.map(_.getAs[Long]("ttr_e6")).distinct.length > 1)
+  }
 }

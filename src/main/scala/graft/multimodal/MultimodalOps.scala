@@ -376,7 +376,76 @@ object MultimodalOps {
       }
       Some(AudioFeatures(r.media_id, rate, n.toLong, sumSq, peak, zc, sumWinPeak))
     }
+
+    /** [[encodeWav]] for media `mediaId` with the WAVEFORM of
+      * `formulaId` and an extra LIST/INFO metadata chunk between fmt
+      * and data — a container-level re-encode: byte-different payload,
+      * bit-identical decoded PCM. m05's planted duplicate class. */
+    def encodeWavWithMeta(mediaId: Long, formulaId: Long): Array[Byte] = {
+      val n = nSamples(formulaId)
+      val rate = sampleRate(formulaId)
+      val meta = s"INFOgraft-reencode".getBytes("US-ASCII") // even length
+      val dataBytes = n * 2
+      val buf = java.nio.ByteBuffer
+        .allocate(44 + 8 + meta.length + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII"))
+        .putInt(36 + 8 + meta.length + dataBytes)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort).putShort(1.toShort)
+        .putInt(rate).putInt(rate * 2)
+        .putShort(2.toShort).putShort(16.toShort)
+      buf.put("LIST".getBytes("US-ASCII")).putInt(meta.length).put(meta)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      var i = 0
+      while (i < n) { buf.putShort(synthSample(formulaId, i).toShort); i += 1 }
+      buf.array()
+    }
+
+    /** Decode to a content identity: two integer hash sums over the
+      * DECODED samples (position-weighted value and value² sums — exact
+      * BIGINT, order-fixed, SQL-replayable), plus the sample count.
+      * Container bytes (chunk layout, metadata) do NOT contribute:
+      * payloads that decode to the same PCM get the same identity. */
+    def decodeContentHash(r: AudioRecord): Option[AudioContentHash] = {
+      val p = r.payload
+      if (p.length < 12 ||
+        new String(p, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(p, 8, 4, "US-ASCII") != "WAVE") return None
+      val buf = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var rate = -1; var channels = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      while (pos + 8 <= p.length && (rate < 0 || dataOff < 0)) {
+        val id = new String(p, pos, 4, "US-ASCII")
+        val len = buf.getInt(pos + 4)
+        if (len < 0 || pos + 8 + len > p.length) return None
+        if (id == "fmt ") {
+          if (len < 16) return None
+          if (buf.getShort(pos + 8).toInt != 1) return None
+          channels = buf.getShort(pos + 10).toInt
+          rate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22).toInt
+        } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+        pos += 8 + len + (len & 1)
+      }
+      if (rate < 0 || dataOff < 0 || channels != 1 || bits != 16) return None
+      val n = dataLen / 2
+      var h1 = 0L; var h2 = 0L; var i = 0
+      while (i < n) {
+        val u = (buf.getShort(dataOff + i * 2).toInt + 32768).toLong
+        h1 += u * (i + 1)
+        h2 += u * u * (i + 1)
+        i += 1
+      }
+      Some(AudioContentHash(r.media_id, n.toLong, h1, h2))
+    }
   }
+
+  /** One decoded-content identity row (see WavCodec.decodeContentHash). */
+  final case class AudioContentHash(media_id: Long, n_samples: Long,
+      h1: Long, h2: Long)
 
   /** Fabricate the deterministic WAV corpus from `documents` (encoding
     * happens per-partition in executors; payload bytes never touch the
@@ -652,6 +721,64 @@ object MultimodalOps {
           |       ws.sum_window_peak AS sum_window_peak
           |FROM m JOIN agg a USING (media_id) JOIN ws USING (media_id)
           |ORDER BY media_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // m05: container-invariant audio dedup — the multimodal analog of
+    // d01's normalize-then-hash: a re-encoded file (different chunk
+    // layout, added metadata, different bytes) whose DECODED PCM is
+    // bit-identical to another IS a duplicate, and a byte-level
+    // fingerprint structurally misses it. The corpus plants exactly
+    // that class: every WAV ∪ a LIST-chunk re-encode of it (payload
+    // md5 differs; samples identical). Identity = (n_samples, h1, h2)
+    // over the decoded samples — two position-weighted exact BIGINT
+    // sums computed in the same one-pass RIFF walk as m04, so the
+    // whole operator replays in DuckDB from the closed-form waveform
+    // (the m04 convention — this is the SECOND fully-oracled
+    // multimodal entry). One shuffle on the identity key; decode is
+    // partition-batched mapPartitions, no payload ever shuffles.
+    GraftQuery(
+      "m05_dedup_audio_content",
+      "container-invariant exact audio dedup: decoded-PCM identity groups (planted re-encodes)",
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        val ids = graft.ops.FanOut.ds(
+          t.documents.select(col("doc_id").cast("long")).as[Long])
+        val corpus = ids.mapPartitions(_.flatMap(id => Iterator(
+          AudioRecord(id, WavCodec.encodeWav(id)),
+          AudioRecord(id + 100000L, WavCodec.encodeWavWithMeta(id + 100000L, id)))))
+        corpus.mapPartitions(_.flatMap(WavCodec.decodeContentHash))
+          .toDF()
+          .groupBy(col("n_samples"), col("h1"), col("h2"))
+          .agg(min(col("media_id")).as("canonical_id"),
+            count(lit(1)).as("dup_cnt"))
+          .select(col("canonical_id"), col("dup_cnt"),
+            col("n_samples"), col("h1"), col("h2"))
+          .orderBy(col("canonical_id"))
+      },
+      Some(
+        """WITH m AS (SELECT doc_id AS fid FROM documents),
+          |ids AS (
+          |  SELECT fid, fid AS media_id FROM m
+          |  UNION ALL
+          |  SELECT fid, fid + 100000 AS media_id FROM m),
+          |s AS (
+          |  SELECT media_id, fid, i,
+          |         ((fid * 7 + i * i) % 65536) - 32768 AS v
+          |  FROM ids, generate_series(0, 1499) AS g(i)
+          |  WHERE i < 500 + fid % 1000),
+          |h AS (
+          |  SELECT media_id,
+          |         CAST(count(*) AS BIGINT) AS n_samples,
+          |         CAST(sum((v + 32768) * (i + 1)) AS BIGINT) AS h1,
+          |         CAST(sum((v + 32768) * (v + 32768) * (i + 1)) AS BIGINT) AS h2
+          |  FROM s GROUP BY media_id)
+          |SELECT min(media_id) AS canonical_id,
+          |       CAST(count(*) AS BIGINT) AS dup_cnt, n_samples, h1, h2
+          |FROM h
+          |GROUP BY n_samples, h1, h2
+          |ORDER BY canonical_id""".stripMargin)
     )
   )
 }

@@ -241,4 +241,26 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.forall(_.getAs[Long]("sum_sq") > 0L))
     assert(out.forall(r => r.getAs[Int]("peak") > 0 && r.getAs[Int]("peak") <= 32768))
   }
+
+  test("m05: re-encoded WAVs differ byte-wise but share decoded-PCM identity; every group pairs up") {
+    import graft.multimodal.MultimodalOps.{AudioRecord, WavCodec}
+    // the planted class, checked at the codec level: different bytes,
+    // identical decoded identity
+    val orig = WavCodec.encodeWav(7L)
+    val re = WavCodec.encodeWavWithMeta(100007L, 7L)
+    assert(!java.util.Arrays.equals(orig, re), "re-encode did not change the container bytes")
+    val ho = WavCodec.decodeContentHash(AudioRecord(7L, orig)).get
+    val hr = WavCodec.decodeContentHash(AudioRecord(100007L, re)).get
+    assert((ho.n_samples, ho.h1, ho.h2) === ((hr.n_samples, hr.h1, hr.h2)),
+      "decoded identity differs across containers")
+    // the catalog query: one group per document, each holding exactly
+    // the original + its re-encode, canonical = the original id
+    val out = graft.queries.Catalog.queries("m05_dedup_audio_content")(spark, sf0001)
+      .collect()
+    val nDocs = graft.io.Tables(spark, sf0001).documents.count()
+    assert(out.length.toLong === nDocs)
+    assert(out.forall(_.getAs[Long]("dup_cnt") === 2L),
+      "a re-encode escaped its original's identity group")
+    assert(out.forall(_.getAs[Long]("canonical_id") < 100000L))
+  }
 }

@@ -97,5 +97,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bpe_decode",
         "bpe_decode(ids, merges) - UTF-8 decode of BPE token ids for a packed array<long> merge list"),
       (args: Seq[Expression]) => BpeDecode(args(0), args(1))))
+    // Spark's runtime-filter bloom pair, internal-only in the builtin
+    // registry (used by InjectRuntimeFilter) — exposed here so EXPLICIT
+    // bloom-prefilter plans can be written where the optimizer's
+    // heuristic would not inject one (t26: a broadcast ~KB bloom prunes
+    // the corpus-scale side map-side BEFORE any shuffle; the exact
+    // verify join downstream keeps the result exact).
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg",
+        "bloom_filter_agg(xxhash64(x), n_items, n_bits) - binary bloom filter over the input hashes"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0), args(1), args(2))))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      info("might_contain",
+        "might_contain(bloom, xxhash64(x)) - probabilistic membership probe (no false negatives)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(args(0), args(1))))
   }
 }

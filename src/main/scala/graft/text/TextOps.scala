@@ -1144,6 +1144,74 @@ object TextOps {
           |       CAST(top_tf * 1000000 // n_tokens AS BIGINT) AS top_share_e6
           |FROM prof
           |ORDER BY source""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t26: decontamination with an EXPLICIT bloom prefilter — t14's
+    // task (flag training docs sharing word-n-grams with the eval
+    // split; n = 5 here) re-planned for the 100 TB asymmetry: the eval
+    // gram set is tiny and the training gram stream is the corpus, so
+    // the right plan broadcasts a ~KB bloom built from the eval grams
+    // and kills non-member training grams MAP-SIDE, before any
+    // exchange — where t14's plain semi-join shuffles the full
+    // training gram stream. Spark's runtime-filter machinery only
+    // injects this pattern under heuristics tuned for joins it can
+    // see through; here the bloom is EXPLICIT (bloom_filter_agg /
+    // might_contain, exposed via GraftExtensions). Correctness is
+    // unchanged by the bloom: no false negatives, and the exact
+    // semi-join downstream removes false positives — so the oracle is
+    // the plain exact SQL, and a bloom FP can never change a row.
+    // PlanShapeSpec asserts might_contain gates the stream before the
+    // join.
+    GraftQuery(
+      "t26_decontaminate_bloom",
+      "t14's gram decontamination behind an explicit broadcast-bloom prefilter (exact result)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val grams = t.documents
+          .select(col("doc_id"),
+            call_function("word_ngram_hashes", col("text"), lit(5)).as("gs"))
+        val evalGrams = grams.filter(col("doc_id") % 10 === 0)
+          .select(explode(col("gs")).as("g")).distinct()
+        // the build side materializes to the driver as a ~100 KB binary
+        // (exactly how injected runtime filters broadcast their bloom) —
+        // might_contain requires a CONSTANT bloom, so it rides the plan
+        // as a literal; the driver never sees gram rows, only the filter
+        val bfBytes = evalGrams.agg(
+          call_function("bloom_filter_agg",
+            xxhash64(col("g")), lit(100000L), lit(800000L)).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        val train = grams.filter(col("doc_id") % 10 =!= 0)
+        val hits = train.select(col("doc_id"), explode(col("gs")).as("g"))
+          .filter(call_function("might_contain", lit(bfBytes), xxhash64(col("g"))))
+          .join(evalGrams, Seq("g"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+        train.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("hits"), lit(0L)).as("n_contaminated"),
+            when(coalesce(col("hits"), lit(0L)) > 0, lit(1L)).otherwise(lit(0L))
+              .as("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH grams AS (
+          |  SELECT doc_id,
+          |         list_distinct([array_to_string(ws[i:i+4], ' ')
+          |                        FOR i IN range(1, greatest(len(ws) - 3, 2))]) AS gs
+          |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents)),
+          |eg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 10 = 0),
+          |tr AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 10 <> 0),
+          |hits AS (
+          |  SELECT doc_id, count(*) AS hits FROM tr
+          |  WHERE g IN (SELECT g FROM eg) GROUP BY doc_id)
+          |SELECT g.doc_id, CAST(len(g.gs) AS BIGINT) AS n_grams,
+          |       CAST(coalesce(h.hits, 0) AS BIGINT) AS n_contaminated,
+          |       CAST(CASE WHEN coalesce(h.hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+          |         AS contaminated
+          |FROM grams g LEFT JOIN hits h USING (doc_id)
+          |WHERE g.doc_id % 10 <> 0
+          |ORDER BY doc_id""".stripMargin)
     )
   )
 

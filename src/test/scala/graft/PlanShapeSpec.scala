@@ -163,6 +163,15 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"scoring join not broadcast:\n$p")
   }
 
+  test("t26: explicit bloom prefilter gates the gram stream; exact semi-join retained") {
+    val p = planOf("t26_decontaminate_bloom")
+    // the literal bloom probe must appear as a scan-side filter (the
+    // map-side kill BEFORE any exchange), and the exact semi-join must
+    // survive it (the bloom only prunes; it never decides a row)
+    assert(p.contains("might_contain"), s"bloom probe missing from the plan:\n$p")
+    assert(p.contains("LeftSemi"), s"exact verify semi-join missing:\n$p")
+  }
+
   test("no catalog plan contains an unbounded cartesian product") {
     // BroadcastNestedLoopJoin with a broadcast 1-to-few-row side is the
     // intended shape for query-vector attachment; CartesianProduct

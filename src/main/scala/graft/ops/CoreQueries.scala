@@ -2304,6 +2304,49 @@ object CoreQueries {
           |            ELSE 63 * 4503599627370496 // s.kth_hash END AS BIGINT) AS est_distinct
           |FROM sk s JOIN ex e USING (ship_year)
           |ORDER BY s.ship_year""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q70: metadata-only aggregation — COUNT/MIN/MAX answered from
+    // parquet FOOTER STATISTICS, zero data pages read (Spark's DSv2
+    // aggregate pushdown: `PushedAggregation` in the scan). At 100 TB
+    // this is the difference between a catalog-size and a corpus-size
+    // query: row-group stats are ~KB per file and already maintained by
+    // every writer, so "how many rows / what date range does this table
+    // span" costs a footer walk, not a scan. The child session opts the
+    // parquet read into the V2 path (pushdown is a DSv2 capability; V1
+    // is Spark's default) and enables the pushdown flag; the oracle is
+    // the plain full-scan aggregate — footer stats are EXACT for
+    // count/min/max, so pushdown can never change a value.
+    // PlanShapeSpec asserts PushedAggregation actually reached the scan.
+    GraftQuery(
+      "q70_stats_only_agg",
+      "table-span stats (count, key and measure min/max) from parquet footers, zero data pages",
+      (spark, dir) => {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        s.conf.set("spark.sql.sources.useV1SourceList", "")
+        val t = Tables(s, dir)
+        // stats-pushable types only: the shipdate column is stored as
+        // parquet TIMESTAMP (not DATE), a type Spark's footer pushdown
+        // rejects — including it would silently abort the WHOLE
+        // pushdown and fall back to a full scan (the PlanShapeSpec
+        // guard exists exactly for that regression)
+        t.lineitem
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min(col("l_orderkey")).as("min_orderkey"),
+            max(col("l_orderkey")).as("max_orderkey"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+      },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |       CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+          |       CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+          |       min(l_quantity) AS min_qty,
+          |       max(l_quantity) AS max_qty
+          |FROM lineitem""".stripMargin)
     )
   )
 

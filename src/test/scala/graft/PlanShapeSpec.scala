@@ -172,6 +172,12 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("LeftSemi"), s"exact verify semi-join missing:\n$p")
   }
 
+  test("q70: the aggregate is pushed into the parquet scan (footer-stats answer)") {
+    val p = planOf("q70_stats_only_agg")
+    assert(p.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregate not pushed to the scan:\n$p")
+  }
+
   test("no catalog plan contains an unbounded cartesian product") {
     // BroadcastNestedLoopJoin with a broadcast 1-to-few-row side is the
     // intended shape for query-vector attachment; CartesianProduct

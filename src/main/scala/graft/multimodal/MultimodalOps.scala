@@ -345,7 +345,10 @@ object MultimodalOps {
       while (pos + 8 <= p.length && (rate < 0 || dataOff < 0)) {
         val id = new String(p, pos, 4, "US-ASCII")
         val len = buf.getInt(pos + 4)
-        if (len < 0 || pos + 8 + len > p.length) return None
+        // Long arithmetic: a hostile/corrupt chunk length near
+        // Int.MaxValue overflows `pos + 8 + len` to negative and slips
+        // past an int-typed bound check into an out-of-bounds read
+        if (len < 0 || pos.toLong + 8L + len.toLong > p.length) return None
         if (id == "fmt ") {
           if (len < 16) return None
           val fmt = buf.getShort(pos + 8).toInt
@@ -420,7 +423,10 @@ object MultimodalOps {
       while (pos + 8 <= p.length && (rate < 0 || dataOff < 0)) {
         val id = new String(p, pos, 4, "US-ASCII")
         val len = buf.getInt(pos + 4)
-        if (len < 0 || pos + 8 + len > p.length) return None
+        // Long arithmetic: a hostile/corrupt chunk length near
+        // Int.MaxValue overflows `pos + 8 + len` to negative and slips
+        // past an int-typed bound check into an out-of-bounds read
+        if (len < 0 || pos.toLong + 8L + len.toLong > p.length) return None
         if (id == "fmt ") {
           if (len < 16) return None
           if (buf.getShort(pos + 8).toInt != 1) return None

@@ -189,4 +189,48 @@ class EdgeCaseSpec extends SparkSpecBase {
       assert(r.getAs[Long]("revenue_cents") === r.getAs[Long]("max_item_cents"))
     }
   }
+
+  test("g05 with a hub cap below every supplier degree returns empty, not an error") {
+    // every supplier trades with >= 2 customers at sf0.001, so cap 1
+    // excludes the whole witness dimension — the correct answer is an
+    // empty prediction set, and the plan must not fail on it
+    val out = graft.ops.GraphOps
+      .linkPrediction(Tables(spark, sf0001), hubCap = 1L)
+      .collect()
+    graft.InternalCaches.releaseAll()
+    assert(out.isEmpty)
+  }
+
+  test("audio content-hash decode rejects corrupt and foreign payloads, never throws") {
+    import graft.multimodal.MultimodalOps.{AudioRecord, WavCodec}
+    val good = WavCodec.encodeWav(3L)
+    assert(WavCodec.decodeContentHash(AudioRecord(3L, good)).isDefined)
+    // truncated mid-header, mid-data, empty, and non-RIFF payloads
+    Seq(
+      good.take(10),
+      good.take(60),
+      Array.emptyByteArray,
+      "not a wav at all".getBytes("US-ASCII")
+    ).foreach { p =>
+      assert(WavCodec.decodeContentHash(AudioRecord(9L, p)).isEmpty,
+        s"corrupt payload of ${p.length} bytes decoded")
+    }
+    // a declared-but-overlong chunk length must be rejected, not read OOB
+    val lying = good.clone()
+    java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue) // data chunk claims 2 GB
+    assert(WavCodec.decodeContentHash(AudioRecord(9L, lying)).isEmpty)
+  }
+
+  test("MIPS batch with k larger than the corpus returns every item, ranked") {
+    import graft.similarity.SimilarityOps
+    val emb = Tables(spark, sf0001).embeddings.filter(col("vec_id") < 8L)
+    val queries = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val out = SimilarityOps
+      .mipsTopKBatch(SimilarityOps.mipsItemsScaled(emb), queries, k = 100)
+      .collect()
+    assert(out.length === 7, "expected all 7 non-self items")
+    assert(out.map(_.getAs[Long]("rk")).toSeq === (1L to 7L))
+  }
 }

@@ -864,6 +864,100 @@ object DedupOps {
           |       CAST(1000000 // count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS weight_e6
           |FROM fp
           |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // d14: MinHash estimator calibration — the measurement UNDER d02:
+    // for every LSH candidate pair, the signature-agreement estimate
+    // (agree/32 ≈ Jaccard, the identity the banding's recall math
+    // rests on) next to the exact shingle Jaccard, plus the signed
+    // error. This is how a pipeline owner picks bands/rows/thresholds
+    // for a new corpus: measure the estimator ON the candidates the
+    // index actually surfaces (which oversample high-agreement pairs —
+    // exactly the region the threshold lives in). Everything is the
+    // d02 machinery single-sourced (same shingles, signatures, bands,
+    // hot-bucket caps); agreement and both micro-unit ratios are
+    // integers, the whole chain replays in DuckDB.
+    //
+    // Plan shape: d02's one banding shuffle + one candidate join, then
+    // signature/shingle lookups re-join the persisted frames; no new
+    // corpus-scale work beyond d02's own.
+    GraftQuery(
+      "d14_minhash_estimator",
+      "per-candidate-pair MinHash agreement estimate vs exact Jaccard (signed error, micro-units)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val corpus = nearDupCorpus(t.documents)
+        val sh = graft.InternalCaches.track(
+          shingled(corpus).persist(StorageLevel.MEMORY_AND_DISK))
+        val sig = graft.InternalCaches.track(
+          withSignature(sh).persist(StorageLevel.MEMORY_AND_DISK))
+        val cands = candidatePairs(banded(sig))
+        val agree = expr(
+          "size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), b -> b))")
+        cands
+          .join(sig.select(col("doc_id").as("doc_a"), col("minhash").as("mh_a")), Seq("doc_a"))
+          .join(sig.select(col("doc_id").as("doc_b"), col("minhash").as("mh_b")), Seq("doc_b"))
+          .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("g_a"),
+            size(col("shingles")).as("n_a")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("g_b"),
+            size(col("shingles")).as("n_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            agree.cast("long").as("est_agree"),
+            call_function("sorted_intersect_size", col("g_a"), col("g_b"))
+              .cast("long").as("inter"),
+            col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
+          .selectExpr("doc_a", "doc_b", "est_agree",
+            "est_agree * 1000000 div 32 AS est_e6",
+            "inter * 1000000 div (n_a + n_b - inter) AS jaccard_e6",
+            "est_agree * 1000000 div 32 - inter * 1000000 div (n_a + n_b - inter) AS err_e6")
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(
+        s"""WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id,
+          |         regexp_replace(text, '(\\s+\\S+){3}$$', '') AS text
+          |  FROM documents),
+          |$minhashBandSql,
+          |buckets AS (
+          |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= $MaxBucket),
+          |pruned AS (
+          |  SELECT bands.doc_id, bands.band, bands.bkey
+          |  FROM bands JOIN buckets USING (band, bkey)),
+          |cand AS (
+          |  SELECT DISTINCT pa.doc_id AS doc_a, pb.doc_id AS doc_b
+          |  FROM pruned pa
+          |  JOIN pruned pb ON pa.band = pb.band AND pa.bkey = pb.bkey
+          |                AND pa.doc_id < pb.doc_id),
+          |agree AS (
+          |  SELECT doc_a, doc_b, CAST(count(*) FILTER (WHERE va = vb) AS BIGINT) AS est_agree
+          |  FROM (
+          |    SELECT c.doc_a, c.doc_b, unnest(sa.mhl) AS va, unnest(sb.mhl) AS vb
+          |    FROM cand c
+          |    JOIN sigl sa ON sa.doc_id = c.doc_a
+          |    JOIN sigl sb ON sb.doc_id = c.doc_b)
+          |  GROUP BY doc_a, doc_b),
+          |it AS (
+          |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+          |  FROM cand c
+          |  JOIN grams ga ON ga.doc_id = c.doc_a
+          |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.h = ga.h
+          |  GROUP BY 1, 2),
+          |calib AS (
+          |  SELECT a.doc_a, a.doc_b, a.est_agree,
+          |         CAST(a.est_agree * 1000000 // 32 AS BIGINT) AS est_e6,
+          |         CAST(coalesce(i.inter, 0) * 1000000
+          |              // (sa.n + sb.n - coalesce(i.inter, 0)) AS BIGINT) AS jaccard_e6
+          |  FROM agree a
+          |  LEFT JOIN it i USING (doc_a, doc_b)
+          |  JOIN sizes sa ON sa.doc_id = a.doc_a
+          |  JOIN sizes sb ON sb.doc_id = a.doc_b)
+          |SELECT doc_a, doc_b, est_agree, est_e6, jaccard_e6,
+          |       CAST(est_e6 - jaccard_e6 AS BIGINT) AS err_e6
+          |FROM calib
+          |ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 }

@@ -534,4 +534,30 @@ class DedupSpec extends SparkSpecBase {
       assert(mass <= 1000000L && mass > 1000000L - cs, s"cluster $fp mass $mass")
     }
   }
+
+  test("d14: estimator calibration is internally exact and statistically sane") {
+    val res = graft.queries.Catalog.queries("d14_minhash_estimator")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    graft.InternalCaches.releaseAll()
+    assert(res.nonEmpty)
+    res.foreach { case (a, b, agree, est, jacc, err) =>
+      assert(a < b)
+      // a candidate pair shares at least one full band = 4 signature rows
+      assert(agree >= 4L && agree <= 32L, s"($a,$b) agreement $agree")
+      assert(est === agree * 1000000L / 32L)
+      assert(err === est - jacc)
+      assert(jacc >= 0L && jacc <= 1000000L)
+    }
+    // the estimator must actually estimate: mean |err| well under the
+    // spacing of a couple of signature positions (1/32 ≈ 31250 e6-units;
+    // Var[est] = J(1-J)/32 puts typical error under ~2 positions)
+    val meanAbsErr = res.map(r => math.abs(r._6)).sum / res.length
+    assert(meanAbsErr < 100000L, s"mean |err| $meanAbsErr — estimator broken")
+    // high-agreement pairs are high-Jaccard pairs on this corpus
+    res.filter(_._3 === 32L).foreach { case (a, b, _, _, jacc, _) =>
+      assert(jacc >= 500000L, s"full-agreement pair ($a,$b) with Jaccard $jacc")
+    }
+  }
 }

@@ -61,13 +61,30 @@ object Tables {
 
   /** Source path → compacted copy path ("" = serve the raw file),
     * memoized per JVM rather than per session: the compacted files are
-    * session-INDEPENDENT (same rows, same width), and several catalog
-    * queries isolate conf changes in `spark.newSession()` — a
-    * session-keyed memo made each of those rewrite all ten tables on
-    * every invocation (q40 measured 1.1 s → 6.2 s; every streaming
-    * query paid ~1.5 s of the same tax). */
+    * session-INDEPENDENT (same rows, same JVM-core-derived width), and
+    * several catalog queries isolate conf changes in
+    * `spark.newSession()` — a session-keyed memo made each of those
+    * rewrite all ten tables on every invocation (q40 measured
+    * 1.1 s → 6.2 s; every streaming query paid ~1.5 s of the same tax).
+    *
+    * ASSUMPTION (by design): source parquet under a served path is
+    * immutable for the JVM's lifetime — the memo is keyed on path alone,
+    * so an in-place rewrite of an input file would be served from the
+    * stale compacted copy. The engine's inputs are the driver-generated
+    * read-only testdata dirs, which satisfy this; a deployment serving
+    * mutable paths should key on (path, mtime) instead.
+    *
+    * The map holds lazy cells, not values: `computeIfAbsent` only
+    * constructs the (cheap) cell inside the CHM bin lock, and the
+    * Spark rewrite job runs under the cell's own lazy-init lock — so
+    * concurrent FIRST readers of one path serialize on that path only,
+    * never on the map bin (which could block unrelated tables that
+    * happen to share a bin). */
+  private final class CompactCell(compute: () => String) {
+    lazy val resolved: String = compute()
+  }
   private val compactPath =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, CompactCell]()
 
   private def load(spark: SparkSession, dir: String): Tables = {
     def t(name: String) = compacted(spark, s"$dir/$name.parquet")
@@ -92,27 +109,35 @@ object Tables {
     * happens once per (session, dir) via the [[cache]] memo.
     */
   private def compacted(spark: SparkSession, path: String): DataFrame = {
-    val resolved = compactPath.computeIfAbsent(path, { p =>
-      val raw = spark.read.parquet(p)
-      val bytes =
-        try {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(spark.sessionState.newHadoopConf())
-            .getContentSummary(hp)
-            .getLength
-        } catch { case _: java.io.IOException => -1L }
-      if (bytes < CompactMinBytes || bytes > CompactMaxBytes) ""
-      else {
-        val width =
-          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-compact-")
-          .toString
-        raw.repartition(width).write.mode("overwrite").parquet(out)
-        out
-      }
-    })
+    val cell = compactPath.computeIfAbsent(path,
+      p => new CompactCell(() => rewriteIfSmall(spark, p)))
+    val resolved = cell.resolved
     spark.read.parquet(if (resolved.isEmpty) path else resolved)
+  }
+
+  /** The one-time rewrite decision + job for [[compacted]]. Width comes
+    * from the JVM's core count, NOT the calling session's
+    * shuffle-partition conf: the memo is JVM-wide, so a narrow session
+    * warming the cache first must not permanently pin every later
+    * session's scan parallelism below its core budget. */
+  private def rewriteIfSmall(spark: SparkSession, p: String): String = {
+    val raw = spark.read.parquet(p)
+    val bytes =
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sessionState.newHadoopConf())
+          .getContentSummary(hp)
+          .getLength
+      } catch { case _: java.io.IOException => -1L }
+    if (bytes < CompactMinBytes || bytes > CompactMaxBytes) ""
+    else {
+      val width = Runtime.getRuntime.availableProcessors
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-compact-")
+        .toString
+      raw.repartition(width).write.mode("overwrite").parquet(out)
+      out
+    }
   }
 
   /** events.ts normalization to session-TZ TIMESTAMP, the engine-wide

@@ -380,11 +380,13 @@ object MultimodalOps {
       Some(AudioFeatures(r.media_id, rate, n.toLong, sumSq, peak, zc, sumWinPeak))
     }
 
-    /** [[encodeWav]] for media `mediaId` with the WAVEFORM of
-      * `formulaId` and an extra LIST/INFO metadata chunk between fmt
-      * and data — a container-level re-encode: byte-different payload,
-      * bit-identical decoded PCM. m05's planted duplicate class. */
-    def encodeWavWithMeta(mediaId: Long, formulaId: Long): Array[Byte] = {
+    /** [[encodeWav]] with the WAVEFORM of `formulaId` and an extra
+      * LIST/INFO metadata chunk between fmt and data — a
+      * container-level re-encode: byte-different payload, bit-identical
+      * decoded PCM. m05's planted duplicate class. The duplicate's own
+      * media id lives only on its [[AudioRecord]]; the payload bytes
+      * depend on `formulaId` alone (by design — two ids, one content). */
+    def encodeWavWithMeta(formulaId: Long): Array[Byte] = {
       val n = nSamples(formulaId)
       val rate = sampleRate(formulaId)
       val meta = s"INFOgraft-reencode".getBytes("US-ASCII") // even length
@@ -753,7 +755,7 @@ object MultimodalOps {
           t.documents.select(col("doc_id").cast("long")).as[Long])
         val corpus = ids.mapPartitions(_.flatMap(id => Iterator(
           AudioRecord(id, WavCodec.encodeWav(id)),
-          AudioRecord(id + 100000L, WavCodec.encodeWavWithMeta(id + 100000L, id)))))
+          AudioRecord(id + 100000L, WavCodec.encodeWavWithMeta(id)))))
         corpus.mapPartitions(_.flatMap(WavCodec.decodeContentHash))
           .toDF()
           .groupBy(col("n_samples"), col("h1"), col("h2"))

@@ -119,6 +119,9 @@ object GraphOps {
     }
     val nodes = edges.select(col("src").as("node")).distinct()
     val nSeeds = nodes.filter(pprSeed(col("node"))).count()
+    require(nSeeds > 0,
+      "personalized PageRank needs a non-empty seed set: no graph node " +
+        "matches the seed predicate (corpus too small or predicate drift)")
     val r0 = Scale / nSeeds
     val base = 15L * r0 / 100L
     var ranks = nodes
@@ -389,10 +392,17 @@ object GraphOps {
           .cast("long").as("inv_e6"))
     val q = pairs.filter(col("cust") % 75 === 0)
       .select(col("cust").as("a"), col("supp"))
+    // No broadcast() hints here: `q` is 1/75 of the distinct pair table
+    // and `inv` is supplier-dimension-sized — both LINEAR in corpus size,
+    // so a forced hint would pin driver materialization and OOM at 100×.
+    // At test SFs AQE's runtime size stats convert both joins to
+    // broadcast-hash anyway (PlanShapeSpec asserts this); past the
+    // auto-threshold they degrade to shuffle-hash on `supp` with no
+    // semantic change — the size-adaptive plan the scale doc claims.
     val scored = pairs.select(col("cust").as("b"), col("supp"))
-      .join(broadcast(q), Seq("supp"))
+      .join(q, Seq("supp"))
       .filter(col("a") =!= col("b"))
-      .join(broadcast(inv), Seq("supp"))
+      .join(inv, Seq("supp"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_common"), sum(col("inv_e6")).as("aa_e6"))
     scored

@@ -1018,12 +1018,15 @@ object TextOps {
     // Plan shape: one generator projection builds per-row (w1,w2)
     // structs (descending-sequence guard as in t23), one
     // groupBy(w1,w2) hash agg for types, c1/V derived from that
-    // vocab-sized frame, the ≤|V²|-row log-prob dimension broadcast
+    // vocab-sized frame, the ≤|V²|-row log-prob dimension joined
     // back onto the bigram stream, one map-side-combined per-doc sum.
-    // At 100 TB the bigram-type table outgrows a broadcast and the
-    // scoring join flips to a shuffle hash join on (w1,w2) — same
-    // plan minus the hint; everything else already shuffles only on
-    // doc_id. Scales as a word-count job.
+    // The scoring join carries NO broadcast() hint: the bigram-TYPE
+    // table grows with vocabulary, and an explicit hint never flips —
+    // at test SF AQE's runtime stats pick broadcast-hash on their own
+    // (PlanShapeSpec asserts it), and at 100 TB the same unhinted join
+    // degrades to a shuffle hash join on (w1,w2) with no other plan
+    // change; everything else already shuffles only on doc_id.
+    // Scales as a word-count job.
     GraftQuery(
       "t24_bigram_logprob",
       "per-document corpus bigram log-likelihood (add-one smoothed, integer micro-logprobs)",
@@ -1051,7 +1054,7 @@ object TextOps {
             round(log((col("c2") + 1L).cast("double") /
                 (col("c1") + col("v")).cast("double")) * lit(1000000))
               .cast("long").as("lp_e6"))
-        val scored = bg.join(broadcast(lp), Seq("w1", "w2"))
+        val scored = bg.join(lp, Seq("w1", "w2"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_e6")).as("sum_lp_e6"))
         t.documents.select(col("doc_id"))
@@ -1171,19 +1174,39 @@ object TextOps {
         val grams = t.documents
           .select(col("doc_id"),
             call_function("word_ngram_hashes", col("text"), lit(5)).as("gs"))
-        val evalGrams = grams.filter(col("doc_id") % 10 === 0)
-          .select(explode(col("gs")).as("g")).distinct()
-        // the build side materializes to the driver as a ~100 KB binary
+        val evalGrams = graft.InternalCaches.track(
+          grams.filter(col("doc_id") % 10 === 0)
+            .select(explode(col("gs")).as("g")).distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // Size the bloom from the ACTUAL eval-gram cardinality (persisted
+        // — count + bloom build + semi-join all reuse one materialization)
+        // instead of a fixed 100k capacity: a fixed n silently degrades
+        // the FP rate (and so the prefilter's kill ratio) at larger SFs.
+        // ~8 bits/item ≈ 2% FP; floors keep degenerate corpora sane.
+        val nEval = evalGrams.count()
+        // the build side materializes to the driver as a ~KB-scale binary
         // (exactly how injected runtime filters broadcast their bloom) —
         // might_contain requires a CONSTANT bloom, so it rides the plan
         // as a literal; the driver never sees gram rows, only the filter
-        val bfBytes = evalGrams.agg(
-          call_function("bloom_filter_agg",
-            xxhash64(col("g")), lit(100000L), lit(800000L)).as("bf"))
-          .head().getAs[Array[Byte]]("bf")
+        val bfBytes: Array[Byte] =
+          if (nEval == 0) null
+          else {
+            val nItems = math.max(nEval, 1000L)
+            evalGrams.agg(
+              call_function("bloom_filter_agg",
+                xxhash64(col("g")), lit(nItems), lit(nItems * 8)).as("bf"))
+              .head().getAs[Array[Byte]]("bf")
+          }
         val train = grams.filter(col("doc_id") % 10 =!= 0)
-        val hits = train.select(col("doc_id"), explode(col("gs")).as("g"))
-          .filter(call_function("might_contain", lit(bfBytes), xxhash64(col("g"))))
+        val exploded = train.select(col("doc_id"), explode(col("gs")).as("g"))
+        // Empty eval split → bloom_filter_agg yields NULL; a null literal
+        // would fail might_contain's analysis, so skip the prefilter (the
+        // exact semi-join below is then trivially empty — correct).
+        val prefiltered =
+          if (bfBytes == null) exploded
+          else exploded.filter(
+            call_function("might_contain", lit(bfBytes), xxhash64(col("g"))))
+        val hits = prefiltered
           .join(evalGrams, Seq("g"), "left_semi")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
         train.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))

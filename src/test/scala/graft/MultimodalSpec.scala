@@ -247,7 +247,7 @@ class MultimodalSpec extends SparkSpecBase {
     // the planted class, checked at the codec level: different bytes,
     // identical decoded identity
     val orig = WavCodec.encodeWav(7L)
-    val re = WavCodec.encodeWavWithMeta(100007L, 7L)
+    val re = WavCodec.encodeWavWithMeta(7L)
     assert(!java.util.Arrays.equals(orig, re), "re-encode did not change the container bytes")
     val ho = WavCodec.decodeContentHash(AudioRecord(7L, orig)).get
     val hr = WavCodec.decodeContentHash(AudioRecord(100007L, re)).get

@@ -30,15 +30,36 @@ object Bench {
   private[graft] val Iters = 3
   private val ExtraSubSecondIters = 2
 
+  /** Loadavg gate for trusting an iteration: an iteration whose 1-min
+    * loadavg at start or end exceeds this ran in a co-tenant-contended
+    * window and its time is not evidence about the PLAN. The official
+    * r7/r8 artifacts were both load-poisoned (r8: headline 202 s vs
+    * ~131 s idle-equivalent, per-query load up to 18.8); min-of-N alone
+    * can't fix a window where every iteration is contended, so
+    * [[timeCatalog]] re-runs such queries (bounded) until a clean
+    * iteration lands. 8 on a 32-core box: the bench's own steady-state
+    * contribution measures ~3–4 (1-min average over mostly sub-second
+    * queries), so >8 means someone else is on the machine. */
+  private[graft] val LoadGate = 8.0
+
+  /** Per-query cap on gate-triggered re-runs, and a catalog-wide budget
+    * so a fully-contended hour degrades to the old behavior (min of the
+    * contended iterations, flagged) instead of doubling wall time. */
+  private val MaxGateRetries = 2
+  private val GateRetryBudget = 80
+
   /** One query's measurement: best-of-N seconds (-1 = failed), loadavg
-    * at query start AND end, iterations actually run, and every
-    * iteration's raw seconds. The raw series is what makes one contended
-    * window reconcilable after the fact: min-of-N with per-iter data
-    * shows whether a slow headline number was one poisoned iteration
-    * (iters disagree wildly, load spiked) or a real plan regression
-    * (all iterations slow at idle load). */
+    * at query start AND end, iterations actually run, every iteration's
+    * raw seconds, and `cleanMin` — whether at least one (non-failed)
+    * iteration ran entirely under [[LoadGate]], i.e. whether the min is
+    * trustworthy as a plan measurement. The raw series is what makes one
+    * contended window reconcilable after the fact: min-of-N with
+    * per-iter data shows whether a slow headline number was one poisoned
+    * iteration (iters disagree wildly, load spiked) or a real plan
+    * regression (all iterations slow at idle load). */
   final case class QueryTiming(name: String, sec: Double, qload1: Double,
-      qload1End: Double, iters: Int, allSecs: Seq[Double])
+      qload1End: Double, iters: Int, allSecs: Seq[Double],
+      cleanMin: Boolean = true, gateRetries: Int = 0)
 
   /** Warm up one-time JVM costs (codegen compiler, parquet reader,
     * broadcast machinery, shuffle system) so they don't land on the
@@ -64,32 +85,53 @@ object Bench {
       only: Set[String] = Set.empty): Seq[QueryTiming] = {
     def loadNow: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // (seconds, startLoad, endLoad) per iteration; clean = ran entirely
+    // under the gate. A negative loadavg (platform unsupported) counts
+    // as clean — no gating signal exists there.
+    var gateBudget = GateRetryBudget
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
       val qLoad = loadNow
-      def runOnce(): Double = {
+      def runOnce(): (Double, Double, Double) = {
+        val l0 = loadNow
         val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => -1.0 }
-        finally {
-          // Each invocation persists fresh intermediate frames (MinHash,
-          // IVF centroids); drop them between runs (outside the timed
-          // region) so cached blocks don't accumulate across iterations.
-          InternalCaches.releaseAll()
-          spark.catalog.clearCache()
-        }
+        val sec =
+          try {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => -1.0 }
+          finally {
+            // Each invocation persists fresh intermediate frames (MinHash,
+            // IVF centroids); drop them between runs (outside the timed
+            // region) so cached blocks don't accumulate across iterations.
+            InternalCaches.releaseAll()
+            spark.catalog.clearCache()
+          }
+        (sec, l0, loadNow)
       }
+      def clean(it: (Double, Double, Double)): Boolean =
+        it._1 >= 0 && it._2 <= LoadGate && it._3 <= LoadGate
       val base = (1 to Iters).map(_ => runOnce())
-      val times =
-        if (base.forall(_ >= 0) && base.min < 1.0)
+      var iters =
+        if (base.forall(_._1 >= 0) && base.map(_._1).min < 1.0)
           base ++ (1 to ExtraSubSecondIters).map(_ => runOnce())
         else base
+      // Load gate: if NO iteration ran under the gate, the min is a
+      // contention artifact, not a plan measurement — re-run (bounded
+      // per query and catalog-wide) until a clean iteration lands.
+      var retries = 0
+      while (!iters.exists(clean) && !iters.exists(_._1 < 0) &&
+          retries < MaxGateRetries && gateBudget > 0) {
+        retries += 1; gateBudget -= 1
+        iters = iters :+ runOnce()
+      }
+      val times = iters.map(_._1)
       // Any failed iteration marks the query failed; otherwise best-of-N.
       QueryTiming(name, if (times.exists(_ < 0)) -1.0 else times.min,
-        qLoad, loadNow, times.length, times)
+        qLoad, loadNow, times.length, times,
+        cleanMin = times.exists(_ < 0) || iters.exists(clean),
+        gateRetries = retries)
     }
   }
 
@@ -133,12 +175,18 @@ object Bench {
     val qloadsEnd = results.map(r =>
       s"\"" + r.name + "\":" + math.round(r.qload1End * 100) / 100.0)
       .mkString("{", ",", "}")
+    val qclean = results.map(r => s"\"" + r.name + "\":" + r.cleanMin)
+      .mkString("{", ",", "}")
     val total = results.map(_.sec).filter(_ >= 0).sum
     val failed = results.count(_.sec < 0)
+    val gateRetries = results.map(_.gateRetries).sum
+    val unclean = results.count(!_.cleanMin)
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","iters":$Iters,"agg":"min","failed":$failed,""" +
         s""""load1":$load1,"otherJvms":$otherJvms,""" +
+        s""""load_gate":$LoadGate,"gate_retries":$gateRetries,""" +
+        s""""unclean":$unclean,"qclean":$qclean,""" +
         s""""qload1":$qloads,"qload1_end":$qloadsEnd,""" +
         s""""qsecs":$qsecs,"qiters":$qiters}"""
     try {
@@ -154,6 +202,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
         s""""failed":$failed,"sf":"$sfDir","iters":$Iters,"agg":"min",""" +
         s""""load1":$load1,"otherJvms":$otherJvms,""" +
+        s""""load_gate":$LoadGate,"gate_retries":$gateRetries,""" +
+        s""""unclean":$unclean,""" +
         s""""queries_detail":"target/bench.json"}"""
     println(summary)
     spark.stop()

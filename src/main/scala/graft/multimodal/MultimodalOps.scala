@@ -514,9 +514,13 @@ object MultimodalOps {
     })
   }
 
-  /** One sampled frame of an animated payload. */
+  /** One sampled frame of an animated payload. `pixel_digest` is the
+    * exact integer gray-sum of the DECODED frame (byte-sum of the slice
+    * on the fallback path) — unlike `n_bytes` (PNG-encoder-dependent) it
+    * is a pure function of the pixel formula, which is what lets m02
+    * carry a full DuckDB oracle over the frame-sampling leg. */
   final case class Frame(media_id: Long, frame_idx: Int, n_bytes: Long,
-      payload: Array[Byte])
+      payload: Array[Byte], pixel_digest: Long)
 
   /** Frame sampling: every `every`-th REAL frame of each decodable
     * payload (GIF animations fan out to their actual frames, re-encoded
@@ -531,7 +535,8 @@ object MultimodalOps {
       if (frames.nonEmpty) {
         (0 until frames.length by every).iterator.map { f =>
           val bytes = MediaCodec.encodeImagePng(frames(f))
-          Frame(r.media_id, f, bytes.length.toLong, bytes)
+          Frame(r.media_id, f, bytes.length.toLong, bytes,
+            MediaCodec.graySum(frames(f)))
         }
       } else {
         val nFrames = MediaCodec.byteStatsFallback(r).n_frames
@@ -540,7 +545,8 @@ object MultimodalOps {
           val from = (f.toLong * n / nFrames).toInt
           val until = ((f + 1).toLong * n / nFrames).toInt
           val bytes = java.util.Arrays.copyOfRange(r.payload, from, until)
-          Frame(r.media_id, f, bytes.length.toLong, bytes)
+          Frame(r.media_id, f, bytes.length.toLong, bytes,
+            MediaCodec.byteSum(bytes))
         }
       }
     })
@@ -570,9 +576,19 @@ object MultimodalOps {
   val all: Seq[GraftQuery] = Seq(
     // ------------------------------------------------------------------
     // m01: binary ingest → partition-batched REAL decode (javax.imageio)
-    // → relational aggregation over extracted features. Deterministic but
-    // mapPartitions logic is not ANSI-SQL-expressible → rows-only; the
-    // ScalaTest pins decoded dimensions/frame counts for known payloads.
+    // → relational aggregation over extracted features. FULL oracle via
+    // the m04 closed-form-input technique ported to images: the corpus
+    // pixels are a closed-form f(id, x, y, frame), PNG is lossless, and
+    // the JDK GIF writer palettes the ≤256-gray pattern exactly
+    // (MultimodalSpec pins round-trip pixel fidelity for both codecs) —
+    // so decode(encode(f)) == f and DuckDB recomputes every aggregate
+    // (dims, frame counts, the exact pixel gray-sum digest) from the
+    // formula while Spark round-trips the real codecs. Any encoder,
+    // parser, frame-selection, or palette defect breaks the hash match.
+    // The one encoder-DEPENDENT scalar (compressed payload bytes) is
+    // deliberately not part of the output: it would pin the oracle to a
+    // specific PNG/GIF encoder implementation rather than to the decoded
+    // content.
     GraftQuery(
       "m01_multimodal_features",
       "binary payload → imageio decode (mapPartitions batches) → per-format feature aggregates",
@@ -583,23 +599,56 @@ object MultimodalOps {
           .groupBy(col("format"))
           .agg(
             count(lit(1)).as("n_media"),
-            sum(col("n_bytes")).as("total_bytes"),
+            sum(col("width").cast("long") * col("height") * col("n_frames"))
+              .as("total_pixels"),
             min(col("width")).as("min_width"),
             max(col("height")).as("max_height"),
-            sum(col("n_frames")).as("total_frames"),
-            // exact integer sum of decoded pixel bytes: driver-visible
-            // codec-drift canary (rows-only entries have no DuckDB
-            // oracle, but this integer changes if ANY decode changes)
+            sum(col("n_frames").cast("long")).as("total_frames"),
+            // exact integer sum of decoded first-frame pixel bytes —
+            // formerly the rows-only codec-drift canary, now the
+            // oracle-checked heart of the entry
             sum(col("pixel_digest")).as("pixel_digest"))
           .orderBy(col("format"))
       },
-      None
+      Some(
+        """WITH m AS (
+          |  SELECT doc_id AS id,
+          |         CASE WHEN doc_id % 4 = 3 THEN 'gif' ELSE 'png' END AS format,
+          |         8 + doc_id % 25 AS w,
+          |         8 + (doc_id * 3) % 17 AS h,
+          |         CASE WHEN doc_id % 4 = 3 THEN 2 + doc_id % 7 ELSE 1 END AS nf
+          |  FROM documents),
+          |px AS (
+          |  -- first-frame gray-sum from the closed-form pixel formula;
+          |  -- constant series bounds + filter (w <= 32, h <= 24 by
+          |  -- construction): the m04 generate_series convention
+          |  SELECT id, sum((x.x * 31 + y.y * 17 + id * 131) % 256) AS digest
+          |  FROM m, generate_series(0, 31) AS x(x), generate_series(0, 23) AS y(y)
+          |  WHERE x.x < w AND y.y < h
+          |  GROUP BY id)
+          |SELECT m.format AS format,
+          |       CAST(count(*) AS BIGINT) AS n_media,
+          |       CAST(sum(m.w * m.h * m.nf) AS BIGINT) AS total_pixels,
+          |       CAST(min(m.w) AS INT) AS min_width,
+          |       CAST(max(m.h) AS INT) AS max_height,
+          |       CAST(sum(m.nf) AS BIGINT) AS total_frames,
+          |       CAST(sum(px.digest) AS BIGINT) AS pixel_digest
+          |FROM m JOIN px ON m.id = px.id
+          |GROUP BY m.format
+          |ORDER BY format""".stripMargin)
     ),
 
     // ------------------------------------------------------------------
     // m02: the full media pipeline — resize to a fixed raster, sample
     // every 2nd frame, aggregate per format. Exercises payload-to-payload
     // chaining (resize) and row fan-out without shuffle (frame flatMap).
+    // FULL oracle (the m01/m04 closed-form technique): the deterministic
+    // nearest-neighbor resample (sx = ⌊x·w/64⌋) and the every-2nd-frame
+    // selection are both pure integer functions of (id, x, y, f), so
+    // DuckDB replays the resized-raster digest AND the per-frame decoded
+    // digests straight from the pixel formula while Spark round-trips
+    // the real codecs. Per-frame PNG re-encode byte sizes stay out of
+    // the output (encoder-implementation-dependent; see m01).
     GraftQuery(
       "m02_multimodal_resize_frames",
       "binary payload → imageio resize(64x64) + every-2nd-frame sample → per-raster frame stats",
@@ -617,17 +666,48 @@ object MultimodalOps {
           .toDF()
           .groupBy(col("media_id"))
           .agg(count(lit(1)).as("n_sampled"),
-            sum(col("n_bytes")).as("sampled_bytes"))
+            sum(col("pixel_digest")).as("frame_digest_part"))
         resized.join(frames, Seq("media_id"))
           .groupBy(col("width"), col("height"))
           .agg(count(lit(1)).as("n_media"),
             sum(col("n_sampled")).as("total_frames"),
-            sum(col("sampled_bytes")).as("total_bytes"),
-            // resized-raster drift canary (see m01's pixel_digest)
+            // decoded-pixel digest of every SAMPLED frame at source dims
+            sum(col("frame_digest_part")).as("frame_digest"),
+            // resized-raster digest at the 64x64 target
             sum(col("pixel_digest")).as("pixel_digest"))
           .orderBy(col("width"), col("height"))
       },
-      None
+      Some(
+        """WITH m AS (
+          |  SELECT doc_id AS id,
+          |         8 + doc_id % 25 AS w,
+          |         8 + (doc_id * 3) % 17 AS h,
+          |         CASE WHEN doc_id % 4 = 3 THEN 2 + doc_id % 7 ELSE 1 END AS nf
+          |  FROM documents),
+          |rz AS (
+          |  -- 64x64 nearest-neighbor resample of frame 0, digested from
+          |  -- the formula: source pixel of (x,y) is (x*w//64, y*h//64)
+          |  SELECT id, sum((((x.x * w) // 64) * 31 + ((y.y * h) // 64) * 17
+          |                  + id * 131) % 256) AS rdigest
+          |  FROM m, generate_series(0, 63) AS x(x), generate_series(0, 63) AS y(y)
+          |  GROUP BY id),
+          |fr AS (
+          |  -- decoded digest of every 2nd frame at source dims
+          |  -- (f < nf <= 8, w <= 32, h <= 24: constant series + filter)
+          |  SELECT id, sum((x.x * 31 + y.y * 17 + f.f * 7 + id * 131) % 256)
+          |           AS fdigest
+          |  FROM m, generate_series(0, 7) AS f(f),
+          |       generate_series(0, 31) AS x(x), generate_series(0, 23) AS y(y)
+          |  WHERE f.f < nf AND f.f % 2 = 0 AND x.x < w AND y.y < h
+          |  GROUP BY id)
+          |SELECT CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+          |       CAST(count(*) AS BIGINT) AS n_media,
+          |       CAST(sum((m.nf + 1) // 2) AS BIGINT) AS total_frames,
+          |       CAST(sum(fr.fdigest) AS BIGINT) AS frame_digest,
+          |       CAST(sum(rz.rdigest) AS BIGINT) AS pixel_digest
+          |FROM m JOIN rz ON m.id = rz.id JOIN fr ON m.id = fr.id
+          |GROUP BY 1, 2
+          |ORDER BY width, height""".stripMargin)
     ),
 
     // ------------------------------------------------------------------
@@ -639,12 +719,19 @@ object MultimodalOps {
     // block equi-join, exhaustive for Hamming ≤ 3. The corpus plants
     // near-dups: each image re-materialized with two pixels edited and
     // (for GIF animations) the first frame converted to PNG — the
-    // watermark/format-shift duplicates a real crawl contains. Hash
-    // values are codec-deterministic but not SQL-expressible →
-    // rows-only; MultimodalSpec pins recall and zero false positives.
+    // watermark/format-shift duplicates a real crawl contains. FULL
+    // oracle (m01's closed-form technique): every step of the hash —
+    // the codec round trip, the two-pixel perturbation, the 8×8
+    // nearest-neighbor downsample, the strict mean threshold (g > mean
+    // ⇔ 64·g > Σg, exact in integers) — is a pure function of the
+    // pixel formula, so DuckDB recomputes both signatures and finds the
+    // pairs by BRUTE-FORCE all-pairs (a deliberately different
+    // algorithm: the engine's banded LSH must surface exactly the pairs
+    // the exhaustive scan finds, or the hash-compare breaks).
+    // MultimodalSpec additionally pins recall and zero false positives.
     GraftQuery(
       "m03_dedup_images_phash",
-      "perceptual-hash (aHash) image near-dup pairs via 16-bit-block LSH (rows-only)",
+      "perceptual-hash (aHash) image near-dup pairs via 16-bit-block LSH (fully oracled)",
       (spark, dir) => {
         import spark.implicits._
         val t = Tables(spark, dir)
@@ -673,7 +760,40 @@ object MultimodalOps {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         graft.dedup.DedupOps.hamming64Pairs(sigs, "media_id", "sig", maxHamming = 3)
       },
-      None
+      Some(
+        """WITH m AS (
+          |  SELECT doc_id AS id,
+          |         8 + doc_id % 25 AS w,
+          |         8 + (doc_id * 3) % 17 AS h
+          |  FROM documents),
+          |-- variant 0 = original payload's frame 0; variant 1 = the
+          |-- two-pixel-edited re-encode (media_id + 100000)
+          |samp AS (
+          |  SELECT m.id, v.v AS variant, x.x AS x, y.y AS y, m.w, m.h,
+          |         (x.x * m.w) // 8 AS sx, (y.y * m.h) // 8 AS sy
+          |  FROM m, generate_series(0, 7) AS x(x), generate_series(0, 7) AS y(y),
+          |       (VALUES (0), (1)) v(v)),
+          |g AS (
+          |  SELECT id, variant, x, y,
+          |         CASE WHEN variant = 1 AND sx = 0 AND sy = 0 THEN 255
+          |              WHEN variant = 1 AND sx = w - 1 AND sy = h - 1 THEN 0
+          |              ELSE (sx * 31 + sy * 17 + id * 131) % 256 END AS gv
+          |  FROM samp),
+          |mean AS (
+          |  SELECT id, variant, sum(gv) AS s FROM g GROUP BY 1, 2),
+          |sig AS (
+          |  SELECT CASE WHEN g.variant = 1 THEN g.id + 100000 ELSE g.id END
+          |           AS media_id,
+          |         bit_or(CASE WHEN gv * 64 > s
+          |                     THEN 1::UBIGINT << CAST(y * 8 + x AS INT)
+          |                     ELSE 0::UBIGINT END) AS sig
+          |  FROM g JOIN mean USING (id, variant)
+          |  GROUP BY 1)
+          |SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+          |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+          |FROM sig a JOIN sig b ON a.media_id < b.media_id
+          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+          |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
     // ------------------------------------------------------------------

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Catalog
+
+/** Catalog-wide discipline gates (no Spark session needed — these are
+  * metadata checks over the registered catalog).
+  *
+  * The strongest correctness signal this engine has is the DuckDB
+  * hash-compare; a catalog entry WITHOUT oracle SQL only gets the weak
+  * rows>0 check. That floor must not silently grow: every no-oracle
+  * entry needs an explicit allowlist row here naming WHY SQL cannot
+  * express it — adding a query without an oracle fails this suite until
+  * the author either writes the oracle or argues the exemption in code
+  * review.
+  */
+class CatalogDisciplineSpec extends AnyFunSuite {
+
+  /** Every declared-rows-only entry with the reason SQL can't replay it.
+    * Each is still covered by a dedicated ScalaTest recompute/replay
+    * spec (BpeSpec corpus replay; sketch ≤5%-error bounds). */
+  private val rowsOnlyAllowlist: Map[String, String] = Map(
+    "q22_approx_count_distinct" ->
+      "HLL sketch binaries are engine-specific (Spark dense/sparse HLL++ layout)",
+    "q56_sketch_rollup" ->
+      "mergeable HLL sketch column rides the rollup — same binary-layout argument",
+    "t17_bpe_tokenize" ->
+      "greedy longest-match BPE merge loop is iterative, not SQL-expressible",
+    "t18_chunk_documents_bpe" ->
+      "chunk geometry depends on t17's greedy tokenization",
+    "t19_token_budget_bpe" ->
+      "budget packing depends on t17's greedy tokenization",
+    "t21_bpe_merge_table" ->
+      "BPE training (iterative pair-count merges) is the same loop, run to rank k"
+  )
+
+  test("every catalog entry has an oracle or an explicit rows-only exemption") {
+    val noOracle = Catalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    val unexplained = noOracle -- rowsOnlyAllowlist.keySet
+    assert(unexplained.isEmpty,
+      s"catalog entries without oracle SQL and without an allowlist reason: " +
+        s"${unexplained.toSeq.sorted.mkString(", ")} — write the DuckDB " +
+        "oracle (preferred) or add an allowlist row with the reason")
+    // and the allowlist must not hold stale rows (an entry that GAINED
+    // an oracle should drop its exemption so the floor keeps shrinking)
+    val stale = rowsOnlyAllowlist.keySet -- noOracle
+    assert(stale.isEmpty,
+      s"allowlist rows for entries that now have oracles (remove them): " +
+        s"${stale.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("catalog names are unique and well-formed") {
+    val names = Catalog.all.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate catalog names: ${dups.mkString(", ")}")
+    val malformed = names.filterNot(_.matches("[a-z][a-z0-9_]*"))
+    assert(malformed.isEmpty, s"non-snake-case names: ${malformed.mkString(", ")}")
+  }
+
+  test("every catalog entry carries a non-empty doc line") {
+    val undocumented = Catalog.all.filter(_.doc.trim.isEmpty).map(_.name)
+    assert(undocumented.isEmpty,
+      s"undocumented catalog entries: ${undocumented.mkString(", ")}")
+  }
+}

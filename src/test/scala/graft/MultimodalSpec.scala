@@ -34,6 +34,47 @@ class MultimodalSpec extends SparkSpecBase {
     assert(MediaCodec.decodeFrames(payload).length === 4)
   }
 
+  test("GIF round-trip is pixel-EXACT over the full corpus dim envelope (m01–m03 oracle precondition)") {
+    // The m01/m02/m03 DuckDB oracles recompute pixel digests and aHash
+    // signatures from the closed-form gray formula, which is only valid
+    // if decode(encode(f)) == f for BOTH codecs. PNG is lossless by
+    // spec; the JDK GIF round trip must reproduce the ≤256-gray pattern
+    // exactly. CAVEAT this sweep exists to pin: the JDK GIF path
+    // row-shifts images with h < 8 (interlace pass handling), so
+    // exactness is asserted for the CORPUS contract — fakeMediaTable
+    // only ever emits w ∈ [8,32], h ∈ [8,24] — swept here exhaustively
+    // (every (w,h) in the envelope, 2 frames each, every pixel).
+    for (w <- 8 to 32; h <- 8 to 24) {
+      val id = (w * 31 + h).toLong // vary the pattern with the dims
+      val frames = MediaCodec.decodeFrames(MediaCodec.encodeGif(id, w, h, 2))
+      assert(frames.length === 2, s"${w}x$h frame count")
+      for (f <- 0 until 2; y <- 0 until h; x <- 0 until w)
+        assert((frames(f).getRGB(x, y) & 0xFF) === MediaCodec.grayAt(id, x, y, f),
+          s"GIF decode drift at ${w}x$h frame $f pixel ($x,$y)")
+    }
+    // and the corpus frame-count range round-trips at a fixed dim
+    for (nF <- 2 to 8) {
+      val frames = MediaCodec.decodeFrames(MediaCodec.encodeGif(11L, 9, 8, nF))
+      assert(frames.length === nF, s"nFrames=$nF")
+      for (f <- 0 until nF; y <- 0 until 8; x <- 0 until 9)
+        assert((frames(f).getRGB(x, y) & 0xFF) === MediaCodec.grayAt(11L, x, y, f),
+          s"GIF decode drift at 9x8 nF=$nF frame $f pixel ($x,$y)")
+    }
+  }
+
+  test("sampled frames carry the exact decoded-pixel digest") {
+    import testImplicits._
+    val gif = Seq(MediaRecord(3L, "gif", MediaCodec.encodeGif(3L, 9, 8, nFrames = 3))).toDS()
+    val frames = MultimodalOps.sampleFrames(gif, every = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2))
+    frames.foreach { fr =>
+      val expected = (for (y <- 0 until 8; x <- 0 until 9)
+        yield MediaCodec.grayAt(3L, x, y, fr.frame_idx).toLong).sum
+      assert(fr.pixel_digest === expected, s"frame ${fr.frame_idx} digest")
+    }
+  }
+
   test("unknown payloads take the documented byte-stats fallback") {
     val payload = "ab".getBytes("UTF-8")
     val f = MediaCodec.decode(MediaRecord(7L, "bin", payload))

@@ -525,13 +525,111 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** 2²² offset re-centering residuals into strictly-positive range:
+    * quantized components live in (0, 2²²), so a residual (component
+    * minus centroid component) lives in (−2²², 2²²) — adding 2²² makes
+    * every residual component positive, which is what keeps Spark's
+    * truncating `DIV` and DuckDB's flooring `//` identical in the
+    * residual-codebook means (the [[QuantOffset]] argument, one bit
+    * wider). Distances are offset-invariant (both sides of every
+    * subtraction carry the same constant); magnitudes stay exact:
+    * components < 2²³, squared diffs < 2⁴⁶, a dsub=16 subspace
+    * distance < 2⁵⁰, the M=4 ADC sum < 2⁵² — inside BIGINT and double. */
+  private[similarity] val ResidOffset = 4194304L
+
+  /** Residual IVF-PQ ADC top-k — [[ivfPqTopKBatch]] with FAISS
+    * `by_residual=true`, the accuracy-grade variant: PQ encodes each
+    * vector's RESIDUAL from its coarse centroid instead of the raw
+    * vector, so the codebooks spend their 2⁴ codes describing the
+    * (much smaller) within-cell displacement rather than re-describing
+    * cell position the IVF already knows. The price is a per-cell
+    * recentering pass at build (one broadcast join against the k×d
+    * centroids — no extra shuffle: the residual projection fuses into
+    * the assignment output) and a PER-PROBED-CELL distance table at
+    * query (nprobe × M × K entries per query instead of M × K — still
+    * driver-trivial and broadcast). Every stage stays integer
+    * ([[ResidOffset]]), so the full index + query replays in DuckDB.
+    *
+    * Plan shape vs s14: identical skeleton (two constant-size codebook
+    * trainings, broadcast probe choice + dtable, ONE corpus-scale join
+    * feeding a map-side-combined SUM, bounded-heap top-k); the dtable
+    * join gains cell_id as a key — same row volume, the candidate was
+    * already restricted to probed cells. */
+  def ivfPqResidualTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nCells: Int = 16, refine: Int = 2, nprobe: Int = 4,
+      m: Int = 4, kCodes: Int = 16, iters: Int = 2): DataFrame = {
+    val dsub = embeddingDim(emb, "embedding") / m
+    val embQ = withQuant(emb)
+    val centroids = graft.InternalCaches.track(
+      kmeansCentroidsInt(embQ.select(col("vec_id"), col("qemb")), nCells, refine)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val assigned = graft.dedup.DedupOps.capBlocks(
+      assignCellsInt(embQ, centroids, carry = Seq("qemb")),
+      Seq("cell_id"), graft.dedup.DedupOps.MaxBlock)
+    // the recentering pass: residual = vector − its cell centroid,
+    // re-offset positive; this PERSISTED frame is what both the
+    // codebook training and the encoding read
+    val resid = graft.InternalCaches.track(
+      assigned.join(broadcast(centroids), Seq("cell_id"))
+        .select(col("vec_id"), col("cell_id"),
+          zip_with(col("qemb"), col("c_qemb"),
+            (a, b) => a - b + lit(ResidOffset)).as("qemb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pqCent = graft.InternalCaches.track(
+      pqCodebooksD(resid.select(col("vec_id"), col("qemb")), m, kCodes, iters, dsub)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val codes = pqEncodeD(resid.select(col("vec_id"), col("qemb")), pqCent, m, dsub)
+    val queriesQ = embQ.filter(col("vec_id").isin(queryIds: _*))
+    val probeK = graft.functions.expressions.GroupedTopK.topK(nprobe)
+    val probes = queriesQ.crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("qid"),
+        (-squaredDistanceLong(col("qemb"), col("c_qemb")).cast("double"))
+          .as("cell_sim"),
+        col("cell_id"))
+      .groupBy(col("qid"))
+      .agg(probeK(col("cell_sim"), col("cell_id")).as("cells"))
+      .select(col("qid"), explode(col("cells").getField("id")).as("cell_id"))
+    // query residual AGAINST EACH PROBED CELL's centroid (nprobe rows
+    // per query), subvectorized → the per-cell ADC lookup table
+    val qres = probes
+      .join(queriesQ.select(col("vec_id").as("qid"), col("qemb")), Seq("qid"))
+      .join(broadcast(centroids), Seq("cell_id"))
+      .select(col("qid"), col("cell_id"),
+        zip_with(col("qemb"), col("c_qemb"),
+          (a, b) => a - b + lit(ResidOffset)).as("rq"))
+    val qsv = qres.select(col("qid"), col("cell_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("rq"), s * dsub + 1, lit(dsub)))))
+      .select(col("qid"), col("cell_id"), col("pos").as("sub"), col("col").as("sq"))
+    val dtable = qsv.join(broadcast(pqCent), Seq("sub"))
+      .select(col("qid"), col("cell_id"), col("sub"), col("code"),
+        squaredDistanceLong(col("sq"), col("c_sq")).as("qd2"))
+    val topk = graft.functions.expressions.GroupedTopK.topK(k)
+    codes
+      .join(resid.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+      .join(broadcast(dtable), Seq("cell_id", "sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd2")).as("adc_d2"))
+      .select(col("qid"), col("vec_id"), (-col("adc_d2")).as("neg_d2"))
+      .groupBy(col("qid"))
+      .agg(topk(col("neg_d2").cast("double"), col("vec_id")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as("vec_id"),
+        col("col").getField("score").cast("long").as("neg_d2"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Chained-CTE DuckDB replay of the integer PQ pipeline: emits `sv`
     * (vec_id, sub, sq — quantized subvectors), `pcent` (sub, code, c —
     * final codebooks) and `pcodes` (vec_id, sub, code — final
     * encodings). Same unrolled-iteration shape as [[kmeansCteSql]],
-    * keyed by (sub, code) instead of cell_id. */
+    * keyed by (sub, code) instead of cell_id. `srcCte` names the CTE
+    * providing (vec_id, q) to train/encode over — `qe` for raw vectors
+    * (s10/s14), the residual CTE for s15. */
   private def pqCteSql(m: Int, k: Int, iters: Int,
-      withQe: Boolean = true): String = {
+      withQe: Boolean = true, srcCte: String = "qe"): String = {
     val subs = (0 until m).mkString("[", ", ", "]")
     val sb = new StringBuilder
     // s14 composes this after kmeansCteSql, which already emits an
@@ -542,7 +640,7 @@ object SimilarityOps {
     sb ++= s"""sv AS (
        |  SELECT vec_id, s.sub,
        |         list_slice(q, s.sub * dd.dsub + 1, (s.sub + 1) * dd.dsub) AS sq
-       |  FROM qe CROSS JOIN dd CROSS JOIN (SELECT unnest($subs) AS sub) s),
+       |  FROM $srcCte CROSS JOIN dd CROSS JOIN (SELECT unnest($subs) AS sub) s),
        |pcent0 AS (SELECT sub, vec_id AS code, sq AS c FROM sv WHERE vec_id < $k),
        |""".stripMargin
     for (it <- 1 to iters) {
@@ -1404,6 +1502,75 @@ object SimilarityOps {
           |  JOIN pcodes p2 ON p2.vec_id = c2.vec_id
           |  JOIN dt d ON d.qid = c2.qid AND d.sub = p2.sub AND d.code = p2.code
           |  GROUP BY c2.qid, c2.vec_id),
+          |rk AS (
+          |  SELECT qid, vec_id, d2,
+          |         row_number() OVER (PARTITION BY qid
+          |                            ORDER BY d2 ASC, vec_id) AS rk
+          |  FROM adc)
+          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id,
+          |       CAST(-d2 AS BIGINT) AS neg_d2
+          |FROM rk WHERE rk <= 10
+          |ORDER BY qid, rk""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s15: residual IVF-PQ (FAISS by_residual=true) — s14 with the PQ
+    // stage trained on and encoding WITHIN-CELL residuals; see
+    // [[ivfPqResidualTopKBatch]] for the accuracy argument and
+    // [[ResidOffset]] for the integer discipline. The oracle composes
+    // the same kmeans chain, inserts the residual recentering CTE, runs
+    // the PQ chain over it (srcCte = the residual frame), and scores
+    // with a PER-PROBED-CELL distance table.
+    GraftQuery(
+      "s15_similarity_ivfpq_residual",
+      "residual IVF-PQ ADC top-10 for the 5-query batch (by_residual=true, fully oracled)",
+      (spark, dir) =>
+        ivfPqResidualTopKBatch(Tables(spark, dir).embeddings, BatchQueryIds, k = 10),
+      Some(
+        s"""WITH ${kmeansCteSql(16, 2)},
+          |keep AS (
+          |  SELECT a.vec_id, a.cell_id FROM asg a
+          |  JOIN (SELECT cell_id, count(*) AS n FROM asg GROUP BY cell_id) c
+          |    USING (cell_id)
+          |  WHERE c.n <= ${graft.dedup.DedupOps.MaxBlock}),
+          |rq AS (
+          |  SELECT k2.vec_id, k2.cell_id,
+          |         list_transform(range(1, len(e.q) + 1),
+          |                        i -> e.q[i] - c.c[i] + $ResidOffset) AS q
+          |  FROM keep k2
+          |  JOIN qe e ON e.vec_id = k2.vec_id
+          |  JOIN cent c ON c.cell_id = k2.cell_id),
+          |${pqCteSql(4, 16, 2, withQe = false, srcCte = "rq")},
+          |probe AS (
+          |  SELECT qid, cell_id FROM (
+          |    SELECT e.vec_id AS qid, c.cell_id,
+          |           row_number() OVER (PARTITION BY e.vec_id
+          |             ORDER BY ${intDistSql("e.q", "c.c")} ASC, c.cell_id ASC) AS rn
+          |    FROM qe e CROSS JOIN cent c
+          |    WHERE e.vec_id IN ${batchIdsSql}) WHERE rn <= 4),
+          |qrq AS (
+          |  SELECT p.qid, p.cell_id,
+          |         list_transform(range(1, len(e.q) + 1),
+          |                        i -> e.q[i] - c.c[i] + $ResidOffset) AS q
+          |  FROM probe p
+          |  JOIN qe e ON e.vec_id = p.qid
+          |  JOIN cent c ON c.cell_id = p.cell_id),
+          |qsv AS (
+          |  SELECT qid, cell_id, s.sub,
+          |         list_slice(q, s.sub * dd.dsub + 1, (s.sub + 1) * dd.dsub) AS sq
+          |  FROM qrq CROSS JOIN dd CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS sub) s),
+          |dt AS (
+          |  SELECT q.qid, q.cell_id, c.sub, c.code,
+          |         ${intDistSql("q.sq", "c.c")} AS qd2
+          |  FROM qsv q JOIN pcent c ON q.sub = c.sub),
+          |adc AS (
+          |  SELECT d.qid, r.vec_id, CAST(sum(d.qd2) AS BIGINT) AS d2
+          |  FROM rq r
+          |  JOIN pcodes p2 ON p2.vec_id = r.vec_id
+          |  JOIN dt d ON d.cell_id = r.cell_id AND d.sub = p2.sub
+          |           AND d.code = p2.code
+          |  WHERE r.vec_id <> d.qid
+          |  GROUP BY d.qid, r.vec_id),
           |rk AS (
           |  SELECT qid, vec_id, d2,
           |         row_number() OVER (PARTITION BY qid

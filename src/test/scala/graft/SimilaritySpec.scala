@@ -232,6 +232,32 @@ class SimilaritySpec extends SparkSpecBase {
     graft.InternalCaches.releaseAll()
   }
 
+  test("s15 residual IVF-PQ: recall >= the non-residual s14 on the same probe budget") {
+    // by_residual=true is the accuracy-grade FAISS variant: with the
+    // same nprobe (same candidate sets — probing is pure IVF), the PQ
+    // codes describe within-cell displacement instead of re-describing
+    // cell position, so ADC ranking inside the candidates must be at
+    // least as faithful to true distance. Deterministic corpus + fully
+    // integer pipeline → this is a fixed measurement, not a flake.
+    val qids = SimilarityOps.BatchQueryIds
+    val exact = SimilarityOps.bruteForceTopKBatch(emb, qids, k = 10).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val byQ = df.collect().groupBy(_.getAs[Long]("qid"))
+        .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+      val rs = qids.map(q => exact(q).intersect(byQ(q)).size / 10.0)
+      rs.sum / rs.size
+    }
+    val plain = recallOf(SimilarityOps.ivfPqTopKBatch(emb, qids, k = 10))
+    val residual = recallOf(SimilarityOps.ivfPqResidualTopKBatch(emb, qids, k = 10))
+    assert(residual >= plain,
+      s"residual PQ recall $residual regressed below non-residual $plain")
+    // and it must remain non-trivial in absolute terms (random ≈ 0.02)
+    assert(residual >= 0.2, s"residual PQ mean recall $residual")
+    graft.InternalCaches.releaseAll()
+  }
+
   test("d06 SemDeDup: every reported link is a true >=threshold pair; drop set is sound") {
     val thresholdE4 = 3500L
     val got = SimilarityOps.semanticDedup(emb, nCells = 16, refine = 2,

@@ -108,7 +108,7 @@ object Tables {
     * (sort-before-repartition) and bounded by the small input size — and
     * happens once per (session, dir) via the [[cache]] memo.
     */
-  private def compacted(spark: SparkSession, path: String): DataFrame = {
+  private[graft] def compacted(spark: SparkSession, path: String): DataFrame = {
     val cell = compactPath.computeIfAbsent(path,
       p => new CompactCell(() => rewriteIfSmall(spark, p)))
     val resolved = cell.resolved

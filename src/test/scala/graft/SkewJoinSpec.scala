@@ -56,6 +56,42 @@ class SkewJoinSpec extends SparkSpecBase {
     assert(saltsUsed === 8)
   }
 
+  test("AQE skew-join split fires on the unsalted control (the runtime half of the skew story)") {
+    // SkewJoin.salted is the PLAN-TIME fix for a hot key that must meet
+    // a single build row; AQE's skew split is the RUNTIME fix for
+    // oversized post-shuffle partitions. q37 evidences the former; this
+    // evidences the latter on an unsalted control with thresholds
+    // scaled to test data, proving the engine's AQE config actually
+    // engages (not just that the flag is set). The aggregate keeps the
+    // payload column alive so column pruning can't shrink the hot
+    // partition below the detection threshold.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2k")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+    ss.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1")
+    val probe = ss.range(200000).select(
+      when(col("id") < 190000L, lit(0L)).otherwise(col("id")).as("k"),
+      concat(lit("pad-pad-pad-pad-pad-pad-"), col("id").cast("string")).as("payload"))
+    val build = ss.range(12000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val joined = probe.join(build, Seq("k"))
+      .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes"))
+    // collect() on THIS Dataset (not head(), which runs a separate limit
+    // query) so this QueryExecution's adaptive plan finalizes
+    val row = joined.collect().head
+    // hot key 0 (190k rows) matches build row 0; ids >= 190000 have no
+    // build match — survivors are exactly the hot key's fan-in
+    assert(row.getAs[Long]("n") === 190000L)
+    val plan = joined.queryExecution.executedPlan.toString
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) plan.substring(0, cut) else plan
+    assert(finalPlan.contains("skew=true"),
+      s"join not marked skew=true in the final plan:\n$finalPlan")
+    assert(finalPlan.contains("AQEShuffleRead skewed"),
+      s"AQE skew reader did not engage:\n$finalPlan")
+  }
+
   test("q37 plans a salted ShuffledHashJoin (no broadcast hiding the skew)") {
     val plan = graft.queries.Catalog.queries("q37_skew_join")(spark, sf0001)
       .queryExecution.executedPlan.toString

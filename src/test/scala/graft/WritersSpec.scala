@@ -358,4 +358,27 @@ class WritersSpec extends SparkSpecBase {
     assert(cntSlice(z, "value", 30.0, 60.0).head().getLong(0) ===
       cntSlice(ev, "value", 30.0, 60.0).head().getLong(0))
   }
+
+  test("compaction width comes from JVM cores, not the first session's conf") {
+    // The compaction memo is JVM-wide; a NARROW session warming it first
+    // must not pin every later session's scan parallelism (the r8
+    // first-session-sticky finding). Fresh path → fresh memo entry.
+    import testImplicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-width-").toString
+    val src = s"$dir/t.parquet"
+    // one-file, one-row-group input comfortably above CompactMinBytes
+    (0L until 20000L).map(i => (i, s"row-$i-padding-padding-padding"))
+      .toDF("id", "s").coalesce(1).write.parquet(src)
+    val narrow = spark.newSession()
+    narrow.conf.set("spark.sql.shuffle.partitions", "4")
+    val first = graft.io.Tables.compacted(narrow, src)
+    val cores = Runtime.getRuntime.availableProcessors
+    assert(first.rdd.getNumPartitions >= math.min(cores, 8),
+      s"narrow session pinned the compacted width: ${first.rdd.getNumPartitions}")
+    // a later full-width session served from the same memo sees the
+    // core-derived split count too (and the rows are intact)
+    val later = graft.io.Tables.compacted(spark, src)
+    assert(later.rdd.getNumPartitions === first.rdd.getNumPartitions)
+    assert(later.count() === 20000L)
+  }
 }

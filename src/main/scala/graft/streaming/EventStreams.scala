@@ -276,6 +276,47 @@ object EventStreams {
     ss.table("q31_sink").orderBy(col("event_type"))
   }
 
+  /** Queryable state: after a checkpointed streaming aggregation
+    * terminates, the checkpoint's state store is itself a TABLE —
+    * Spark's `statestore` batch source reads (key, value, partition_id)
+    * straight from the operator's state files. This is the ops-facing
+    * surface for "what does the stream currently believe": debugging a
+    * hot key, auditing state size, or backfilling a serving store
+    * without replaying the stream. Runs a per-type streaming count with
+    * an EXPLICIT checkpoint location, then reads the aggregation
+    * operator's state back as a batch frame — for a complete-mode
+    * count the state IS the final result, so the entry carries the
+    * exact batch oracle (the reader path, not the memory sink, produces
+    * the rows the driver hashes).
+    *
+    * Scale: the state source reads state files directly,
+    * partition-parallel, no stream replay — N keys cost O(N) to read
+    * regardless of how many events built them. */
+  def stateStoreRead(spark: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-q71-ckpt-").toString
+    val agg = eventStreamSource(ss, dir)()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream
+      .format("memory").queryName("q71_sink")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordRun("q71_state_store_read", q, ss)
+    // the batch read of the checkpoint's aggregation state: key = the
+    // grouping columns, value = the aggregation buffer
+    ss.read.format("statestore").load(ckpt)
+      .select(col("key.event_type").as("event_type"),
+        col("value.count").as("cnt"))
+      .orderBy(col("event_type"))
+  }
+
   /** Stream-stream interval join under the oracle: each view joined to
     * the purchases that follow it within one hour, per user — the
     * canonical watermarked two-stream join. Both sides carry event-time
@@ -623,6 +664,17 @@ object EventStreams {
       (spark, dir) => dedupCountsStreaming(spark, dir),
       Some(
         """SELECT event_type, count(DISTINCT event_id) AS cnt
+          |FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    ),
+
+    graft.queries.GraftQuery(
+      "q71_state_store_read",
+      "queryable state: batch-read the aggregation state store from a finished stream's checkpoint (statestore source)",
+      (spark, dir) => stateStoreRead(spark, dir),
+      Some(
+        """SELECT event_type, count(*) AS cnt
           |FROM events
           |GROUP BY event_type
           |ORDER BY event_type""".stripMargin)

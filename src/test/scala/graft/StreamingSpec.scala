@@ -558,4 +558,20 @@ class StreamingSpec extends SparkSpecBase {
         s"window [10:00,11:00) not emitted at watermark 11:00: ${emitted.toSeq}")
     } finally q.stop()
   }
+
+  test("q71 state-store read equals the batch aggregate AND the stream's own sink") {
+    // the statestore batch source must surface exactly the aggregation
+    // state the finished stream committed — which for a complete-mode
+    // count is the batch groupBy answer
+    val got = graft.queries.Catalog.queries("q71_state_store_read")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.io.Tables(spark, sf0001).events
+      .groupBy(org.apache.spark.sql.functions.col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === batch)
+    assert(got.values.sum > 0L)
+    // and the run really was a stream (≥1 micro-batch, stateful op)
+    val stats = graft.streaming.EventStreams.lastRunStats("q71_state_store_read")
+    assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
+  }
 }

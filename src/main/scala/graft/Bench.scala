@@ -37,10 +37,19 @@ object Bench {
     * ~131 s idle-equivalent, per-query load up to 18.8); min-of-N alone
     * can't fix a window where every iteration is contended, so
     * [[timeCatalog]] re-runs such queries (bounded) until a clean
-    * iteration lands. 8 on a 32-core box: the bench's own steady-state
-    * contribution measures ~3–4 (1-min average over mostly sub-second
-    * queries), so >8 means someone else is on the machine. */
-  private[graft] val LoadGate = 8.0
+    * iteration lands.
+    *
+    * Calibration (measured, not guessed): a FULL-catalog run's own
+    * 32-thread execution sustains load1 ≈ 6–15 (median 11) on an
+    * otherwise-quiet 32-core box — consecutive heavy queries never let
+    * the 1-min average drain — so the naive "anything above ~8 is a
+    * co-tenant" rule self-flags the whole run. Half the core budget
+    * clears the bench's own steady state while still catching the r8
+    * storm class (load 18.8). */
+  private[graft] val LoadGate = {
+    val cpus = Runtime.getRuntime.availableProcessors
+    math.max(8.0, cpus / 2.0)
+  }
 
   /** Per-query cap on gate-triggered re-runs, and a catalog-wide budget
     * so a fully-contended hour degrades to the old behavior (min of the

@@ -958,6 +958,102 @@ object DedupOps {
           |       CAST(est_e6 - jaccard_e6 AS BIGINT) AS err_e6
           |FROM calib
           |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // d15: INCREMENTAL snapshot dedup — the ingest-time shape of d01.
+    // A corpus is never deduped once: new batches arrive daily, and the
+    // 100 TB question is "is this batch-doc a dup of anything already
+    // ingested?" WITHOUT rescanning the base corpus. The answer is a
+    // durable fingerprint INDEX (fingerprint → canonical id), built once
+    // when the base snapshot was ingested and persisted as a warehouse
+    // asset (here: a parquet layout built once per JVM, the same
+    // discipline as the s07 IVF index); each incoming batch then joins
+    // the index by fingerprint only. Verdicts are three-valued — a doc
+    // can be a dup of the INDEX (seen in a prior snapshot), a dup
+    // WITHIN its own batch (first batch occurrence wins), or new; the
+    // canonical id always points at the surviving copy.
+    //
+    // Scale shape: the base corpus contributes only its 16-byte
+    // fingerprints, and only ONCE ever (index build); the per-batch
+    // work shuffles (fingerprint, doc_id) pairs — ~24 bytes/doc, text
+    // never moves. The batch side is shuffled on fingerprint once and
+    // the exchange is REUSED by both the batch-first aggregate and the
+    // index join (Catalyst ReusedExchange); at real scale the index
+    // side would additionally be bucketed by fingerprint so batch
+    // ingest never reshuffles the index (q61's layout discipline).
+    GraftQuery(
+      "d15_incremental_dedup",
+      "new-batch dedup against a persisted fingerprint index + within-batch first-wins (no base rescan)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val perturb = concat(regexp_replace(col("text"), " ", "  "), lit(" "))
+        // the durable index: base snapshot = 4/5 of documents, built once
+        // per JVM and served from parquet thereafter
+        val idxDir = graft.io.TempLayouts.cached(
+          "d15_index#" + new java.io.File(dir).getCanonicalPath,
+          "graft_d15_idx_") { out =>
+          t.documents.filter(col("doc_id") % 5 =!= 0)
+            .select(contentFingerprint(col("text")).as("fingerprint"),
+              col("doc_id"))
+            .groupBy(col("fingerprint"))
+            .agg(min(col("doc_id")).as("idx_canonical"))
+            .write.mode("overwrite").parquet(out)
+        }
+        val index = spark.read.parquet(idxDir)
+        // incoming batch: the held-out 1/5, plus planted index-dups
+        // (perturbed copies of base docs) and within-batch dups
+        // (perturbed copies of batch docs)
+        val docs = t.documents
+        val incoming = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 1)
+            .select((col("doc_id") + lit(100000L)).as("doc_id"),
+              perturb.as("text")))
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + lit(200000L)).as("doc_id"),
+              perturb.as("text")))
+          .select(col("doc_id"), contentFingerprint(col("text")).as("fingerprint"))
+        val batchFirst = incoming.groupBy(col("fingerprint"))
+          .agg(min(col("doc_id")).as("batch_first"))
+        incoming
+          .join(index, Seq("fingerprint"), "left")
+          .join(batchFirst, Seq("fingerprint"))
+          .select(col("doc_id"),
+            when(col("idx_canonical").isNotNull, lit("dup_index"))
+              .when(col("batch_first") < col("doc_id"), lit("dup_batch"))
+              .otherwise(lit("new")).as("verdict"),
+            coalesce(col("idx_canonical"), col("batch_first")).as("canonical_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+          |idx AS (
+          |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+          |         min(doc_id) AS idx_canonical
+          |  FROM base GROUP BY 1),
+          |incoming AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, replace(text, ' ', '  ') || ' ' AS text
+          |  FROM documents WHERE doc_id % 10 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 200000 AS doc_id, replace(text, ' ', '  ') || ' ' AS text
+          |  FROM documents WHERE doc_id % 10 = 0),
+          |fp AS (
+          |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+          |  FROM incoming),
+          |bf AS (SELECT fingerprint, min(doc_id) AS batch_first FROM fp GROUP BY 1)
+          |SELECT fp.doc_id,
+          |       CASE WHEN idx.idx_canonical IS NOT NULL THEN 'dup_index'
+          |            WHEN bf.batch_first < fp.doc_id THEN 'dup_batch'
+          |            ELSE 'new' END AS verdict,
+          |       CAST(coalesce(idx.idx_canonical, bf.batch_first) AS BIGINT) AS canonical_id
+          |FROM fp
+          |LEFT JOIN idx USING (fingerprint)
+          |JOIN bf USING (fingerprint)
+          |ORDER BY doc_id""".stripMargin)
     )
   )
 }

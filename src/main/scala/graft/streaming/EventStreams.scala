@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import java.sql.Timestamp
 
@@ -642,6 +642,94 @@ object EventStreams {
     ss.table("q67_sink").orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** Per-user running-totals state for [[RunningTotalsProcessor]]. */
+  final case class RunningTotals(n: Long, valueMicros: Long, lastTsMicros: Long)
+
+  /** q72's emitted row: the key's cumulative totals as of this batch. */
+  final case class UserTotals(user_id: Long, n_events: Long,
+      value_micros: Long, last_ts_micros: Long)
+
+  /** Arbitrary per-key state via Spark 4's `transformWithState`
+    * StatefulProcessor API — the successor surface to
+    * map/flatMapGroupsWithState (composable named state variables,
+    * timers, TTL, initial state) and the third custom-state surface in
+    * this catalog next to [[sessionize]] and the built-in stateful ops.
+    * One ValueState cell per user accumulates (count, Σvalue_micros,
+    * max ts); every batch in which a key sees input emits that key's
+    * cumulative row — the update-mode contract. Counts are strictly
+    * increasing across a key's emitted rows, so the LAST row per key
+    * (max n_events) is the final total — which is exactly the batch
+    * aggregate, giving the entry its full oracle.
+    *
+    * Input rows are pre-projected to (user_id, ts_micros, value_micros)
+    * BEFORE groupByKey — the state shuffle carries 24 bytes/row, and the
+    * integer micro-unit discipline keeps the running sum exact. */
+  final class RunningTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long), UserTotals] {
+    @transient private var state: ValueState[RunningTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunningTotals]("totals",
+        org.apache.spark.sql.Encoders.product[RunningTotals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev =
+        if (state.exists()) state.get() else RunningTotals(0L, 0L, Long.MinValue)
+      var n = prev.n; var v = prev.valueMicros; var last = prev.lastTsMicros
+      rows.foreach { case (_, tsMicros, valueMicros) =>
+        n += 1; v += valueMicros
+        if (tsMicros > last) last = tsMicros
+      }
+      state.update(RunningTotals(n, v, last))
+      Iterator.single(UserTotals(key, n, v, last))
+    }
+  }
+
+  /** q72: per-user running totals through `transformWithState` (TimeMode
+    * None, update mode), ≥3 micro-batches via the split file source, then
+    * the final row per key selected from the update stream. Requires the
+    * RocksDB state-store provider (the only provider the
+    * transformWithState operator supports). At 100 TB the state is one
+    * 24-byte cell per user and each micro-batch shuffles only its own
+    * rows — the unbounded-key analog of q44's foreachBatch upsert,
+    * with the merge logic inside the state store instead of a sink
+    * rewrite. */
+  def transformWithStateTotals(spark: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val typed = eventStreamSource(ss, dir)()
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")),
+        floor(col("value") * lit(1000000)).cast("long"))
+      .as[(Long, Long, Long)]
+    val out = typed.groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+    val q = out.toDF().writeStream
+      .format("memory").queryName("q72_sink")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordRun("q72_stream_transform_with_state", q, ss)
+    // update-mode sink holds one row per (key, batch-with-input); the
+    // final totals row per key is the one with the largest n_events
+    // (strictly increasing across a key's emitted rows)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    ss.table("q72_sink")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("value_micros"),
+        timestamp_micros(col("last_ts_micros")).as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
   /** Driver-visible streaming artifacts: q27 carries batch q20's oracle,
     * q31 carries the batch count-distinct oracle over planted dups, and
     * q36 carries the batch self-join oracle for the interval join. */
@@ -803,6 +891,20 @@ object EventStreams {
           |GROUP BY 1, 2
           |HAVING hour_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
           |ORDER BY hour_start, event_type""".stripMargin)
+    ),
+
+    graft.queries.GraftQuery(
+      "q72_stream_transform_with_state",
+      "per-user running totals via transformWithState (StatefulProcessor + ValueState, update mode, RocksDB)",
+      (spark, dir) => transformWithStateTotals(spark, dir),
+      Some(
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+          |         AS value_micros,
+          |       max(ts) AS last_ts
+          |FROM events
+          |GROUP BY user_id
+          |ORDER BY user_id""".stripMargin)
     )
   )
 

@@ -1235,6 +1235,108 @@ object TextOps {
           |FROM grams g LEFT JOIN hits h USING (doc_id)
           |WHERE g.doc_id % 10 <> 0
           |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t27: BM25 ranked retrieval — the inverted-index keyword search a
+    // corpus team runs constantly (find the docs about X; seed a RAG
+    // eval; audit what a filter removed). Okapi BM25 (k1=1.2, b=0.75)
+    // over a literal query set; scores quantized to integer micro-units
+    // PER (query, term, doc) match BEFORE the per-doc sum, so the final
+    // score is an exact BIGINT sum (order-free — the t09 discipline
+    // extended to multi-term queries: float addition order across terms
+    // can never differ between engines because no float is ever added).
+    //
+    // Plan shape for 100 TB: the broadcast query-term list kills every
+    // non-query posting MAP-SIDE, before the tf shuffle — the exploded
+    // token stream that reaches the exchange is only the postings of
+    // the |Q| query terms (this IS the inverted-index probe, expressed
+    // declaratively: Catalyst pushes the semi-join below the explode's
+    // aggregation). df comes from those same postings (df is only
+    // needed for query terms); corpus-wide N and Σdl reduce map-side to
+    // one broadcast row. Final per-query top-k runs through the bounded
+    // GroupedTopK heap (not a window): no per-query sort, partial heaps
+    // merge map-side, safe when a query term matches half the corpus.
+    GraftQuery(
+      "t27_bm25_search",
+      "BM25 top-5 docs per query (k1=1.2, b=0.75), integer micro-unit scores, bounded-heap top-k",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val queryTerms = spark.createDataFrame(Seq(
+          (0L, "spark"), (0L, "merge"), (0L, "join"),
+          (1L, "stream"), (1L, "window"), (1L, "batch"),
+          (2L, "customer"), (2L, "order"), (2L, "part")
+        )).toDF("query_id", "term")
+        val d = t.documents.select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit(wsToken), lit(0)).as("toks"))
+        val stats = d.agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("sum_dl"))
+        val tok = d.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("term"))
+        // map-side posting kill: only query-term postings reach the shuffle
+        val tf = tok
+          .join(broadcast(queryTerms.select(col("term")).distinct()), Seq("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+        val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val idf = log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)))
+        val num = col("tf").cast("double") * lit(2.2)
+        val den = col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+            (col("sum_dl").cast("double") / col("n_docs").cast("double")))
+        val topk = graft.functions.expressions.GroupedTopK.topK(5)
+        tf.join(broadcast(queryTerms), Seq("term"))
+          .join(broadcast(dfq), Seq("term"))
+          .crossJoin(broadcast(stats))
+          .withColumn("contrib_e6",
+            round(idf * num / den * lit(1000000)).cast("long"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("contrib_e6")).as("score_e6"))
+          .groupBy(col("query_id"))
+          // BIGINT micro-units < 2^50 → the heap's double score is exact
+          .agg(topk(col("score_e6").cast("double"), col("doc_id")).as("topk"))
+          .select(col("query_id"), posexplode(col("topk")))
+          .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+            col("col").getField("id").as("doc_id"),
+            col("col").getField("score").cast("long").as("score_e6"))
+          .orderBy(col("query_id"), col("rk"))
+      },
+      Some(
+        """WITH q(query_id, term) AS (VALUES
+          |  (0, 'spark'), (0, 'merge'), (0, 'join'),
+          |  (1, 'stream'), (1, 'window'), (1, 'batch'),
+          |  (2, 'customer'), (2, 'order'), (2, 'part')),
+          |d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+          |      FROM documents),
+          |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |                 CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM d),
+          |tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+          |               unnest(toks) AS term FROM d),
+          |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*) AS tf FROM tok
+          |       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+          |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+          |contrib AS (
+          |  SELECT q.query_id, tf.doc_id,
+          |         CAST(round(
+          |           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+          |                    / (CAST(dfq.df AS DOUBLE) + 0.5))
+          |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+          |           / (CAST(tf.tf AS DOUBLE) + 1.2 *
+          |              (0.25 + 0.75 * CAST(tf.dl AS DOUBLE)
+          |               / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+          |           * 1000000) AS BIGINT) AS contrib_e6
+          |  FROM tf JOIN q USING (term) JOIN dfq USING (term) CROSS JOIN stats s),
+          |score AS (SELECT query_id, doc_id,
+          |                 CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+          |          FROM contrib GROUP BY 1, 2),
+          |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+          |                  ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rk
+          |           FROM score)
+          |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score_e6
+          |FROM ranked WHERE rk <= 5
+          |ORDER BY query_id, rk""".stripMargin)
     )
   )
 

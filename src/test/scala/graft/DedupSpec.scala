@@ -560,4 +560,38 @@ class DedupSpec extends SparkSpecBase {
       assert(jacc >= 500000L, s"full-agreement pair ($a,$b) with Jaccard $jacc")
     }
   }
+
+  test("d15 incremental dedup: planted dups classify exactly; index is served from parquet") {
+    val out = graft.queries.Catalog.queries("d15_incremental_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // +100000 rows are perturbed BASE docs → dups of the persisted index,
+    // canonical = the base doc they were copied from
+    val idxDups = out.filter(t => t._1 >= 100000L && t._1 < 200000L)
+    assert(idxDups.nonEmpty)
+    idxDups.foreach { case (id, v, c) =>
+      assert(v === "dup_index", s"$id"); assert(c === id - 100000L, s"$id")
+    }
+    // +200000 rows are perturbed BATCH docs → within-batch dups,
+    // canonical = the batch original (first occurrence wins)
+    val batchDups = out.filter(_._1 >= 200000L)
+    assert(batchDups.nonEmpty)
+    batchDups.foreach { case (id, v, c) =>
+      assert(v === "dup_batch", s"$id"); assert(c === id - 200000L, s"$id")
+    }
+    // unperturbed batch originals are new and their own canonical
+    val originals = out.filter(_._1 < 100000L)
+    assert(originals.nonEmpty)
+    originals.foreach { case (id, v, c) =>
+      assert(v === "new", s"$id"); assert(c === id, s"$id")
+    }
+    // the three classes partition the incoming batch completely
+    assert(out.length === idxDups.length + batchDups.length + originals.length)
+    // the fingerprint index is a durable layout: a second run reuses the
+    // same parquet dir (build-once discipline, no base rescan per batch)
+    val key = "d15_index#" + new java.io.File(sf0001).getCanonicalPath
+    val dir1 = graft.io.TempLayouts.cached(key, "graft_d15_idx_")(_ => fail("index rebuilt"))
+    graft.queries.Catalog.queries("d15_incremental_dedup")(spark, sf0001).collect()
+    val dir2 = graft.io.TempLayouts.cached(key, "graft_d15_idx_")(_ => fail("index rebuilt"))
+    assert(dir1 === dir2)
+  }
 }

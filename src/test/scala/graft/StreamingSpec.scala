@@ -574,4 +574,31 @@ class StreamingSpec extends SparkSpecBase {
     val stats = graft.streaming.EventStreams.lastRunStats("q71_state_store_read")
     assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
   }
+
+  test("q72 transformWithState: ≥3 micro-batches on RocksDB, updates reach the batch totals") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Catalog
+      .queries("q72_stream_transform_with_state")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3)))
+    val batch = graft.io.Tables(spark, sf0001).events
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1000000)).cast("long")).as("value_micros"),
+        max(col("ts")).as("last_ts"))
+      .orderBy(col("user_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3)))
+    assert(got.toSeq === batch.toSeq)
+    val stats = graft.streaming.EventStreams
+      .lastRunStats("q72_stream_transform_with_state")
+    // transformWithState only runs on RocksDB; the stream must have
+    // carried ValueState across ≥3 micro-batches, growing as new users
+    // appear
+    assert(stats.provider.contains("RocksDBStateStoreProvider"), stats.provider)
+    assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
+    assert(stats.stateRowsPerBatch.forall(_ > 0L), stats.toString)
+    assert(stats.stateRowsPerBatch.last >= stats.stateRowsPerBatch.head,
+      s"state not carried: $stats")
+  }
 }

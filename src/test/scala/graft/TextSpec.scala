@@ -554,4 +554,45 @@ class TextSpec extends SparkSpecBase {
     // profiles must differentiate sources (otherwise the metric is inert)
     assert(res.map(_.getAs[Long]("ttr_e6")).distinct.length > 1)
   }
+
+  test("t27 BM25 matches a driver-side brute-force recompute (exact micro-units)") {
+    val queries = Map(
+      0L -> Seq("spark", "merge", "join"),
+      1L -> Seq("stream", "window", "batch"),
+      2L -> Seq("customer", "order", "part"))
+    val toks = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> "\\S+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    val nDocs = toks.length.toLong
+    val sumDl = toks.map(_._2.length.toLong).sum
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val tf = toks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, o) => (id, t, o.length.toLong, ts.length.toLong) }
+    }
+    val dfT = tf.groupBy(_._2).map { case (t, rows) => t -> rows.length.toLong }
+    // same association order as the engine/oracle: ((idf * num) / den) * 1e6,
+    // rounded via BigDecimal HALF_UP (Spark's round() semantics)
+    def contrib(tfc: Long, dl: Long, df: Long): Long = {
+      val idf = math.log(1.0 + (nDocs.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5))
+      val num = tfc.toDouble * 2.2
+      val den = tfc.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl)
+      BigDecimal.valueOf(idf * num / den * 1000000)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expected = queries.toSeq.flatMap { case (qid, terms) =>
+      val scores = tf.filter(r => terms.contains(r._2))
+        .groupBy(_._1)
+        .map { case (docId, rows) =>
+          docId -> rows.map(r => contrib(r._3, r._4, dfT(r._2))).sum }
+      scores.toSeq.sortBy { case (docId, s) => (-s, docId) }.take(5)
+        .zipWithIndex
+        .map { case ((docId, s), i) => (qid, (i + 1).toLong, docId, s) }
+    }.sorted
+    val got = graft.queries.Catalog.queries("t27_bm25_search")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got === expected)
+    // ranking is non-degenerate: each query surfaces a distinct ordering
+    assert(got.map(_._4).distinct.length > 5)
+  }
 }

@@ -480,8 +480,27 @@ object SimilarityOps {
   def ivfPqTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
       nCells: Int = 16, refine: Int = 2, nprobe: Int = 4,
       m: Int = 4, kCodes: Int = 16, iters: Int = 2): DataFrame = {
-    val dsub = embeddingDim(emb, "embedding") / m
     val embQ = withQuant(emb)
+    val queriesQ = embQ.filter(col("vec_id").isin(queryIds: _*))
+    val topk = graft.functions.expressions.GroupedTopK.topK(k)
+    ivfPqAdcScores(emb, embQ, queriesQ, nCells, refine, nprobe, m, kCodes, iters)
+      .select(col("qid"), col("vec_id"), (-col("adc_d2")).as("neg_d2"))
+      .groupBy(col("qid"))
+      .agg(topk(col("neg_d2").cast("double"), col("vec_id")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as("vec_id"),
+        col("col").getField("score").cast("long").as("neg_d2"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** The s14 ADC skeleton up to its per-(query, candidate) score frame
+    * (qid, vec_id, adc_d2) — shared by the plain top-k (s14) and the
+    * exact-rerank refine (s16), so the two entries cannot drift. */
+  private def ivfPqAdcScores(emb: DataFrame, embQ: DataFrame,
+      queriesQ: DataFrame, nCells: Int, refine: Int, nprobe: Int,
+      m: Int, kCodes: Int, iters: Int): DataFrame = {
+    val dsub = embeddingDim(emb, "embedding") / m
     val centroids = graft.InternalCaches.track(
       kmeansCentroidsInt(embQ.select(col("vec_id"), col("qemb")), nCells, refine)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -492,7 +511,6 @@ object SimilarityOps {
       pqCodebooksD(embQ.select(col("vec_id"), col("qemb")), m, kCodes, iters, dsub)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val codes = pqEncodeD(embQ.select(col("vec_id"), col("qemb")), pqCent, m, dsub)
-    val queriesQ = embQ.filter(col("vec_id").isin(queryIds: _*))
     val probeK = graft.functions.expressions.GroupedTopK.topK(nprobe)
     val probes = queriesQ.crossJoin(broadcast(centroids))
       .select(col("vec_id").as("qid"),
@@ -507,7 +525,6 @@ object SimilarityOps {
       .join(broadcast(pqCent), Seq("sub"))
       .select(col("qid"), col("sub"), col("code"),
         squaredDistanceLong(col("sq"), col("c_sq")).as("qd2"))
-    val topk = graft.functions.expressions.GroupedTopK.topK(k)
     codes
       .join(assigned.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
       .join(broadcast(probes), Seq("cell_id"))
@@ -515,7 +532,45 @@ object SimilarityOps {
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("qd2")).as("adc_d2"))
-      .select(col("qid"), col("vec_id"), (-col("adc_d2")).as("neg_d2"))
+  }
+
+  /** IVF-PQ with an EXACT rerank stage — the FAISS refine pattern
+    * (IndexRefineFlat): the ADC scan keeps its compression win but its
+    * quantization error reorders near-ties, so the top-R ADC candidates
+    * (R = `rerankR` > k) are re-scored against their FULL quantized
+    * vectors and only then cut to k. The re-fetch is the expensive step
+    * a real deployment pays per query — here it is the |Q|·R candidate
+    * list BROADCAST against the vector table (a point-lookup join: the
+    * corpus scan it gates reads only the candidates' rows' embedding
+    * column), so the corpus-scale cost stays the s14 ADC scan and the
+    * rerank adds R exact integer distances per query. Exact distances
+    * mean the final order equals brute-force order WITHIN the candidate
+    * set — recall can only improve over s14 on the same probe budget
+    * (the spec pins this). */
+  def ivfPqRerankTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      rerankR: Int = 32, nCells: Int = 16, refine: Int = 2, nprobe: Int = 4,
+      m: Int = 4, kCodes: Int = 16, iters: Int = 2): DataFrame = {
+    val embQ = withQuant(emb)
+    val queriesQ = embQ.filter(col("vec_id").isin(queryIds: _*))
+    val candK = graft.functions.expressions.GroupedTopK.topK(rerankR)
+    val cands =
+      ivfPqAdcScores(emb, embQ, queriesQ, nCells, refine, nprobe, m, kCodes, iters)
+        .select(col("qid"), col("vec_id"), (-col("adc_d2")).as("neg_d2"))
+        .groupBy(col("qid"))
+        .agg(candK(col("neg_d2").cast("double"), col("vec_id")).as("cand"))
+        .select(col("qid"), explode(col("cand").getField("id")).as("vec_id"))
+    val topk = graft.functions.expressions.GroupedTopK.topK(k)
+    // the point-lookup fetch: the |Q|·R candidate list (bounded by the
+    // query batch, never by the corpus) broadcasts against the vector
+    // table — the corpus scan reads only (vec_id, qemb) and the join
+    // keeps only candidate rows
+    val candsWithQ = cands.join(
+      queriesQ.select(col("vec_id").as("qid"), col("qemb").as("q_qemb")),
+      Seq("qid"))
+    embQ.select(col("vec_id"), col("qemb"))
+      .join(broadcast(candsWithQ), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        (-squaredDistanceLong(col("qemb"), col("q_qemb"))).as("neg_d2"))
       .groupBy(col("qid"))
       .agg(topk(col("neg_d2").cast("double"), col("vec_id")).as("topk"))
       .select(col("qid"), posexplode(col("topk")))
@@ -1576,6 +1631,69 @@ object SimilarityOps {
           |         row_number() OVER (PARTITION BY qid
           |                            ORDER BY d2 ASC, vec_id) AS rk
           |  FROM adc)
+          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id,
+          |       CAST(-d2 AS BIGINT) AS neg_d2
+          |FROM rk WHERE rk <= 10
+          |ORDER BY qid, rk""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s16: IVF-PQ + exact rerank (the FAISS refine pattern) — s14's ADC
+    // scan cut at R=32 candidates, re-scored with exact integer L2 on
+    // the full quantized vectors, then cut to k=10. See
+    // [[ivfPqRerankTopKBatch]]. The oracle composes s14's exact CTE
+    // chain, cuts `adc` at R, and re-scores from `qe` — all integer.
+    GraftQuery(
+      "s16_similarity_ivfpq_rerank",
+      "IVF-PQ ADC top-32 candidates exact-reranked to top-10 (FAISS refine, fully oracled)",
+      (spark, dir) =>
+        ivfPqRerankTopKBatch(Tables(spark, dir).embeddings, BatchQueryIds, k = 10),
+      Some(
+        s"""WITH ${kmeansCteSql(16, 2)},
+          |keep AS (
+          |  SELECT a.vec_id, a.cell_id FROM asg a
+          |  JOIN (SELECT cell_id, count(*) AS n FROM asg GROUP BY cell_id) c
+          |    USING (cell_id)
+          |  WHERE c.n <= ${graft.dedup.DedupOps.MaxBlock}),
+          |${pqCteSql(4, 16, 2, withQe = false)},
+          |probe AS (
+          |  SELECT qid, cell_id FROM (
+          |    SELECT e.vec_id AS qid, c.cell_id,
+          |           row_number() OVER (PARTITION BY e.vec_id
+          |             ORDER BY ${intDistSql("e.q", "c.c")} ASC, c.cell_id ASC) AS rn
+          |    FROM qe e CROSS JOIN cent c
+          |    WHERE e.vec_id IN ${batchIdsSql}) WHERE rn <= 4),
+          |qsv AS (SELECT vec_id AS qid, sub, sq FROM sv
+          |        WHERE vec_id IN ${batchIdsSql}),
+          |dt AS (
+          |  SELECT q.qid, c.sub, c.code, ${intDistSql("q.sq", "c.c")} AS qd2
+          |  FROM qsv q JOIN pcent c ON q.sub = c.sub),
+          |cand AS (
+          |  SELECT p.qid, kp.vec_id
+          |  FROM probe p JOIN keep kp USING (cell_id)
+          |  WHERE kp.vec_id <> p.qid),
+          |adc AS (
+          |  SELECT c2.qid, c2.vec_id, CAST(sum(d.qd2) AS BIGINT) AS d2
+          |  FROM cand c2
+          |  JOIN pcodes p2 ON p2.vec_id = c2.vec_id
+          |  JOIN dt d ON d.qid = c2.qid AND d.sub = p2.sub AND d.code = p2.code
+          |  GROUP BY c2.qid, c2.vec_id),
+          |candr AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id,
+          |           row_number() OVER (PARTITION BY qid
+          |                              ORDER BY d2 ASC, vec_id) AS rn
+          |    FROM adc) WHERE rn <= 32),
+          |exact AS (
+          |  SELECT c.qid, c.vec_id, ${intDistSql("ev.q", "eq2.q")} AS d2
+          |  FROM candr c
+          |  JOIN qe ev ON ev.vec_id = c.vec_id
+          |  JOIN qe eq2 ON eq2.vec_id = c.qid),
+          |rk AS (
+          |  SELECT qid, vec_id, d2,
+          |         row_number() OVER (PARTITION BY qid
+          |                            ORDER BY d2 ASC, vec_id) AS rk
+          |  FROM exact)
           |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id,
           |       CAST(-d2 AS BIGINT) AS neg_d2
           |FROM rk WHERE rk <= 10

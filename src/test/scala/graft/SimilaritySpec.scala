@@ -258,6 +258,30 @@ class SimilaritySpec extends SparkSpecBase {
     graft.InternalCaches.releaseAll()
   }
 
+  test("s16 exact rerank: recall >= plain s14 ADC on the same probe budget") {
+    // the refine stage re-scores the top-32 ADC candidates with exact
+    // integer L2: within the candidate set the final order IS brute-force
+    // order, so any ADC quantization error inside the top-10/32 boundary
+    // is repaired — recall vs exact can only improve over s14 at the
+    // same nprobe. Deterministic corpus → fixed measurement.
+    val qids = SimilarityOps.BatchQueryIds
+    val exact = SimilarityOps.bruteForceTopKBatch(emb, qids, k = 10).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val byQ = df.collect().groupBy(_.getAs[Long]("qid"))
+        .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+      val rs = qids.map(q => exact(q).intersect(byQ(q)).size / 10.0)
+      rs.sum / rs.size
+    }
+    val plain = recallOf(SimilarityOps.ivfPqTopKBatch(emb, qids, k = 10))
+    val reranked = recallOf(SimilarityOps.ivfPqRerankTopKBatch(emb, qids, k = 10))
+    assert(reranked >= plain,
+      s"reranked recall $reranked regressed below ADC-only $plain")
+    assert(reranked >= 0.2, s"reranked mean recall $reranked")
+    graft.InternalCaches.releaseAll()
+  }
+
   test("d06 SemDeDup: every reported link is a true >=threshold pair; drop set is sound") {
     val thresholdE4 = 3500L
     val got = SimilarityOps.semanticDedup(emb, nCells = 16, refine = 2,

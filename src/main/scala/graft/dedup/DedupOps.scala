@@ -977,11 +977,14 @@ object DedupOps {
     // Scale shape: the base corpus contributes only its 16-byte
     // fingerprints, and only ONCE ever (index build); the per-batch
     // work shuffles (fingerprint, doc_id) pairs — ~24 bytes/doc, text
-    // never moves. The batch side is shuffled on fingerprint once and
-    // the exchange is REUSED by both the batch-first aggregate and the
-    // index join (Catalyst ReusedExchange); at real scale the index
-    // side would additionally be bucketed by fingerprint so batch
-    // ingest never reshuffles the index (q61's layout discipline).
+    // never moves, and the index scan reads (fingerprint, canonical)
+    // only. At test SF AQE broadcasts both small sides (the index and
+    // the batch-first dim), so the incoming batch never shuffles for a
+    // join at all (PlanShapeSpec pins this); past the auto-threshold
+    // both joins degrade to shuffle joins keyed on fingerprint. At real
+    // scale the index would additionally be bucketed by fingerprint so
+    // batch ingest never reshuffles the index (q61's layout
+    // discipline).
     GraftQuery(
       "d15_incremental_dedup",
       "new-batch dedup against a persisted fingerprint index + within-batch first-wins (no base rescan)",

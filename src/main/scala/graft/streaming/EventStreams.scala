@@ -730,6 +730,131 @@ object EventStreams {
       .orderBy(col("user_id"))
   }
 
+  /** Open-session state for [[SessionCloseProcessor]]: running totals
+    * plus the registered close-timer (ms) so re-registration can delete
+    * the stale timer precisely. */
+  final case class OpenSession(n: Long, valueMicros: Long,
+      startMicros: Long, lastMicros: Long, timerMs: Long)
+
+  /** q73's emitted row: a session closed either by an intra-batch gap or
+    * by an event-time timer firing after the watermark passed its gap. */
+  final case class ClosedSession(user_id: Long, start_micros: Long,
+      last_micros: Long, n_events: Long, value_micros: Long)
+
+  /** Event-time TIMERS through transformWithState — the StatefulProcessor
+    * feature q72 doesn't touch: per-user sessions (gap `gapMs`) that are
+    * closed and EMITTED by `handleExpiredTimer` once the watermark passes
+    * last-event + gap, not by waiting for the user's next event. This is
+    * how a production pipeline emits a user's FINAL session (there is no
+    * next event to trigger it — q50's built-in session_window does the
+    * same internally; here the mechanism is explicit and composable).
+    *
+    * Intra-batch gap splits emit immediately: with the time-range-ordered
+    * split source (see [[splitEventsDir]]), any event that could extend a
+    * session sorts into the same or a later batch, and a later batch's
+    * minimum event time is ≥ the current watermark — so a gap observed
+    * within a batch can never be refuted by later input. The timer path
+    * covers cross-batch closes: on every batch the key re-registers its
+    * close timer at floor(last_micros/1000) + gapMs (timers are epoch
+    * ms), deleting the stale one.
+    *
+    * State: one OpenSession cell + one timer per user with an open
+    * session — O(active users), watermark-bounded exactly like the
+    * built-in session window's state. */
+  final class SessionCloseProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long), ClosedSession] {
+    @transient private var state: ValueState[OpenSession] = _
+    private val gapMicros = gapMs * 1000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long)],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.map { case (_, t, v) => (micros(t), v) }.toVector.sorted
+      var cur: Option[OpenSession] =
+        if (state.exists()) Some(state.get()) else None
+      val closed = Vector.newBuilder[ClosedSession]
+      sorted.foreach { case (tsMicros, vMicros) =>
+        cur match {
+          case Some(s) if tsMicros - s.lastMicros <= gapMicros =>
+            cur = Some(s.copy(n = s.n + 1, valueMicros = s.valueMicros + vMicros,
+              lastMicros = math.max(s.lastMicros, tsMicros)))
+          case Some(s) =>
+            closed += ClosedSession(key, s.startMicros, s.lastMicros,
+              s.n, s.valueMicros)
+            cur = Some(OpenSession(1L, vMicros, tsMicros, tsMicros, 0L))
+          case None =>
+            cur = Some(OpenSession(1L, vMicros, tsMicros, tsMicros, 0L))
+        }
+      }
+      cur.foreach { s =>
+        if (s.timerMs > 0L) getHandle.deleteTimer(s.timerMs)
+        val closeAt = s.lastMicros / 1000L + gapMs
+        getHandle.registerTimer(closeAt)
+        state.update(s.copy(timerMs = closeAt))
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (state.exists()) {
+        val s = state.get()
+        // a stale timer (re-registered since) must not close the newer
+        // session the key has moved on to
+        if (s.timerMs == expiredTimerInfo.getExpiryTimeInMs()) {
+          state.clear()
+          Iterator.single(
+            ClosedSession(key, s.startMicros, s.lastMicros, s.n, s.valueMicros))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** q73: timer-closed sessions — see [[SessionCloseProcessor]]. Gap
+    * 30 min, watermark delay 0 (files arrive in ascending time ranges, so
+    * every original row is on time — the q67 discipline). On bounded
+    * input the emitted set is exactly the maximal sessions whose
+    * close-timer the final watermark reached: last_event + gap < max
+    * event time (sessions still inside the horizon stay open forever —
+    * the q54/q69 still-might-extend contract, encoded in the oracle's
+    * horizon predicate). */
+  def timerClosedSessionsStreaming(spark: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val typed = eventStreamSource(ss, dir)()
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").cast("long"), col("ts"),
+        floor(col("value") * lit(1000000)).cast("long"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    val out = typed.groupByKey(_._1)
+      .transformWithState(new SessionCloseProcessor(gapMs = 1800000L),
+        TimeMode.EventTime(), OutputMode.Append())
+    val q = out.toDF().writeStream
+      .format("memory").queryName("q73_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordRun("q73_stream_timer_sessions", q, ss)
+    ss.table("q73_sink")
+      .select(col("user_id"),
+        timestamp_micros(col("start_micros")).as("session_start"),
+        timestamp_micros(col("last_micros")).as("session_last"),
+        col("n_events"), col("value_micros"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Driver-visible streaming artifacts: q27 carries batch q20's oracle,
     * q31 carries the batch count-distinct oracle over planted dups, and
     * q36 carries the batch self-join oracle for the interval join. */
@@ -905,6 +1030,35 @@ object EventStreams {
           |FROM events
           |GROUP BY user_id
           |ORDER BY user_id""".stripMargin)
+    ),
+
+    graft.queries.GraftQuery(
+      "q73_stream_timer_sessions",
+      "sessions closed by event-time TIMERS (transformWithState handleExpiredTimer, append mode)",
+      (spark, dir) => timerClosedSessionsStreaming(spark, dir),
+      Some(
+        """WITH flagged AS (
+          |  SELECT user_id, event_id, ts, value,
+          |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+          |                (PARTITION BY user_id ORDER BY ts, event_id))
+          |              > 1800000000 THEN 1 ELSE 0 END AS brk
+          |  FROM events),
+          |sessions AS (
+          |  SELECT user_id, ts, value,
+          |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+          |  FROM flagged),
+          |agg AS (
+          |  SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+          |         CAST(count(*) AS BIGINT) AS n_events,
+          |         CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+          |           AS value_micros
+          |  FROM sessions GROUP BY user_id, seq),
+          |wm AS (SELECT epoch_us(max(ts)) // 1000 AS w_ms FROM events)
+          |SELECT user_id, session_start, session_last, n_events, value_micros
+          |FROM agg, wm
+          |WHERE epoch_us(session_last) // 1000 + 1800000 < w_ms
+          |ORDER BY user_id, session_start""".stripMargin)
     )
   )
 

@@ -199,6 +199,46 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("LeftSemi"), s"exact verify semi-join missing:\n$p")
   }
 
+  test("t27: query-term broadcast kills postings below the tf exchange; heap top-k, no window") {
+    val p = planOf("t27_bm25_search")
+    // per-query ranking must be the bounded GroupedTopK heap, never a
+    // per-query window sort (a query term matching half the corpus would
+    // otherwise sort its whole posting list on one partition)
+    assert(!p.contains("Window"), s"window sort in the BM25 plan:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"GroupedTopK heap missing:\n$p")
+    // the inverted-index probe: the broadcast join against the query-term
+    // list must sit BELOW the (doc_id, term) tf exchange — i.e. the
+    // exploded posting stream is filtered map-side, and only query-term
+    // postings reach the shuffle. Top-down plan text: exchange prints
+    // first, the BHJ under it, the explode under that.
+    val ex = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(ex >= 0, s"tf exchange missing:\n$p")
+    val bhj = p.indexOf("BroadcastHashJoin", ex)
+    assert(bhj > ex, s"posting-kill join not below the tf exchange:\n$p")
+    val gen = p.indexOf("Generate explode", bhj)
+    assert(gen > bhj, s"explode not below the posting-kill join:\n$p")
+  }
+
+  test("d15: only fingerprints shuffle; index scan reads no text; joins stay broadcast at test SF") {
+    val p = finalPlanOf("d15_incremental_dedup")
+    // no exchange may carry document text — the single hash exchange is
+    // the batch-first aggregate's, keyed on fingerprint; the only other
+    // exchange is the presentation sort's range partitioning
+    val badHash = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("fingerprint"))
+      .toSeq
+    assert(badHash.isEmpty, s"non-fingerprint hash exchange:\n${badHash.mkString("\n")}\n$p")
+    // the persisted index is served as (fingerprint, canonical) only —
+    // base TEXT is never rescanned at batch-ingest time
+    assert(p.contains("ReadSchema: struct<fingerprint:string,idx_canonical:bigint>"),
+      s"index scan reads more than the fingerprint pair:\n$p")
+    // at test SF AQE broadcasts both small sides (index + batch-first
+    // dim), so the incoming batch itself never shuffles for a join; at
+    // scale both degrade to shuffle joins on fingerprint — never on text
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ at test SF:\n$p")
+  }
+
   test("q70: the aggregate is pushed into the parquet scan (footer-stats answer)") {
     val p = planOf("q70_stats_only_agg")
     assert(p.contains("PushedAggregation: [COUNT(*)"),

@@ -601,4 +601,53 @@ class StreamingSpec extends SparkSpecBase {
     assert(stats.stateRowsPerBatch.last >= stats.stateRowsPerBatch.head,
       s"state not carried: $stats")
   }
+
+  test("q73 timer sessions: final sessions emitted by expired timers match the batch twin") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Catalog
+      .queries("q73_stream_timer_sessions")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4)))
+    // batch twin: full sessionization, horizon-filtered exactly like the
+    // oracle (last_ms + gap < watermark_ms)
+    val ev = graft.io.Tables(spark, sf0001).events
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = ev
+      .withColumn("brk",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+          > 1800000000L, 1L).otherwise(0L))
+      .withColumn("seq", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id").cast("long").as("user_id"), col("seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_last"),
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1000000)).cast("long")).as("value_micros"))
+    val wmMs = ev.agg((unix_micros(max(col("ts"))) / lit(1000L)).cast("long"))
+      .head().getLong(0)
+    val expected = sess
+      .where(unix_micros(col("session_last")) / lit(1000L) + lit(1800000L) < lit(wmMs))
+      .select(col("user_id"), col("session_start"), col("session_last"),
+        col("n_events"), col("value_micros"))
+      .orderBy(col("user_id"), col("session_start"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === expected.toSeq)
+    // timers are the ONLY path that can close a user's chronologically
+    // FINAL session (no successor event exists to trigger a gap split) —
+    // such sessions appearing in the output proves handleExpiredTimer
+    // fired. Final-session starts come from the UNFILTERED sessionization.
+    val finalStarts = sess
+      .groupBy(col("user_id")).agg(max(col("session_start")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val timerClosed = got.count { case (u, s, _, _, _) =>
+      finalStarts.get(u).contains(s) }
+    assert(timerClosed > 0, "no timer-closed final sessions in the output")
+    val stats = graft.streaming.EventStreams
+      .lastRunStats("q73_stream_timer_sessions")
+    assert(stats.provider.contains("RocksDBStateStoreProvider"), stats.provider)
+    assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
+  }
 }

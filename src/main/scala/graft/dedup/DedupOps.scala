@@ -1017,17 +1017,7 @@ object DedupOps {
             .select((col("doc_id") + lit(200000L)).as("doc_id"),
               perturb.as("text")))
           .select(col("doc_id"), contentFingerprint(col("text")).as("fingerprint"))
-        val batchFirst = incoming.groupBy(col("fingerprint"))
-          .agg(min(col("doc_id")).as("batch_first"))
-        incoming
-          .join(index, Seq("fingerprint"), "left")
-          .join(batchFirst, Seq("fingerprint"))
-          .select(col("doc_id"),
-            when(col("idx_canonical").isNotNull, lit("dup_index"))
-              .when(col("batch_first") < col("doc_id"), lit("dup_batch"))
-              .otherwise(lit("new")).as("verdict"),
-            coalesce(col("idx_canonical"), col("batch_first")).as("canonical_id"))
-          .orderBy(col("doc_id"))
+        incrementalDedupVerdicts(index, incoming)
       },
       Some(
         """WITH base AS (
@@ -1059,4 +1049,25 @@ object DedupOps {
           |ORDER BY doc_id""".stripMargin)
     )
   )
+
+  /** d15's verdict engine over arbitrary frames: `index` is
+    * (fingerprint, idx_canonical) — the persisted prior-snapshot asset —
+    * and `incoming` is (doc_id, fingerprint) for the new batch. An empty
+    * index makes every batch doc new or dup_batch; an empty batch yields
+    * an empty result. See the d15 catalog entry for the plan-shape
+    * argument (fingerprint-only exchanges, both small sides
+    * auto-broadcast at test SF). */
+  def incrementalDedupVerdicts(index: DataFrame, incoming: DataFrame): DataFrame = {
+    val batchFirst = incoming.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("batch_first"))
+    incoming
+      .join(index, Seq("fingerprint"), "left")
+      .join(batchFirst, Seq("fingerprint"))
+      .select(col("doc_id"),
+        when(col("idx_canonical").isNotNull, lit("dup_index"))
+          .when(col("batch_first") < col("doc_id"), lit("dup_batch"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("idx_canonical"), col("batch_first")).as("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -377,6 +377,106 @@ object PipelineQueries {
           |FROM r
           |WHERE cum_tokens <= 3000
           |ORDER BY lang, cum_tokens""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // p05: corpus drift report between two snapshots — the go/no-go
+    // check a data team runs before swapping a refreshed corpus into
+    // training: per source, how did document/gram volume move, and how
+    // much phrase vocabulary churned (bigram Jaccard, gained/lost)?
+    // The vocabulary unit is the word BIGRAM: unigram vocabularies
+    // saturate (every split of a source shares essentially all words —
+    // measured 100% overlap on this corpus), while phrase-level overlap
+    // is partial and actually moves when the text distribution moves.
+    // Snapshots here are deterministic interleaved doc_id halves
+    // ((doc_id div 20) % 2 — the corpus assigns sources by doc_id mod
+    // 20, so a plain parity split would put each source wholly in one
+    // snapshot); in production they are two dated table versions
+    // (q68's surface).
+    //
+    // Plan shape: ONE (source, bigram) hash aggregate with both
+    // snapshots counted conditionally in the same pass (no self-join of
+    // the corpus), rolled up per source; doc counts are a second narrow
+    // agg joined on the tiny source dimension. Everything map-side
+    // combines — the word-count shape; vocabulary churn costs no more
+    // than one gram count over both snapshots together.
+    GraftQuery(
+      "p05_corpus_drift",
+      "per-source snapshot drift: doc/gram volume + bigram-vocabulary churn (Jaccard, gained/lost)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val docs = t.documents
+          .withColumn("snap", ((col("doc_id") / 20).cast("long") % 2).cast("int"))
+          .withColumn("toks", regexp_extract_all(lower(col("text")),
+            lit(TextOps.wsToken), lit(0)))
+        val counts = docs.groupBy(col("source")).agg(
+          sum(when(col("snap") === 0, 1L).otherwise(0L)).as("docs_a"),
+          sum(when(col("snap") === 1, 1L).otherwise(0L)).as("docs_b"))
+        val grams = docs
+          .select(col("source"), col("snap"),
+            // size < 2 → empty array (sequence(1, 0) would DESCEND)
+            explode(expr(
+              "CASE WHEN size(toks) >= 2 THEN" +
+                " transform(sequence(1, size(toks) - 1)," +
+                " i -> concat(toks[i - 1], ' ', toks[i]))" +
+                " ELSE array() END")).as("gram"))
+          .groupBy(col("source"), col("gram"))
+          .agg(sum(when(col("snap") === 0, 1L).otherwise(0L)).as("cnt_a"),
+            sum(when(col("snap") === 1, 1L).otherwise(0L)).as("cnt_b"))
+        val drift = grams.groupBy(col("source")).agg(
+          sum(col("cnt_a")).as("grams_a"),
+          sum(col("cnt_b")).as("grams_b"),
+          sum(when(col("cnt_a") > 0, 1L).otherwise(0L)).as("vocab_a"),
+          sum(when(col("cnt_b") > 0, 1L).otherwise(0L)).as("vocab_b"),
+          sum(when(col("cnt_a") > 0 && col("cnt_b") > 0, 1L).otherwise(0L))
+            .as("vocab_common"))
+        counts.join(drift, Seq("source"))
+          .selectExpr("source", "docs_a", "docs_b", "grams_a", "grams_b",
+            "vocab_a", "vocab_b", "vocab_common",
+            "CASE WHEN vocab_a + vocab_b - vocab_common = 0 THEN 0 " +
+              "ELSE vocab_common * 1000000 div (vocab_a + vocab_b - vocab_common) END" +
+              " AS vocab_jaccard_e6",
+            "vocab_b - vocab_common AS grams_gained",
+            "vocab_a - vocab_common AS grams_lost")
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT source, (doc_id // 20) % 2 AS snap,
+          |         regexp_extract_all(lower(text), '\S+') AS toks
+          |  FROM documents),
+          |counts AS (
+          |  SELECT source,
+          |         CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_a,
+          |         CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_b
+          |  FROM d GROUP BY source),
+          |grams AS (
+          |  SELECT source, gram,
+          |         CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+          |         CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+          |  FROM (SELECT source, snap,
+          |               unnest([toks[i] || ' ' || toks[i + 1]
+          |                       FOR i IN range(1, greatest(len(toks), 1))]) AS gram
+          |        FROM d)
+          |  GROUP BY source, gram),
+          |drift AS (
+          |  SELECT source,
+          |         CAST(sum(cnt_a) AS BIGINT) AS grams_a,
+          |         CAST(sum(cnt_b) AS BIGINT) AS grams_b,
+          |         CAST(sum(CASE WHEN cnt_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+          |         CAST(sum(CASE WHEN cnt_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+          |         CAST(sum(CASE WHEN cnt_a > 0 AND cnt_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS vocab_common
+          |  FROM grams GROUP BY source)
+          |SELECT c.source, docs_a, docs_b, grams_a, grams_b,
+          |       vocab_a, vocab_b, vocab_common,
+          |       CAST(CASE WHEN vocab_a + vocab_b - vocab_common = 0 THEN 0
+          |            ELSE vocab_common * 1000000 // (vocab_a + vocab_b - vocab_common)
+          |            END AS BIGINT) AS vocab_jaccard_e6,
+          |       CAST(vocab_b - vocab_common AS BIGINT) AS grams_gained,
+          |       CAST(vocab_a - vocab_common AS BIGINT) AS grams_lost
+          |FROM counts c JOIN drift USING (source)
+          |ORDER BY source""".stripMargin)
     )
   )
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1261,47 +1261,12 @@ object TextOps {
       "t27_bm25_search",
       "BM25 top-5 docs per query (k1=1.2, b=0.75), integer micro-unit scores, bounded-heap top-k",
       (spark, dir) => {
-        val t = Tables(spark, dir)
         val queryTerms = spark.createDataFrame(Seq(
           (0L, "spark"), (0L, "merge"), (0L, "join"),
           (1L, "stream"), (1L, "window"), (1L, "batch"),
           (2L, "customer"), (2L, "order"), (2L, "part")
         )).toDF("query_id", "term")
-        val d = t.documents.select(col("doc_id"),
-          regexp_extract_all(lower(col("text")), lit(wsToken), lit(0)).as("toks"))
-        val stats = d.agg(count(lit(1)).as("n_docs"),
-          sum(size(col("toks")).cast("long")).as("sum_dl"))
-        val tok = d.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-          explode(col("toks")).as("term"))
-        // map-side posting kill: only query-term postings reach the shuffle
-        val tf = tok
-          .join(broadcast(queryTerms.select(col("term")).distinct()), Seq("term"))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
-        val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val idf = log(lit(1.0) +
-          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5)))
-        val num = col("tf").cast("double") * lit(2.2)
-        val den = col("tf").cast("double") + lit(1.2) *
-          (lit(0.25) + lit(0.75) * col("dl").cast("double") /
-            (col("sum_dl").cast("double") / col("n_docs").cast("double")))
-        val topk = graft.functions.expressions.GroupedTopK.topK(5)
-        tf.join(broadcast(queryTerms), Seq("term"))
-          .join(broadcast(dfq), Seq("term"))
-          .crossJoin(broadcast(stats))
-          .withColumn("contrib_e6",
-            round(idf * num / den * lit(1000000)).cast("long"))
-          .groupBy(col("query_id"), col("doc_id"))
-          .agg(sum(col("contrib_e6")).as("score_e6"))
-          .groupBy(col("query_id"))
-          // BIGINT micro-units < 2^50 → the heap's double score is exact
-          .agg(topk(col("score_e6").cast("double"), col("doc_id")).as("topk"))
-          .select(col("query_id"), posexplode(col("topk")))
-          .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
-            col("col").getField("id").as("doc_id"),
-            col("col").getField("score").cast("long").as("score_e6"))
-          .orderBy(col("query_id"), col("rk"))
+        bm25TopK(Tables(spark, dir).documents, queryTerms, k = 5)
       },
       Some(
         """WITH q(query_id, term) AS (VALUES
@@ -1339,6 +1304,53 @@ object TextOps {
           |ORDER BY query_id, rk""".stripMargin)
     )
   )
+
+  /** Okapi BM25 (k1=1.2, b=0.75) top-k docs per query over an arbitrary
+    * (doc_id, text) frame — t27's engine. `queryTerms` is (query_id,
+    * term); a term absent from the corpus simply contributes nothing
+    * (the posting join is inner), and a query with NO matching term
+    * yields no rows for that query. Contributions are quantized to
+    * BIGINT micro-units per (query, term, doc) BEFORE the per-doc sum,
+    * so the score is an exact integer sum — float addition order can
+    * never matter. See the t27 catalog entry for the plan-shape
+    * argument (map-side posting kill, broadcast stats, bounded heap). */
+  def bm25TopK(docs: DataFrame, queryTerms: DataFrame, k: Int): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit(wsToken), lit(0)).as("toks"))
+    val stats = d.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("sum_dl"))
+    val tok = d.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+      explode(col("toks")).as("term"))
+    // map-side posting kill: only query-term postings reach the shuffle
+    val tf = tok
+      .join(broadcast(queryTerms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val num = col("tf").cast("double") * lit(2.2)
+    val den = col("tf").cast("double") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")))
+    val topk = graft.functions.expressions.GroupedTopK.topK(k)
+    tf.join(broadcast(queryTerms), Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_e6",
+        round(idf * num / den * lit(1000000)).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_e6")).as("score_e6"))
+      .groupBy(col("query_id"))
+      // BIGINT micro-units < 2^50 → the heap's double score is exact
+      .agg(topk(col("score_e6").cast("double"), col("doc_id")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as("doc_id"),
+        col("col").getField("score").cast("long").as("score_e6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
 
   // t15 PII patterns — Java-regex ∩ RE2 subset (see the t15 comment).
   // Shared with p03's composed pipeline (single-sourced per the

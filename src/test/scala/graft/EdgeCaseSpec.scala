@@ -233,4 +233,42 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(out.length === 7, "expected all 7 non-self items")
     assert(out.map(_.getAs[Long]("rk")).toSeq === (1L to 7L))
   }
+
+  test("BM25: unknown terms contribute nothing; an all-unknown query emits no rows") {
+    val docs = Seq((1L, "spark joins data"), (2L, "spark spark streams"))
+      .toDF("doc_id", "text")
+    val queries = Seq((0L, "spark"), (0L, "zzz_not_in_corpus"), (1L, "qqq_unknown"))
+      .toDF("query_id", "term")
+    val out = graft.text.TextOps.bm25TopK(docs, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // query 1 has no corpus term → absent entirely (not an error, no null row)
+    assert(!out.exists(_._1 == 1L), out.mkString(", "))
+    // query 0 ranks both docs on 'spark' alone; the unknown term changes nothing
+    val q0 = out.filter(_._1 == 0L)
+    assert(q0.map(_._3).toSet === Set(1L, 2L))
+    assert(q0.forall(_._4 > 0L), q0.mkString(", "))
+  }
+
+  test("BM25 on an empty corpus returns empty, not an error") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val queries = Seq((0L, "spark")).toDF("query_id", "term")
+    assert(graft.text.TextOps.bm25TopK(docs, queries, k = 5).count() === 0L)
+  }
+
+  test("incremental dedup with an empty index: only new/dup_batch verdicts") {
+    val index = Seq.empty[(String, Long)].toDF("fingerprint", "idx_canonical")
+    val incoming = Seq((10L, "fpA"), (11L, "fpA"), (12L, "fpB"))
+      .toDF("doc_id", "fingerprint")
+    val out = graft.dedup.DedupOps.incrementalDedupVerdicts(index, incoming)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((10L, "new", 10L), (11L, "dup_batch", 10L),
+      (12L, "new", 12L)))
+  }
+
+  test("incremental dedup with an empty batch returns empty, not an error") {
+    val index = Seq(("fpA", 1L)).toDF("fingerprint", "idx_canonical")
+    val incoming = Seq.empty[(Long, String)].toDF("doc_id", "fingerprint")
+    assert(graft.dedup.DedupOps.incrementalDedupVerdicts(index, incoming)
+      .count() === 0L)
+  }
 }

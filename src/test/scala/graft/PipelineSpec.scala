@@ -147,4 +147,41 @@ class PipelineSpec extends SparkSpecBase {
     assert(docsPerLang.exists { case (l, n) => selPerLang.getOrElse(l, 0L) < n },
       "budget gate inert — every document of every language selected")
   }
+
+  test("p05: drift identities hold and reconcile with independent per-source totals") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Catalog.queries("p05_corpus_drift")(spark, sf0001)
+      .collect()
+    // structural identities of the churn accounting
+    rows.foreach { r =>
+      val va = r.getAs[Long]("vocab_a"); val vb = r.getAs[Long]("vocab_b")
+      val vc = r.getAs[Long]("vocab_common")
+      assert(vc <= math.min(va, vb), r.toString)
+      assert(r.getAs[Long]("grams_gained") === vb - vc, r.toString)
+      assert(r.getAs[Long]("grams_lost") === va - vc, r.toString)
+      // the interleaved split must land every source in BOTH snapshots
+      assert(r.getAs[Long]("docs_a") > 0L && r.getAs[Long]("docs_b") > 0L,
+        r.toString)
+    }
+    // gram totals reconcile with an independent recompute (both
+    // snapshots together = per-source Σ max(n_tokens − 1, 0))
+    val docs = graft.io.Tables(spark, sf0001).documents
+    val totals = docs.select(col("source"),
+        greatest(size(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+          - lit(1), lit(0)).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("grams_a") + r.getAs[Long]("grams_b")
+        === totals(r.getAs[String]("source")), r.toString)
+    }
+    // phrase-level churn must be non-degenerate: partial overlap, and the
+    // report differentiates sources (unigram vocabularies saturate here —
+    // the reason p05 measures bigrams)
+    rows.foreach { r =>
+      val j = r.getAs[Long]("vocab_jaccard_e6")
+      assert(j > 0L && j < 1000000L, s"degenerate bigram overlap: $r")
+    }
+    assert(rows.map(_.getAs[Long]("vocab_jaccard_e6")).distinct.length > 1)
+  }
 }

@@ -730,6 +730,99 @@ object EventStreams {
       .orderBy(col("user_id"))
   }
 
+  /** [[RunningTotalsProcessor]] with WARM-START state: the
+    * batch→streaming handoff pattern. A deployment that has months of
+    * history in the warehouse does not replay it through the stream —
+    * it aggregates the history ONCE as a batch frame and hands it to
+    * `transformWithState` as initial state (`handleInitialState` runs
+    * once per key before the first batch); the stream then processes
+    * only the live tail. Emitted totals therefore cover FULL history
+    * (batch + stream) even though the stream never saw the batch rows —
+    * which is exactly what the oracle checks. */
+  final class WarmStartTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long, Long), UserTotals, RunningTotals] {
+    @transient private var state: ValueState[RunningTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunningTotals]("totals",
+        org.apache.spark.sql.Encoders.product[RunningTotals], TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initial: RunningTotals,
+        timerValues: TimerValues): Unit =
+      state.update(initial)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev =
+        if (state.exists()) state.get() else RunningTotals(0L, 0L, Long.MinValue)
+      var n = prev.n; var v = prev.valueMicros; var last = prev.lastTsMicros
+      rows.foreach { case (_, tsMicros, valueMicros) =>
+        n += 1; v += valueMicros
+        if (tsMicros > last) last = tsMicros
+      }
+      state.update(RunningTotals(n, v, last))
+      Iterator.single(UserTotals(key, n, v, last))
+    }
+  }
+
+  /** The warm-start handoff boundary for q74: history strictly before
+    * this instant is served from the BATCH aggregate; the stream
+    * processes only rows at-or-after it. Day 11 of the 30-day corpus —
+    * inside the first split file's range, so the stream's first
+    * micro-batch really does drop already-aggregated history. */
+  private val WarmStartBoundary = "2024-01-11 00:00:00"
+
+  /** q74: totals warm-started from a batch aggregate — see
+    * [[WarmStartTotalsProcessor]]. Output rows exist for every user with
+    * ≥1 LIVE (post-boundary) event, and their totals include the
+    * pre-boundary history the stream never read; users whose events all
+    * precede the boundary stay in state but never emit (no input ⇒ no
+    * row — the update-mode contract). */
+  def warmStartTotalsStreaming(spark: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val boundary = lit(WarmStartBoundary).cast("timestamp")
+    // the warehouse side of the handoff: history aggregated ONCE
+    val initState = graft.io.Tables(ss, dir).events
+      .where(col("ts") < boundary)
+      .groupBy(col("user_id").cast("long").as("u"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1000000)).cast("long")).as("v"),
+        max(unix_micros(col("ts"))).as("last"))
+      .as[(Long, Long, Long, Long)]
+      .map { case (u, n, v, last) => (u, RunningTotals(n, v, last)) }
+      .groupByKey(_._1).mapValues(_._2)
+    val typed = eventStreamSource(ss, dir)()
+      .where(col("ts") >= boundary)
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")),
+        floor(col("value") * lit(1000000)).cast("long"))
+      .as[(Long, Long, Long)]
+    val out = typed.groupByKey(_._1)
+      .transformWithState(new WarmStartTotalsProcessor,
+        TimeMode.None(), OutputMode.Update(), initState)
+    val q = out.toDF().writeStream
+      .format("memory").queryName("q74_sink")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordRun("q74_stream_warm_start", q, ss)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    ss.table("q74_sink")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("value_micros"),
+        timestamp_micros(col("last_ts_micros")).as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
   /** Open-session state for [[SessionCloseProcessor]]: running totals
     * plus the registered close-timer (ms) so re-registration can delete
     * the stale timer precisely. */
@@ -1059,6 +1152,24 @@ object EventStreams {
           |FROM agg, wm
           |WHERE epoch_us(session_last) // 1000 + 1800000 < w_ms
           |ORDER BY user_id, session_start""".stripMargin)
+    ),
+
+    graft.queries.GraftQuery(
+      "q74_stream_warm_start",
+      "totals warm-started from a batch aggregate (StatefulProcessorWithInitialState): history never replays",
+      (spark, dir) => warmStartTotalsStreaming(spark, dir),
+      Some(
+        """WITH live AS (
+          |  SELECT DISTINCT user_id FROM events
+          |  WHERE ts >= TIMESTAMP '2024-01-11 00:00:00')
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+          |         AS value_micros,
+          |       max(ts) AS last_ts
+          |FROM events
+          |WHERE user_id IN (SELECT user_id FROM live)
+          |GROUP BY user_id
+          |ORDER BY user_id""".stripMargin)
     )
   )
 

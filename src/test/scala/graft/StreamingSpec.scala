@@ -650,4 +650,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(stats.provider.contains("RocksDBStateStoreProvider"), stats.provider)
     assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
   }
+
+  test("q74 warm start: emitted totals cover history the stream never read") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Catalog
+      .queries("q74_stream_warm_start")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3)))
+    // full-history batch twin, restricted to users with >=1 live event
+    val ev = graft.io.Tables(spark, sf0001).events
+    val boundary = lit("2024-01-11 00:00:00").cast("timestamp")
+    val liveUsers = ev.where(col("ts") >= boundary)
+      .select(col("user_id")).distinct()
+    val expected = ev.join(liveUsers, Seq("user_id"), "left_semi")
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1000000)).cast("long")).as("value_micros"),
+        max(col("ts")).as("last_ts"))
+      .orderBy(col("user_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3)))
+    assert(got.toSeq === expected.toSeq)
+    // the handoff evidence: the output's event totals strictly exceed
+    // the number of live (post-boundary) events — the difference is the
+    // pre-boundary history that reached the totals ONLY through
+    // handleInitialState, since the stream filters those rows out.
+    // (numInputRows counts source rows before the filter, so stream
+    // metrics can't distinguish the two paths.)
+    val liveEvents = ev.where(col("ts") >= boundary).count()
+    val totalInOutput = got.map(_._2).sum
+    assert(liveEvents > 0L)
+    assert(totalInOutput > liveEvents,
+      s"no warm-started history in the totals: output $totalInOutput vs live $liveEvents")
+    val stats = graft.streaming.EventStreams.lastRunStats("q74_stream_warm_start")
+    assert(stats.provider.contains("RocksDBStateStoreProvider"), stats.provider)
+    assert(stats.nBatches >= 2, s"expected ≥2 data micro-batches, got ${stats.nBatches}")
+  }
 }

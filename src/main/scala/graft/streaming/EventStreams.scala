@@ -659,87 +659,18 @@ object EventStreams {
     * cumulative row — the update-mode contract. Counts are strictly
     * increasing across a key's emitted rows, so the LAST row per key
     * (max n_events) is the final total — which is exactly the batch
-    * aggregate, giving the entry its full oracle.
+    * aggregate, giving the entries their full oracles.
+    *
+    * ONE processor serves both q72 (no initial state — a
+    * `StatefulProcessorWithInitialState` IS a `StatefulProcessor`, and
+    * `handleInitialState` is simply never called) and q74 (warm-started
+    * from the batch aggregate), so the accumulate fold cannot drift
+    * between the two entries.
     *
     * Input rows are pre-projected to (user_id, ts_micros, value_micros)
     * BEFORE groupByKey — the state shuffle carries 24 bytes/row, and the
     * integer micro-unit discipline keeps the running sum exact. */
   final class RunningTotalsProcessor
-      extends StatefulProcessor[Long, (Long, Long, Long), UserTotals] {
-    @transient private var state: ValueState[RunningTotals] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[RunningTotals]("totals",
-        org.apache.spark.sql.Encoders.product[RunningTotals], TTLConfig.NONE)
-
-    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
-        timerValues: TimerValues): Iterator[UserTotals] = {
-      val prev =
-        if (state.exists()) state.get() else RunningTotals(0L, 0L, Long.MinValue)
-      var n = prev.n; var v = prev.valueMicros; var last = prev.lastTsMicros
-      rows.foreach { case (_, tsMicros, valueMicros) =>
-        n += 1; v += valueMicros
-        if (tsMicros > last) last = tsMicros
-      }
-      state.update(RunningTotals(n, v, last))
-      Iterator.single(UserTotals(key, n, v, last))
-    }
-  }
-
-  /** q72: per-user running totals through `transformWithState` (TimeMode
-    * None, update mode), ≥3 micro-batches via the split file source, then
-    * the final row per key selected from the update stream. Requires the
-    * RocksDB state-store provider (the only provider the
-    * transformWithState operator supports). At 100 TB the state is one
-    * 24-byte cell per user and each micro-batch shuffles only its own
-    * rows — the unbounded-key analog of q44's foreachBatch upsert,
-    * with the merge logic inside the state store instead of a sink
-    * rewrite. */
-  def transformWithStateTotals(spark: SparkSession, dir: String,
-      statePartitions: Int = 8): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    import ss.implicits._
-    val typed = eventStreamSource(ss, dir)()
-      .select(col("user_id").cast("long"),
-        unix_micros(col("ts")),
-        floor(col("value") * lit(1000000)).cast("long"))
-      .as[(Long, Long, Long)]
-    val out = typed.groupByKey(_._1)
-      .transformWithState(new RunningTotalsProcessor,
-        TimeMode.None(), OutputMode.Update())
-    val q = out.toDF().writeStream
-      .format("memory").queryName("q72_sink")
-      .outputMode(OutputMode.Update())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    recordRun("q72_stream_transform_with_state", q, ss)
-    // update-mode sink holds one row per (key, batch-with-input); the
-    // final totals row per key is the one with the largest n_events
-    // (strictly increasing across a key's emitted rows)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
-    ss.table("q72_sink")
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("user_id"), col("n_events"), col("value_micros"),
-        timestamp_micros(col("last_ts_micros")).as("last_ts"))
-      .orderBy(col("user_id"))
-  }
-
-  /** [[RunningTotalsProcessor]] with WARM-START state: the
-    * batch→streaming handoff pattern. A deployment that has months of
-    * history in the warehouse does not replay it through the stream —
-    * it aggregates the history ONCE as a batch frame and hands it to
-    * `transformWithState` as initial state (`handleInitialState` runs
-    * once per key before the first batch); the stream then processes
-    * only the live tail. Emitted totals therefore cover FULL history
-    * (batch + stream) even though the stream never saw the batch rows —
-    * which is exactly what the oracle checks. */
-  final class WarmStartTotalsProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
         Long, (Long, Long, Long), UserTotals, RunningTotals] {
     @transient private var state: ValueState[RunningTotals] = _
@@ -766,6 +697,61 @@ object EventStreams {
     }
   }
 
+  /** Isolated session for the transformWithState entries: own shuffle
+    * width for the state store, RocksDB provider (the only one the
+    * operator supports). */
+  private def twsSession(spark: SparkSession, statePartitions: Int): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ss
+  }
+
+  /** Final totals from an update-mode totals sink: one row per
+    * (key, batch-with-input) accumulated there; the final row per key is
+    * the one with the largest n_events (strictly increasing across a
+    * key's emitted rows). */
+  private def latestTotals(ss: SparkSession, sink: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    ss.table(sink)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("value_micros"),
+        timestamp_micros(col("last_ts_micros")).as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q72: per-user running totals through `transformWithState` (TimeMode
+    * None, update mode), ≥3 micro-batches via the split file source, then
+    * the final row per key selected from the update stream. At 100 TB the
+    * state is one 24-byte cell per user and each micro-batch shuffles
+    * only its own rows — the unbounded-key analog of q44's foreachBatch
+    * upsert, with the merge logic inside the state store instead of a
+    * sink rewrite. */
+  def transformWithStateTotals(spark: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
+    val ss = twsSession(spark, statePartitions)
+    import ss.implicits._
+    val typed = eventStreamSource(ss, dir)()
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")),
+        floor(col("value") * lit(1000000)).cast("long"))
+      .as[(Long, Long, Long)]
+    val out = typed.groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+    val q = out.toDF().writeStream
+      .format("memory").queryName("q72_sink")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordRun("q72_stream_transform_with_state", q, ss)
+    latestTotals(ss, "q72_sink")
+  }
+
   /** The warm-start handoff boundary for q74: history strictly before
     * this instant is served from the BATCH aggregate; the stream
     * processes only rows at-or-after it. Day 11 of the 30-day corpus —
@@ -773,18 +759,20 @@ object EventStreams {
     * micro-batch really does drop already-aggregated history. */
   private val WarmStartBoundary = "2024-01-11 00:00:00"
 
-  /** q74: totals warm-started from a batch aggregate — see
-    * [[WarmStartTotalsProcessor]]. Output rows exist for every user with
-    * ≥1 LIVE (post-boundary) event, and their totals include the
-    * pre-boundary history the stream never read; users whose events all
-    * precede the boundary stay in state but never emit (no input ⇒ no
-    * row — the update-mode contract). */
+  /** q74: totals warm-started from a batch aggregate — the
+    * batch→streaming handoff pattern. A deployment with months of
+    * history in the warehouse does not replay it through the stream: the
+    * history aggregates ONCE as a batch frame and is handed to
+    * `transformWithState` as initial state ([[RunningTotalsProcessor]]'s
+    * `handleInitialState` runs once per key before the first batch); the
+    * stream processes only the live tail. Output rows exist for every
+    * user with ≥1 LIVE (post-boundary) event, and their totals include
+    * the pre-boundary history the stream never read; users whose events
+    * all precede the boundary stay in state but never emit (no input ⇒
+    * no row — the update-mode contract). */
   def warmStartTotalsStreaming(spark: SparkSession, dir: String,
       statePartitions: Int = 8): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ss = twsSession(spark, statePartitions)
     import ss.implicits._
     val boundary = lit(WarmStartBoundary).cast("timestamp")
     // the warehouse side of the handoff: history aggregated ONCE
@@ -804,7 +792,7 @@ object EventStreams {
         floor(col("value") * lit(1000000)).cast("long"))
       .as[(Long, Long, Long)]
     val out = typed.groupByKey(_._1)
-      .transformWithState(new WarmStartTotalsProcessor,
+      .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update(), initState)
     val q = out.toDF().writeStream
       .format("memory").queryName("q74_sink")
@@ -813,14 +801,7 @@ object EventStreams {
       .start()
     q.awaitTermination()
     recordRun("q74_stream_warm_start", q, ss)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
-    ss.table("q74_sink")
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("user_id"), col("n_events"), col("value_micros"),
-        timestamp_micros(col("last_ts_micros")).as("last_ts"))
-      .orderBy(col("user_id"))
+    latestTotals(ss, "q74_sink")
   }
 
   /** Open-session state for [[SessionCloseProcessor]]: running totals
@@ -881,7 +862,9 @@ object EventStreams {
           case Some(s) =>
             closed += ClosedSession(key, s.startMicros, s.lastMicros,
               s.n, s.valueMicros)
-            cur = Some(OpenSession(1L, vMicros, tsMicros, tsMicros, 0L))
+            // carry the superseded session's timer so the end-of-batch
+            // re-registration path deletes it (one timer per active key)
+            cur = Some(OpenSession(1L, vMicros, tsMicros, tsMicros, s.timerMs))
           case None =>
             cur = Some(OpenSession(1L, vMicros, tsMicros, tsMicros, 0L))
         }
@@ -914,16 +897,14 @@ object EventStreams {
     * 30 min, watermark delay 0 (files arrive in ascending time ranges, so
     * every original row is on time — the q67 discipline). On bounded
     * input the emitted set is exactly the maximal sessions whose
-    * close-timer the final watermark reached: last_event + gap < max
-    * event time (sessions still inside the horizon stay open forever —
-    * the q54/q69 still-might-extend contract, encoded in the oracle's
-    * horizon predicate). */
+    * close-timer the final watermark reached — timers fire INCLUSIVELY
+    * (expiry ≤ watermark), so the horizon is
+    * floor(last_us/1000) + gap_ms ≤ floor(max_ts_us/1000); sessions
+    * still inside it stay open forever — the q54/q69 still-might-extend
+    * contract, encoded in the oracle's horizon predicate. */
   def timerClosedSessionsStreaming(spark: SparkSession, dir: String,
       statePartitions: Int = 8): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ss = twsSession(spark, statePartitions)
     import ss.implicits._
     val typed = eventStreamSource(ss, dir)()
       .withWatermark("ts", "0 seconds")
@@ -1150,7 +1131,7 @@ object EventStreams {
           |wm AS (SELECT epoch_us(max(ts)) // 1000 AS w_ms FROM events)
           |SELECT user_id, session_start, session_last, n_events, value_micros
           |FROM agg, wm
-          |WHERE epoch_us(session_last) // 1000 + 1800000 < w_ms
+          |WHERE epoch_us(session_last) // 1000 + 1800000 <= w_ms
           |ORDER BY user_id, session_start""".stripMargin)
     ),
 

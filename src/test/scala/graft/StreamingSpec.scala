@@ -627,7 +627,7 @@ class StreamingSpec extends SparkSpecBase {
     val wmMs = ev.agg((unix_micros(max(col("ts"))) / lit(1000L)).cast("long"))
       .head().getLong(0)
     val expected = sess
-      .where(unix_micros(col("session_last")) / lit(1000L) + lit(1800000L) < lit(wmMs))
+      .where(unix_micros(col("session_last")) / lit(1000L) + lit(1800000L) <= lit(wmMs))
       .select(col("user_id"), col("session_start"), col("session_last"),
         col("n_events"), col("value_micros"))
       .orderBy(col("user_id"), col("session_start"))

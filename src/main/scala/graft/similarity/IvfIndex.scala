@@ -48,6 +48,27 @@ object IvfIndex {
     centroids.write.mode(SaveMode.Overwrite).parquet(centroidsPath(path))
   }
 
+  /** Incremental add — the index-maintenance half of the layout:
+    * assign a NEW batch of vectors with the FROZEN stored centroids (no
+    * retraining, no rebuild) and append them to the cell layout.
+    * O(batch) work: one broadcast-centroid argmin over the new vectors
+    * and a partitioned append; existing cell files are never rewritten
+    * and the centroid matrix is untouched, so every previously-served
+    * probe plan remains valid. This is how a production ANN index
+    * absorbs continuously-arriving embeddings — FAISS `add` after
+    * `train`, the s-space analog of d15's fingerprint-index ingest.
+    * (Centroid drift under sustained adds is a rebuild decision, made
+    * offline by comparing cell-count balance — not something an ingest
+    * path should do implicitly.) */
+  def add(newEmb: DataFrame, path: String): Unit = {
+    val centroids = newEmb.sparkSession.read.parquet(centroidsPath(path))
+    SimilarityOps.assignCellsInt(
+        SimilarityOps.withQuant(newEmb), centroids, carry = Seq("embedding"))
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+      .write.mode(SaveMode.Append).partitionBy("cell_id")
+      .parquet(cellsPath(path))
+  }
+
   /** Exact-rerank top-k over the persisted index: pick the `nprobe`
     * cells nearest the query from the (driver-held) centroid matrix,
     * scan only those partitions, re-rank with exact cosine. Probe-cell

@@ -1698,6 +1698,64 @@ object SimilarityOps {
           |       CAST(-d2 AS BIGINT) AS neg_d2
           |FROM rk WHERE rk <= 10
           |ORDER BY qid, rk""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s17: incremental IVF index ADD — the maintenance half s07/s08
+    // leave out: embeddings arrive continuously, and re-shuffling the
+    // whole corpus per batch is exactly the cost the index exists to
+    // avoid. The base snapshot (4/5 of vectors) builds the index once
+    // (frozen seed centroids); the incoming 1/5 is assigned with those
+    // FROZEN centroids and APPENDED to the cell layout — O(batch), base
+    // cells never rewritten, centroid matrix untouched (FAISS
+    // train-then-add; the s-space analog of d15). The entry then probes
+    // the MERGED index with an ADDED vector's embedding — the result
+    // can only be right if the appended vectors landed in the correct
+    // cells. Frozen assignment means build-then-add ≡ assigning ALL
+    // vectors against the base centroids, which is what the oracle
+    // replays (quantized argmin, tie cell_id; exact-cosine rerank).
+    GraftQuery(
+      "s17_similarity_ivf_add",
+      "incremental IVF add: new batch assigned with frozen centroids, appended, probed (no rebuild)",
+      (spark, dir) => {
+        val emb = Tables(spark, dir).embeddings
+        val path = graft.io.TempLayouts.cached(
+          "s17_index#" + new java.io.File(dir).getCanonicalPath,
+          "graft_ivf_incr_") { p =>
+          IvfIndex.build(emb.filter(col("vec_id") % 5 =!= 0), p, nCells = 16)
+          IvfIndex.add(emb.filter(col("vec_id") % 5 === 0), p)
+        }
+        // query with an ADDED vector: its top-1 must be itself, served
+        // from an appended cell file
+        val qVec = emb.filter(col("vec_id") === 0L).head().getSeq[Float](1).toArray
+        IvfIndex.topK(spark, path, qVec, k = 10, nprobe = 4)
+      },
+      Some(
+        s"""WITH qe AS (SELECT vec_id, ${quantSql("embedding")} AS q FROM embeddings),
+          |cent AS (
+          |  SELECT vec_id AS cell_id, q AS c FROM qe
+          |  WHERE vec_id < 16 AND vec_id % 5 <> 0),
+          |asg AS (
+          |  SELECT vec_id, cell_id FROM (
+          |    SELECT e.vec_id, c.cell_id,
+          |           row_number() OVER (PARTITION BY e.vec_id
+          |             ORDER BY ${intDistSql("e.q", "c.c")} ASC, c.cell_id ASC) AS rn
+          |    FROM qe e CROSS JOIN cent c) WHERE rn = 1),
+          |qv AS (SELECT q FROM qe WHERE vec_id = 0),
+          |probe AS (
+          |  SELECT cell_id FROM (
+          |    SELECT c.cell_id, ${intDistSql("c.c", "qv.q")} AS d
+          |    FROM cent c CROSS JOIN qv)
+          |  ORDER BY d ASC, cell_id ASC LIMIT 4),
+          |qemb AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+          |SELECT a.vec_id,
+          |       CAST(round(${cosSql("e.embedding", "qemb.q_emb")} * 10000) AS BIGINT) AS sim_e4
+          |FROM asg a
+          |JOIN probe USING (cell_id)
+          |JOIN embeddings e ON e.vec_id = a.vec_id
+          |CROSS JOIN qemb
+          |ORDER BY sim_e4 DESC, a.vec_id
+          |LIMIT 10""".stripMargin)
     )
   )
 }

@@ -282,6 +282,33 @@ class SimilaritySpec extends SparkSpecBase {
     graft.InternalCaches.releaseAll()
   }
 
+  test("s17 incremental add: appended vectors probe-visible, layout complete, no rebuild") {
+    val res = graft.queries.Catalog.queries("s17_similarity_ivf_add")(spark, sf0001)
+      .collect()
+    // the query vector is itself an ADDED one — rank 1, exact self-match,
+    // served from an appended cell file
+    assert(res.head.getAs[Long]("vec_id") === 0L, res.mkString(", "))
+    assert(res.head.getAs[Long]("sim_e4") === 10000L, res.mkString(", "))
+    // merged layout holds every vector exactly once (base + added)
+    val key = "s17_index#" + new java.io.File(sf0001).getCanonicalPath
+    val path = graft.io.TempLayouts.cached(key, "graft_ivf_incr_")(_ =>
+      fail("index rebuilt on reuse"))
+    val cells = spark.read.parquet(s"$path/cells")
+    val n = emb.count()
+    assert(cells.count() === n)
+    assert(cells.select("vec_id").distinct().count() === n)
+    val added = cells.filter(col("vec_id") % 5 === 0).count()
+    assert(added === emb.filter(col("vec_id") % 5 === 0).count())
+    // the centroid matrix is untouched by the add: exactly the base
+    // seeds (vec_id < 16, vec_id % 5 != 0). Frozen-assignment
+    // correctness itself is proven end-to-end by the DuckDB oracle
+    // (the probe replay assigns ALL vectors against these centroids).
+    val centroidIds = spark.read.parquet(s"$path/centroids")
+      .select("cell_id").collect().map(_.getLong(0)).sorted
+    assert(centroidIds.toSeq ===
+      (0L until 16L).filter(_ % 5 != 0).toSeq)
+  }
+
   test("d06 SemDeDup: every reported link is a true >=threshold pair; drop set is sound") {
     val thresholdE4 = 3500L
     val got = SimilarityOps.semanticDedup(emb, nCells = 16, refine = 2,

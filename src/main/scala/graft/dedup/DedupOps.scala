@@ -425,6 +425,39 @@ object DedupOps {
        |  WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= $threshold)""".stripMargin
 
 
+  /** The cluster-label replay chain shared by the d05 and d16 oracles
+    * (base → corpus → sh → edges → recursive cc → lbl): the 1-in-5
+    * truncation corpus, exact word-5-shingle Jaccard pair edges, and
+    * the transitive closure labelled by component-minimum doc_id.
+    * Factored so the two entries' clustering semantics cannot drift.
+    * Must be preceded by `WITH RECURSIVE`; composed by concatenation
+    * (NOT s-interpolation — the regexes contain `$` anchors). */
+  private[dedup] val clusterLabelSql: String =
+    """base AS (
+      |  SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
+      |corpus AS (
+      |  SELECT doc_id, source, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 100000, source, regexp_replace(text, '(\s+\S+){3}$', '') FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 200000, source, regexp_replace(text, '(\s+\S+){6}$', '') FROM base),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |         list_distinct([array_to_string(ws[i:i+4], ' ')
+      |                        FOR i IN range(1, greatest(len(ws) - 3, 2))]) AS grams
+      |  FROM (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS ws FROM corpus)),
+      |edges AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5),
+      |sym AS (SELECT src AS u, dst AS v FROM edges UNION SELECT dst, src FROM edges),
+      |cc AS (
+      |  SELECT u, u AS l FROM (SELECT DISTINCT u FROM sym) nodes
+      |  UNION
+      |  SELECT s.u, c.l FROM sym s JOIN cc c ON c.u = s.v),
+      |lbl AS (SELECT u AS doc_id, min(l) AS cluster_id FROM cc GROUP BY u)""".stripMargin
+
   /** d12's inverted-index hot-gram cap: grams with df above this are
     * not index keys (df=1 grams cannot form a pair and are skipped
     * too). Bounds candidate volume at Σ df² like d02's MaxBucket
@@ -616,31 +649,8 @@ object DedupOps {
           .orderBy(col("cluster_id"), col("doc_id"))
       },
       Some(
-        """WITH RECURSIVE base AS (
-          |  SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
-          |corpus AS (
-          |  SELECT doc_id, source, text FROM base
-          |  UNION ALL
-          |  SELECT doc_id + 100000, source, regexp_replace(text, '(\s+\S+){3}$', '') FROM base
-          |  UNION ALL
-          |  SELECT doc_id + 200000, source, regexp_replace(text, '(\s+\S+){6}$', '') FROM base),
-          |sh AS (
-          |  SELECT doc_id, source,
-          |         list_distinct([array_to_string(ws[i:i+4], ' ')
-          |                        FOR i IN range(1, greatest(len(ws) - 3, 2))]) AS grams
-          |  FROM (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS ws FROM corpus)),
-          |edges AS (
-          |  SELECT a.doc_id AS src, b.doc_id AS dst
-          |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-          |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-          |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5),
-          |sym AS (SELECT src AS u, dst AS v FROM edges UNION SELECT dst, src FROM edges),
-          |cc AS (
-          |  SELECT u, u AS l FROM (SELECT DISTINCT u FROM sym) nodes
-          |  UNION
-          |  SELECT s.u, c.l FROM sym s JOIN cc c ON c.u = s.v),
-          |lbl AS (SELECT u AS doc_id, min(l) AS cluster_id FROM cc GROUP BY u)
-          |SELECT l.cluster_id, l.doc_id, s.cluster_size
+        "WITH RECURSIVE " + clusterLabelSql + "\n" +
+        """SELECT l.cluster_id, l.doc_id, s.cluster_size
           |FROM lbl l
           |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id) s
           |  USING (cluster_id)
@@ -1047,6 +1057,76 @@ object DedupOps {
           |LEFT JOIN idx USING (fingerprint)
           |JOIN bf USING (fingerprint)
           |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // d16: CANONICAL SELECTION — the decision step near-dup clustering
+    // exists to feed. d05 answers "which docs form a duplicate cluster";
+    // the pipeline question is "which single member do we KEEP, and
+    // which do we purge". Policy here: keep the longest member (most
+    // whitespace tokens — the planted truncations lose by
+    // construction, which mirrors the real heuristic of keeping the
+    // least-truncated crawl of a page), tie-broken by min doc_id so the
+    // verdict is total and deterministic. Singleton docs (no near-dup
+    // edge) are their own cluster and keep themselves — unlike d05 the
+    // output covers EVERY corpus doc, because a purge list must be a
+    // complete partition of the corpus into keep/purge.
+    //
+    // Scale shape: everything up to the labels is d05 (blocked pair
+    // generation, large/small-star closure). On top: one projection of
+    // (doc_id, n_words) — the 8-byte length survives, text never moves
+    // — a LEFT join to the edge-node labels (label table ≤ corpus,
+    // AQE picks the strategy; no hint), and the per-cluster winner as a
+    // map-side-combinable max(struct(n_words, -doc_id)) aggregate — NOT
+    // a window, so a pathological million-member cluster still reduces
+    // partially on the map side instead of sorting one partition.
+    GraftQuery(
+      "d16_dedup_canonical_keep",
+      "near-dup clusters → keep the longest member per cluster, purge the rest (total keep/purge verdict)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val corpus = clusterCorpus(t.documents)
+        val edges = shingleJaccardEdges(corpus, threshold = 0.5)
+        val assign = ConnectedComponents.components(edges)
+        val docs = corpus.select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("long").as("n_words"))
+        val clustered = docs
+          .join(assign, docs("doc_id") === assign("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster_id"),
+            col("n_words"))
+        val winners = clustered.groupBy(col("cluster_id"))
+          .agg(max(struct(col("n_words"), (-col("doc_id")).as("neg_id"))).as("w"),
+            count(lit(1)).as("cluster_size"))
+          .select(col("cluster_id"), (-col("w.neg_id")).as("kept_id"),
+            col("cluster_size"))
+        clustered.join(winners, Seq("cluster_id"))
+          .select(col("cluster_id"), col("doc_id"), col("n_words"),
+            col("cluster_size"), col("kept_id"),
+            when(col("doc_id") === col("kept_id"), lit("keep"))
+              .otherwise(lit("purge")).as("verdict"))
+          .orderBy(col("cluster_id"), col("doc_id"))
+      },
+      Some(
+        "WITH RECURSIVE " + clusterLabelSql + ",\n" +
+        """words AS (
+          |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words
+          |  FROM corpus),
+          |cl AS (
+          |  SELECT w.doc_id, coalesce(l.cluster_id, w.doc_id) AS cluster_id, w.n_words
+          |  FROM words w LEFT JOIN lbl l USING (doc_id)),
+          |rk AS (
+          |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+          |                               ORDER BY n_words DESC, doc_id) AS rn
+          |  FROM cl),
+          |win AS (SELECT cluster_id, doc_id AS kept_id FROM rk WHERE rn = 1),
+          |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          |       FROM cl GROUP BY cluster_id)
+          |SELECT c.cluster_id, c.doc_id, c.n_words, s.cluster_size, w.kept_id,
+          |       CASE WHEN c.doc_id = w.kept_id THEN 'keep' ELSE 'purge' END AS verdict
+          |FROM cl c JOIN win w USING (cluster_id) JOIN sz s USING (cluster_id)
+          |ORDER BY c.cluster_id, c.doc_id""".stripMargin)
     )
   )
 

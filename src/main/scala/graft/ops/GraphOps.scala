@@ -414,6 +414,132 @@ object GraphOps {
       .orderBy(col("cust_a"), col("rk"))
   }
 
+  /** Fixed-round synchronous LABEL PROPAGATION communities (Raghavan et
+    * al. 2007) over the trading graph — the cheap community detector a
+    * corpus team runs to group crawl domains / trading counterparties
+    * before per-community sampling caps. Deterministic by construction
+    * where textbook LPA is not: votes are counted synchronously from
+    * the previous round's labels (async LPA depends on visit order),
+    * every node also votes for its OWN current label once (which damps
+    * the 2-cycle oscillation pure synchronous LPA exhibits on bipartite
+    * graphs — and this customer↔supplier graph IS bipartite), and the
+    * argmax tie-break is total (count desc, then min label). A fixed
+    * round count replaces the convergence loop so the oracle unrolls to
+    * plain CTEs.
+    *
+    * l₀(v) = v;  lₜ₊₁(v) = argmax_{l} |{u→v : lₜ(u)=l}| + [lₜ(v)=l],
+    * ties → smaller l.
+    *
+    * Scale shape (the g01 discipline): edges persisted hash-partitioned
+    * by src ONCE, so each round's join moves only the N-row label
+    * vector; the mode-vote is two hash aggregates — (node, lbl) counts
+    * then the per-node argmax as a map-side-combinable min(struct(-c,
+    * lbl)), NOT a window, so a hub node's vote list never sorts in one
+    * task; per-round localCheckpoint keeps the plan constant-size. */
+  def labelPropagation(t: Tables, rounds: Int = 3): DataFrame = {
+    val edges = graft.InternalCaches.track {
+      tradeEdges(t).repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val votes = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("n"), col("lbl"))
+        .unionByName(labels.select(col("node").as("n"), col("lbl")))
+      labels = votes
+        .groupBy(col("n"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("n"))
+        .agg(min(struct((-col("c")).as("negc"), col("lbl").as("l"))).as("w"))
+        .select(col("n").as("node"), col("w.l").as("lbl"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("node").as("node_id"),
+        when(col("node") % 2 === 1, "supplier").otherwise("customer").as("kind"),
+        col("lbl").as("community"), col("community_size"))
+      .orderBy(col("node_id"))
+  }
+
+  /** Fixed-round K-CORE decomposition (degree peeling) over the trading
+    * graph — the standard density filter a corpus/graph team runs
+    * before expensive per-node work: nodes that cannot sit inside a
+    * subgraph of minimum degree k are peeled, and what survives R
+    * peel rounds approximates the k-core (equals it once a round is a
+    * fixed point). On the trading graph it answers "which customers
+    * and suppliers are embedded in a dense trading neighborhood"
+    * (ie. not one-off counterparties) — the same shape as keeping only
+    * well-linked crawl domains. A fixed round count R replaces the
+    * until-fixpoint loop so the oracle unrolls to plain CTEs (the
+    * g07/g01 discipline); the output is TOTAL over the node set:
+    * survivors carry status 'core' and their final in-core degree,
+    * peeled nodes carry 'peeled' and 0.
+    *
+    * s₀ = V;  sₜ₊₁ = { v ∈ sₜ : |N(v) ∩ sₜ| ≥ k },
+    * core_degree(v∈s_R) = |N(v) ∩ s_{R-1}|.
+    *
+    * Scale shape: edges persisted hash-partitioned by dst ONCE; each
+    * round is one join of edges to the (N-row) survivor vector on dst
+    * — reusing the persisted layout, only the survivor vector moves —
+    * then a map-side-combined count by src and an N-row×N-row
+    * membership join (no broadcast hint: both sides are
+    * corpus-proportional, AQE picks the strategy). Per-round
+    * localCheckpoint keeps the iterative plan constant-size. */
+  def kCore(t: Tables, k: Int = 4, rounds: Int = 3): DataFrame = {
+    val edges = graft.InternalCaches.track {
+      tradeEdges(t).repartition(col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var surv = nodes
+    (1 to rounds).foreach { _ =>
+      val deg = edges.join(surv.select(col("node")), col("dst") === col("node"))
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      surv = deg
+        .join(surv.select(col("node").as("m")), col("src") === col("m"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"), col("deg"))
+        .localCheckpoint(true)
+    }
+    nodes.select(col("node"))
+      .join(surv, Seq("node"), "left")
+      .select(col("node").as("node_id"),
+        when(col("node") % 2 === 1, "supplier").otherwise("customer").as("kind"),
+        when(col("deg").isNotNull, "core").otherwise("peeled").as("status"),
+        coalesce(col("deg"), lit(0L)).as("core_degree"))
+      .orderBy(col("node_id"))
+  }
+
+  /** One unrolled peel round: degree restricted to the previous
+    * survivor set, kept iff ≥ k. Must mirror [[kCore]]. */
+  private def kcoreOracleIter(prev: String, cur: String, k: Int): String =
+    s"""$cur AS (
+       |  SELECT e.src AS node, count(*) AS deg
+       |  FROM edges e
+       |  JOIN $prev p ON e.dst = p.node
+       |  JOIN $prev q ON e.src = q.node
+       |  GROUP BY e.src HAVING count(*) >= $k)""".stripMargin
+
+  /** One unrolled synchronous LPA round: neighbor votes + the self-vote,
+    * argmax by (count desc, label asc). Must mirror [[labelPropagation]]. */
+  private def lpaOracleIter(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT node, lbl FROM (
+       |    SELECT node, lbl,
+       |           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+       |    FROM (
+       |      SELECT node, lbl, count(*) AS c FROM (
+       |        SELECT e.dst AS node, p.lbl AS lbl
+       |        FROM edges e JOIN $prev p ON e.src = p.node
+       |        UNION ALL
+       |        SELECT node, lbl FROM $prev) v
+       |      GROUP BY node, lbl) cnt)
+       |  WHERE rn = 1)""".stripMargin
+
   private def oracleIter(prev: String, cur: String): String =
     s"""$cur AS (
        |  SELECT n.node, (SELECT (15 * (${Scale} // count(*))) // 100 FROM nodes)
@@ -629,6 +755,57 @@ object GraphOps {
            |       CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS kind,
            |       CAST(r AS BIGINT) AS rank_scaled
            |FROM r5
+           |ORDER BY node_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // g07: community detection by synchronous label propagation — see
+    // [[labelPropagation]]. The oracle unrolls the same three
+    // mode-vote rounds (count desc, label asc argmax per node).
+    GraftQuery(
+      "g07_community_labelprop",
+      "3-round deterministic label-propagation communities over the trading graph (self-vote, min-label tie-break)",
+      (spark, dir) => labelPropagation(Tables(spark, dir)),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+           |${lpaOracleIter("l0", "l1")},
+           |${lpaOracleIter("l1", "l2")},
+           |${lpaOracleIter("l2", "l3")},
+           |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+           |       FROM l3 GROUP BY lbl)
+           |SELECT l.node AS node_id,
+           |       CASE WHEN l.node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS kind,
+           |       l.lbl AS community, sz.community_size
+           |FROM l3 l JOIN sz USING (lbl)
+           |ORDER BY node_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // g08: k-core decomposition by fixed-round degree peeling — see
+    // [[kCore]]. The oracle unrolls the same three peel rounds
+    // (HAVING count(*) >= k over the surviving subgraph).
+    GraftQuery(
+      "g08_kcore_peel",
+      "3-round k-core peel (k=4) over the trading graph: total core/peeled verdict with final in-core degree",
+      (spark, dir) => kCore(Tables(spark, dir)),
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |s0 AS (SELECT DISTINCT src AS node FROM edges),
+           |${kcoreOracleIter("s0", "s1", 4)},
+           |${kcoreOracleIter("s1", "s2", 4)},
+           |${kcoreOracleIter("s2", "s3", 4)}
+           |SELECT n.node AS node_id,
+           |       CASE WHEN n.node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS kind,
+           |       CASE WHEN s3.node IS NULL THEN 'peeled' ELSE 'core' END AS status,
+           |       CAST(coalesce(s3.deg, 0) AS BIGINT) AS core_degree
+           |FROM s0 n LEFT JOIN s3 USING (node)
            |ORDER BY node_id""".stripMargin)
     )
   )

@@ -286,6 +286,42 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** IVF RANGE search (FAISS `range_search`): every corpus vector whose
+    * exact cosine similarity to a query is ≥ `minSimE4` (integer e4
+    * units), restricted to the query's nprobe nearest cells — the
+    * "all neighbors within a radius" retrieval mode. No per-query heap
+    * or sort: the candidate set is cell-bounded and the radius cut is a
+    * codegen'd filter, so output size is set by the radius'
+    * selectivity, not a fixed k. Seed centroids (refine = 0) keep the
+    * cell assignment integer-replayable (s03/s07/s08 discipline). */
+  def ivfRangeSearchBatch(emb: DataFrame, queryIds: Seq[Long],
+      minSimE4: Long, nCells: Int, nprobe: Int): DataFrame = {
+    val embQ = withQuant(emb)
+    val centroids = embQ.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("qemb").as("c_qemb"))
+    val assigned = assignCellsInt(embQ, centroids, carry = Seq("embedding"))
+    val queriesQ = embQ.filter(col("vec_id").isin(queryIds: _*))
+    val probeK = graft.functions.expressions.GroupedTopK.topK(nprobe)
+    val probes = queriesQ.crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("qid"),
+        (-squaredDistanceLong(col("qemb"), col("c_qemb")).cast("double"))
+          .as("cell_sim"),
+        col("cell_id"))
+      .groupBy(col("qid"))
+      .agg(probeK(col("cell_sim"), col("cell_id")).as("cells"))
+      .select(col("qid"), explode(col("cells").getField("id")).as("cell_id"))
+    val qf = queriesQ.select(col("vec_id").as("qid"),
+      col("embedding").as("q_emb"))
+    assigned
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qf), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        simE4(cosineSimilarity(col("embedding"), col("q_emb"))).as("sim_e4"))
+      .filter(col("sim_e4") >= minSimE4)
+      .orderBy(col("qid"), col("sim_e4").desc, col("vec_id"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", 2023): cluster embeddings with k-means, then flag
@@ -1756,6 +1792,54 @@ object SimilarityOps {
           |CROSS JOIN qemb
           |ORDER BY sim_e4 DESC, a.vec_id
           |LIMIT 10""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s18: RANGE search (FAISS `range_search`) — "everything within a
+    // similarity radius", not a fixed k: the retrieval mode behind
+    // near-dup sweeps ("all vectors ≥ 0.3 of this one") and
+    // recall-bounded candidate generation, where top-k would silently
+    // truncate dense neighborhoods and over-fetch sparse ones. Same
+    // IVF pruning as s03/s08 (integer cell argmin, per-query top-nprobe
+    // probe), but the per-candidate step is a FILTER, not a heap — no
+    // per-query sort, output size set by the radius' selectivity.
+    //
+    // Scale shape: candidates are bounded by the probed cells
+    // ((nprobe/nCells)·N), scored in one codegen'd pass, and only rows
+    // inside the radius survive to the output exchange — the operator
+    // never holds a per-query result set in memory (contrast top-k's
+    // bounded heap: range search needs none). The radius is in integer
+    // e4 units so the cut is engine-portable; the whole query (cells,
+    // probes, cosine, cut) replays in DuckDB.
+    GraftQuery(
+      "s18_similarity_range_search",
+      "IVF range search: all vectors within cosine >= 0.30 of each of 5 query vectors (probed cells only)",
+      (spark, dir) =>
+        ivfRangeSearchBatch(Tables(spark, dir).embeddings, BatchQueryIds,
+          minSimE4 = 3000L, nCells = 16, nprobe = 4),
+      Some(
+        s"""WITH ${kmeansCteSql(16, 0)},
+          |qv AS (SELECT vec_id AS qid, q FROM qe WHERE vec_id IN ${batchIdsSql}),
+          |probe AS (
+          |  SELECT qid, cell_id FROM (
+          |    SELECT qv.qid, c.cell_id,
+          |           row_number() OVER (PARTITION BY qv.qid
+          |             ORDER BY ${intDistSql("c.c", "qv.q")} ASC, c.cell_id ASC) AS rn
+          |    FROM cent c CROSS JOIN qv) WHERE rn <= 4),
+          |qf AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+          |       WHERE vec_id IN ${batchIdsSql}),
+          |scored AS (
+          |  SELECT p.qid, a.vec_id,
+          |         CAST(round(${cosSql("e.embedding", "qf.q_emb")} * 10000) AS BIGINT)
+          |           AS sim_e4
+          |  FROM asg a
+          |  JOIN probe p USING (cell_id)
+          |  JOIN embeddings e ON e.vec_id = a.vec_id
+          |  JOIN qf ON qf.qid = p.qid
+          |  WHERE a.vec_id <> p.qid)
+          |SELECT qid, vec_id, sim_e4 FROM scored
+          |WHERE sim_e4 >= 3000
+          |ORDER BY qid, sim_e4 DESC, vec_id""".stripMargin)
     )
   )
 }

@@ -594,4 +594,46 @@ class DedupSpec extends SparkSpecBase {
     val dir2 = graft.io.TempLayouts.cached(key, "graft_d15_idx_")(_ => fail("index rebuilt"))
     assert(dir1 === dir2)
   }
+
+  test("d16 canonical keep: total partition, one argmax keep per cluster, d05-consistent labels") {
+    val got = graft.queries.Catalog.queries("d16_dedup_canonical_keep")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    // the verdict covers the WHOLE 3x cluster corpus, each doc exactly once
+    val nBase = Tables(spark, sf0001).documents
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(got.length.toLong === 3 * nBase, "verdict must partition the corpus")
+    assert(got.map(_._2).distinct.length === got.length, "each doc exactly once")
+    val byCluster = got.groupBy(_._1)
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.map(_._4).distinct.toSeq === Seq(rows.length.toLong),
+        s"cluster_size of $cid")
+      val keeps = rows.filter(_._6 == "keep")
+      assert(keeps.length === 1, s"cluster $cid must keep exactly one member")
+      val kept = keeps.head
+      assert(rows.forall(_._5 == kept._2), s"kept_id inconsistent in $cid")
+      // keep policy: max n_words, tie-break min doc_id
+      val best = rows.minBy(r => (-r._3, r._2))
+      assert(kept._2 === best._2, s"cluster $cid kept ${kept._2}, policy says ${best._2}")
+    }
+    // planted 3-chains must collapse, and any cluster holding an original
+    // keeps an original (originals dominate their truncations on words)
+    assert(byCluster.exists(_._2.length >= 3), "planted truncation chains must cluster")
+    byCluster.values.filter(rows => rows.length >= 2 && rows.exists(_._2 < 100000L))
+      .foreach { rows =>
+        assert(rows.find(_._6 == "keep").get._2 < 100000L,
+          s"cluster ${rows.head._1} kept a truncation over an original")
+      }
+    // the labels agree with d05 on its domain (edge-connected docs);
+    // d16 additionally covers singletons
+    val mine = got.map(r => r._2 -> r._1).toMap
+    graft.queries.Catalog.queries("d05_dedup_clusters")(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .foreach { case (doc, cl) =>
+        assert(mine(doc) === cl, s"doc $doc cluster differs from d05")
+      }
+    assert(byCluster.exists(_._2.length == 1),
+      "singletons must appear as their own kept clusters")
+  }
 }

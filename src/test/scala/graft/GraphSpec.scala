@@ -293,4 +293,42 @@ class GraphSpec extends SparkSpecBase {
     val total = got.map(_._3).sum
     assert(total <= GraphOps.Scale)
   }
+
+  test("g07: labels equal an exact driver-side 3-round synchronous LPA replay; communities coarsen") {
+    val t = Tables(spark, sf0001)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (pairs ++ pairs.map(_.swap)).distinct
+    val nodes = edges.map(_._1).distinct.sorted
+    val inNbrs = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var lbl = nodes.map(v => v -> v).toMap
+    (1 to 3).foreach { _ =>
+      lbl = nodes.map { v =>
+        // synchronous mode vote: in-neighbor labels plus the self-vote,
+        // argmax by (count desc, label asc) — must mirror labelPropagation
+        val votes = inNbrs.getOrElse(v, Array.empty[Long]).map(lbl) :+ lbl(v)
+        val best = votes.groupBy(identity).toSeq
+          .map { case (l, vs) => (l, vs.length) }
+          .minBy { case (l, c) => (-c, l) }._1
+        v -> best
+      }.toMap
+    }
+    val got = graft.queries.Catalog.queries("g07_community_labelprop")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    graft.InternalCaches.releaseAll()
+    assert(got.map(_._1).toSeq === nodes.toSeq, "node set")
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (id, kind, comm, cs) =>
+      assert(kind === (if (id % 2 == 1) "supplier" else "customer"))
+      assert(comm === lbl(id), s"node $id label")
+      assert(cs === sizes(comm), s"size of community $comm")
+    }
+    // propagation must coarsen below one-label-per-node but the
+    // bipartite self-vote damping must not collapse everything either
+    val nComm = lbl.values.toSet.size
+    assert(nComm > 1 && nComm < nodes.length,
+      s"degenerate community structure: $nComm communities over ${nodes.length} nodes")
+  }
 }

@@ -434,4 +434,41 @@ class SimilaritySpec extends SparkSpecBase {
     info(f"s14 recall@10 vs exact = $recall%.3f (nprobe=4/16 cells, 4x16 PQ)")
     assert(recall >= 0.3, s"IVF-PQ recall $recall collapsed")
   }
+
+  test("s18 range search: equals the exact radius set restricted to probed cells (full driver replay)") {
+    val emb = Tables(spark, sf0001).embeddings.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val vecs = emb.toMap
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1048576.0).toLong + 2097152L)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      ad.zip(bd).map { case (x, y) => x * y }.sum /
+        (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val cents = (0L until 16L).map(i => i -> quant(vecs(i)))
+    val cell = emb.map { case (id, v) =>
+      val q = quant(v)
+      id -> cents.map { case (c, cv) => (d2(q, cv), c) }.min._2
+    }.toMap
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val probed = qids.map { qid =>
+      val q = quant(vecs(qid))
+      qid -> cents.map { case (c, cv) => (d2(q, cv), c) }.sorted.take(4).map(_._2).toSet
+    }.toMap
+    val expect = (for {
+      qid <- qids
+      (id, v) <- emb
+      if id != qid && probed(qid).contains(cell(id))
+      s = math.round(cos(v, vecs(qid)) * 10000)
+      if s >= 3000L
+    } yield (qid, id, s)).toSet
+    val got = graft.queries.Catalog.queries("s18_similarity_range_search")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect,
+      s"range set mismatch: extra=${got -- expect}, missing=${expect -- got}")
+    assert(got.nonEmpty, "radius should capture at least one neighbor at sf0.001")
+  }
 }

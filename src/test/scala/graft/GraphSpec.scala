@@ -331,4 +331,41 @@ class GraphSpec extends SparkSpecBase {
     assert(nComm > 1 && nComm < nodes.length,
       s"degenerate community structure: $nComm communities over ${nodes.length} nodes")
   }
+
+  test("g08: verdicts equal an exact driver-side 3-round degree peel; peel is monotone and non-degenerate") {
+    val t = Tables(spark, sf0001)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (pairs ++ pairs.map(_.swap)).distinct
+    val nodes = edges.map(_._1).distinct.sorted
+    val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val k = 4
+    var surv = nodes.toSet
+    var lastDeg = Map.empty[Long, Int]
+    val sizes = scala.collection.mutable.ArrayBuffer(surv.size)
+    (1 to 3).foreach { _ =>
+      // membership AND restricted degree both against the PREVIOUS round
+      val deg = surv.iterator.map(v => v -> (nbrs(v) & surv).size).toMap
+      surv = deg.filter(_._2 >= k).keySet
+      lastDeg = deg
+      sizes += surv.size
+    }
+    val got = graft.queries.Catalog.queries("g08_kcore_peel")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    graft.InternalCaches.releaseAll()
+    assert(got.map(_._1).toSeq === nodes.toSeq, "verdict must cover the whole node set")
+    got.foreach { case (id, kind, status, cd) =>
+      assert(kind === (if (id % 2 == 1) "supplier" else "customer"))
+      assert(status === (if (surv(id)) "core" else "peeled"), s"node $id status")
+      assert(cd === (if (surv(id)) lastDeg(id).toLong else 0L), s"node $id core_degree")
+    }
+    // the peel must remove something, keep something, and shrink monotonically
+    assert(sizes.head > sizes.last, "nothing peeled — k too low for this graph")
+    assert(surv.nonEmpty, "everything peeled — k too high for this graph")
+    assert(sizes.sliding(2).forall(w => w(1) <= w(0)), s"survivor sizes not monotone: $sizes")
+    // every core node really has >= k core neighbors in the last computed round
+    surv.foreach(v => assert(lastDeg(v) >= k, s"core node $v below k"))
+  }
 }

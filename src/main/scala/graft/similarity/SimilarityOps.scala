@@ -820,6 +820,82 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+    * diversity-aware re-rank every retrieval pipeline eventually needs:
+    * k results that are relevant to the query AND not near-duplicates
+    * of each other (RAG context assembly, eval-set sampling, dedup of
+    * a retrieved batch). Greedy: pick argmax λ·rel(q,c) −
+    * (1−λ)·max_{s∈S} sim(c,s) one result at a time.
+    *
+    * Integer-exact by construction: rel and pairwise sims are the
+    * bit-identical rounded-e4 cosines (see [[cosSql]]), λ = 0.7 enters
+    * as the integer pair (7, 3), so every score is a BIGINT
+    * (7·rel_e4 − 3·max_sim_e4) and the per-round argmax (score desc,
+    * vec_id asc) is deterministic in both engines — the oracle unrolls
+    * the same k greedy rounds as chained CTEs (g06/g07 discipline).
+    *
+    * Scale: stage 1 (candidate generation) is the pluggable ANN path —
+    * brute-force here because it is the gold baseline; s03/s14's probes
+    * slot in unchanged. Stage 2 is bounded by the QUERY BATCH, never
+    * the corpus: |Q|·C candidate rows, |Q|·C² pairwise sims (C = 16 →
+    * 240 pair rows per query), k tiny joins over broadcast frames. The
+    * candidate fetch broadcasts the |Q|·C id list onto the vector
+    * table (a point-lookup fetch, no corpus shuffle). */
+  def mmrTopKBatch(emb: DataFrame, queryIds: Seq[Long], nCand: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Eager localCheckpoints truncate the lineage: the corpus scan runs
+    // exactly ONCE (candidate generation), and the k greedy rounds plan
+    // over two materialized |Q|·C-row frames instead of re-optimizing /
+    // re-broadcasting a corpus-rooted tree per round (the GraphOps
+    // iterative discipline).
+    val cand = bruteForceTopKBatch(emb, queryIds, nCand)
+      .select(col("qid"), col("vec_id"), col("sim_e4").as("rel_e4"))
+      .localCheckpoint(true)
+    // fetch candidate vectors: tiny id list broadcasts onto the corpus
+    val cv = emb.join(broadcast(cand.select(col("qid"), col("vec_id"))), "vec_id")
+      .select(col("qid"), col("vec_id"), col("embedding"))
+    val pairs = cv.as("x")
+      .join(cv.as("y"),
+        col("x.qid") === col("y.qid") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.qid").as("qid"), col("x.vec_id").as("a"),
+        col("y.vec_id").as("b"),
+        simE4(cosineSimilarity(col("x.embedding"), col("y.embedding")))
+          .as("sim_e4"))
+      .localCheckpoint(true)
+    val perQ = Window.partitionBy(col("qid"))
+    var sel = cand
+      .withColumn("rn", row_number().over(
+        perQ.orderBy(col("rel_e4").desc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id"), col("rel_e4"),
+        (lit(7L) * col("rel_e4")).as("mmr_score"), lit(1L).as("rk"))
+    for (r <- 2 to k) {
+      val selKeys = sel.select(col("qid"), col("vec_id"))
+      val pick = pairs
+        .join(selKeys.withColumnRenamed("vec_id", "b"), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a"))
+        .agg(max(col("sim_e4")).as("max_sim_e4"))
+        .join(cand.withColumnRenamed("vec_id", "a"), Seq("qid", "a"))
+        .join(selKeys.withColumnRenamed("vec_id", "a"), Seq("qid", "a"),
+          "left_anti")
+        .select(col("qid"), col("a").as("vec_id"), col("rel_e4"),
+          (lit(7L) * col("rel_e4") - lit(3L) * col("max_sim_e4"))
+            .as("mmr_score"))
+        .withColumn("rn", row_number().over(
+          perQ.orderBy(col("mmr_score").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), col("rel_e4"), col("mmr_score"),
+          lit(r.toLong).as("rk"))
+      // keep the selection frame flat: round r+1 plans over a
+      // materialized ≤|Q|·r-row frame, not an r-deep union tree
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel.select(col("qid"), col("rk"), col("vec_id"), col("rel_e4"),
+        col("mmr_score"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Exact self-kNN JOIN — every vector gets its top-k neighbors (the
     * contrastive-pair / hard-negative mining primitive: each anchor's
     * nearest neighbors become its training pairs). One pass: the whole
@@ -1041,6 +1117,31 @@ object SimilarityOps {
     * round() at a .5 boundary (it cost s11 one row before this). The
     * round-then-CAST stays exact because both engines round THE SAME
     * double. */
+  /** One unrolled MMR greedy round for the s19 oracle: pick round `r`
+    * from candidates not yet selected, scored 7·rel − 3·max-sim-to-
+    * selected, argmax (score desc, vec_id asc) — the g06/g07 unrolled-
+    * iteration discipline applied to a greedy selection. `selall{r-1}`
+    * is the cumulative selected set entering the round. */
+  private def mmrRoundSql(r: Int): String = {
+    val prev = s"selall${r - 1}"
+    s"""sel$r AS (
+       |  SELECT qid, vec_id, rel_e4, mmr_score, CAST($r AS BIGINT) AS rk FROM (
+       |    SELECT sc.qid, sc.vec_id, sc.rel_e4, sc.mmr_score,
+       |           row_number() OVER (PARTITION BY sc.qid
+       |                              ORDER BY sc.mmr_score DESC, sc.vec_id) AS rn
+       |    FROM (
+       |      SELECT c.qid, c.vec_id, c.rel_e4,
+       |             CAST(7 * c.rel_e4 - 3 * max(p.sim_e4) AS BIGINT) AS mmr_score
+       |      FROM cand c
+       |      JOIN mpairs p ON p.qid = c.qid AND p.a = c.vec_id
+       |      JOIN $prev s ON s.qid = p.qid AND s.vec_id = p.b
+       |      WHERE NOT EXISTS (SELECT 1 FROM $prev x
+       |                        WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+       |      GROUP BY 1, 2, 3) sc)
+       |  WHERE rn = 1),
+       |selall$r AS (SELECT * FROM selall${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
+  }
+
   private def cosSql(a: String, b: String): String =
     s"(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
       s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
@@ -1840,6 +1941,54 @@ object SimilarityOps {
           |SELECT qid, vec_id, sim_e4 FROM scored
           |WHERE sim_e4 >= 3000
           |ORDER BY qid, sim_e4 DESC, vec_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s19: MMR-diversified retrieval — see [[mmrTopKBatch]]. The oracle
+    // replays candidate generation (s05's exact top-16), the C² pairwise
+    // sims, and all five greedy rounds as chained CTEs; every score is
+    // integer so the argmax sequence cannot diverge between engines.
+    GraftQuery(
+      "s19_similarity_mmr",
+      "MMR-diversified top-5 per query (λ=0.7 as the integer pair 7:3, 16 brute-force candidates)",
+      (spark, dir) =>
+        mmrTopKBatch(Tables(spark, dir).embeddings, BatchQueryIds,
+          nCand = 16, k = 5),
+      Some(
+        s"""WITH q AS (
+          |  SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+          |  WHERE vec_id IN ${batchIdsSql}),
+          |sims AS (
+          |  SELECT q.qid, e.vec_id,
+          |         CAST(round(${cosSql("e.embedding", "q.q_emb")} * 10000) AS BIGINT) AS rel_e4
+          |  FROM embeddings e CROSS JOIN q
+          |  WHERE e.vec_id <> q.qid),
+          |cand AS (
+          |  SELECT qid, vec_id, rel_e4 FROM (
+          |    SELECT qid, vec_id, rel_e4,
+          |           row_number() OVER (PARTITION BY qid
+          |                              ORDER BY rel_e4 DESC, vec_id) AS crk
+          |    FROM sims) WHERE crk <= 16),
+          |mpairs AS (
+          |  SELECT x.qid, x.vec_id AS a, y.vec_id AS b,
+          |         CAST(round(${cosSql("ex.embedding", "ey.embedding")} * 10000) AS BIGINT) AS sim_e4
+          |  FROM cand x JOIN cand y ON x.qid = y.qid AND x.vec_id <> y.vec_id
+          |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+          |  JOIN embeddings ey ON ey.vec_id = y.vec_id),
+          |sel1 AS (
+          |  SELECT qid, vec_id, rel_e4, CAST(7 * rel_e4 AS BIGINT) AS mmr_score,
+          |         CAST(1 AS BIGINT) AS rk FROM (
+          |    SELECT qid, vec_id, rel_e4,
+          |           row_number() OVER (PARTITION BY qid
+          |                              ORDER BY rel_e4 DESC, vec_id) AS rn
+          |    FROM cand) WHERE rn = 1),
+          |selall1 AS (SELECT * FROM sel1),
+          |${mmrRoundSql(2)},
+          |${mmrRoundSql(3)},
+          |${mmrRoundSql(4)},
+          |${mmrRoundSql(5)}
+          |SELECT qid, rk, vec_id, rel_e4, mmr_score FROM selall5
+          |ORDER BY qid, rk""".stripMargin)
     )
   )
 }

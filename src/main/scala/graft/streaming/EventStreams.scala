@@ -162,7 +162,8 @@ object EventStreams {
       commitMsTotal: Long,
       inputRowsPerBatch: Seq[Long] = Seq.empty,
       droppedByWatermarkPerBatch: Seq[Long] = Seq.empty,
-      triggerMsTotal: Long = 0L)
+      triggerMsTotal: Long = 0L,
+      nStateOps: Int = 0)
 
   @volatile private var runStats: Map[String, StreamRunStats] = Map.empty
   def lastRunStats: Map[String, StreamRunStats] = runStats
@@ -182,7 +183,8 @@ object EventStreams {
       // triggers): wall-clock minus this is harness/setup cost — split
       // corpus staging, checkpoint dir creation, query-thread startup.
       q.recentProgress
-        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum)
+        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum,
+      q.recentProgress.map(_.stateOperators.length).maxOption.getOrElse(0))
   }
 
   /** The hourly aggregation (q20's shape) executed as an ACTUAL
@@ -599,6 +601,54 @@ object EventStreams {
     q.awaitTermination()
     recordRun("q54_stream_append_hourly", q, ss)
     ss.table("q54_sink").orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** Chained windowed aggregations — Spark's multiple-stateful-operator
+    * surface (SPARK-40925): a 5-minute per-type pre-aggregation feeds an
+    * hourly rollup INSIDE the same streaming query, the watermark
+    * propagating through the first window's event-time column
+    * (`window(col("window"), "1 hour")` re-windows the emitted window
+    * struct). This is the streaming shape of the classic rollup cascade.
+    *
+    * Correctness invariant that makes chained append windows sound:
+    * both operators close on the SAME watermark — a 5-minute bucket
+    * forwards once wm ≥ its end, and an hour emits once wm ≥ hour end,
+    * by which point every inner bucket (end ≤ hour end) has already
+    * been forwarded. Final output = hours with end ≤ final watermark,
+    * exactly the batch oracle's HAVING predicate; `n_buckets` (distinct
+    * non-empty 5-minute buckets per hour, replayed by the oracle via
+    * integer epoch division) is the direct evidence the rollup consumed
+    * pre-aggregated buckets rather than raw rows.
+    *
+    * Scale: only the FIRST operator's state is keyed by fine windows;
+    * the hourly operator sees ≤12 pre-combined rows per (hour, type) —
+    * the map-side-combine argument applied across OPERATORS. At
+    * 100 TB/day the fine pre-aggregation absorbs the event volume and
+    * the coarse rollup's state shuffle carries pre-reduced rows only. */
+  def windowRollupStreaming(spark: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val five = eventStreamSource(ss, dir)()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt5"),
+        sum(floor(col("value") * 1e6).cast("long")).as("vm5"))
+    val hourly = five
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(sum(col("cnt5")).as("cnt"),
+        sum(col("vm5")).as("value_micros"),
+        count(lit(1)).as("n_buckets"))
+      .select(col("window.start").as("hour_start"),
+        col("event_type"), col("cnt"), col("value_micros"), col("n_buckets"))
+    val q = hourly.writeStream
+      .format("memory").queryName("q75_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordRun("q75_stream_window_rollup", q, ss)
+    ss.table("q75_sink").orderBy(col("hour_start"), col("event_type"))
   }
 
   /** The late-data contract under the oracle: the earliest time-range
@@ -1151,6 +1201,24 @@ object EventStreams {
           |WHERE user_id IN (SELECT user_id FROM live)
           |GROUP BY user_id
           |ORDER BY user_id""".stripMargin)
+    ),
+
+    graft.queries.GraftQuery(
+      "q75_stream_window_rollup",
+      "chained windowed aggregations (5-min pre-agg feeding an hourly rollup, one streaming query)",
+      (spark, dir) => windowRollupStreaming(spark, dir),
+      Some(
+        """WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+          |SELECT date_trunc('hour', ts) AS hour_start, event_type,
+          |       CAST(count(*) AS BIGINT) AS cnt,
+          |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+          |         AS value_micros,
+          |       CAST(count(DISTINCT epoch_us(ts) // 300000000) AS BIGINT)
+          |         AS n_buckets
+          |FROM events
+          |GROUP BY 1, 2
+          |HAVING hour_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+          |ORDER BY hour_start, event_type""".stripMargin)
     )
   )
 

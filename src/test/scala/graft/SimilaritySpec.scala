@@ -471,4 +471,68 @@ class SimilaritySpec extends SparkSpecBase {
       s"range set mismatch: extra=${got -- expect}, missing=${expect -- got}")
     assert(got.nonEmpty, "radius should capture at least one neighbor at sf0.001")
   }
+
+  test("s19 MMR: equals an exact driver-side greedy replay over the real corpus") {
+    val vecs = graft.io.Tables(spark, sf0001).embeddings
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def e4(a: Array[Float], b: Array[Float]): Long = math.round(cos(a, b) * 10000)
+    val expected = Seq(0L, 1L, 2L, 3L, 4L).flatMap { q =>
+      val cand = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, e4(v, vecs(q))) }
+        .sortBy { case (id, r) => (-r, id) }.take(16)
+      val rel = cand.toMap
+      var selected = Vector.empty[(Long, Long)] // (id, mmr_score)
+      (1 to 5).foreach { _ =>
+        val remaining = cand.filterNot { case (id, _) => selected.exists(_._1 == id) }
+        val pick = remaining.map { case (id, r) =>
+          val ms = if (selected.isEmpty) 0L
+          else selected.map(s => e4(vecs(id), vecs(s._1))).max
+          (id, 7L * r - 3L * ms)
+        }.minBy { case (id, sc) => (-sc, id) }
+        selected :+= pick
+      }
+      selected.zipWithIndex.map { case ((id, sc), i) => (q, i + 1L, id, rel(id), sc) }
+    }
+    val got = graft.queries.Catalog.queries("s19_similarity_mmr")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    graft.InternalCaches.releaseAll()
+    assert(got === expected)
+  }
+
+  test("s19 MMR: a planted near-duplicate of the top hit is deferred below a diverse candidate") {
+    import testImplicits._
+    def unit(v: Array[Double]): Array[Float] = {
+      val m = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / m).toFloat)
+    }
+    // query along e1; c1 at 18°, c2 a near-clone of c1, c3 equally
+    // relevant but rotated into a DIFFERENT plane (sim(c3,c1)≈cos²θ),
+    // c4/c5 fillers. Pure top-3 by relevance = (1, 2, 3); MMR must
+    // defer the clone: 7·Δrel ≈ 7·(9510−9455) ≪ 3·Δsim ≈ 3·(9999−7986).
+    val rows = Seq(
+      (0L, unit(Array(1.0, 0, 0, 0))),
+      (1L, unit(Array(0.951, 0.309, 0, 0))),
+      (2L, unit(Array(0.950, 0.312, 0, 0))),
+      (3L, unit(Array(0.9455, 0, 0.3256, 0))),
+      (4L, unit(Array(0.5, 0, 0, 0.866))),
+      (5L, unit(Array(0.0, 0, 1.0, 0))))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.mmrTopKBatch(df, Seq(0L), nCand = 5, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.length === 3 && got.map(_._2).distinct.length === 3, got.toSeq.toString)
+    assert(got(0) === ((1L, 1L)), s"rk1 must be the relevance argmax: ${got.toSeq}")
+    assert(got(1) === ((2L, 3L)),
+      s"rk2 must be the diverse candidate, not the near-duplicate: ${got.toSeq}")
+  }
 }

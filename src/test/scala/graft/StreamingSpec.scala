@@ -686,4 +686,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(stats.provider.contains("RocksDBStateStoreProvider"), stats.provider)
     assert(stats.nBatches >= 2, s"expected ≥2 data micro-batches, got ${stats.nBatches}")
   }
+
+  test("q75 chained windows: two stateful operators, ≥3 micro-batches, exact rollup behind the watermark") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.windowRollupStreaming(spark, sf0001)
+      .collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val stats = EventStreams.lastRunStats("q75_stream_window_rollup")
+    assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
+    assert(stats.nStateOps === 2,
+      s"expected the 5-min agg AND the hourly rollup to hold state, got ${stats.nStateOps}")
+    val ev = graft.io.Tables(spark, sf0001).events
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmUs = maxTs - 3600L * 1000000L
+    val all = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1e6).cast("long")).as("value_micros"),
+        countDistinct(expr("unix_micros(ts) div 300000000")).as("n_buckets"))
+      .orderBy(col("hour_start"), col("event_type"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        java.sql.Timestamp.valueOf(r.get(0).toString).getTime * 1000L + 3600L * 1000000L))
+    val behind = all.filter(_._6 <= wmUs).map(t => (t._1, t._2, t._3, t._4, t._5))
+    assert(all.exists(_._6 > wmUs),
+      "the last hour inside the watermark horizon must exist and be withheld")
+    assert(streamed.toSeq === behind.toSeq,
+      "chained append windows must emit exactly the finalized hourly rollups")
+    // the rollup really consumed pre-aggregated buckets: some hour must
+    // contain more than one non-empty 5-minute bucket
+    assert(streamed.exists(_._5 > 1L), "degenerate: every hour had a single 5-min bucket")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{BpeDecode, BpeEncodeIds, CharNgramHashes, CosineSimilarity, HammingDistance, Md5Prefix64, MinHashSignature, SimHash64, SortedIntersectSize, SquaredDistanceLong, TopRepeatCountsExpr, WinnowSketch, WinnowSketchMd5, WordNgramHashes, WordNgramMd5Hashes}
+import graft.functions.expressions.{BpeDecode, BpeEncodeIds, CharNgramHashes, CosineSimilarity, HammingDistance, Md5Prefix64, MinHashSignature, PlaneProjectE4, SimHash64, SortedIntersectSize, SquaredDistanceLong, TopRepeatCountsExpr, WinnowSketch, WinnowSketchMd5, WordNgramHashes, WordNgramMd5Hashes}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (set in [[GraftSession.tune]]). Injects the native vector
@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("squared_distance_long",
         "squared_distance_long(a, b) - integer squared L2 distance of two bigint arrays"),
       (args: Seq[Expression]) => SquaredDistanceLong(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("plane_project_e4"),
+      info("plane_project_e4",
+        "plane_project_e4(emb, plane_bits) - signed +/-1-plane JL projection to e4-quantized bigint coordinates"),
+      (args: Seq[Expression]) => PlaneProjectE4(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       info("sorted_intersect_size",
@@ -117,5 +122,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(args(0), args(1))))
+
+    // Summary navigation (graft.plans.SummaryRewrite): answer a
+    // fact-table aggregate from a registered materialized summary —
+    // a logical optimizer rule, the extension surface for
+    // whole-plan rewrites (expressions above only add functions).
+    ext.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
   }
 }

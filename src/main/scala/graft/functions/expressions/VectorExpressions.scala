@@ -554,3 +554,100 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override def prettyName: String = "minhash_signature"
 }
+
+/** plane_project_e4(array<float>, array<long>) → array<long>: signed
+  * ±1-hyperplane projection of an embedding to e4-quantized integer
+  * coordinates — the JL pre-transform's corpus-pass primitive (s20).
+  *
+  * The second argument is the bit-packed plane matrix: planes stored
+  * row-major, `ceil(d/64)` longs per plane, bit i of plane p set ⇔
+  * component (p, i) is +1 (the md5 family of
+  * [[graft.similarity.SimilarityOps]]); r = bits.length / ceil(d/64)
+  * output coordinates. One codegen'd r×d multiply-add loop replaces r
+  * interpreted `aggregate(zip_with(...))` chains and r literal plane
+  * arrays in the plan.
+  *
+  * Bit-compatibility contract (what makes s20 fully oracle-able):
+  * coordinate p accumulates `acc += (bit ? x : -x)` over components in
+  * index order in double — the identical IEEE sequence as
+  * `list_dot_product(v::DOUBLE[], plane)` against a ±1.0 plane (±1
+  * multiplication is exact) — then quantizes with
+  * `BigDecimal.setScale(0, HALF_UP)`, the exact semantics of Spark's
+  * `round(x·1e4)` and DuckDB's `round()` for doubles (away-from-zero
+  * at .5, which plain Math.round gets WRONG for negative dots).
+  */
+case class PlaneProjectE4(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "plane_project_e4 requires (array<float> embedding, array<long> " +
+          s"packed planes), got ${left.dataType.catalogString} and " +
+          right.dataType.catalogString)
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val bits = b.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    val wpp = (d + 63) >>> 6
+    val r = bits.numElements() / wpp
+    val out = new Array[Long](r)
+    var p = 0
+    while (p < r) {
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val x = v.getFloat(i).toDouble
+        val pos = ((bits.getLong(p * wpp + (i >>> 6)) >>> (i & 63)) & 1L) == 1L
+        acc += (if (pos) x else -x)
+        i += 1
+      }
+      out(p) = java.math.BigDecimal.valueOf(acc * 10000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val d = ctx.freshName("d")
+      val wpp = ctx.freshName("wpp")
+      val r = ctx.freshName("r")
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val pos = ctx.freshName("pos")
+      s"""
+         |final int $d = $a.numElements();
+         |final int $wpp = ($d + 63) >>> 6;
+         |final int $r = $b.numElements() / $wpp;
+         |final long[] $out = new long[$r];
+         |for (int $p = 0; $p < $r; $p++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    final double $x = (double) $a.getFloat($i);
+         |    final boolean $pos =
+         |      (($b.getLong($p * $wpp + ($i >>> 6)) >>> ($i & 63)) & 1L) == 1L;
+         |    $acc += $pos ? $x : -$x;
+         |  }
+         |  $out[$p] = java.math.BigDecimal.valueOf($acc * 10000.0)
+         |    .setScale(0, java.math.RoundingMode.HALF_UP).longValue();
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "plane_project_e4"
+}

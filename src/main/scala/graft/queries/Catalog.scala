@@ -33,6 +33,7 @@ object Catalog {
       graft.dedup.EditJoin.all ++
       graft.similarity.SimilarityOps.all ++
       graft.multimodal.MultimodalOps.all ++
+      graft.plans.SummaryQueries.all ++
       graft.streaming.EventStreams.catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -119,6 +119,24 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"s11 must not window:\n$p")
   }
 
+  test("s20: JL scan is native integer distance + bounded heap; candidate fetch broadcast") {
+    val p = planOf("s20_similarity_jl_project")
+    assert(p.contains("plane_project_e4"), s"native projection missing:\n$p")
+    assert(p.contains("squared_distance_long"), s"native reduced-space distance missing:\n$p")
+    assert(p.contains("cosine_similarity"), s"native re-rank cosine missing:\n$p")
+    assert(!p.contains("lambdafunction"), s"HOF leaked into the JL hot path:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"candidate fetch not broadcast:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"bounded-heap top-k missing:\n$p")
+    assert(!p.contains("Window"), s"s20 must not window:\n$p")
+  }
+
+  test("q76: summary navigation pushes the key filter into the summary scan") {
+    val p = planOf("q76_agg_summary_rewrite")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"key filter not pushed into the (rewritten) scan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
   test("q53: the observation rides the scan as a CollectMetrics node") {
     val p = planOf("q53_observed_metrics")
     assert(p.contains("CollectMetrics"), s"no CollectMetrics node:\n$p")

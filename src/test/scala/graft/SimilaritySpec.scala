@@ -282,6 +282,34 @@ class SimilaritySpec extends SparkSpecBase {
     graft.InternalCaches.releaseAll()
   }
 
+  test("s20 JL projection: mean recall@10 >= 0.8 at the measured r=32/C=128 knee") {
+    // deterministic corpus + deterministic md5 planes -> fixed
+    // measurement (the scaladoc grid: 0.82 at sf0.001). This corpus is
+    // the transform's worst case (near-uniform unit vectors, d=64);
+    // the bound asserts the chosen config stays on the measured knee.
+    val qids = SimilarityOps.BatchQueryIds
+    val exact = SimilarityOps.bruteForceTopKBatch(emb, qids, k = 10).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val jl = SimilarityOps.jlProjectTopKBatch(emb, qids, k = 10).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val rs = qids.map(q => exact(q).intersect(jl(q)).size / 10.0)
+    assert(rs.sum / rs.size >= 0.8,
+      s"JL mean recall ${rs.sum / rs.size} (per-query $rs)")
+    // and the re-rank property: every EMITTED similarity is the exact
+    // e4 cosine, so hits agree with the exact ranking's scores
+    val exactSims = SimilarityOps.bruteForceTopKBatch(emb, qids, k = 10)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Long]("sim_e4")).toMap
+    val jlSims = SimilarityOps.jlProjectTopKBatch(emb, qids, k = 10)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Long]("sim_e4")).toMap
+    val shared = exactSims.keySet.intersect(jlSims.keySet)
+    assert(shared.nonEmpty && shared.forall(k => exactSims(k) == jlSims(k)),
+      "re-ranked sims diverged from exact cosine")
+  }
+
   test("s17 incremental add: appended vectors probe-visible, layout complete, no rebuild") {
     val res = graft.queries.Catalog.queries("s17_similarity_ivf_add")(spark, sf0001)
       .collect()

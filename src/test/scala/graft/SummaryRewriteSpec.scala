@@ -89,6 +89,28 @@ class SummaryRewriteSpec extends SparkSpecBase {
       s"unsound rewrite of a derived grouping key: ${scanPaths(df)}")
   }
 
+  test("q77: maintenance scan bounded by a PUSHED cutoff; straddled day genuinely merged") {
+    val df = Catalog.queries("q77_summary_incremental")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // the batch aggregation's fact scan must carry the cutoff as a
+    // pushed long-range filter (the raw-nanos split), not a post-scan
+    // Filter over the converted timestamp
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"batch cutoff not pushed into the fact scan:\n$p")
+    // Jan 25 straddles the 12:00 cutoff: the stored v1 partials hold
+    // strictly fewer Jan-25 events than the merged summary, so a green
+    // count proves the merge COMBINED overlapping groups
+    def jan25(d: org.apache.spark.sql.DataFrame): Long = d
+      .filter(date_format(col("day"), "yyyy-MM-dd") === "2024-01-25")
+      .agg(sum(col("cnt"))).head.getLong(0)
+    val mergedCnt = jan25(df)
+    val v1 = spark.read.parquet(graft.io.TempLayouts.cached(
+      s"summary#events_daily_v1#$sf0001", "graft-summary-v1-")(_ => ()))
+    val v1Cnt = jan25(v1)
+    assert(v1Cnt > 0 && mergedCnt > v1Cnt,
+      s"cutoff-day merge did not combine: v1=$v1Cnt merged=$mergedCnt")
+  }
+
   test("global (no-grouping) totals also navigate to the summary") {
     summaryPath
     val df = Tables(spark, sf0001).events

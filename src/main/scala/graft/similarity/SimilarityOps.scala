@@ -1142,6 +1142,21 @@ object SimilarityOps {
        |selall$r AS (SELECT * FROM selall${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
   }
 
+  /** Bit-pack a ±1 plane matrix for [[graft.functions.expressions
+    * .PlaneProjectE4]]: row-major, ceil(d/64) longs per plane, bit i
+    * set ⇔ component (p, i) is +1. */
+  private def packPlanes(ps: Array[Array[Double]]): Seq[Long] = {
+    val dim = if (ps.isEmpty) 0 else ps(0).length
+    val wpp = (dim + 63) >>> 6
+    ps.toSeq.flatMap { plane =>
+      val words = new Array[Long](wpp)
+      plane.zipWithIndex.foreach { case (s, i) =>
+        if (s > 0) words(i >>> 6) |= 1L << (i & 63)
+      }
+      words.toSeq
+    }
+  }
+
   /** Johnson–Lindenstrauss signed random projection as an ANN
     * PRE-TRANSFORM (the FAISS RandomRotation / PCA-matrix front of an
     * index chain, applied before any quantizer): every vector projects
@@ -1177,19 +1192,9 @@ object SimilarityOps {
     * replays every decision exactly. */
   def jlProjectTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
       r: Int = 32, cCand: Int = 128): DataFrame = {
-    val dim = embeddingDim(emb, "embedding")
-    val ps = planes(r, dim)
-    // bit-pack the ±1 planes (ceil(d/64) longs per plane, bit set ⇔ +1)
-    // for the single-pass native projection — r coordinates per row in
-    // one codegen'd loop instead of r interpreted HOF chains
-    val wpp = (dim + 63) >>> 6
-    val packed: Seq[Long] = ps.toSeq.flatMap { plane =>
-      val words = new Array[Long](wpp)
-      plane.zipWithIndex.foreach { case (s, i) =>
-        if (s > 0) words(i >>> 6) |= 1L << (i & 63)
-      }
-      words.toSeq
-    }
+    val packed = packPlanes(planes(r, embeddingDim(emb, "embedding")))
+    // single-pass native projection: r coordinates per row in one
+    // codegen'd loop instead of r interpreted HOF chains
     val projExpr = call_function("plane_project_e4",
       col("embedding"), typedLit(packed))
     val proj = emb.select(col("vec_id"), projExpr.as("pj"))
@@ -1208,6 +1213,63 @@ object SimilarityOps {
     val topk = graft.functions.expressions.GroupedTopK.topK(k)
     emb.select(col("vec_id"), col("embedding"))
       .join(broadcast(cands.join(qe, Seq("qid"))), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        simE4(cosineSimilarity(col("embedding"), col("q_emb"))).as("sim_e4"))
+      .groupBy(col("qid"))
+      .agg(topk(col("sim_e4").cast("double"), col("vec_id")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as("vec_id"),
+        col("col").getField("score").cast("long").as("sim_e4"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** IVF built OVER the JL-projected column — the FAISS
+    * PCAR/OPQ-then-IVF index chain, composed from s20's pre-transform
+    * and the s03/s18 coarse quantizer. This is the evidence for s20's
+    * composability claim: seed centroids, cell assignment, probe
+    * choice and the candidate cut all run on the r-dim integer
+    * projections (the corpus' full vectors are never touched after the
+    * one projection pass); only the final re-rank fetches full vectors,
+    * and that stage is bounded by the probed cells, not the corpus.
+    *
+    * At corpus scale the projected column is what the s07 persisted
+    * layout would store cell-partitioned: scan width r integers per
+    * row regardless of source dimension, cells pruned at plan time.
+    * Probe budget vs recall measured on this corpus in the spec
+    * (nprobe=8 of 16 cells), alongside s20's transform-only and s03's
+    * raw-space points of comparison.
+    *
+    * Fully oracled: projection, seed centroids, assignment, probe set
+    * and the radius-free top-k cut replay in DuckDB as chained CTEs —
+    * every decision integer or bit-identical double. */
+  def jlIvfTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      r: Int = 32, nCells: Int = 16, nprobe: Int = 8): DataFrame = {
+    val dim = embeddingDim(emb, "embedding")
+    val packed = packPlanes(planes(r, dim))
+    val proj = emb.select(col("vec_id"), col("embedding"),
+      call_function("plane_project_e4", col("embedding"), typedLit(packed))
+        .as("qemb"))
+    val centroids = proj.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("qemb").as("c_qemb"))
+    val assigned = assignCellsInt(proj, centroids, carry = Seq("embedding"))
+    val queriesQ = proj.filter(col("vec_id").isin(queryIds: _*))
+    val probeK = graft.functions.expressions.GroupedTopK.topK(nprobe)
+    val probes = queriesQ.crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("qid"),
+        (-squaredDistanceLong(col("qemb"), col("c_qemb")).cast("double"))
+          .as("cell_sim"),
+        col("cell_id"))
+      .groupBy(col("qid"))
+      .agg(probeK(col("cell_sim"), col("cell_id")).as("cells"))
+      .select(col("qid"), explode(col("cells").getField("id")).as("cell_id"))
+    val qf = queriesQ.select(col("vec_id").as("qid"),
+      col("embedding").as("q_emb"))
+    val topk = graft.functions.expressions.GroupedTopK.topK(k)
+    assigned
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qf), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         simE4(cosineSimilarity(col("embedding"), col("q_emb"))).as("sim_e4"))
       .groupBy(col("qid"))
@@ -2106,6 +2168,56 @@ object SimilarityOps {
           |  FROM cand c
           |  JOIN embeddings e ON e.vec_id = c.vec_id
           |  JOIN qe ON qe.qid = c.qid)
+          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, sim_e4 FROM (
+          |  SELECT qid, vec_id, sim_e4,
+          |         row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, vec_id) AS rk
+          |  FROM rr)
+          |WHERE rk <= 10
+          |ORDER BY qid, rk""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s21: the transform and the index COMPOSED — IVF cells over the
+    // projected column (FAISS PCAR→IVF). Everything before the re-rank
+    // runs in 32-dim integer space.
+    GraftQuery(
+      "s21_similarity_jl_ivf",
+      "IVF(16 seed cells, nprobe=8) over JL-projected 32-dim integer coords + exact cosine re-rank top-10 (the PCAR-then-IVF chain, fully oracled)",
+      (spark, dir) =>
+        jlIvfTopKBatch(Tables(spark, dir).embeddings, BatchQueryIds, k = 10),
+      Some(
+        s"""WITH d AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+          |${planesSql(32)},
+          |proj AS (
+          |  SELECT e.vec_id,
+          |         array_agg(CAST(round(list_dot_product(e.embedding::DOUBLE[], pl.plane) * 10000) AS BIGINT)
+          |                   ORDER BY pl.p) AS pj
+          |  FROM embeddings e CROSS JOIN planes pl
+          |  GROUP BY e.vec_id),
+          |cent AS (SELECT vec_id AS cell_id, pj AS c FROM proj WHERE vec_id < 16),
+          |asg AS (
+          |  SELECT vec_id, cell_id FROM (
+          |    SELECT p.vec_id, c.cell_id,
+          |           row_number() OVER (PARTITION BY p.vec_id
+          |             ORDER BY ${intDistSql("p.pj", "c.c")} ASC, c.cell_id ASC) AS rn
+          |    FROM proj p CROSS JOIN cent c) WHERE rn = 1),
+          |q AS (SELECT vec_id AS qid, pj FROM proj WHERE vec_id IN ${batchIdsSql}),
+          |probe AS (
+          |  SELECT qid, cell_id FROM (
+          |    SELECT q.qid, c.cell_id,
+          |           row_number() OVER (PARTITION BY q.qid
+          |             ORDER BY ${intDistSql("q.pj", "c.c")} ASC, c.cell_id ASC) AS rn
+          |    FROM q CROSS JOIN cent c) WHERE rn <= 8),
+          |qe AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+          |       WHERE vec_id IN ${batchIdsSql}),
+          |rr AS (
+          |  SELECT p.qid, a.vec_id,
+          |         CAST(round(${cosSql("e.embedding", "qe.q_emb")} * 10000) AS BIGINT) AS sim_e4
+          |  FROM asg a
+          |  JOIN probe p USING (cell_id)
+          |  JOIN embeddings e ON e.vec_id = a.vec_id
+          |  JOIN qe ON qe.qid = p.qid
+          |  WHERE a.vec_id <> p.qid)
           |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, sim_e4 FROM (
           |  SELECT qid, vec_id, sim_e4,
           |         row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, vec_id) AS rk

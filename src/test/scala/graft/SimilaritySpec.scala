@@ -310,6 +310,29 @@ class SimilaritySpec extends SparkSpecBase {
       "re-ranked sims diverged from exact cosine")
   }
 
+  test("s21 JL+IVF composition: cell pruning trades bounded recall for half the probes") {
+    // deterministic corpus + planes + seed centroids -> fixed
+    // measurement: 0.78 at nprobe 8/16 vs s20's 0.82 scanning every
+    // projected vector. The composed index can only lose what pruning
+    // removes (same transform, same re-rank), so s21 <= s20 must hold,
+    // and the floor pins the probe budget on the measured knee.
+    val qids = SimilarityOps.BatchQueryIds
+    val exact = SimilarityOps.bruteForceTopKBatch(emb, qids, k = 10).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val byQ = df.collect().groupBy(_.getAs[Long]("qid"))
+        .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+      val rs = qids.map(q => exact(q).intersect(byQ(q)).size / 10.0)
+      rs.sum / rs.size
+    }
+    val jlFull = recallOf(SimilarityOps.jlProjectTopKBatch(emb, qids, k = 10))
+    val jlIvf = recallOf(SimilarityOps.jlIvfTopKBatch(emb, qids, k = 10))
+    assert(jlIvf <= jlFull,
+      s"cell-pruned recall $jlIvf exceeds full reduced-space scan $jlFull")
+    assert(jlIvf >= 0.7, s"JL+IVF mean recall $jlIvf below the measured knee")
+  }
+
   test("s17 incremental add: appended vectors probe-visible, layout complete, no rebuild") {
     val res = graft.queries.Catalog.queries("s17_similarity_ivf_add")(spark, sf0001)
       .collect()

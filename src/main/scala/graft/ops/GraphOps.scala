@@ -565,6 +565,64 @@ object GraphOps {
        |    FROM edges e JOIN $prev ON e.src = $prev.node
        |    GROUP BY e.dst) s USING (node))""".stripMargin
 
+
+  /** Neighborhood-size sketching — HyperBall (Boldi & Vigna, "In-Core
+    * Computation of Geometric Centralities with HyperBall", 2013) with
+    * k-minimum-values registers instead of HLL: per node, the 2-hop
+    * ball size |{u : dist(v,u) ≤ 2}| estimated by iteratively merging
+    * every neighbor's sketch into the node's own. The corpus-scale
+    * question it answers ("how connected is this graph? what is its
+    * effective diameter / reach profile?") is exactly what exact BFS
+    * from every node cannot — N BFS traversals vs `rounds` sketch
+    * sweeps.
+    *
+    * KMV instead of HyperLogLog is the q66 lesson applied to graphs:
+    * the registers are plain sorted md5-hashes, so every merge decision
+    * replays in any engine (`row_number() OVER (ORDER BY h) <= k`) and
+    * the entry carries a FULL value oracle where an HLL ball would be
+    * rows-only (engine-specific binary). The estimator is q66's
+    * (k−1)·H / h(k).
+    *
+    * Scale shape: one round = one join of the edge list to the |V|·k
+    * sketch frame + ONE [[graft.functions.expressions.KmvMerge]]
+    * aggregate — |E| register merges, the HyperBall cost, with
+    * map-side partial merging collapsing any in-degree before the
+    * shuffle (a row-explode formulation would instead shuffle |E|·k
+    * rows through a distinct AND a bottom-k). Eager localCheckpoint
+    * per round keeps the iterative plan constant-size (GraphOps
+    * discipline); edges persist once and every round's join reuses the
+    * layout. */
+  def hyperBallKmv(t: Tables, k: Int = 32, rounds: Int = 2): DataFrame = {
+    val e = graft.InternalCaches.track(
+      tradeEdges(t).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nodes = e.select(col("src").as("node")).distinct()
+    val h = conv(substring(md5(col("node").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val kmv = graft.functions.expressions.KmvMerge.merge(k)
+    var sk = nodes.select(col("node"), array(h).as("sk")).localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      sk = e.join(sk, col("src") === col("node"))
+        .select(col("dst").as("node"), col("sk"))
+        .unionByName(sk)
+        .groupBy(col("node"))
+        .agg(kmv(col("sk")).as("sk"))
+        .localCheckpoint(true)
+    }
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+    val hashSpace = 4503599627370496L // 2^52: 13 hex chars of md5
+    sk.join(deg, Seq("node"))
+      .select(col("node").as("node_id"), col("deg"),
+        size(col("sk")).cast("long").as("b2_kmv_size"),
+        when(size(col("sk")) === k, element_at(col("sk"), k))
+          .otherwise(lit(0L)).as("b2_kth_hash"))
+      .select(col("node_id"), col("deg"), col("b2_kmv_size"), col("b2_kth_hash"),
+        when(col("b2_kmv_size") < k, col("b2_kmv_size"))
+          .otherwise(expr(s"${k - 1}L * ${hashSpace}L div b2_kth_hash"))
+          .as("b2_est"))
+      .orderBy(col("node_id"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
       "g01_pagerank",
@@ -785,6 +843,45 @@ object GraphOps {
     ),
 
     // ------------------------------------------------------------------
+
+    // ------------------------------------------------------------------
+    // g09: HyperBall-with-KMV 2-hop neighborhood sizes — see
+    // [[hyperBallKmv]]. The oracle unrolls both sketch sweeps: UNION
+    // dedups members, row_number <= k is the register cut, and the
+    // estimator is q66's.
+    GraftQuery(
+      "g09_hyperball_kmv",
+      "HyperBall-style 2-hop ball-size estimates per node (KMV registers k=32, fully oracled)",
+      (spark, dir) => hyperBallKmv(Tables(spark, dir)),
+      Some(
+        s"""WITH p AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+           |n AS (SELECT DISTINCT src AS node FROM e),
+           |h0 AS (SELECT node,
+           |         CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 13) AS BIGINT) AS h
+           |       FROM n),
+           |r1 AS (SELECT e.dst AS node, h.h FROM e JOIN h0 h ON h.node = e.src
+           |       UNION SELECT node, h FROM h0),
+           |s1 AS (SELECT node, h FROM (
+           |         SELECT node, h, row_number() OVER (PARTITION BY node ORDER BY h) AS rn
+           |         FROM r1) WHERE rn <= 32),
+           |r2 AS (SELECT e.dst AS node, s.h FROM e JOIN s1 s ON s.node = e.src
+           |       UNION SELECT node, h FROM s1),
+           |s2 AS (SELECT node, h, row_number() OVER (PARTITION BY node ORDER BY h) AS rn
+           |       FROM r2),
+           |agg AS (SELECT node, CAST(count(*) AS BIGINT) AS b2_kmv_size,
+           |               CAST(coalesce(max(CASE WHEN rn = 32 THEN h END), 0) AS BIGINT) AS b2_kth_hash
+           |        FROM s2 WHERE rn <= 32 GROUP BY node),
+           |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1)
+           |SELECT a.node AS node_id, d.deg, a.b2_kmv_size, a.b2_kth_hash,
+           |       CASE WHEN a.b2_kmv_size < 32 THEN a.b2_kmv_size
+           |            ELSE 31 * 4503599627370496 // a.b2_kth_hash END AS b2_est
+           |FROM agg a JOIN deg d USING (node)
+           |ORDER BY node_id""".stripMargin)
+    ),
+
     // g08: k-core decomposition by fixed-round degree peeling — see
     // [[kCore]]. The oracle unrolls the same three peel rounds
     // (HAVING count(*) >= k over the surviving subgraph).

@@ -128,5 +128,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // a logical optimizer rule, the extension surface for
     // whole-plan rewrites (expressions above only add functions).
     ext.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
+
+    // Native as-of join (graft.plans.AsofJoinNode → AsofJoinExec): the
+    // whole-operator surface — a custom logical node planned by a
+    // custom strategy into a custom merge-scan executor (q78; the
+    // composed window formulation q23 stays as the oracle twin).
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

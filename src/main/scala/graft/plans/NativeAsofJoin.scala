@@ -1,0 +1,215 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.PlanBridge
+
+/** Native sort-merge AS-OF join — the whole-operator Catalyst extension
+  * path (SURVEY.md §7.3 preference (c): custom `LogicalPlan` + `SparkStrategy`
+  * + `SparkPlan`, registered through `SparkSessionExtensions
+  * .injectPlannerStrategy`), completing the extension-surface set next to
+  * the injected expressions and the summary-navigation optimizer rule.
+  *
+  * Semantics (identical to [[graft.ops.AsofJoin.leftAsof]], the composed
+  * window formulation, and to DuckDB's `ASOF LEFT JOIN ... ON l.k = r.k
+  * AND l.t >= r.t`): for every left row, attach the payload of the single
+  * latest right row with the same equality key and `right.time <=
+  * left.time`; unmatched left rows keep NULL payload. NULL equality keys
+  * and NULL times never match (SQL join semantics — the window
+  * formulation would group NULL keys together; this operator follows the
+  * join rule, and the catalog data carries no NULL keys so both agree).
+  *
+  * Physical shape: both sides hash-clustered on the equality key (two
+  * exchanges of exactly the columns needed — the builder prunes the right
+  * side to key + time + payload before the node, since generic optimizer
+  * column pruning cannot see through a custom node) and sorted by
+  * (key, time); `doExecute` then zips partitions with a single forward
+  * merge pass that retains ONE candidate row — O(1) memory per partition
+  * beyond the sort, no union materialization, no whole-payload window
+  * carry. The composed variant pays one exchange of L+R unioned rows plus
+  * a window that drags a payload struct through every frame; the native
+  * operator keeps the sides separate (partial aggregation below the right
+  * side survives) and streams. Its per-partition state is one row, so a
+  * 1000-executor run is bounded by the sort spill path alone — the same
+  * envelope as built-in SortMergeJoin.
+  *
+  * Trade-off vs the composed form, documented for the 100 TB plan
+  * reviewer: AQE's skew-join splitting only rewrites built-in join nodes,
+  * so a pathologically hot equality key lands in one task here (the
+  * window formulation has the identical limitation); salting (ops.SkewJoin)
+  * is the recourse in both formulations.
+  */
+case class AsofJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftEq: Attribute,
+    rightEq: Attribute,
+    leftTime: Attribute,
+    rightTime: Attribute,
+    payload: Seq[Attribute]) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinNode]] into [[AsofJoinExec]]; injected via
+  * `injectPlannerStrategy` in [[graft.GraftExtensions]]. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(l, r, le, re, lt, rt, payload) =>
+      AsofJoinExec(planLater(l), planLater(r), le, re, lt, rt, payload) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Merge-scan as-of join executor. Children are guaranteed (by
+  * `requiredChildDistribution` / `requiredChildOrdering`, enforced through
+  * EnsureRequirements exactly as for built-in SortMergeJoin) to be
+  * co-hash-partitioned on the equality key and sorted by (key, time). */
+case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftEq: Attribute,
+    rightEq: Attribute,
+    leftTime: Attribute,
+    rightTime: Attribute,
+    payload: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftEq :: Nil) :: ClusteredDistribution(rightEq :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    SortOrder(leftEq, Ascending) :: SortOrder(leftTime, Ascending) :: Nil,
+    SortOrder(rightEq, Ascending) :: SortOrder(rightTime, Ascending) :: Nil)
+
+  // One left row emits exactly one output row in left order, so both the
+  // left partitioning and the (key, time) sort survive the operator.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // Capture everything the partition closure needs in locals: SparkPlan
+    // itself is not serializable (only expressions/attributes are).
+    val lOut = left.output
+    val rOut = right.output
+    val lEq = leftEq; val lTime = leftTime
+    val rEq = rightEq; val rTime = rightTime
+    val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // Code-generated projections are built per partition (they hold
+      // non-serializable compiled state). Each projection owns its own
+      // row buffer, so values from distinct projections may be compared
+      // without copying; only the retained candidate row is copied.
+      val lKeyProj = UnsafeProjection.create(Seq(lEq, lTime), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rEq, rTime), rOut)
+      val lEqProj = UnsafeProjection.create(Seq(lEq), lOut)
+      val rEqProj = UnsafeProjection.create(Seq(rEq), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(
+        Seq(lEq.dataType, lTime.dataType))
+      val eqOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lEq.dataType))
+      // Payload references bind against a nullable view of the right
+      // schema: unmatched rows read from an all-null row, and a reference
+      // bound non-nullable would skip the null check and write garbage.
+      val resultProj = UnsafeProjection.create(
+        outAttrs, lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+
+      val rBuf = rIter.buffered
+      // The single retained candidate: the latest right row consumed so
+      // far whose (key, time) were both non-null. Right rows are consumed
+      // exactly once across the whole left side (forward merge).
+      var candidate: InternalRow = null
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow) // stable until the next left row
+        var continue = rBuf.hasNext
+        while (continue) {
+          val rKey = rKeyProj(rBuf.head)
+          if (keyOrd.compare(rKey, lKey) <= 0) {
+            val r = rBuf.next()
+            // NULLs sort first, so null-key/null-time right rows are
+            // consumed early and skipped — they can never match.
+            if (!rKey.isNullAt(0) && !rKey.isNullAt(1)) candidate = r.copy()
+            continue = rBuf.hasNext
+          } else continue = false
+        }
+        val lEqKey = lEqProj(lRow)
+        val matched = candidate != null && !lEqKey.isNullAt(0) &&
+          eqOrd.compare(rEqProj(candidate), lEqKey) == 0
+        numOutputRows += 1
+        if (matched) resultProj(joined(lRow, candidate))
+        else resultProj(joined(lRow, nullRight))
+      }
+    }
+  }
+}
+
+/** DataFrame-facing builder for the native operator. */
+object NativeAsofJoin {
+
+  /** Left as-of join through [[AsofJoinNode]]. Same contract as
+    * [[graft.ops.AsofJoin.leftAsof]]: `payload` column names must not
+    * collide with left column names; right rows should be unique per
+    * (eqKey, timeKey) for deterministic payload choice (q78 pre-aggregates,
+    * exactly as q23 does).
+    */
+  def leftAsof(
+      left: DataFrame,
+      right: DataFrame,
+      eqKey: String,
+      timeKey: String,
+      payload: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    val lPlan = left.queryExecution.analyzed
+    val rPlanRaw = right.queryExecution.analyzed
+
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name).mkString(", ")}"))
+
+    // 1. Prune the right side to exactly (eq, time, payload): a custom
+    //    node is opaque to ColumnPruning, so the builder does the pruning
+    //    the optimizer would otherwise push.
+    // 2. Re-alias every kept column to FRESH exprIds: both sides of q78
+    //    derive from the same base table, and without this the node would
+    //    carry duplicate attribute ids across children (the classic
+    //    self-join hazard the analyzer only repairs for built-in joins).
+    val keep = (Seq(eqKey, timeKey) ++ payload).distinct
+    val rPlan = Project(
+      keep.map(n => Alias(attr(rPlanRaw, n), n)()), rPlanRaw)
+    val rAttrs = rPlan.output
+
+    def rAttr(name: String): Attribute = rAttrs.find(_.name == name).get
+
+    val node = AsofJoinNode(
+      lPlan, rPlan,
+      attr(lPlan, eqKey), rAttr(eqKey),
+      attr(lPlan, timeKey), rAttr(timeKey),
+      payload.map(rAttr))
+    PlanBridge.ofRows(spark, node)
+  }
+}

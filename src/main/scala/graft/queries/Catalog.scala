@@ -34,6 +34,7 @@ object Catalog {
       graft.similarity.SimilarityOps.all ++
       graft.multimodal.MultimodalOps.all ++
       graft.plans.SummaryQueries.all ++
+      graft.plans.AsofQueries.all ++
       graft.streaming.EventStreams.catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.AsofJoin
+import graft.plans.{AsofJoinExec, NativeAsofJoin}
+
+/** The native (custom LogicalPlan + SparkStrategy + SparkPlan) as-of join:
+  * result parity against the composed window formulation, join-semantics
+  * edge cases the window formulation cannot express, and physical shape.
+  */
+class NativeAsofJoinSpec extends SparkSpecBase {
+  import testImplicits._
+
+  private def clicks = {
+    val t = Tables(spark, sf0001)
+    t.events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("prev_click_id"))
+  }
+
+  private def purchases = {
+    val t = Tables(spark, sf0001)
+    t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+  }
+
+  test("native as-of equals the composed window formulation on events") {
+    val native = NativeAsofJoin.leftAsof(
+        purchases, clicks, "user_id", "ts", Seq("prev_click_id"))
+      .select("event_id", "prev_click_id")
+    val composed = AsofJoin.leftAsof(
+        purchases, clicks, "user_id", "ts", Seq("prev_click_id"))
+      .select("event_id", "prev_click_id")
+    val n = native.collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val c = composed.collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(n.nonEmpty && n == c)
+    // both matched and unmatched rows occur in the corpus
+    assert(n.values.exists(_.isDefined) && n.values.exists(_.isEmpty))
+  }
+
+  test("physical plan uses AsofJoinExec with one exchange per side") {
+    val df = NativeAsofJoin.leftAsof(
+      purchases, clicks, "user_id", "ts", Seq("prev_click_id"))
+    df.collect()
+    // AQE wraps materialized stages in QueryStage LEAF nodes (including
+    // the final ResultQueryStage), so a plain collect sees nothing —
+    // unwrap every stage boundary recursively.
+    def deep(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: deep(a.executedPlan)
+      case q: QueryStageExec => p +: deep(q.plan)
+      case _ => p +: p.children.flatMap(deep)
+    }
+    val nodes = deep(df.queryExecution.executedPlan)
+    val asofs = nodes.collect { case e: AsofJoinExec => e }
+    assert(asofs.size == 1, nodes.head.toString)
+    val exchanges = nodes.collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.size == 3, nodes.head.toString)
+    // exactly 2 of the 3 exchanges feed the as-of node (one per side,
+    // hash on user_id alone); the third is the partial-agg exchange on
+    // (user_id, ts) below the right side's pre-aggregation
+    val sideExchanges = exchanges.count(_.outputPartitioning match {
+      case h: HashPartitioning => h.expressions.size == 1
+      case _ => false
+    })
+    assert(sideExchanges == 2, exchanges.map(_.outputPartitioning).toString)
+  }
+
+  test("join semantics: null keys and null times never match; ties do") {
+    val l = Seq[(java.lang.Long, java.lang.Long, String)](
+      (1L, 10L, "l-match-tie"),      // right at exactly t=10 matches (<=)
+      (1L, 5L, "l-before-any"),      // earliest right for key 1 is t=10
+      (2L, 99L, "l-no-right-key"),   // no right rows for key 2
+      (null, 50L, "l-null-key"),     // NULL key never matches
+      (3L, null, "l-null-time"),     // NULL time never matches
+      (4L, 50L, "l-right-null-time") // key 4's only right row has NULL time
+    ).toDF("k", "t", "tag")
+    val r = Seq[(java.lang.Long, java.lang.Long, String)](
+      (1L, 10L, "r1"),
+      (1L, 20L, "r1-late"),
+      (null, 1L, "r-null-key"),
+      (3L, 1L, "r3"),
+      (4L, null, "r4-null-time")
+    ).toDF("k", "t", "payload")
+    val got = NativeAsofJoin.leftAsof(l, r, "k", "t", Seq("payload"))
+      .select("tag", "payload").collect()
+      .map(row => row.getString(0) -> Option(row.getString(1))).toMap
+    assert(got == Map(
+      "l-match-tie" -> Some("r1"),
+      "l-before-any" -> None,
+      "l-no-right-key" -> None,
+      "l-null-key" -> None,
+      "l-null-time" -> None,
+      "l-right-null-time" -> None))
+  }
+
+  test("latest-wins within a key across batches of right rows") {
+    val l = Seq((7L, 100L, "probe")).toDF("k", "t", "tag")
+    val r = (1L to 50L).map(i => (7L, i, s"p$i")).toDF("k", "t", "payload")
+    val got = NativeAsofJoin.leftAsof(l, r, "k", "t", Seq("payload"))
+      .select("payload").collect()
+    assert(got.toSeq == Seq(Row("p50")))
+  }
+
+  test("self-source left and right (duplicate base exprIds) are disambiguated") {
+    val t = Tables(spark, sf0001)
+    val base = t.events.select(col("event_id"), col("user_id"), col("ts"))
+    // left and right both derive from the same analyzed relation
+    val out = NativeAsofJoin.leftAsof(
+      base.filter(col("event_id") % 2 === 0),
+      base.filter(col("event_id") % 2 === 1)
+        .withColumnRenamed("event_id", "odd_id"),
+      "user_id", "ts", Seq("odd_id"))
+    assert(out.count() == base.filter(col("event_id") % 2 === 0).count())
+  }
+}

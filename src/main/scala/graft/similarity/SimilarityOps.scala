@@ -771,8 +771,18 @@ object SimilarityOps {
   def bruteForceTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val q = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    topKBatchFrom(emb, q, k)
+  }
+
+  /** Shared tail of the exact batch scorers: score `corpus` against the
+    * broadcast query set `q` (qid, q_emb), bounded-heap top-k per query.
+    * Kept separate from [[bruteForceTopKBatch]] so a RESTRICTED corpus
+    * (s22's pre-filter path) can pair with queries drawn from the FULL
+    * table — a filtered search's query vector need not satisfy the
+    * corpus predicate. */
+  private def topKBatchFrom(corpus: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val topk = graft.functions.expressions.GroupedTopK.topK(k)
-    emb.crossJoin(broadcast(q))
+    corpus.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         simE4(cosineSimilarity(col("embedding"), col("q_emb"))).as("sim_e4"))
@@ -783,6 +793,101 @@ object SimilarityOps {
         col("col").getField("id").as("vec_id"),
         col("col").getField("score").cast("long").as("sim_e4"))
       .orderBy(col("qid"), col("rk"))
+  }
+
+  /** The pre/post-filter strategy decision for [[filteredTopKBatch]],
+    * exposed for tests: one columnar COUNT pass over the predicate
+    * column (never the vectors) — a plan-time statistics read, the same
+    * class of driver-side decision input as AQE's per-stage stats or
+    * the IVF centroid fetch. */
+  def filteredStrategy(emb: DataFrame, pred: Column,
+      maxExactFrac: Double): String = {
+    val stats = emb.agg(count(lit(1)).as("n"),
+      count(when(pred, 1)).as("m")).head()
+    val frac = stats.getLong(1).toDouble / math.max(1L, stats.getLong(0)).toDouble
+    if (frac <= maxExactFrac) "prefilter" else "postfilter"
+  }
+
+  /** Metadata-filtered ANN (FAISS `IDSelector`, Milvus/Vespa filtered
+    * search): top-k cosine neighbors restricted to corpus rows
+    * satisfying a metadata predicate — "nearest documents IN THIS
+    * LANGUAGE / FROM THIS SOURCE", the shape every retrieval pipeline
+    * with per-tenant or per-split corpora runs.
+    *
+    * The strategy decision every vector store makes, made here from
+    * MEASURED selectivity:
+    *  - selective predicate (`frac <= maxExactFrac`): PRE-FILTER — scan
+    *    only survivors and score exactly. The predicate reaches the
+    *    parquet scan as a pushed filter (FilteredAnnSpec pins
+    *    PushedFilters), so at 100 TB the scan skips row groups whose
+    *    stats exclude the label — the result is EXACT, and the work is
+    *    proportional to the filtered corpus, which is precisely the
+    *    regime where post-filtering an index is recall-starved (few
+    *    survivors per probed cell).
+    *  - broad predicate: POST-FILTER — probe the IVF index (integer
+    *    k-means cells, s03's family), overfetch k×`overfetch`
+    *    candidates per query with the bounded heap, fetch their
+    *    metadata by broadcast point-lookup (|Q|·k·overfetch rows, never
+    *    corpus-bound — the s16 fetch pattern), apply the predicate, cut
+    *    to k. Approximate, and the overfetch must scale with
+    *    1/selectivity or the predicate eats the candidate list: measured
+    *    recall@10 at ~9% selectivity is 0.32 with overfetch 4 and 0.62
+    *    from overfetch 10 on — the plateau is the nprobe=8/16 probe
+    *    ceiling, past which only more probes help (FilteredAnnSpec pins
+    *    both the recovery and the plateau).
+    *
+    * The catalog entry predicates on `label = 3` (~10% of the corpus at
+    * every SF), so the pre-filter path fires deterministically and the
+    * DuckDB oracle replays the whole answer (s05's SQL over the
+    * filtered corpus). */
+  def filteredTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      pred: Column, maxExactFrac: Double = 0.25, nCells: Int = 16,
+      nprobe: Int = 8, refine: Int = 2, overfetch: Int = 4): DataFrame = {
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    if (filteredStrategy(emb, pred, maxExactFrac) == "prefilter") {
+      topKBatchFrom(emb.filter(pred), q, k)
+    } else {
+      val embQ = withQuant(emb)
+      val centroids = kmeansCentroidsInt(embQ, nCells, refine)
+      val assigned = assignCellsInt(embQ, centroids, carry = Seq("embedding"))
+      val qQ = withQuant(emb.filter(col("vec_id").isin(queryIds: _*)))
+        .select(col("vec_id").as("qid"), col("qemb").as("q_qemb"))
+      val probeK = graft.functions.expressions.GroupedTopK.topK(nprobe)
+      val probes = qQ.crossJoin(broadcast(centroids))
+        .select(col("qid"),
+          (-squaredDistanceLong(col("q_qemb"), col("c_qemb")).cast("double"))
+            .as("cell_sim"),
+          col("cell_id"))
+        .groupBy(col("qid"))
+        .agg(probeK(col("cell_sim"), col("cell_id")).as("cells"))
+        .select(col("qid"), explode(col("cells").getField("id")).as("cell_id"))
+      val over = graft.functions.expressions.GroupedTopK.topK(k * overfetch)
+      val candidates = assigned
+        .join(broadcast(probes), Seq("cell_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(q), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          simE4(cosineSimilarity(col("embedding"), col("q_emb"))).as("sim_e4"))
+        .groupBy(col("qid"))
+        .agg(over(col("sim_e4").cast("double"), col("vec_id")).as("cand"))
+        .select(col("qid"), explode(col("cand")).as("c"))
+        .select(col("qid"), col("c").getField("id").as("vec_id"),
+          col("c").getField("score").cast("long").as("sim_e4"))
+      // metadata point-lookup for the |Q|·k·overfetch survivors, then
+      // the predicate, then the final cut — post-filter order exactly
+      val meta = emb.select(col("vec_id"), pred.as("keep"))
+      val topk = graft.functions.expressions.GroupedTopK.topK(k)
+      candidates.join(meta, Seq("vec_id"))
+        .filter(col("keep"))
+        .groupBy(col("qid"))
+        .agg(topk(col("sim_e4").cast("double"), col("vec_id")).as("topk"))
+        .select(col("qid"), posexplode(col("topk")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+          col("col").getField("id").as("vec_id"),
+          col("col").getField("score").cast("long").as("sim_e4"))
+        .orderBy(col("qid"), col("rk"))
+    }
   }
 
   /** The driver's embeddings arrive UNIT-normalized (verified at all
@@ -2223,6 +2328,40 @@ object SimilarityOps {
           |         row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, vec_id) AS rk
           |  FROM rr)
           |WHERE rk <= 10
+          |ORDER BY qid, rk""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s22: metadata-filtered ANN with a measured pre/post-filter
+    // strategy switch (see filteredTopKBatch). label = 3 is ~10% of the
+    // corpus at every SF → the PRE-FILTER exact path fires
+    // deterministically, the predicate is pushed to the parquet scan
+    // (FilteredAnnSpec pins PushedFilters), and DuckDB replays the whole
+    // answer (s05's oracle over the filtered corpus). The POST-FILTER
+    // path (IVF probe + overfetch + broadcast metadata point-lookup) is
+    // exercised and recall-pinned by FilteredAnnSpec.
+    GraftQuery(
+      "s22_similarity_filtered_topk",
+      "filtered ANN: exact top-10 over the label=3 subset via the selectivity-chosen pre-filter path",
+      (spark, dir) =>
+        filteredTopKBatch(Tables(spark, dir).embeddings, BatchQueryIds,
+          k = 10, pred = col("label") === 3),
+      Some(
+        s"""WITH q AS (
+          |  SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+          |  WHERE vec_id IN ${batchIdsSql}),
+          |sims AS (
+          |  SELECT q.qid, e.vec_id,
+          |         CAST(round(${cosSql("e.embedding", "q.q_emb")} * 10000) AS BIGINT) AS sim_e4
+          |  FROM embeddings e CROSS JOIN q
+          |  WHERE e.vec_id <> q.qid AND e.label = 3),
+          |rk AS (
+          |  SELECT qid, vec_id, sim_e4,
+          |         row_number() OVER (PARTITION BY qid
+          |                            ORDER BY sim_e4 DESC, vec_id) AS rk
+          |  FROM sims)
+          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, sim_e4
+          |FROM rk WHERE rk <= 10
           |ORDER BY qid, rk""".stripMargin)
     )
   )

@@ -278,6 +278,50 @@ object EventStreams {
     ss.table("q31_sink").orderBy(col("event_type"))
   }
 
+  /** Streaming dedup of JITTERED duplicates — `dropDuplicatesWithinWatermark`
+    * (Spark 3.5+), the API that exists because real at-least-once upstreams
+    * re-emit records with DIFFERENT event times (a retry re-stamps the
+    * envelope): the duplicate stream here is the events source shifted
+    * +2 seconds, so every event arrives twice with two distinct `ts`
+    * values. Plain `dropDuplicates("event_id")` (q31) would also collapse
+    * them but can NEVER evict its state (the event-time column is not in
+    * the dedup key, so no watermark bound applies — unbounded state
+    * growth); `dropDuplicatesWithinWatermark` keys on event_id alone yet
+    * evicts each key once the watermark passes its first-seen event time
+    * plus the delay. The guarantee narrows to "duplicates land within the
+    * watermark delay of each other" (2 s ≪ 30 min here) and state becomes
+    * watermark-bounded — which is the 100 TB difference: dedup state
+    * proportional to the watermark window, not to stream history.
+    *
+    * Downstream: per-type count + value sum over the deduped stream (two
+    * chained stateful operators, q31's shape). Counts and sums are
+    * independent of WHICH twin survives (twins differ only in ts), so
+    * the entry is deterministic and carries the exact batch oracle. */
+  def dedupWithinWatermarkStreaming(spark: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = eventStreamSource(ss, dir)
+    val jittered = src().withColumn("ts",
+      col("ts") + expr("INTERVAL 2 SECONDS"))
+    val agg = src().unionByName(jittered)
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1e6).cast("long")).as("value_micros"))
+    val q = agg.writeStream
+      .format("memory").queryName("q79_sink")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordRun("q79_stream_dedup_within_wm", q, ss)
+    ss.table("q79_sink").orderBy(col("event_type"))
+  }
+
   /** Queryable state: after a checkpointed streaming aggregation
     * terminates, the checkpoint's state store is itself a TABLE —
     * Spark's `statestore` batch source reads (key, value, partition_id)
@@ -1001,6 +1045,19 @@ object EventStreams {
       (spark, dir) => dedupCountsStreaming(spark, dir),
       Some(
         """SELECT event_type, count(DISTINCT event_id) AS cnt
+          |FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    ),
+
+    graft.queries.GraftQuery(
+      "q79_stream_dedup_within_wm",
+      "streaming dropDuplicatesWithinWatermark over time-jittered duplicates (watermark-bounded dedup state) feeding a per-type rollup",
+      (spark, dir) => dedupWithinWatermarkStreaming(spark, dir),
+      Some(
+        """SELECT event_type,
+          |       count(*) AS cnt,
+          |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
           |FROM events
           |GROUP BY event_type
           |ORDER BY event_type""".stripMargin)

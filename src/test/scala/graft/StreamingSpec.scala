@@ -188,6 +188,30 @@ class StreamingSpec extends SparkSpecBase {
       s"dedup state never grew across batches: $stats")
   }
 
+  test("q79 dropDuplicatesWithinWatermark collapses time-jittered duplicates, " +
+      "watermark-bounded state, ≥3 micro-batches") {
+    val out = EventStreams.dedupWithinWatermarkStreaming(spark, sf0001)
+    val t = graft.io.Tables(spark, sf0001)
+    import org.apache.spark.sql.functions._
+    // deduped per-type counts equal the batch per-type counts (event_id
+    // is unique in the corpus; twins differ only in ts)
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = t.events.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    val stats = EventStreams.lastRunStats("q79_stream_dedup_within_wm")
+    assert(stats.provider.contains("RocksDBStateStoreProvider"), stats.provider)
+    assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
+    // duplicate pressure was real: the source delivered 2× the corpus
+    assert(stats.inputRowsPerBatch.sum === 2L * want.values.sum, stats.toString)
+    // two chained stateful operators: the watermarked dedup + the agg
+    assert(stats.nStateOps === 2, stats.toString)
+    // the watermark bound is live: unlike q31's ever-growing dedup state,
+    // eviction keeps total state rows BELOW the corpus-wide key count
+    // (every key would stay resident forever under plain dropDuplicates)
+    assert(stats.stateRowsPerBatch.last < want.values.sum, stats.toString)
+  }
+
   test("q36 interval join emits no late-dropped pairs across ≥3 micro-batches") {
     val streamed = EventStreams.intervalJoinStreaming(spark, sf0001).count()
     val t = graft.io.Tables(spark, sf0001)

@@ -144,6 +144,29 @@ object Bench {
     }
   }
 
+  /** Buffered-write-and-fsync throughput probe (MB/s, 64 MB): the I/O
+    * axis of the contention telemetry. loadavg catches CPU co-tenants,
+    * but a co-tenant saturating the disk is INVISIBLE in load while
+    * doubling every RocksDB-checkpoint / file-sink query (the r9 local
+    * adjudication measured streaming entries 2× apart between two
+    * idle-load windows whose buffered-write speed differed ~6×). A
+    * poisoned artifact should carry the evidence of WHICH resource was
+    * contended. */
+  private def diskWriteMbps(): Double =
+    try {
+      val tmp = java.nio.file.Files.createTempFile("graft-bench-io", ".bin")
+      val buf = java.nio.ByteBuffer.allocate(1 << 20)
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.WRITE)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 64) { buf.rewind(); ch.write(buf); i += 1 }
+      ch.force(true); ch.close()
+      val sec = (System.nanoTime() - t0) / 1e9
+      java.nio.file.Files.delete(tmp)
+      math.round(64.0 / sec * 10) / 10.0
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional args = run only the named queries (local iteration aid,
@@ -168,8 +191,10 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val wmbps = diskWriteMbps()
     warmUp(spark, sfDir)
     val results = timeCatalog(spark, sfDir, only)
+    val wmbpsEnd = diskWriteMbps()
     val qs = results.map(r => s"\"" + r.name + "\":" + r.sec)
       .mkString("{", ",", "}")
     val qloads = results.map(r =>
@@ -194,6 +219,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","iters":$Iters,"agg":"min","failed":$failed,""" +
         s""""load1":$load1,"otherJvms":$otherJvms,""" +
+        s""""wmbps":$wmbps,"wmbps_end":$wmbpsEnd,""" +
         s""""load_gate":$LoadGate,"gate_retries":$gateRetries,""" +
         s""""unclean":$unclean,"qclean":$qclean,""" +
         s""""qload1":$qloads,"qload1_end":$qloadsEnd,""" +
@@ -211,6 +237,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
         s""""failed":$failed,"sf":"$sfDir","iters":$Iters,"agg":"min",""" +
         s""""load1":$load1,"otherJvms":$otherJvms,""" +
+        s""""wmbps":$wmbps,"wmbps_end":$wmbpsEnd,""" +
         s""""load_gate":$LoadGate,"gate_retries":$gateRetries,""" +
         s""""unclean":$unclean,""" +
         s""""queries_detail":"target/bench.json"}"""

@@ -1137,6 +1137,98 @@ object CoreQueries {
     ),
 
     // ------------------------------------------------------------------
+    // q80: DYNAMIC partition pruning — q38's layout pruned by a filter
+    // the planner cannot see statically: the pruning quarters come from
+    // a JOINED dim (the distinct order quarters of 1995), so the fact
+    // partitions to skip are only known once the dim side is evaluated.
+    // Spark's DPP inserts a pruning subquery into the fact scan's
+    // PartitionFilters that REUSES the dim's broadcast (the
+    // reuseBroadcastOnly default — zero extra jobs), and the scan reads
+    // only the 4 matching quarter directories out of ~28. This is THE
+    // star-schema scan killer at 100 TB: a date-dim filter prunes the
+    // fact scan without the query ever naming a partition value.
+    // PlanShapeSpec asserts `dynamicpruning` reaches PartitionFilters;
+    // the oracle recomputes from the raw tables (layout changes cost,
+    // never results).
+    GraftQuery(
+      "q80_dynamic_partition_pruning",
+      "star join to a year-filtered quarter dim prunes the partitioned fact scan at runtime (DPP, broadcast reuse)",
+      (spark, dir) => {
+        val layout = graft.io.WarehouseLayout.lineitemByShipQuarter(spark, dir)
+        val fact = spark.read.parquet(layout)
+        val t = Tables(spark, dir)
+        val dim = t.orders.select(
+            concat(year(col("o_orderdate")).cast("string"),
+              quarterLabel(col("o_orderdate"))).as("ship_quarter"),
+            year(col("o_orderdate")).as("o_year"))
+          .distinct()
+          .where(col("o_year") === 1995)
+          .select(col("ship_quarter"))
+        fact.join(dim, Seq("ship_quarter"))
+          .groupBy(col("ship_quarter"))
+          .agg(cnt.as("cnt"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"))
+          .orderBy(col("ship_quarter"))
+      },
+      Some(
+        """WITH dim AS (
+          |  SELECT DISTINCT CAST(year(o_orderdate) AS VARCHAR) || 'Q' ||
+          |         CAST(quarter(o_orderdate) AS VARCHAR) AS ship_quarter
+          |  FROM orders WHERE year(o_orderdate) = 1995),
+          |fact AS (
+          |  SELECT CAST(year(l_shipdate) AS VARCHAR) || 'Q' ||
+          |         CAST(quarter(l_shipdate) AS VARCHAR) AS ship_quarter,
+          |         l_quantity
+          |  FROM lineitem)
+          |SELECT f.ship_quarter, count(*) AS cnt,
+          |       CAST(sum(f.l_quantity) AS BIGINT) AS sum_qty
+          |FROM fact f JOIN dim USING (ship_quarter)
+          |GROUP BY 1
+          |ORDER BY 1""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q81: correlated subqueries through the SQL surface — EXISTS plus a
+    // correlated scalar COUNT, the shape every hand-written dashboard
+    // query eventually takes. The value is in what Catalyst does to it:
+    // RewritePredicateSubquery turns the EXISTS into a LEFT SEMI hash
+    // join and RewriteCorrelatedScalarSubquery decorrelates the COUNT
+    // into an aggregate-then-outer-join (handling the classic COUNT bug:
+    // empty groups must read 0, not NULL) — so the executed plan is two
+    // hash joins over ONE scan each, never a per-customer re-execution
+    // of the subquery (the nested-loop semantics the SQL literally
+    // describes, quadratic at 100 TB). PlanShapeSpec pins the
+    // decorrelation: LeftSemi present, no BroadcastNestedLoopJoin.
+    // DuckDB runs the very same SQL text as the oracle.
+    GraftQuery(
+      "q81_correlated_subqueries",
+      "EXISTS + correlated scalar COUNT decorrelated to semi/outer hash joins (pure SQL surface)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.customer.createOrReplaceTempView("q81_customer")
+        t.orders.createOrReplaceTempView("q81_orders")
+        spark.sql(
+          """SELECT c_custkey,
+            |       (SELECT count(*) FROM q81_orders o
+            |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+            |FROM q81_customer c
+            |WHERE EXISTS (SELECT 1 FROM q81_orders o
+            |              WHERE o.o_custkey = c.c_custkey
+            |                AND o.o_orderpriority = '1-URGENT')
+            |ORDER BY c_custkey""".stripMargin)
+      },
+      Some(
+        """SELECT c_custkey,
+          |       (SELECT count(*) FROM orders o
+          |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+          |FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderpriority = '1-URGENT')
+          |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
     // q39: SCD type-2 dimension versioning from a change log — the
     // warehouse op that turns "current state" dims into historical ones.
     // Each customer's order-priority history collapses consecutive equal

@@ -27,6 +27,27 @@ class PlanShapeSpec extends SparkSpecBase {
       s"column pruning failed:\n$p")
   }
 
+  test("q80: dynamic partition pruning reaches the fact scan's PartitionFilters") {
+    val df = Catalog.queries("q80_dynamic_partition_pruning")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the fact scan must carry a runtime pruning subquery on the
+    // partition column, not just the static isnotnull
+    val factScan = p.split("PartitionFilters:").drop(1)
+    assert(factScan.exists(_.takeWhile(_ != ']').contains("dynamicpruning")),
+      s"DPP did not reach PartitionFilters:\n${p.take(6000)}")
+    // and the dim side is broadcast (the reuseBroadcastOnly path: the
+    // pruning subquery reuses this exchange, costing zero extra jobs)
+    assert(p.contains("BroadcastHashJoin"), p.take(6000))
+  }
+
+  test("q81: correlated subqueries decorrelate to hash joins (no nested loop)") {
+    val p = planOf("q81_correlated_subqueries")
+    assert(p.contains("LeftSemi"), s"EXISTS not a semi join:\n${p.take(4000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"subquery executed as a nested loop:\n${p.take(4000)}")
+  }
+
   test("q08: star denormalization broadcasts every dimension") {
     val p = planOf("q08_star_denormalize")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size

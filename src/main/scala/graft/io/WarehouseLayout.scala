@@ -165,6 +165,31 @@ object WarehouseLayout {
     * each other's buckets. 8 buckets fit the test scale; at 100 TB the
     * same layout takes O(cluster cores) buckets — the bucket COUNT is
     * the only scale knob, the join plan is unchanged. */
+  /** events re-landed as a semi-structured VARIANT column in parquet —
+    * the Spark-4 ingest shape for payloads whose schema drifts faster
+    * than the table's. The JSON envelope (type + nested meta) is parsed
+    * ONCE at write time into the binary variant encoding; queries then
+    * extract typed paths with `variant_get` as offset reads, never
+    * re-parsing text (q21's `get_json_object` re-tokenizes the string on
+    * every call — per-access cost that multiplies at 100 TB). Parquet
+    * stores the variant as (metadata, value) binary pairs with the usual
+    * row-group structure, so the layout scales exactly as any other
+    * column — and the envelope is assembled from the RAW columns, so the
+    * oracle recomputes from those same columns, layout-independent. */
+  def eventsVariantLayout(spark: SparkSession, dir: String): String =
+    TempLayouts.cached(layoutKey(dir, "events_variant"), "graft_warehouse_ev_") { out =>
+      Tables(spark, dir).events
+        .select(
+          col("event_id"),
+          parse_json(to_json(struct(
+            col("event_type").as("t"),
+            struct(
+              col("user_id").as("u"),
+              get_json_object(col("props"), "$.k").cast("long").as("k")
+            ).as("m")))).as("v"))
+        .write.mode("overwrite").parquet(out)
+    }
+
   def bucketedFactTables(spark: SparkSession, dir: String): (String, String) = {
     val canon = new java.io.File(dir).getCanonicalPath
     val suffix = java.lang.Integer.toHexString(

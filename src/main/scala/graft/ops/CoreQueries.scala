@@ -2439,6 +2439,228 @@ object CoreQueries {
           |       min(l_quantity) AS min_qty,
           |       max(l_quantity) AS max_qty
           |FROM lineitem""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q82: semi-structured VARIANT shredding — the Spark-4 answer to
+    // schema-drifting payloads. Ingest parses the JSON envelope ONCE
+    // into the binary variant encoding and lands it in parquet
+    // (io/WarehouseLayout.eventsVariantLayout, built once per JVM);
+    // the query then extracts typed paths with `variant_get` — an
+    // offset walk over the binary form, not a text re-parse — and
+    // aggregates. Contrast q21, where every `get_json_object` call
+    // re-tokenizes the JSON string: at 100 TB with several extractions
+    // per row that difference is the scan's CPU budget. The extraction
+    // stays inside whole-stage codegen, and the oracle recomputes the
+    // same aggregate from the raw typed columns the envelope was built
+    // from — the variant path must be a no-op on VALUES.
+    GraftQuery(
+      "q82_variant_shred",
+      "typed-path extraction over a VARIANT-in-parquet event envelope (parse once, extract many)",
+      (spark, dir) => {
+        val layout = graft.io.WarehouseLayout.eventsVariantLayout(spark, dir)
+        spark.read.parquet(layout)
+          .select(
+            variant_get(col("v"), "$.t", "string").as("event_type"),
+            variant_get(col("v"), "$.m.u", "long").as("user_id"),
+            variant_get(col("v"), "$.m.k", "long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(
+            cnt.as("n_events"),
+            sum(col("k")).as("sum_k"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n_events,
+          |       CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+          |       count(DISTINCT user_id) AS n_users
+          |FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q83: LATERAL correlated subquery — per-nation top-2 customers by
+    // balance, written the way SQL users write it (a correlated ORDER
+    // BY ... LIMIT against each outer row). The value is what Catalyst
+    // compiles it to: DecorrelateInnerQuery rewrites the lateral into a
+    // plain equi-join against a row_number window, and the LIMIT
+    // becomes a WindowGroupLimit that prunes each group to 2 rows in a
+    // PARTIAL pass BEFORE the shuffle — so the executed plan is
+    // broadcast-hash-join + rank-limit pushdown, never the per-outer-row
+    // re-execution the SQL literally describes (quadratic at 100 TB).
+    // PlanShapeSpec pins WindowGroupLimit present + no nested loop.
+    // DuckDB runs the same lateral SQL text as the oracle.
+    GraftQuery(
+      "q83_lateral_topk",
+      "correlated LATERAL (ORDER BY ... LIMIT 2) decorrelated to a rank-limit window join",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.nation.createOrReplaceTempView("q83_nation")
+        t.customer.createOrReplaceTempView("q83_customer")
+        spark.sql(
+          """SELECT n_name, l.c_name, l.bal_cents
+            |FROM q83_nation n,
+            |LATERAL (SELECT c_name,
+            |                CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+            |         FROM q83_customer c
+            |         WHERE c.c_nationkey = n.n_nationkey
+            |         ORDER BY bal_cents DESC, c_name
+            |         LIMIT 2) l
+            |ORDER BY n_name, bal_cents DESC, c_name""".stripMargin)
+      },
+      Some(
+        """SELECT n_name, l.c_name, l.bal_cents
+          |FROM nation n,
+          |LATERAL (SELECT c_name,
+          |                CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+          |         FROM customer c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY bal_cents DESC, c_name
+          |         LIMIT 2) l
+          |ORDER BY n_name, bal_cents DESC, c_name""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q84: recursive CTE through the SQL surface — the parent-pointer
+    // walk of g03's forest (custkey halving to roots ≤ 8) as WITH
+    // RECURSIVE, which Spark 4 executes as an iterative UnionLoop: each
+    // step joins the previous frontier only (delta iteration), stacking
+    // results without recomputing settled rows. This is the SQL twin of
+    // g03's pointer doubling and the scale contrast is the point:
+    // recursion runs O(depth) rounds (one per level — fine here, depth
+    // ≈ log2 custkey), pointer doubling runs O(log depth); for deep
+    // hierarchies the custom iteration wins, for the common shallow
+    // case the declarative form costs nothing extra. The depth guard
+    // (< 64) bounds the loop the same way g04's oracle bounds its walk.
+    // DuckDB runs the recursion independently (its own WITH RECURSIVE,
+    // integer floor-div) as the oracle.
+    GraftQuery(
+      "q84_recursive_hierarchy",
+      "WITH RECURSIVE parent-pointer walk (UnionLoop delta iteration) to roots and depths",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.customer.createOrReplaceTempView("q84_customer")
+        spark.sql(
+          """WITH RECURSIVE walk(node, cur, depth) AS (
+            |  SELECT c_custkey, c_custkey, 0 FROM q84_customer
+            |  UNION ALL
+            |  SELECT node, cur DIV 2, depth + 1 FROM walk
+            |  WHERE cur > 8 AND depth < 64)
+            |SELECT node AS node_id, cur AS root_id,
+            |       CAST(depth AS BIGINT) AS depth
+            |FROM walk WHERE cur <= 8
+            |ORDER BY node_id""".stripMargin)
+      },
+      Some(
+        """WITH RECURSIVE walk(node, cur, depth) AS (
+          |  SELECT c_custkey, c_custkey, 0 FROM customer
+          |  UNION ALL
+          |  SELECT node, cur // 2, depth + 1 FROM walk
+          |  WHERE cur > 8 AND depth < 64)
+          |SELECT node AS node_id, cur AS root_id,
+          |       CAST(depth AS BIGINT) AS depth
+          |FROM walk WHERE cur <= 8
+          |ORDER BY node_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q85: ordered-set aggregates — listagg WITHIN GROUP (the ordered
+    // string fold SQL:2016 calls LISTAGG) and percentile_disc (the
+    // discrete percentile that returns an ELEMENT of the set, not an
+    // interpolation — deterministic on any domain, which is why it can
+    // hash-match across engines where percentile_cont's float
+    // interpolation could drift). DISTINCT + WITHIN GROUP ordering make
+    // the listagg deterministic; the percentile operates on exact
+    // integer cents. Plan: one hash aggregate pass for the count/sum
+    // shapes plus a sort-based aggregate for the ordered ones — still
+    // partial+final, still one shuffle on the group key. DuckDB's
+    // string_agg(DISTINCT ... ORDER BY) and quantile_disc are the
+    // independent formulations.
+    GraftQuery(
+      "q85_ordered_set_aggs",
+      "listagg WITHIN GROUP + percentile_disc per order priority (ordered-set aggregates)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.orders.createOrReplaceTempView("q85_orders")
+        // n_status is derived from the listagg OUTSIDE the aggregate:
+        // pairing listagg(DISTINCT ...) WITHIN GROUP with a second
+        // DISTINCT aggregate trips Spark 4.1.2's distinct-rewrite
+        // (AttributeReference→SortOrder cast in RewriteDistinctAggregates)
+        // — and the outer size(split(...)) is one less distinct expand
+        // anyway.
+        spark.sql(
+          """SELECT o_orderpriority, statuses,
+            |       CAST(size(split(statuses, ',')) AS BIGINT) AS n_status,
+            |       med_cents, p90_cents
+            |FROM (
+            |  SELECT o_orderpriority,
+            |         listagg(DISTINCT o_orderstatus, ',')
+            |           WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+            |         CAST(percentile_disc(0.5) WITHIN GROUP
+            |           (ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT))
+            |           AS BIGINT) AS med_cents,
+            |         CAST(percentile_disc(0.9) WITHIN GROUP
+            |           (ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT))
+            |           AS BIGINT) AS p90_cents
+            |  FROM q85_orders
+            |  GROUP BY o_orderpriority)
+            |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some(
+        """SELECT o_orderpriority,
+          |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+          |       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+          |       CAST(quantile_disc(CAST(floor(o_totalprice * 100) AS BIGINT), 0.5)
+          |         AS BIGINT) AS med_cents,
+          |       CAST(quantile_disc(CAST(floor(o_totalprice * 100) AS BIGINT), 0.9)
+          |         AS BIGINT) AS p90_cents
+          |FROM orders
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q86: SQL scalar UDF (CREATE FUNCTION ... RETURN expr) — the
+    // user-extension surface that does NOT cost what UDFs usually cost:
+    // Catalyst INLINES the function body at analysis time, so the
+    // executed plan contains plain arithmetic expressions — full
+    // whole-stage codegen, predicate pushdown through the call site, no
+    // serialization wall (a Scala/Python UDF is an opaque black box to
+    // the optimizer; this is a macro). PlanShapeSpec asserts no ScalaUDF
+    // / BatchEvalPython node survives in the physical plan. The oracle
+    // inlines the same expression by hand — which is exactly what
+    // Catalyst did, so the results must agree bit-for-bit (double
+    // arithmetic is IEEE-identical across both engines, then floored to
+    // integer cents before the sum).
+    GraftQuery(
+      "q86_sql_macro",
+      "SQL scalar UDF inlined by Catalyst (net-of-discount-plus-tax cents rollup)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.lineitem.createOrReplaceTempView("q86_lineitem")
+        spark.sql(
+          """CREATE OR REPLACE TEMPORARY FUNCTION q86_net_cents(
+            |  p DOUBLE, d DOUBLE, t DOUBLE) RETURNS BIGINT
+            |RETURN CAST(floor(p * (1 - d) * (1 + t) * 100) AS BIGINT)""".stripMargin)
+        spark.sql(
+          """SELECT l_returnflag,
+            |       count(*) AS cnt,
+            |       sum(q86_net_cents(l_extendedprice, l_discount, l_tax)) AS net_cents
+            |FROM q86_lineitem
+            |GROUP BY l_returnflag
+            |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some(
+        """SELECT l_returnflag,
+          |       count(*) AS cnt,
+          |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+          |                           * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+          |         AS net_cents
+          |FROM lineitem
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
     )
   )
 

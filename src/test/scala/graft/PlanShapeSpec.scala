@@ -284,6 +284,56 @@ class PlanShapeSpec extends SparkSpecBase {
       s"aggregate not pushed to the scan:\n$p")
   }
 
+  test("q82: the layout stores a true VARIANT column; the read path never re-parses JSON text") {
+    val layout = graft.io.WarehouseLayout.eventsVariantLayout(spark, sf0001)
+    // parquet round-trip preserved the variant logical type (not a
+    // string/struct downgrade — the binary form is what makes repeated
+    // typed extraction an offset walk instead of a text re-parse)
+    val schema = spark.read.parquet(layout).schema
+    assert(schema("v").dataType ===
+      org.apache.spark.sql.types.VariantType,
+      s"layout column is not VARIANT: ${schema.treeString}")
+    val p = planOf("q82_variant_shred")
+    // stronger than "variant_get in the plan": Spark compiles the three
+    // typed extractions INTO the scan — the ReadSchema is a pruned typed
+    // struct of exactly the requested paths, so the variant binary never
+    // even reaches the query operators (shredding pushdown, the 100 TB
+    // payoff: the scan materializes 3 typed columns, not N payloads)
+    assert(p.contains("ReadSchema: struct<v:struct<0:string,1:bigint,2:bigint>>"),
+      s"variant extraction not pushed into the scan as a typed struct:\n$p")
+    // the query-side plan must contain no JSON text parsing — that cost
+    // was paid once at ingest (get_json_object would mean the layout is
+    // being rebuilt per query, or the extraction fell back to text)
+    assert(!p.contains("get_json_object") && !p.contains("from_json"),
+      s"JSON text re-parse leaked into the variant read path:\n$p")
+  }
+
+  test("q83: lateral LIMIT decorrelates to a rank-limit window join, never a re-execution loop") {
+    val p = planOf("q83_lateral_topk")
+    // the LIMIT 2 must surface as WindowGroupLimit (partial below the
+    // shuffle: each group is pruned to 2 rows map-side)
+    assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"lateral not an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lateral executed as a nested loop:\n$p")
+  }
+
+  test("q84: the recursion executes as UnionLoop delta iteration") {
+    val p = planOf("q84_recursive_hierarchy")
+    assert(p.contains("UnionLoop"), s"recursive CTE not a UnionLoop:\n$p")
+  }
+
+  test("q86: the SQL UDF is inlined — no opaque UDF node survives in the plan") {
+    val p = planOf("q86_sql_macro")
+    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("BatchEvalPython"),
+      s"SQL function executed as an opaque UDF:\n$p")
+    // the inlined body is visible as plain arithmetic inside the partial
+    // aggregate — fully codegen-able, pushdown-transparent
+    assert(p.contains("FLOOR") || p.contains("floor"),
+      s"inlined arithmetic missing:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
   test("no catalog plan contains an unbounded cartesian product") {
     // BroadcastNestedLoopJoin with a broadcast 1-to-few-row side is the
     // intended shape for query-vector attachment; CartesianProduct

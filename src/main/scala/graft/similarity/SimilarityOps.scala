@@ -2363,6 +2363,104 @@ object SimilarityOps {
           |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, sim_e4
           |FROM rk WHERE rk <= 10
           |ORDER BY qid, rk""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s23: hybrid retrieval — the standard two-channel search every RAG
+    // / corpus-audit stack runs: a lexical BM25 ranking (exact term
+    // match, rare-term precision) and a dense cosine ranking (semantic
+    // recall) fused by Reciprocal Rank Fusion (Cormack, Clarke &
+    // Buettcher 2009): rrf(d) = Σ_lists 1/(K + rank_list(d)), K=60.
+    // RRF needs only RANKS, never comparable scores — which is exactly
+    // why it's the production fusion: BM25 micro-units and cosine e4
+    // units share no scale, and rank fusion is immune to that. Each
+    // channel fetches its top-20 (fetchK = 2k overfetch, the usual
+    // fusion headroom), contributions are floor-quantized to integer
+    // micro-units, and the fused top-10 re-ranks by exact BIGINT sums.
+    //
+    // 100 TB shape: each channel is already bounded — BM25 kills
+    // non-query postings map-side and heaps per query (t27), the dense
+    // scan is one pass with a bounded heap (any ANN entry can be
+    // substituted as the dense channel; the fusion contract is just
+    // (query, doc, rank)). The fusion itself joins two |Q|·fetchK-row
+    // lists — never corpus-bound. The lexical query ids and the dense
+    // query vector ids are the same ids by construction (query 0 =
+    // terms set 0 + embedding of vec 0), the query-by-example pairing.
+    GraftQuery(
+      "s23_similarity_hybrid_rrf",
+      "hybrid retrieval: BM25 lexical + exact dense cosine, reciprocal-rank fusion (K=60) top-10",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        hybridRrfTopK(t.documents, t.embeddings,
+          graft.text.TextOps.bm25QueryTermsDf(spark),
+          denseQueryIds = Seq(0L, 1L, 2L), fetchK = 20, k = 10)
+      },
+      Some(
+        s"""WITH ${graft.text.TextOps.bm25RankSql},
+          |dq AS (SELECT vec_id AS query_id, embedding AS q_emb
+          |       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+          |dsims AS (
+          |  SELECT dq.query_id, e.vec_id AS doc_id,
+          |         CAST(round(${cosSql("e.embedding", "dq.q_emb")} * 10000) AS BIGINT) AS sim_e4
+          |  FROM embeddings e CROSS JOIN dq
+          |  WHERE e.vec_id <> dq.query_id),
+          |dranked AS (SELECT query_id, doc_id,
+          |                   row_number() OVER (PARTITION BY query_id
+          |                                      ORDER BY sim_e4 DESC, doc_id) AS rk
+          |            FROM dsims),
+          |fused AS (
+          |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+          |         coalesce(l.doc_id, d.doc_id) AS doc_id,
+          |         CAST(coalesce(CAST(floor(1000000.0 / (60 + l.rk)) AS BIGINT), 0)
+          |            + coalesce(CAST(floor(1000000.0 / (60 + d.rk)) AS BIGINT), 0)
+          |            AS BIGINT) AS rrf_e6
+          |  FROM (SELECT query_id, doc_id, rk FROM bm_ranked WHERE rk <= 20) l
+          |  FULL OUTER JOIN
+          |       (SELECT query_id, doc_id, rk FROM dranked WHERE rk <= 20) d
+          |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+          |rk2 AS (SELECT query_id, doc_id, rrf_e6,
+          |               CAST(row_number() OVER (PARTITION BY query_id
+          |                    ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rk
+          |        FROM fused)
+          |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, rrf_e6
+          |FROM rk2 WHERE rk <= 10
+          |ORDER BY query_id, rk""".stripMargin)
     )
   )
+
+  /** s23's fusion engine: BM25 top-fetchK (lexical channel) and exact
+    * cosine top-fetchK (dense channel) full-outer-joined per (query,
+    * doc), each rank contributing floor(1e6/(60+rank)) micro-units,
+    * fused top-k by exact integer sum through the bounded GroupedTopK
+    * heap (rrf desc, doc_id asc — the engine-wide tie-break). A doc
+    * surfaced by only one channel simply lacks the other contribution
+    * (the full-outer + coalesce(…, 0)). `denseQueryIds` pairs each
+    * lexical query_id with its dense query vector (vec_id = query_id,
+    * query-by-example); the dense channel excludes the query vector
+    * itself (it would trivially rank 1), the lexical channel has no
+    * self to exclude. */
+  def hybridRrfTopK(docs: DataFrame, emb: DataFrame, queryTerms: DataFrame,
+      denseQueryIds: Seq[Long], fetchK: Int, k: Int): DataFrame = {
+    val rrfBase = 60
+    def contrib(rank: Column): Column =
+      floor(lit(1000000.0) / (lit(rrfBase) + rank)).cast("long")
+    val lex = graft.text.TextOps.bm25TopK(docs, queryTerms, fetchK)
+      .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
+    val dense = bruteForceTopKBatch(emb, denseQueryIds, fetchK)
+      .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+        col("rk").as("dense_rk"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(contrib(col("lex_rk")), lit(0L)) +
+          coalesce(contrib(col("dense_rk")), lit(0L))).as("rrf_e6"))
+    val topk = graft.functions.expressions.GroupedTopK.topK(k)
+    fused.groupBy(col("query_id"))
+      // fused scores are < 2^16 micro-unit ints — exact in the heap's double
+      .agg(topk(col("rrf_e6").cast("double"), col("doc_id")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as("doc_id"),
+        col("col").getField("score").cast("long").as("rrf_e6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
 }

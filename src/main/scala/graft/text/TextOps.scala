@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1260,50 +1260,67 @@ object TextOps {
     GraftQuery(
       "t27_bm25_search",
       "BM25 top-5 docs per query (k1=1.2, b=0.75), integer micro-unit scores, bounded-heap top-k",
-      (spark, dir) => {
-        val queryTerms = spark.createDataFrame(Seq(
-          (0L, "spark"), (0L, "merge"), (0L, "join"),
-          (1L, "stream"), (1L, "window"), (1L, "batch"),
-          (2L, "customer"), (2L, "order"), (2L, "part")
-        )).toDF("query_id", "term")
-        bm25TopK(Tables(spark, dir).documents, queryTerms, k = 5)
-      },
+      (spark, dir) =>
+        bm25TopK(Tables(spark, dir).documents, bm25QueryTermsDf(spark), k = 5),
       Some(
-        """WITH q(query_id, term) AS (VALUES
-          |  (0, 'spark'), (0, 'merge'), (0, 'join'),
-          |  (1, 'stream'), (1, 'window'), (1, 'batch'),
-          |  (2, 'customer'), (2, 'order'), (2, 'part')),
-          |d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
-          |      FROM documents),
-          |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-          |                 CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM d),
-          |tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-          |               unnest(toks) AS term FROM d),
-          |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*) AS tf FROM tok
-          |       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
-          |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-          |contrib AS (
-          |  SELECT q.query_id, tf.doc_id,
-          |         CAST(round(
-          |           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
-          |                    / (CAST(dfq.df AS DOUBLE) + 0.5))
-          |           * (CAST(tf.tf AS DOUBLE) * 2.2)
-          |           / (CAST(tf.tf AS DOUBLE) + 1.2 *
-          |              (0.25 + 0.75 * CAST(tf.dl AS DOUBLE)
-          |               / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
-          |           * 1000000) AS BIGINT) AS contrib_e6
-          |  FROM tf JOIN q USING (term) JOIN dfq USING (term) CROSS JOIN stats s),
-          |score AS (SELECT query_id, doc_id,
-          |                 CAST(sum(contrib_e6) AS BIGINT) AS score_e6
-          |          FROM contrib GROUP BY 1, 2),
-          |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-          |                  ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rk
-          |           FROM score)
+        s"""WITH $bm25RankSql
           |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score_e6
-          |FROM ranked WHERE rk <= 5
+          |FROM bm_ranked WHERE rk <= 5
           |ORDER BY query_id, rk""".stripMargin)
     )
   )
+
+  /** t27's literal query set — single-sourced so the hybrid fusion entry
+    * (SimilarityOps s23) ranks the SAME lexical queries. */
+  // lazy: `all` above interpolates bm25RankSql into t27's oracle during
+  // object init — a strict val declared below `all` would still be null
+  // at that point (Scala initializes vals in declaration order)
+  private[graft] lazy val Bm25QueryTerms: Seq[(Long, String)] = Seq(
+    0L -> "spark", 0L -> "merge", 0L -> "join",
+    1L -> "stream", 1L -> "window", 1L -> "batch",
+    2L -> "customer", 2L -> "order", 2L -> "part")
+
+  private[graft] def bm25QueryTermsDf(spark: SparkSession): DataFrame =
+    spark.createDataFrame(Bm25QueryTerms).toDF("query_id", "term")
+
+  /** The BM25 ranking as a reusable DuckDB CTE chain (t27's oracle,
+    * factored so s23's fusion oracle composes the identical lexical
+    * ranking instead of duplicating it). Interpolate after `WITH`;
+    * exposes `bm_ranked(query_id, doc_id, score_e6, rk)` ranked per
+    * query (score desc, doc_id asc), uncut — consumers apply their own
+    * `rk <=` bound. */
+  private[graft] lazy val bm25RankSql: String = {
+    val values = Bm25QueryTerms
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""bm_q(query_id, term) AS (VALUES $values),
+      |bm_d AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+      |         FROM documents),
+      |bm_stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                    CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM bm_d),
+      |bm_tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |                  unnest(toks) AS term FROM bm_d),
+      |bm_tf AS (SELECT doc_id, term, max(dl) AS dl, count(*) AS tf FROM bm_tok
+      |          WHERE term IN (SELECT term FROM bm_q) GROUP BY doc_id, term),
+      |bm_dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bm_tf GROUP BY term),
+      |bm_contrib AS (
+      |  SELECT bm_q.query_id, bm_tf.doc_id,
+      |         CAST(round(
+      |           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(bm_dfq.df AS DOUBLE) + 0.5)
+      |                    / (CAST(bm_dfq.df AS DOUBLE) + 0.5))
+      |           * (CAST(bm_tf.tf AS DOUBLE) * 2.2)
+      |           / (CAST(bm_tf.tf AS DOUBLE) + 1.2 *
+      |              (0.25 + 0.75 * CAST(bm_tf.dl AS DOUBLE)
+      |               / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+      |           * 1000000) AS BIGINT) AS contrib_e6
+      |  FROM bm_tf JOIN bm_q USING (term) JOIN bm_dfq USING (term)
+      |  CROSS JOIN bm_stats s),
+      |bm_score AS (SELECT query_id, doc_id,
+      |                    CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+      |             FROM bm_contrib GROUP BY 1, 2),
+      |bm_ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |                     ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rk
+      |              FROM bm_score)""".stripMargin
+  }
 
   /** Okapi BM25 (k1=1.2, b=0.75) top-k docs per query over an arbitrary
     * (doc_id, text) frame — t27's engine. `queryTerms` is (query_id,

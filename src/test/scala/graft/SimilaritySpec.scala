@@ -586,4 +586,39 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got(1) === ((2L, 3L)),
       s"rk2 must be the diverse candidate, not the near-duplicate: ${got.toSeq}")
   }
+
+  test("s23: RRF fusion equals a driver-side recompute from the two channel rankings") {
+    val t = Tables(spark, sf0001)
+    val fetchK = 20
+    // the two channel rankings, as the fusion engine consumes them
+    val lex = graft.text.TextOps
+      .bm25TopK(t.documents, graft.text.TextOps.bm25QueryTermsDf(spark), fetchK)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
+    val dense = SimilarityOps.bruteForceTopKBatch(t.embeddings, Seq(0L, 1L, 2L), fetchK)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
+    def contrib(rk: Option[Long]): Long =
+      rk.map(r => math.floor(1000000.0 / (60 + r)).toLong).getOrElse(0L)
+    val expected = (lex.keySet ++ dense.keySet).toSeq
+      .map { case (q, d) =>
+        (q, d, contrib(lex.get((q, d))) + contrib(dense.get((q, d)))) }
+      .groupBy(_._1)
+      .flatMap { case (q, cands) =>
+        cands.sortBy { case (_, d, s) => (-s, d) }.take(10).zipWithIndex
+          .map { case ((_, d, s), i) => (q, i + 1L, d, s) } }
+      .toSeq.sorted
+    val got = graft.queries.Catalog
+      .queries("s23_similarity_hybrid_rrf")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got === expected)
+    // the fusion is genuinely two-channel on this corpus: some fused
+    // top-10 doc must come from each channel alone (a fusion that
+    // degenerates to one channel would pass the equality above even if
+    // the other channel's join were broken)
+    val fusedDocs = got.map(r => (r._1, r._3)).toSet
+    assert(fusedDocs.exists(k => dense.contains(k) && !lex.contains(k)),
+      "no dense-only doc reached the fused top-10")
+    assert(fusedDocs.exists(k => lex.contains(k) && !dense.contains(k)),
+      "no lexical-only doc reached the fused top-10")
+  }
 }

@@ -190,6 +190,23 @@ object WarehouseLayout {
         .write.mode("overwrite").parquet(out)
     }
 
+  /** events written as TWO schema generations under one root — the
+    * drift every long-lived table accumulates: `gen=0` (even event_ids)
+    * predates the extracted `prop_k` column, `gen=1` (odd) carries it.
+    * Subdirectories (not hive partitions — the point is files with
+    * DIFFERENT schemas, not a partition column) so a `mergeSchema` read
+    * must union the schemas and null-fill the old rows. q88's subject. */
+  def eventsTwoGenerationLayout(spark: SparkSession, dir: String): String =
+    TempLayouts.cached(layoutKey(dir, "events_gen"), "graft_warehouse_eg_") { out =>
+      val ev = Tables(spark, dir).events.select(
+        col("event_id"), col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+      ev.filter(col("event_id") % 2 === 0).drop("prop_k")
+        .write.mode("overwrite").parquet(s"$out/gen0")
+      ev.filter(col("event_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$out/gen1")
+    }
+
   def bucketedFactTables(spark: SparkSession, dir: String): (String, String) = {
     val canon = new java.io.File(dir).getCanonicalPath
     val suffix = java.lang.Integer.toHexString(

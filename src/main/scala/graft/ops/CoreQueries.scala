@@ -2661,6 +2661,86 @@ object CoreQueries {
           |FROM lineitem
           |GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q87: COST-BASED join reordering — the optimizer surface that needs
+    // table statistics to exist. The SQL is written in the WORST order
+    // (fact ⋈ fact first, the selective dim last — exactly how a
+    // dashboard author writes it); with ANALYZE'd tables
+    // (io/StatsCatalog: external tables + per-column NDV/min/max, built
+    // once per JVM) and CBO on, Catalyst's CostBasedJoinReorder moves
+    // the mktsegment-filtered customer ⋈ orders join INNERMOST, so the
+    // lineitem fact joins against ~1/5 of orders instead of all of
+    // them. At 100 TB that reorder is the difference between shuffling
+    // the whole fact-fact join output and shuffling a fifth of it —
+    // and it is exactly what a rule-based planner cannot know without
+    // stats. The session is a child session (CBO flags scoped to it);
+    // results are order-independent, so the oracle is the plain join.
+    // PlanShapeSpec pins the reorder: selective join innermost with
+    // stats, left-deep text order without.
+    GraftQuery(
+      "q87_cbo_join_reorder",
+      "stats-driven join reorder: worst-order SQL, CBO moves the selective dim join innermost",
+      (spark, dir) => {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        val (cust, ord, li) = graft.io.StatsCatalog.analyzedStarTables(s, dir)
+        s.sql(
+          s"""SELECT o_orderpriority, count(*) AS cnt,
+            |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+            |FROM $li JOIN $ord ON l_orderkey = o_orderkey
+            |         JOIN $cust ON o_custkey = c_custkey
+            |WHERE c_mktsegment = 'BUILDING'
+            |GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some(
+        """SELECT o_orderpriority, count(*) AS cnt,
+          |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |              JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q88: schema-evolution scan — the table whose early files predate a
+    // column. Generation 0 (even event_ids) was written WITHOUT the
+    // extracted prop_k column; generation 1 (odd) carries it. The read
+    // unions the two schemas (`mergeSchema`), old rows surface NULL, and
+    // the aggregate coalesces. This is the drift every long-lived 100 TB
+    // table accumulates; the mergeSchema flag does a footer walk across
+    // files at planning (cheap but not free — production pins the merged
+    // schema explicitly once known, which skips the walk; the flag is
+    // the discovery tool). The oracle recomputes from the raw table with
+    // the generation rule inlined — layout generations must never change
+    // values, only column availability.
+    GraftQuery(
+      "q88_schema_evolution_scan",
+      "mergeSchema read across layout generations (old files lack the new column, null-filled)",
+      (spark, dir) => {
+        val layout = graft.io.WarehouseLayout.eventsTwoGenerationLayout(spark, dir)
+        spark.read.option("mergeSchema", "true")
+          .option("recursiveFileLookup", "true").parquet(layout)
+          .groupBy(col("event_type"))
+          .agg(
+            cnt.as("n_events"),
+            count(col("prop_k")).as("n_with_k"),
+            sum(coalesce(col("prop_k"), lit(0L))).as("sum_k"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n_events,
+          |       count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_with_k,
+          |       CAST(sum(CASE WHEN event_id % 2 = 1
+          |                     THEN CAST(props ->> '$.k' AS BIGINT)
+          |                     ELSE 0 END) AS BIGINT) AS sum_k
+          |FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
     )
   )
 

@@ -1267,6 +1267,60 @@ object TextOps {
           |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score_e6
           |FROM bm_ranked WHERE rk <= 5
           |ORDER BY query_id, rk""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t28: curriculum ordering — the delivery order for a length-staged
+    // training schedule (the classic short→long curriculum, Bengio et
+    // al. 2009): three length stages cut at the corpus terciles, a
+    // DETERMINISTIC seeded shuffle within each stage (training-order
+    // reproducibility is a run artifact — re-materializing the corpus
+    // must reproduce the batch sequence bit-for-bit, so the shuffle key
+    // is md5(doc_id:seed), never rand()). Stage cutoffs are ONE
+    // percentile_disc aggregate broadcast back (never a per-row rank).
+    //
+    // The 100 TB point is HOW the total order is delivered: the final
+    // orderBy(stage, shuf) compiles to a RANGE exchange + per-partition
+    // sort — Spark's distributed total-order idiom — so the written
+    // files inherit curriculum order end-to-end with no single-partition
+    // window anywhere (a row_number "global order" column would
+    // serialize the corpus through one task; the (stage, shuf) sort KEY
+    // carries the same information at full parallelism). PlanShapeSpec
+    // pins rangepartitioning + no Window.
+    GraftQuery(
+      "t28_curriculum_order",
+      "length-staged curriculum with seeded intra-stage shuffle, delivered as a range-sort",
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        val cuts = docs.agg(
+          expr("percentile_disc(1.0/3) WITHIN GROUP (ORDER BY n_chars)")
+            .cast("long").as("c1"),
+          expr("percentile_disc(2.0/3) WITHIN GROUP (ORDER BY n_chars)")
+            .cast("long").as("c2"))
+        docs.crossJoin(broadcast(cuts))
+          .select(
+            col("doc_id"),
+            when(col("n_chars") <= col("c1"), 0L)
+              .when(col("n_chars") <= col("c2"), 1L)
+              .otherwise(2L).as("stage"),
+            conv(substring(
+              md5(concat(col("doc_id").cast("string"), lit(":s9"))), 1, 15),
+              16, 10).cast("long").as("shuf"))
+          .orderBy(col("stage"), col("shuf"), col("doc_id"))
+      },
+      Some(
+        """WITH cuts AS (
+          |  SELECT CAST(quantile_disc(n_chars, 1.0/3) AS BIGINT) AS c1,
+          |         CAST(quantile_disc(n_chars, 2.0/3) AS BIGINT) AS c2
+          |  FROM documents)
+          |SELECT doc_id,
+          |       CAST(CASE WHEN n_chars <= c1 THEN 0
+          |                 WHEN n_chars <= c2 THEN 1
+          |                 ELSE 2 END AS BIGINT) AS stage,
+          |       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s9'), 1, 15))::BIGINT
+          |         AS shuf
+          |FROM documents CROSS JOIN cuts
+          |ORDER BY stage, shuf, doc_id""".stripMargin)
     )
   )
 

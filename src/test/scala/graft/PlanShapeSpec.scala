@@ -334,6 +334,52 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("q87: CBO with stats reorders the worst-order join; without stats it stays as written") {
+    def topJoin(useCbo: Boolean): String = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.cbo.enabled", useCbo.toString)
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", useCbo.toString)
+      val (cust, ord, li) = graft.io.StatsCatalog.analyzedStarTables(s, sf0001)
+      val plan = s.sql(
+        s"""SELECT o_orderpriority, count(*) AS cnt
+          |FROM $li JOIN $ord ON l_orderkey = o_orderkey
+          |         JOIN $cust ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderpriority""".stripMargin)
+        .queryExecution.optimizedPlan.toString
+      plan.linesIterator.filter(_.contains("Join Inner")).toSeq.headOption
+        .getOrElse(fail(s"no join in plan:\n$plan"))
+    }
+    // as written the SQL is left-deep (li ⋈ ord) ⋈ cust — the TOP join
+    // without CBO is the customer attach
+    assert(topJoin(useCbo = false).contains("c_custkey"),
+      "control: without CBO the text order should survive")
+    // with stats, CostBasedJoinReorder moves the selective customer ⋈
+    // orders join innermost — the top join becomes the fact attach
+    assert(topJoin(useCbo = true).contains("l_orderkey"),
+      "CBO did not reorder the selective join innermost")
+  }
+
+  test("q88: the merged scan carries the evolved column; the old generation alone lacks it") {
+    val layout = graft.io.WarehouseLayout.eventsTwoGenerationLayout(spark, sf0001)
+    // premise: generation 0 really predates the column
+    assert(!spark.read.parquet(s"$layout/gen0").schema.fieldNames.contains("prop_k"))
+    assert(spark.read.parquet(s"$layout/gen1").schema.fieldNames.contains("prop_k"))
+    val p = planOf("q88_schema_evolution_scan")
+    assert(p.contains("prop_k:bigint"),
+      s"merged ReadSchema missing the evolved column:\n$p")
+  }
+
+  test("t28: curriculum total order is a range exchange + local sort, no window, cutoffs broadcast") {
+    val p = planOf("t28_curriculum_order")
+    assert(p.contains("Exchange rangepartitioning(stage"),
+      s"total order not delivered as a range-sort:\n$p")
+    assert(!p.contains("Window"),
+      s"a window would serialize the corpus through one task:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"percentile cutoff row not broadcast:\n$p")
+  }
+
   test("no catalog plan contains an unbounded cartesian product") {
     // BroadcastNestedLoopJoin with a broadcast 1-to-few-row side is the
     // intended shape for query-vector attachment; CartesianProduct

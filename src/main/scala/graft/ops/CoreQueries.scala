@@ -2741,6 +2741,169 @@ object CoreQueries {
           |FROM events
           |GROUP BY event_type
           |ORDER BY event_type""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q89: KMV sketch ALGEBRA — set operations on mergeable summaries,
+    // the reason sketches exist at 100 TB: "distinct users in A", "in
+    // A∪B", "in A∩B" for every pair of event types, answered from
+    // per-type sketches WITHOUT revisiting the fact table per pair.
+    // Union: KMV sketches union exactly (bottom-k of the pooled minima
+    // is the union's true bottom-k — q66's merge law). Intersection:
+    // the Beyer et al. SIGMOD'07 estimator — K_ρ = |union-bottom-k ∩
+    // A's sketch ∩ B's sketch|, est = K_ρ·est_union div k — integer
+    // arithmetic end to end, so the whole algebra hash-matches DuckDB.
+    // The EXACT side rides a per-user type BITMASK: one per-user
+    // aggregate collapses the fact table into a ≤2^|types|-row mask
+    // histogram, from which every pair's exact union/intersection is a
+    // 310-row scan (10 pairs × ≤31 masks) — itself a lesson in not
+    // re-scanning facts per pair. Sketch work after the per-type
+    // bottom-k heap is sketch-row-sized (≤ k·|types| rows), all joins
+    // broadcast. The 5-row type dim takes a row_number window (the q09
+    // surrogate-key pattern: windows on bounded dims are free).
+    GraftQuery(
+      "q89_kmv_set_ops",
+      "KMV sketch algebra: pairwise distinct-user union/intersection estimates vs exact mask-histogram",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val k = 64
+        val hashSpace = 4503599627370496L // 2^52: 13 hex chars of md5
+        val topk = graft.functions.expressions.GroupedTopK.topK(k)
+        val types = t.events.select(col("event_type")).distinct()
+          .select(col("event_type"),
+            (row_number().over(Window.orderBy(col("event_type"))) - 1).as("bit"))
+        val h = conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+          .cast("long")
+        // per-type KMV sketch: distinct 52-bit user hashes, bottom-k heap
+        val sketch = t.events.select(col("event_type"), h.as("h")).distinct()
+          .groupBy(col("event_type"))
+          .agg(topk((-col("h")).cast("double"), col("h")).as("sk"))
+          .select(col("event_type"), explode(col("sk")).as("e"))
+          .select(col("event_type"), col("e").getField("id").as("h"))
+        // exact side: per-user type bitmask -> tiny mask histogram
+        val maskHist = t.events.join(broadcast(types), "event_type")
+          .groupBy(col("user_id"))
+          .agg(expr("CAST(bit_or(shiftleft(1, bit)) AS BIGINT)").as("mask"))
+          .groupBy(col("mask")).agg(cnt.as("n_users"))
+        val pairs = types.select(col("event_type").as("type_a"), col("bit").as("bit_a"))
+          .crossJoin(broadcast(
+            types.select(col("event_type").as("type_b"), col("bit").as("bit_b"))))
+          .where(col("type_a") < col("type_b"))
+        val exact = pairs.crossJoin(broadcast(maskHist))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(
+            sum(when(expr("shiftright(mask, bit_a) & 1 = 1 AND shiftright(mask, bit_b) & 1 = 1"),
+              col("n_users")).otherwise(0L)).as("n_inter_exact"),
+            sum(when(expr("shiftright(mask, bit_a) & 1 = 1 OR shiftright(mask, bit_b) & 1 = 1"),
+              col("n_users")).otherwise(0L)).as("n_union_exact"))
+        // per-pair union sketch: pool both sketches, re-bottom-k
+        val skA = sketch.select(col("event_type").as("type_a"), col("h"))
+        val skB = sketch.select(col("event_type").as("type_b"), col("h"))
+        val pool = pairs.join(broadcast(skA), "type_a")
+          .select(col("type_a"), col("type_b"), col("h"))
+          .union(pairs.join(broadcast(skB), "type_b")
+            .select(col("type_a"), col("type_b"), col("h")))
+          .distinct()
+        val unionSk = pool.groupBy(col("type_a"), col("type_b"))
+          .agg(topk((-col("h")).cast("double"), col("h")).as("sk"))
+          .select(col("type_a"), col("type_b"), posexplode(col("sk")))
+          .select(col("type_a"), col("type_b"), (col("pos") + 1).cast("long").as("rn"),
+            col("col").getField("id").as("h"))
+        val unionAgg = unionSk.groupBy(col("type_a"), col("type_b"))
+          .agg(cnt.as("kmv_size"),
+            coalesce(max(when(col("rn") === k, col("h"))), lit(0L)).as("kth_hash"))
+          .select(col("type_a"), col("type_b"), col("kmv_size"),
+            when(col("kmv_size") < k, col("kmv_size"))
+              .otherwise(expr(s"${k - 1}L * ${hashSpace}L div kth_hash"))
+              .as("est_union"))
+        // K_rho: union-bottom-k hashes present in BOTH input sketches
+        val krho = unionSk
+          .join(broadcast(skA), Seq("type_a", "h"), "left_semi")
+          .join(broadcast(skB), Seq("type_b", "h"), "left_semi")
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(cnt.as("k_rho"))
+        exact.join(unionAgg, Seq("type_a", "type_b"))
+          // left + coalesce: a pair whose union-bottom-k carries no
+          // common hash has K_rho = 0, not a missing row
+          .join(krho, Seq("type_a", "type_b"), "left")
+          .withColumn("k_rho", coalesce(col("k_rho"), lit(0L)))
+          .select(col("type_a"), col("type_b"),
+            col("n_union_exact"), col("n_inter_exact"),
+            col("kmv_size"), col("est_union"), col("k_rho"),
+            when(col("kmv_size") < k, col("k_rho"))
+              .otherwise(expr(s"k_rho * est_union div $k")).as("est_inter"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some(
+        """WITH types AS (
+          |  SELECT event_type,
+          |         CAST(row_number() OVER (ORDER BY event_type) - 1 AS INT) AS bit
+          |  FROM (SELECT DISTINCT event_type FROM events)),
+          |base AS (
+          |  SELECT DISTINCT event_type,
+          |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+          |  FROM events),
+          |rk AS (SELECT event_type, h,
+          |              row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          |       FROM base),
+          |sk AS (SELECT event_type, h FROM rk WHERE rn <= 64),
+          |masks AS (
+          |  SELECT user_id, CAST(bit_or(1 << bit) AS BIGINT) AS mask
+          |  FROM events JOIN types USING (event_type) GROUP BY user_id),
+          |hist AS (SELECT mask, CAST(count(*) AS BIGINT) AS n_users
+          |         FROM masks GROUP BY mask),
+          |pairs AS (
+          |  SELECT a.event_type AS type_a, a.bit AS bit_a,
+          |         b.event_type AS type_b, b.bit AS bit_b
+          |  FROM types a JOIN types b ON a.event_type < b.event_type),
+          |exact AS (
+          |  SELECT type_a, type_b,
+          |         CAST(sum(CASE WHEN (mask >> bit_a) & 1 = 1
+          |                        AND (mask >> bit_b) & 1 = 1
+          |                       THEN n_users ELSE 0 END) AS BIGINT) AS n_inter_exact,
+          |         CAST(sum(CASE WHEN (mask >> bit_a) & 1 = 1
+          |                         OR (mask >> bit_b) & 1 = 1
+          |                       THEN n_users ELSE 0 END) AS BIGINT) AS n_union_exact
+          |  FROM pairs CROSS JOIN hist GROUP BY 1, 2),
+          |pool AS (
+          |  SELECT DISTINCT type_a, type_b, h FROM (
+          |    SELECT p.type_a, p.type_b, s.h FROM pairs p
+          |    JOIN sk s ON s.event_type = p.type_a
+          |    UNION ALL
+          |    SELECT p.type_a, p.type_b, s.h FROM pairs p
+          |    JOIN sk s ON s.event_type = p.type_b)),
+          |urk AS (SELECT type_a, type_b, h,
+          |               row_number() OVER (PARTITION BY type_a, type_b
+          |                                  ORDER BY h) AS rn
+          |        FROM pool),
+          |usk AS (SELECT * FROM urk WHERE rn <= 64),
+          |uagg AS (
+          |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS kmv_size,
+          |         CAST(coalesce(max(CASE WHEN rn = 64 THEN h END), 0) AS BIGINT)
+          |           AS kth_hash
+          |  FROM usk GROUP BY 1, 2),
+          |uest AS (
+          |  SELECT type_a, type_b, kmv_size,
+          |         CASE WHEN kmv_size < 64 THEN kmv_size
+          |              ELSE 63 * 4503599627370496 // kth_hash END AS est_union
+          |  FROM uagg),
+          |krho AS (
+          |  SELECT u.type_a, u.type_b, CAST(count(*) AS BIGINT) AS k_rho
+          |  FROM usk u
+          |  WHERE EXISTS (SELECT 1 FROM sk a
+          |                WHERE a.event_type = u.type_a AND a.h = u.h)
+          |    AND EXISTS (SELECT 1 FROM sk b
+          |                WHERE b.event_type = u.type_b AND b.h = u.h)
+          |  GROUP BY 1, 2)
+          |SELECT e.type_a, e.type_b, e.n_union_exact, e.n_inter_exact,
+          |       u.kmv_size, CAST(u.est_union AS BIGINT) AS est_union,
+          |       CAST(coalesce(r.k_rho, 0) AS BIGINT) AS k_rho,
+          |       CAST(CASE WHEN u.kmv_size < 64 THEN coalesce(r.k_rho, 0)
+          |                 ELSE coalesce(r.k_rho, 0) * u.est_union // 64 END
+          |            AS BIGINT) AS est_inter
+          |FROM exact e JOIN uest u USING (type_a, type_b)
+          |             LEFT JOIN krho r USING (type_a, type_b)
+          |ORDER BY type_a, type_b""".stripMargin)
     )
   )
 

@@ -535,6 +535,54 @@ class CoreOperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("q89: KMV set algebra equals a driver replay; intersection estimator tracks exact") {
+    def h(key: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val k = 64
+    val ev = graft.io.Tables(spark, sf0001).events
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sketches = byType.view.mapValues(_.map(h).toSeq.sorted.take(k)).toMap
+    val got = graft.queries.Catalog.queries("q89_kmv_set_ops")(spark, sf0001).collect()
+    assert(got.length === byType.size * (byType.size - 1) / 2)
+    got.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val (ua, ub) = (byType(a), byType(b))
+      assert(r.getAs[Long]("n_union_exact") === (ua ++ ub).size.toLong)
+      assert(r.getAs[Long]("n_inter_exact") === (ua & ub).size.toLong)
+      // union sketch replay: bottom-k of the pooled per-type sketches
+      // must equal the catalog's — and ALSO the direct union bottom-k
+      // (the KMV merge law)
+      val pooled = (sketches(a) ++ sketches(b)).distinct.sorted.take(k)
+      val direct = (ua ++ ub).map(h).toSeq.sorted.take(k)
+      assert(pooled === direct, s"($a,$b): merge law broken")
+      assert(r.getAs[Long]("kmv_size") === pooled.length.toLong)
+      val estU = if (pooled.length < k) pooled.length.toLong
+        else 63L * 4503599627370496L / pooled.last
+      assert(r.getAs[Long]("est_union") === estU)
+      val krho = pooled.count(x =>
+        sketches(a).contains(x) && sketches(b).contains(x)).toLong
+      assert(r.getAs[Long]("k_rho") === krho)
+      val estI = if (pooled.length < k) krho else krho * estU / k
+      assert(r.getAs[Long]("est_inter") === estI)
+      // the estimators estimate: union within ~3 sigma; the intersection
+      // estimator's variance scales with 1/Jaccard — bound its ABSOLUTE
+      // error by a k_rho-granule of the union (one matching hash more or
+      // fewer moves the estimate by estU/k)
+      val exU = (ua ++ ub).size.toLong
+      if (pooled.length == k) {
+        assert(math.abs(estU - exU).toDouble / exU < 0.4, s"($a,$b) union est")
+        assert(math.abs(estI - (ua & ub).size.toLong) <= 4L * estU / k + estU / 10,
+          s"($a,$b) intersection est $estI vs exact ${(ua & ub).size}")
+      }
+    }
+  }
+
   test("q65: deletes vanish, inserts appear, updates carry the latest order's balance") {
     val t = graft.io.Tables(spark, sf0001)
     val got = graft.queries.Catalog.queries("q65_merge_upsert")(spark, sf0001)

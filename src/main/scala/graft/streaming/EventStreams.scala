@@ -443,6 +443,48 @@ object EventStreams {
     ss.table("q69_sink").orderBy(col("user_id"), col("v_ts"), col("p_ts"))
   }
 
+  /** LEFT SEMI stream-stream interval join — the EXISTS of streams,
+    * completing the join-type matrix (inner q36, left outer q69): each
+    * view row emits AT MOST ONCE, as soon as some purchase lands in its
+    * [v_ts, v_ts + 1h] window; the join carries no purchase columns, so
+    * the engine marks the left row matched in state and never re-emits
+    * it for later matches (where the inner join emits one row PER
+    * match). Unmatched views never emit and their state evicts once the
+    * watermark passes the window — on bounded input the output is
+    * therefore exactly the views with ≥1 in-window purchase, with input
+    * multiplicity preserved (two identical view rows both emit), and
+    * NO horizon predicate is needed in the oracle: matched rows emit
+    * eagerly, only the never-emitted unmatched rows depend on the
+    * watermark. At 100 TB semi is strictly cheaper than inner + distinct
+    * downstream: state drops a left row at FIRST match instead of
+    * buffering it for the full window, and the output is one row per
+    * view instead of one per (view, purchase) pair. */
+  def leftSemiIntervalJoinStreaming(spark: SparkSession, dir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = eventStreamSource(ss, dir)
+    val views = src().where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+      "left_semi")
+    val q = joined.writeStream
+      .format("memory").queryName("q90_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordRun("q90_stream_semi_join", q, ss)
+    ss.table("q90_sink").orderBy(col("user_id"), col("v_ts"))
+  }
+
   /** Streaming keyed UPSERT through `foreachBatch` — the sink-side
     * pattern the memory-sink demos don't cover: each micro-batch merges
     * its latest-row-per-user into a keyed parquet table (read previous
@@ -1115,6 +1157,22 @@ object EventStreams {
           |SELECT * FROM matched
           |UNION ALL SELECT * FROM unmatched
           |ORDER BY user_id, v_ts, p_ts""".stripMargin)
+    ),
+
+    graft.queries.GraftQuery(
+      "q90_stream_semi_join",
+      "LEFT SEMI watermarked stream-stream interval join: each matched view emits exactly once",
+      (spark, dir) => leftSemiIntervalJoinStreaming(spark, dir),
+      Some(
+        """SELECT v.user_id, v.ts AS v_ts
+          |FROM events v
+          |WHERE v.event_type = 'view'
+          |  AND EXISTS (
+          |    SELECT 1 FROM events p
+          |    WHERE p.event_type = 'purchase'
+          |      AND p.user_id = v.user_id
+          |      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+          |ORDER BY user_id, v_ts""".stripMargin)
     ),
 
     graft.queries.GraftQuery(

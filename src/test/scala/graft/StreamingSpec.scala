@@ -277,6 +277,45 @@ class StreamingSpec extends SparkSpecBase {
       s"join state barely evicted: $stats vs $twoSidedInput buffered-side rows")
   }
 
+  test("q90 semi join: output is the multiplicity-preserving EXISTS; no purchase column leaks") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: the smallest SF where some view has ≥2 in-window purchases
+    // (at sf0.001 inner == semi and the once-per-left claim is vacuous)
+    val sf001 = "/root/testdata/sf0.01"
+    val out = EventStreams.leftSemiIntervalJoinStreaming(spark, sf001)
+    // the semi join emits LEFT columns only
+    assert(out.columns.toSeq === Seq("user_id", "v_ts"))
+    val t = graft.io.Tables(spark, sf001)
+    val v = t.events.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val p = t.events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val cond = col("user_id") === col("p_user") &&
+      col("p_ts") >= col("v_ts") &&
+      col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR")
+    // exactly the batch left-semi: each matched view ONCE, regardless of
+    // how many purchases land in its window (the inner join would emit
+    // one row per pair — strictly more whenever any view has ≥2 matches)
+    val semi = v.join(p, cond, "left_semi")
+    assert(out.count() === semi.count())
+    assert(v.join(p, cond).count() > semi.count(),
+      "corpus has no multi-match view; the once-per-left claim is vacuous")
+    val stats = EventStreams.lastRunStats("q90_stream_semi_join")
+    assert(stats.nBatches >= 3, s"expected ≥3 micro-batches, got ${stats.nBatches}")
+    // (eager emission — no watermark horizon withholding matched rows —
+    // is evidenced by the count equality above being horizon-FREE, and
+    // by the tri-SF DuckDB oracle, which carries no horizon predicate
+    // where q69's must; this corpus has no matched view inside the
+    // final-hour tail, so a direct tail-row probe would be vacuous)
+    // state boundedness, stricter than the outer join's: matched left
+    // rows leave state at FIRST match, so surviving state is a strict
+    // minority of the two-sided input
+    val twoSidedInput = v.count() + p.count()
+    assert(stats.stateRowsPerBatch.nonEmpty, stats.toString)
+    assert(stats.stateRowsPerBatch.last * 2 < twoSidedInput,
+      s"semi-join state barely evicted: $stats vs $twoSidedInput")
+  }
+
   test("q67 drops exactly the replayed batch: result unchanged, drop count evidenced") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.lateDataStreaming(spark, sf0001)

@@ -2904,6 +2904,62 @@ object CoreQueries {
           |FROM exact e JOIN uest u USING (type_a, type_b)
           |             LEFT JOIN krho r USING (type_a, type_b)
           |ORDER BY type_a, type_b""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q91: NULL join semantics — the three-valued-logic traps every SQL
+    // engine must implement exactly, exercised on keys with GUARANTEED
+    // nulls on both sides (nullif(key % 100, 7) plants them at every
+    // SF). (a) `NOT IN` against a list containing NULL matches NOTHING
+    // (x <> NULL is unknown for every x) — Spark plans it as a
+    // null-AWARE anti join, a dedicated broadcast variant, and the
+    // count collapses to 0; (b) the same question asked with NOT
+    // EXISTS is null-clean and returns the real complement (the
+    // rewrite every linter suggests — here both run, and the outputs
+    // differ, which IS the lesson); (c) IS NOT DISTINCT FROM (null-safe
+    // equality) joins NULL to NULL — still a HASH join (EqualNullSafe
+    // is a valid partitioning key), asserted by the plan spec. The
+    // pair count multiplies per-key tallies from both sides (two
+    // ~101-row aggregates) instead of materializing the pair blowup —
+    // count(A ⋈ B) = Σ_k cnt_A(k)·cnt_B(k), the scale-sane formulation.
+    // DuckDB runs the same three-valued logic as the oracle.
+    GraftQuery(
+      "q91_null_semantics",
+      "NOT-IN null poison (null-aware anti join) vs NOT EXISTS vs null-safe equality, one summary row",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.customer.select(nullif(col("c_custkey") % 100, lit(7)).as("k"))
+          .createOrReplaceTempView("q91_c")
+        t.orders.select(nullif(col("o_custkey") % 100, lit(7)).as("k"))
+          .createOrReplaceTempView("q91_o")
+        spark.sql(
+          """SELECT
+            |  (SELECT count(*) FROM q91_c
+            |   WHERE k NOT IN (SELECT k FROM q91_o)) AS n_not_in,
+            |  (SELECT count(*) FROM q91_c
+            |   WHERE k NOT IN (SELECT k FROM q91_o WHERE k IS NOT NULL))
+            |    AS n_not_in_clean,
+            |  (SELECT count(*) FROM q91_c c
+            |   WHERE NOT EXISTS (SELECT 1 FROM q91_o o WHERE o.k = c.k))
+            |    AS n_not_exists,
+            |  (SELECT CAST(sum(c.n * o.n) AS BIGINT) FROM
+            |     (SELECT k, count(*) AS n FROM q91_c GROUP BY k) c
+            |   JOIN (SELECT k, count(*) AS n FROM q91_o GROUP BY k) o
+            |     ON c.k IS NOT DISTINCT FROM o.k) AS n_nullsafe_pairs""".stripMargin)
+      },
+      Some(
+        """WITH c AS (SELECT nullif(c_custkey % 100, 7) AS k FROM customer),
+          |o AS (SELECT nullif(o_custkey % 100, 7) AS k FROM orders)
+          |SELECT
+          |  (SELECT count(*) FROM c WHERE k NOT IN (SELECT k FROM o)) AS n_not_in,
+          |  (SELECT count(*) FROM c
+          |   WHERE k NOT IN (SELECT k FROM o WHERE k IS NOT NULL)) AS n_not_in_clean,
+          |  (SELECT count(*) FROM c
+          |   WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.k = c.k)) AS n_not_exists,
+          |  (SELECT CAST(sum(cc.n * oo.n) AS BIGINT) FROM
+          |     (SELECT k, count(*) AS n FROM c GROUP BY k) cc
+          |   JOIN (SELECT k, count(*) AS n FROM o GROUP BY k) oo
+          |     ON cc.k IS NOT DISTINCT FROM oo.k) AS n_nullsafe_pairs""".stripMargin)
     )
   )
 

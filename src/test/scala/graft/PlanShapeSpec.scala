@@ -380,6 +380,23 @@ class PlanShapeSpec extends SparkSpecBase {
       s"percentile cutoff row not broadcast:\n$p")
   }
 
+  test("q91: NOT IN / NOT EXISTS plan as anti joins; null-safe equality stays a hash join") {
+    val p = planOf("q91_null_semantics")
+    // the two NOT IN subqueries plan as NULL-AWARE anti joins (the
+    // trailing `true` on BroadcastHashJoin ... LeftAnti is the
+    // isNullAwareAntiJoin flag); NOT EXISTS is a plain anti (`false`)
+    assert("LeftAnti, BuildRight, true".r.findAllIn(p).size === 2,
+      s"expected two null-aware anti joins:\n${p.take(6000)}")
+    assert(p.contains("LeftAnti, BuildRight, false"),
+      s"NOT EXISTS should be a plain (null-oblivious) anti join:\n${p.take(6000)}")
+    // IS NOT DISTINCT FROM is a valid hash key: Spark rewrites it to
+    // (coalesce(k, 0), isnull(k)) composite keys — a HASH join, never a
+    // loop over the null-safe predicate
+    assert(p.contains("coalesce(k") && p.contains("isnull(k"),
+      s"null-safe equality not rewritten to hash keys:\n${p.take(6000)}")
+    assert(!p.contains("CartesianProduct"), p.take(6000))
+  }
+
   test("no catalog plan contains an unbounded cartesian product") {
     // BroadcastNestedLoopJoin with a broadcast 1-to-few-row side is the
     // intended shape for query-vector attachment; CartesianProduct

@@ -2578,6 +2578,15 @@ object CoreQueries {
     // partial+final, still one shuffle on the group key. DuckDB's
     // string_agg(DISTINCT ... ORDER BY) and quantile_disc are the
     // independent formulations.
+    //
+    // Scale note: exact percentile buffers a value→count map per group
+    // (memory ∝ DISTINCT values, merged map-side) — fine for bounded
+    // domains, but price CENTS distincts grow with the corpus, so the
+    // 100 TB path for percentiles on open domains is the sketch family
+    // (q28/q63 approx_percentile/KLL) — this entry's point is the exact
+    // SQL:2016 surface semantics, demonstrated where exactness is
+    // affordable. (t28 uses the same aggregate SAFELY at any scale:
+    // document lengths are a bounded domain.)
     GraftQuery(
       "q85_ordered_set_aggs",
       "listagg WITHIN GROUP + percentile_disc per order priority (ordered-set aggregates)",

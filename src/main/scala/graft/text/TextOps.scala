@@ -1277,7 +1277,11 @@ object TextOps {
     // reproducibility is a run artifact — re-materializing the corpus
     // must reproduce the batch sequence bit-for-bit, so the shuffle key
     // is md5(doc_id:seed), never rand()). Stage cutoffs are ONE
-    // percentile_disc aggregate broadcast back (never a per-row rank).
+    // percentile_disc aggregate broadcast back (never a per-row rank);
+    // exact percentile buffers distinct values per group, which is SAFE
+    // here at any corpus size because document length is a bounded
+    // domain (vs q85's open price domain, where the sketch family is
+    // the 100 TB path).
     //
     // The 100 TB point is HOW the total order is delivered: the final
     // orderBy(stage, shuf) compiles to a RANGE exchange + per-partition

@@ -26,7 +26,9 @@ object SparkEntry {
     val t = Tables(spark, "/root/testdata/sf0.001")
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      // customer is SF-proportional → un-hinted (AQE broadcasts it at
+      // smoke SF); nation/region are fixed 25/5-row TPC-H dictionaries
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"), quarterLabel(col("o_orderdate")).as("quarter"))

@@ -601,8 +601,15 @@ object EventStreams {
       statePartitions: Int = 4): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val dim = broadcast(ss.read.parquet(s"$dir/customer.parquet")
-      .select(col("c_custkey"), col("c_mktsegment")))
+    // un-hinted stream-static join: customer is SF-proportional, so a
+    // forced broadcast() would pin driver materialization of an
+    // unbounded dim at corpus scale. The static planner's size estimate
+    // picks broadcast-hash at any plausible test SF on its own (AQE is
+    // off for stateful streams, but autoBroadcastJoinThreshold applies
+    // to the per-batch static plan); past the threshold the same join
+    // degrades to a per-batch shuffle with no semantic change.
+    val dim = ss.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
     val agg = eventStreamSource(ss, dir)()
       .join(dim, col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))

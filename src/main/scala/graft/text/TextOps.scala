@@ -400,8 +400,8 @@ object TextOps {
     // t09: per-document top-3 TF-IDF terms — the classic relevance /
     // keyword-extraction statistic. Two hash aggregations (tf over
     // (doc,term); df over term — both map-side partial), the vocabulary-
-    // sized df table broadcast back, and the corpus size attached as a
-    // broadcast single row. Scores are quantized to integer micro-units
+    // sized df table joined back un-hinted (AQE chooses the strategy),
+    // and the corpus size attached as a broadcast single row. Scores are quantized to integer micro-units
     // (round(score*1e6)) BEFORE ranking so the emitted output carries no
     // raw doubles and mathematically-tied scores (tf1·ln(N/df1) ==
     // tf2·ln(N/df2) happens for real integer coincidences like
@@ -421,7 +421,14 @@ object TextOps {
           .agg(count(lit(1)).as("tf"))
         val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val nDocs = t.documents.agg(count(lit(1)).cast("double").as("n_docs"))
-        val scored = tf.join(broadcast(dfT), Seq("term"))
+        // The df join carries NO broadcast() hint: dfT spans the whole
+        // corpus vocabulary (unbounded in corpus size — web-scale corpora
+        // exceed 1e8 distinct tokens) and an explicit hint never flips.
+        // At test SF AQE picks broadcast-hash from runtime stats on its
+        // own (PlanShapeSpec asserts it); at 100 TB the same unhinted
+        // join degrades to a shuffle hash join on term with no other
+        // plan change. nDocs stays hinted — a single-row frame.
+        val scored = tf.join(dfT, Seq("term"))
           .crossJoin(broadcast(nDocs))
           .withColumn("score_e6",
             round(col("tf") * log(col("n_docs") / col("df")) * lit(1000000)).cast("long"))
@@ -550,7 +557,8 @@ object TextOps {
     // the per-doc summation: integer sums are exact in ANY aggregation
     // order, so the cross-engine compare is immune to the
     // floating-point-reassociation drift that makes double sums
-    // unoracleable. Two hash aggs + a broadcast vocab join; scales as a
+    // unoracleable. Two hash aggs + an un-hinted vocab join (AQE picks
+    // broadcast at small SF, shuffle-hash at corpus scale); scales as a
     // word-count job.
     GraftQuery(
       "t12_unigram_logprob",
@@ -568,7 +576,12 @@ object TextOps {
           .select(col("term"),
             round(log(col("cnt") / col("total")) * lit(1000000)).cast("long")
               .as("logp_e6"))
-        tok.join(broadcast(logp), Seq("term"))
+        // NO broadcast() hint on the scoring join: logp spans the whole
+        // corpus vocabulary (unbounded in corpus size). AQE picks
+        // broadcast-hash at test SF from runtime stats (PlanShapeSpec
+        // asserts it); at 100 TB the unhinted join degrades to a shuffle
+        // hash join on term. Same rationale as t24's bigram scoring join.
+        tok.join(logp, Seq("term"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),
             sum(col("logp_e6")).as("sum_logp_e6"))

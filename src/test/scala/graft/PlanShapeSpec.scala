@@ -229,6 +229,61 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"scoring join not broadcast:\n$p")
   }
 
+  test("t09: df join is size-adaptive — unhinted, AQE broadcast at test SF") {
+    // dfT spans the whole corpus vocabulary (unbounded in corpus size) —
+    // the df join must carry NO forced hint. The ONE permitted hint is
+    // the single-row n_docs scalar's crossJoin(broadcast(nDocs)).
+    val lp = Catalog.queries("t09_tfidf_terms")(spark, sf0001)
+      .queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(lp).size <= 1,
+      s"t09 carries a forced hint beyond the single-row n_docs scalar:\n$lp")
+    val p = finalPlanOf("t09_tfidf_terms")
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p")
+  }
+
+  test("t12: log-prob scoring join is size-adaptive — unhinted, AQE broadcast at test SF") {
+    // logp spans the whole corpus vocabulary — no forced hint anywhere
+    // (the corpus total is derived by crossJoin on the vocab-sized counts
+    // frame, itself broadcast as a single row).
+    val lp = Catalog.queries("t12_unigram_logprob")(spark, sf0001)
+      .queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(lp).size <= 1,
+      s"t12 carries a forced hint beyond the single-row total scalar:\n$lp")
+    val p = finalPlanOf("t12_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), s"scoring join not broadcast:\n$p")
+  }
+
+  test("hint sweep: SF-proportional TPC-H tables are never force-broadcast") {
+    // the round-9 verdict's sweep criterion — broadcast() only on
+    // provably-bounded frames. customer/part/supplier/orders/lineitem
+    // grow with SF; nation (25 rows) and region (5 rows) are fixed-size
+    // dictionaries per the TPC-H spec and MAY keep hints. Assert at the
+    // analyzed-plan level for the swept queries: every ResolvedHint's
+    // subtree must read only nation/region/bounded frames.
+    val swept = Seq("q01_topk_filter_agg", "q06_anti_join",
+      "q07_semi_join_topk", "q08_star_denormalize", "q13_window_rank",
+      "q26_grouped_topk_agg")
+    for (name <- swept) {
+      val analyzed = Catalog.queries(name)(spark, sf0001).queryExecution.analyzed
+      val hinted = analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      val banned = Seq("c_custkey", "p_partkey", "s_suppkey", "o_orderkey",
+        "l_orderkey")
+      for (h <- hinted) {
+        val cols = h.output.map(_.name).toSet
+        // a hint subtree exposing a fact/dim surrogate key of an
+        // SF-proportional table means the raw table is force-broadcast —
+        // unless it is a bounded derivation (top-k limit under the hint)
+        val isBoundedTopK = h.child.collectFirst {
+          case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+        }.isDefined
+        assert(isBoundedTopK || !banned.exists(cols.contains),
+          s"$name force-broadcasts an SF-proportional table (cols=$cols)")
+      }
+    }
+  }
+
   test("t26: explicit bloom prefilter gates the gram stream; exact semi-join retained") {
     val p = planOf("t26_decontaminate_bloom")
     // the literal bloom probe must appear as a scan-side filter (the

@@ -60,15 +60,18 @@ object Bench {
   /** One query's measurement: best-of-N seconds (-1 = failed), loadavg
     * at query start AND end, iterations actually run, every iteration's
     * raw seconds, and `cleanMin` — whether at least one (non-failed)
-    * iteration ran entirely under [[LoadGate]], i.e. whether the min is
-    * trustworthy as a plan measurement. The raw series is what makes one
-    * contended window reconcilable after the fact: min-of-N with
-    * per-iter data shows whether a slow headline number was one poisoned
-    * iteration (iters disagree wildly, load spiked) or a real plan
-    * regression (all iterations slow at idle load). */
+    * iteration ran entirely under [[LoadGate]] AND above the I/O gate,
+    * i.e. whether the min is trustworthy as a plan measurement. The raw
+    * series is what makes one contended window reconcilable after the
+    * fact: min-of-N with per-iter data shows whether a slow headline
+    * number was one poisoned iteration (iters disagree wildly, load
+    * spiked, write throughput collapsed) or a real plan regression (all
+    * iterations slow at idle load). `allWmbps` carries the per-iteration
+    * buffered-write probe (MB/s, -1 = probe unavailable). */
   final case class QueryTiming(name: String, sec: Double, qload1: Double,
       qload1End: Double, iters: Int, allSecs: Seq[Double],
-      cleanMin: Boolean = true, gateRetries: Int = 0)
+      cleanMin: Boolean = true, gateRetries: Int = 0,
+      allWmbps: Seq[Double] = Nil)
 
   /** Warm up one-time JVM costs (codegen compiler, parquet reader,
     * broadcast machinery, shuffle system) so they don't land on the
@@ -90,20 +93,49 @@ object Bench {
     *
     * The noop sink forces full evaluation of every operator in the plan
     * (a bare count() would let Catalyst prune projections and sorts). */
+  /** The two-axis iteration gate, factored out for direct spec coverage:
+    * an iteration is evidence about the PLAN only if it succeeded, ran
+    * entirely under the CPU [[LoadGate]], and its write-throughput probe
+    * was not collapsed relative to the run's best probe (`wRef`).
+    * Negative values mean "no signal on that axis" and pass it. */
+  private[graft] def iterClean(sec: Double, l0: Double, l1: Double,
+      w0: Double, wRef: Double): Boolean =
+    sec >= 0 && l0 <= LoadGate && l1 <= LoadGate &&
+      (w0 < 0 || wRef < 0 || w0 >= wRef * IoGateFrac)
+
   private[graft] def timeCatalog(spark: SparkSession, sfDir: String,
       only: Set[String] = Set.empty): Seq[QueryTiming] = {
     def loadNow: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    // (seconds, startLoad, endLoad) per iteration; clean = ran entirely
-    // under the gate. A negative loadavg (platform unsupported) counts
-    // as clean — no gating signal exists there.
+    // One iteration's context: seconds, loadavg at start/end, and the
+    // buffered-write probe at start. clean = ran entirely under the CPU
+    // gate AND with write throughput above the I/O gate. A negative
+    // loadavg / probe (platform unsupported) counts as clean on that
+    // axis — no gating signal exists there.
+    //
+    // I/O axis (round-9 verdict item 1): loadavg is blind to a disk
+    // co-tenant — the official r7–r9 artifacts each recorded a mid-run
+    // write-throughput collapse (347→84 MB/s in r9) whose iterations
+    // passed the CPU gate while running 3–10× slow (q23: 9.29 s official
+    // vs 0.89 s idle). The reference throughput is the best probe seen
+    // this run (the box's demonstrated capability — self-correcting if
+    // the run STARTS contended); an iteration probing under half of it
+    // ran in a collapsed-I/O window and is not evidence about the plan.
+    final case class Iter(sec: Double, l0: Double, l1: Double, w0: Double)
+    var wRef = -1.0
+    def probe(): Double = {
+      val w = diskWriteMbps(IterProbeMb)
+      if (w > wRef) wRef = w
+      w
+    }
     var gateBudget = GateRetryBudget
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
       val qLoad = loadNow
-      def runOnce(): (Double, Double, Double) = {
+      def runOnce(): Iter = {
         val l0 = loadNow
+        val w0 = probe() // outside the timed region
         val t0 = System.nanoTime()
         val sec =
           try {
@@ -117,42 +149,55 @@ object Bench {
             InternalCaches.releaseAll()
             spark.catalog.clearCache()
           }
-        (sec, l0, loadNow)
+        Iter(sec, l0, loadNow, w0)
       }
-      def clean(it: (Double, Double, Double)): Boolean =
-        it._1 >= 0 && it._2 <= LoadGate && it._3 <= LoadGate
+      // evaluated lazily against the CURRENT wRef: a later, faster probe
+      // retroactively tightens what counts as clean (max-seen reference)
+      def clean(it: Iter): Boolean =
+        iterClean(it.sec, it.l0, it.l1, it.w0, wRef)
       val base = (1 to Iters).map(_ => runOnce())
       var iters =
-        if (base.forall(_._1 >= 0) && base.map(_._1).min < 1.0)
+        if (base.forall(_.sec >= 0) && base.map(_.sec).min < 1.0)
           base ++ (1 to ExtraSubSecondIters).map(_ => runOnce())
         else base
-      // Load gate: if NO iteration ran under the gate, the min is a
+      // Gate: if NO iteration ran clean on both axes, the min is a
       // contention artifact, not a plan measurement — re-run (bounded
       // per query and catalog-wide) until a clean iteration lands.
       var retries = 0
-      while (!iters.exists(clean) && !iters.exists(_._1 < 0) &&
+      while (!iters.exists(clean) && !iters.exists(_.sec < 0) &&
           retries < MaxGateRetries && gateBudget > 0) {
         retries += 1; gateBudget -= 1
         iters = iters :+ runOnce()
       }
-      val times = iters.map(_._1)
+      val times = iters.map(_.sec)
       // Any failed iteration marks the query failed; otherwise best-of-N.
       QueryTiming(name, if (times.exists(_ < 0)) -1.0 else times.min,
         qLoad, loadNow, times.length, times,
         cleanMin = times.exists(_ < 0) || iters.exists(clean),
-        gateRetries = retries)
+        gateRetries = retries, allWmbps = iters.map(_.w0))
     }
   }
 
-  /** Buffered-write-and-fsync throughput probe (MB/s, 64 MB): the I/O
-    * axis of the contention telemetry. loadavg catches CPU co-tenants,
-    * but a co-tenant saturating the disk is INVISIBLE in load while
-    * doubling every RocksDB-checkpoint / file-sink query (the r9 local
-    * adjudication measured streaming entries 2× apart between two
-    * idle-load windows whose buffered-write speed differed ~6×). A
-    * poisoned artifact should carry the evidence of WHICH resource was
-    * contended. */
-  private def diskWriteMbps(): Double =
+  /** Buffered-write-and-fsync throughput probe (MB/s): the I/O axis of
+    * the contention telemetry AND (since round 10) of the iteration
+    * gate. loadavg catches CPU co-tenants, but a co-tenant saturating
+    * the disk is INVISIBLE in load while doubling every
+    * RocksDB-checkpoint / file-sink query (the r9 local adjudication
+    * measured streaming entries 2× apart between two idle-load windows
+    * whose buffered-write speed differed ~6×; the r9 official artifact
+    * decayed 347→84 MB/s mid-run). Run start/end use [[RunProbeMb]];
+    * per-iteration probes use the cheaper [[IterProbeMb]] so ~700
+    * probes cost well under a minute at healthy throughput. */
+  private[graft] val RunProbeMb = 64
+  private[graft] val IterProbeMb = 16
+
+  /** An iteration whose start probe lands under this fraction of the
+    * best probe seen this run ran during an I/O collapse. Half is the
+    * r9 calibration: the observed co-tenant windows were 2–6× slowdowns
+    * (347→84), while healthy probe jitter stayed within ~±25%. */
+  private[graft] val IoGateFrac = 0.5
+
+  private[graft] def diskWriteMbps(mb: Int = RunProbeMb): Double =
     try {
       val tmp = java.nio.file.Files.createTempFile("graft-bench-io", ".bin")
       val buf = java.nio.ByteBuffer.allocate(1 << 20)
@@ -160,11 +205,11 @@ object Bench {
         java.nio.file.StandardOpenOption.WRITE)
       val t0 = System.nanoTime()
       var i = 0
-      while (i < 64) { buf.rewind(); ch.write(buf); i += 1 }
+      while (i < mb) { buf.rewind(); ch.write(buf); i += 1 }
       ch.force(true); ch.close()
       val sec = (System.nanoTime() - t0) / 1e9
       java.nio.file.Files.delete(tmp)
-      math.round(64.0 / sec * 10) / 10.0
+      math.round(mb / sec * 10) / 10.0
     } catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
@@ -211,6 +256,10 @@ object Bench {
       .mkString("{", ",", "}")
     val qclean = results.map(r => s"\"" + r.name + "\":" + r.cleanMin)
       .mkString("{", ",", "}")
+    val qwmbps = results.map(r =>
+      s"\"" + r.name + "\":" + r.allWmbps.map(w =>
+        math.round(w * 10) / 10.0).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
     val total = results.map(_.sec).filter(_ >= 0).sum
     val failed = results.count(_.sec < 0)
     val gateRetries = results.map(_.gateRetries).sum
@@ -220,10 +269,11 @@ object Bench {
         s""""sf":"$sfDir","iters":$Iters,"agg":"min","failed":$failed,""" +
         s""""load1":$load1,"otherJvms":$otherJvms,""" +
         s""""wmbps":$wmbps,"wmbps_end":$wmbpsEnd,""" +
-        s""""load_gate":$LoadGate,"gate_retries":$gateRetries,""" +
+        s""""load_gate":$LoadGate,"io_gate_frac":$IoGateFrac,""" +
+        s""""gate_retries":$gateRetries,""" +
         s""""unclean":$unclean,"qclean":$qclean,""" +
         s""""qload1":$qloads,"qload1_end":$qloadsEnd,""" +
-        s""""qsecs":$qsecs,"qiters":$qiters}"""
+        s""""qsecs":$qsecs,"qiters":$qiters,"qwmbps":$qwmbps}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -238,7 +288,8 @@ object Bench {
         s""""failed":$failed,"sf":"$sfDir","iters":$Iters,"agg":"min",""" +
         s""""load1":$load1,"otherJvms":$otherJvms,""" +
         s""""wmbps":$wmbps,"wmbps_end":$wmbpsEnd,""" +
-        s""""load_gate":$LoadGate,"gate_retries":$gateRetries,""" +
+        s""""load_gate":$LoadGate,"io_gate_frac":$IoGateFrac,""" +
+        s""""gate_retries":$gateRetries,""" +
         s""""unclean":$unclean,""" +
         s""""queries_detail":"target/bench.json"}"""
     println(summary)

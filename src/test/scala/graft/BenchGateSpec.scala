@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench iteration gate is what decides whether an official BENCH
+  * number is evidence about the plan or about a co-tenant — it has to be
+  * right on both axes (CPU loadavg AND disk-write throughput), so the
+  * pure decision function gets direct coverage here. Calibration
+  * context: the r9 official artifact recorded a 347→84 MB/s write
+  * collapse whose iterations all passed the CPU-only gate while running
+  * 3–10× slow (q23: 9.29 s official vs 0.89 s idle).
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  private val g = Bench.LoadGate
+
+  test("CPU axis: iterations over the load gate at start OR end are unclean") {
+    assert(Bench.iterClean(1.0, g - 1, g - 1, 300.0, 350.0))
+    assert(!Bench.iterClean(1.0, g + 1, g - 1, 300.0, 350.0))
+    assert(!Bench.iterClean(1.0, g - 1, g + 1, 300.0, 350.0))
+  }
+
+  test("I/O axis: a collapsed write probe marks the iteration unclean") {
+    // r9 signature: reference ~347 MB/s, collapse window ~84 MB/s — the
+    // CPU gate passed these; the I/O axis must not
+    assert(!Bench.iterClean(1.0, g - 1, g - 1, 84.2, 346.9))
+    // healthy jitter (±25%) stays clean at the half-reference gate
+    assert(Bench.iterClean(1.0, g - 1, g - 1, 260.0, 346.9))
+    assert(Bench.iterClean(1.0, g - 1, g - 1, 346.9 * Bench.IoGateFrac, 346.9))
+  }
+
+  test("missing signals pass their axis; failures are never clean") {
+    // probe unavailable (-1) or no reference yet → no I/O gating signal
+    assert(Bench.iterClean(1.0, g - 1, g - 1, -1.0, 350.0))
+    assert(Bench.iterClean(1.0, g - 1, g - 1, 300.0, -1.0))
+    // a failed iteration (sec = -1 sentinel) is unclean regardless
+    assert(!Bench.iterClean(-1.0, 0.0, 0.0, 350.0, 350.0))
+  }
+
+  test("write probe returns a positive throughput on this box") {
+    val w = Bench.diskWriteMbps(Bench.IterProbeMb)
+    assert(w > 0, s"probe failed: $w")
+  }
+}

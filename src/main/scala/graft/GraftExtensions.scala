@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{BpeDecode, BpeEncodeIds, CharNgramHashes, CosineSimilarity, HammingDistance, Md5Prefix64, MinHashSignature, PlaneProjectE4, SimHash64, SortedIntersectSize, SquaredDistanceLong, TopRepeatCountsExpr, WinnowSketch, WinnowSketchMd5, WordNgramHashes, WordNgramMd5Hashes}
+import graft.functions.expressions.{BpeDecode, BpeEncodeIds, CharNgramHashes, CosineSimilarity, HammingDistance, Md5Prefix64, MinHashSignature, PlaneProjectE4, SimHash64, SortedIntersectSize, SquaredDistanceLong, TokenChunks, TopRepeatCountsExpr, WinnowSketch, WinnowSketchMd5, WordNgramHashes, WordNgramMd5Hashes}
 
 /** Engine extension point, registered via `spark.sql.extensions`
   * (set in [[GraftSession.tune]]). Injects the native vector
@@ -92,6 +92,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("md5_prefix64",
         "md5_prefix64(text) - first 8 bytes of md5 as a big-endian 64-bit value (engine-portable hash family)"),
       (args: Seq[Expression]) => Md5Prefix64(args(0))))
+    // token_chunks is a native Generator (UDTF) — the analyzer's
+    // ExtractGenerator hoists it from a SELECT list into a Generate
+    // node, same as explode; also usable as LATERAL VIEW in SQL.
+    ext.injectFunction((
+      FunctionIdentifier("token_chunks"),
+      info("token_chunks",
+        "token_chunks(text, chunk_tok, stride) - (chunk_idx, chunk_text) rows of fixed-token windows with overlap"),
+      (args: Seq[Expression]) => TokenChunks(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
     ext.injectFunction((
       FunctionIdentifier("bpe_encode"),
       info("bpe_encode",

@@ -288,6 +288,48 @@ object TextOps {
     ),
 
     // ------------------------------------------------------------------
+    // t29: t05's chunker as a native Catalyst Generator (UDTF) — the
+    // `token_chunks` expression ([[graft.functions.expressions
+    // .TokenChunks]], registered in GraftExtensions). The analyzer's
+    // ExtractGenerator hoists it into a Generate node (the plan spec
+    // pins it); semantics are bit-identical to t05's HOF fan-out
+    // (TextSpec cross-checks the full frame), and the oracle is t05's
+    // chunk CTE verbatim. One byte scan per row, lazy per-chunk
+    // emission, no token-array materialization — the generator twin
+    // completes the Catalyst extension matrix (Expression/Aggregator/
+    // TypedImperativeAggregate/Rule/Strategy/SparkPlan/Generator).
+    // Same scale shape as t05: per-row compute only, no shuffle.
+    GraftQuery(
+      "t29_chunk_documents_native",
+      "50-token/stride-40 chunks via the native token_chunks Generator (t05 twin)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.documents
+          .select(col("doc_id"),
+            call_function("token_chunks", col("text"), lit(50), lit(40)))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+          |         len(regexp_extract_all(text, '\S+')) AS n
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, toks,
+          |         CASE WHEN n <= 50 THEN 1
+          |              ELSE CAST(floor((n - 50 + 39) / 40.0) AS BIGINT) + 1 END AS nc
+          |  FROM t),
+          |e AS (
+          |  SELECT doc_id,
+          |         unnest([{'idx': i, 'txt': array_to_string(toks[(i*40+1):(i*40+50)], ' ')}
+          |                 FOR i IN range(0, CAST(nc AS INT))]) AS u
+          |  FROM c)
+          |SELECT doc_id, CAST(u.idx AS BIGINT) AS chunk_idx, u.txt AS chunk_text
+          |FROM e
+          |ORDER BY doc_id, chunk_idx""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
     // t06: vocabulary build — corpus token frequencies, top-100. The
     // classic pre-tokenizer statistic; partial aggregation combines
     // map-side so the shuffle carries one row per (partition, token),

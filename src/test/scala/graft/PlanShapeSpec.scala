@@ -284,6 +284,19 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("t29: native token_chunks runs as a Generate node — no shuffle, no HOF lambdas") {
+    val p = planOf("t29_chunk_documents_native")
+    // the analyzer's ExtractGenerator must hoist the UDTF into Generate
+    assert(p.contains("Generate token_chunks"), s"Generate node missing:\n$p")
+    // per-row fan-out only: the single exchange allowed is the final
+    // presentation sort's range partitioning — no hash exchange at all
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking shuffled on a key:\n$p")
+    // and none of the HOF machinery leaked in (transform/slice lambdas)
+    assert(!p.contains("transform(") && !p.contains("LambdaFunction"),
+      s"HOF fan-out present in the native plan:\n$p")
+  }
+
   test("t26: explicit bloom prefilter gates the gram stream; exact semi-join retained") {
     val p = planOf("t26_decontaminate_bloom")
     // the literal bloom probe must appear as a scan-side filter (the

@@ -2939,6 +2939,173 @@ object CoreQueries {
     ),
 
     // ------------------------------------------------------------------
+    // q92: mergeable QUANTILE sketch in plain integer columns — the q66
+    // trick (sketch state as ordinary rows so merges replay in SQL)
+    // applied to quantiles, closing the last sketch family without a
+    // full oracle. True KLL compactors are RANDOMIZED (each compaction
+    // keeps odd or even ranks by coin flip — Karnin/Lang/Liberty,
+    // FOCS'16), which no cross-engine hash oracle can replay; the
+    // deterministic, oracle-able equivalent with the same state shape
+    // (geometric levels, bounded retained set, mergeable by summing
+    // level histograms) is the HASH LADDER: row r survives at threshold
+    // L iff its 52-bit md5 key has ≥ L trailing zero bits — a
+    // deterministic Bernoulli sample at rate 2^-L (Gibbons'
+    // distinct-sampling ladder, VLDB'01, applied to rank estimation).
+    // L is chosen PER GROUP from the level histogram: the smallest L
+    // whose suffix count fits the k=256 budget (computed as
+    // 1 + max{level : suffix(level) > k}, so absent levels resolve
+    // correctly). Retained rows all carry weight 2^L, so the φ-quantile
+    // read-off reduces to rank within the sketch: value at sketch rank
+    // ceil(φ·retained). Rank error is O(n/√k) w.h.p. — weaker than
+    // KLL's O(n·log²/k) at equal space, the price of determinism; the
+    // error-bound spec pins it empirically against the exact control.
+    //
+    // MERGE story (why this scales): per-shard sketches (user_id % 4
+    // plays "partition file") are merged into per-type sketches WITHOUT
+    // rescanning facts — summed level histograms pick the merged L,
+    // and the merged retained set is just the shard-sketch rows at
+    // level ≥ L (valid because suffix counts are superadditive, so
+    // L_merged ≥ every shard L — the same argument as KMV's union law).
+    // Exact per-type p50/p90 ride alongside as the test-scale control
+    // (the full-sort shape q85 documents as the NON-scaling path; the
+    // sketch side touches only histogram rows + ≤k retained rows per
+    // shard after the map-side scan). Everything is integer micro-units
+    // end to end → DuckDB hash-matches the entire pipeline, estimates
+    // included.
+    GraftQuery(
+      "q92_quantile_sketch_ladder",
+      "mergeable hash-ladder quantile sketch: per-shard build, histogram merge, p50/p90 read-off vs exact",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val k = 256
+        val base = t.events.select(
+          col("event_type"),
+          (col("user_id") % 4).as("shard"),
+          floor(col("value") * 1000000).cast("long").as("v"),
+          conv(substring(md5(col("event_id").cast("string")), 1, 13), 16, 10)
+            .cast("long").as("h"))
+          .withColumn("lvl",
+            expr("CASE WHEN h = 0 THEN 52L ELSE CAST(log2(h & -h) AS BIGINT) END"))
+        // per-(type, shard) level histogram — map-side combinable,
+        // ≤53 rows per shard after the partial agg
+        val shardHist = base.groupBy(col("event_type"), col("shard"), col("lvl"))
+          .agg(cnt.as("c"))
+        val wSuffix = Window.partitionBy(col("event_type"), col("shard"))
+          .orderBy(col("lvl").desc)
+        val shardL = shardHist
+          .withColumn("suffix", sum(col("c")).over(wSuffix))
+          .groupBy(col("event_type"), col("shard"))
+          .agg(coalesce(max(when(col("suffix") > k, col("lvl"))) + 1L, lit(0L))
+            .as("shard_l"))
+        // shard sketch: rows at level ≥ shard L (≤k rows per shard)
+        val shardSketch = base
+          .join(shardL, Seq("event_type", "shard"))
+          .where(col("lvl") >= col("shard_l"))
+        // merged threshold from SUMMED histograms — sketch-row-sized work
+        val groupL = shardHist.groupBy(col("event_type"), col("lvl"))
+          .agg(sum(col("c")).as("c"))
+          .withColumn("suffix",
+            sum(col("c")).over(Window.partitionBy(col("event_type"))
+              .orderBy(col("lvl").desc)))
+          .groupBy(col("event_type"))
+          .agg(coalesce(max(when(col("suffix") > k, col("lvl"))) + 1L, lit(0L))
+            .as("l"))
+        val wRank = Window.partitionBy(col("event_type"))
+          .orderBy(col("v"), col("h"))
+        val wAll = Window.partitionBy(col("event_type"))
+        val merged = shardSketch
+          .join(groupL, "event_type")
+          .where(col("lvl") >= col("l"))
+          .withColumn("rn", row_number().over(wRank).cast("long"))
+          .withColumn("m", count(lit(1)).over(wAll))
+        val sketchSide = merged
+          .groupBy(col("event_type"), col("l"))
+          .agg(
+            max(col("m")).as("retained"),
+            (max(col("m")) * expr("shiftleft(1L, CAST(l AS INT))")).as("est_total"),
+            // `div`, not `/`: Column `/` is double division and the
+            // fractional target would never equal an integer rank
+            max(when(col("rn") === expr("(m * 50 + 99) div 100"), col("v"))).as("p50_est"),
+            max(when(col("rn") === expr("(m * 90 + 99) div 100"), col("v"))).as("p90_est"))
+        // exact control: same read-off definition over ALL rows
+        val exact = base
+          .withColumn("rn", row_number().over(wRank).cast("long"))
+          .withColumn("m", count(lit(1)).over(wAll))
+          .groupBy(col("event_type"))
+          .agg(
+            max(col("m")).as("n_exact"),
+            max(when(col("rn") === expr("(m * 50 + 99) div 100"), col("v"))).as("p50_exact"),
+            max(when(col("rn") === expr("(m * 90 + 99) div 100"), col("v"))).as("p90_exact"))
+        sketchSide.join(exact, "event_type")
+          .select(col("event_type"), col("l"), col("retained"), col("est_total"),
+            col("n_exact"), col("p50_est"), col("p90_est"),
+            col("p50_exact"), col("p90_exact"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT event_type, user_id % 4 AS shard,
+          |         CAST(floor(value * 1000000) AS BIGINT) AS v,
+          |         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))::BIGINT AS h
+          |  FROM events),
+          |lv AS (
+          |  SELECT *, CASE WHEN h = 0 THEN 52
+          |                 ELSE CAST(log2(h & (-h)) AS BIGINT) END AS lvl
+          |  FROM base),
+          |shard_hist AS (
+          |  SELECT event_type, shard, lvl, CAST(count(*) AS BIGINT) AS c
+          |  FROM lv GROUP BY 1, 2, 3),
+          |shard_l AS (
+          |  SELECT event_type, shard,
+          |         coalesce(max(CASE WHEN suffix > 256 THEN lvl END) + 1, 0) AS shard_l
+          |  FROM (SELECT *, sum(c) OVER (PARTITION BY event_type, shard
+          |                               ORDER BY lvl DESC) AS suffix
+          |        FROM shard_hist)
+          |  GROUP BY 1, 2),
+          |shard_sketch AS (
+          |  SELECT lv.* FROM lv JOIN shard_l USING (event_type, shard)
+          |  WHERE lvl >= shard_l),
+          |group_l AS (
+          |  SELECT event_type,
+          |         coalesce(max(CASE WHEN suffix > 256 THEN lvl END) + 1, 0) AS l
+          |  FROM (SELECT event_type, lvl,
+          |               sum(c) OVER (PARTITION BY event_type
+          |                            ORDER BY lvl DESC) AS suffix
+          |        FROM (SELECT event_type, lvl, sum(c) AS c
+          |              FROM shard_hist GROUP BY 1, 2))
+          |  GROUP BY 1),
+          |merged AS (
+          |  SELECT s.event_type, g.l, s.v, s.h,
+          |         row_number() OVER (PARTITION BY s.event_type
+          |                            ORDER BY s.v, s.h) AS rn,
+          |         count(*) OVER (PARTITION BY s.event_type) AS m
+          |  FROM shard_sketch s JOIN group_l g USING (event_type)
+          |  WHERE s.lvl >= g.l),
+          |sk AS (
+          |  SELECT event_type, l,
+          |         CAST(max(m) AS BIGINT) AS retained,
+          |         CAST(max(m) * (1::BIGINT << l) AS BIGINT) AS est_total,
+          |         max(CASE WHEN rn = (m * 50 + 99) // 100 THEN v END) AS p50_est,
+          |         max(CASE WHEN rn = (m * 90 + 99) // 100 THEN v END) AS p90_est
+          |  FROM merged GROUP BY 1, 2),
+          |ex AS (
+          |  SELECT event_type,
+          |         CAST(max(m) AS BIGINT) AS n_exact,
+          |         max(CASE WHEN rn = (m * 50 + 99) // 100 THEN v END) AS p50_exact,
+          |         max(CASE WHEN rn = (m * 90 + 99) // 100 THEN v END) AS p90_exact
+          |  FROM (SELECT event_type, v,
+          |               row_number() OVER (PARTITION BY event_type
+          |                                  ORDER BY v, h) AS rn,
+          |               count(*) OVER (PARTITION BY event_type) AS m
+          |        FROM lv)
+          |  GROUP BY 1)
+          |SELECT s.event_type, s.l, s.retained, s.est_total,
+          |       e.n_exact, s.p50_est, s.p90_est, e.p50_exact, e.p90_exact
+          |FROM sk s JOIN ex e USING (event_type)
+          |ORDER BY s.event_type""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
     // q91: NULL join semantics — the three-valued-logic traps every SQL
     // engine must implement exactly, exercised on keys with GUARANTEED
     // nulls on both sides (nullif(key % 100, 7) plants them at every

@@ -583,6 +583,96 @@ class CoreOperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("q92: hash-ladder quantile sketch equals a driver replay; merge law holds") {
+    // full driver-side replay of the ladder at the catalog's k=256 on
+    // sf0.001 — every output column must match bit for bit
+    def h(key: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def lvl(x: Long): Long =
+      if (x == 0L) 52L else java.lang.Long.numberOfTrailingZeros(x).toLong
+    def threshold(levelCounts: Map[Long, Long], k: Int): Long = {
+      val over = levelCounts.keys.filter { l =>
+        levelCounts.collect { case (l2, c) if l2 >= l => c }.sum > k
+      }
+      if (over.isEmpty) 0L else over.max + 1L
+    }
+    val k = 256
+    val ev = graft.io.Tables(spark, sf0001).events
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        floor(col("value") * 1000000).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1) % 4, h(r.getLong(2)),
+        r.getLong(3)))
+    val byType = ev.groupBy(_._1)
+    val expected = byType.map { case (et, rows) =>
+      val shardLs = rows.groupBy(_._2).view.mapValues { sh =>
+        threshold(sh.groupBy(r => lvl(r._3)).view.mapValues(_.length.toLong).toMap, k)
+      }.toMap
+      val groupL = threshold(
+        rows.groupBy(r => lvl(r._3)).view.mapValues(_.length.toLong).toMap, k)
+      // MERGE LAW: the merged threshold dominates every shard threshold,
+      // so filtering shard sketches at groupL equals filtering raw rows
+      assert(shardLs.values.forall(_ <= groupL), s"$et: merge law broken")
+      val viaShards = rows
+        .filter(r => lvl(r._3) >= shardLs(r._2))  // shard sketches...
+        .filter(r => lvl(r._3) >= groupL)         // ...refiltered at merge
+        .map(r => (r._4, r._3)).sorted
+      val direct = rows.filter(r => lvl(r._3) >= groupL)
+        .map(r => (r._4, r._3)).sorted
+      assert(viaShards === direct, s"$et: shard-merged sketch != direct filter")
+      val m = direct.length.toLong
+      def readoff(vs: Seq[(Long, Long)], phi: Long): Long =
+        vs((((vs.length * phi + 99) / 100) - 1).toInt)._1
+      val all = rows.map(r => (r._4, r._3)).sorted
+      (et, (groupL, m, m << groupL, rows.length.toLong,
+        readoff(direct, 50), readoff(direct, 90),
+        readoff(all, 50), readoff(all, 90)))
+    }
+    val got = graft.queries.Catalog.queries("q92_quantile_sketch_ladder")(spark, sf0001)
+      .collect()
+    assert(got.map(_.getAs[String]("event_type")).toSet === expected.keySet)
+    got.foreach { r =>
+      val e = expected(r.getAs[String]("event_type"))
+      assert((r.getAs[Long]("l"), r.getAs[Long]("retained"),
+        r.getAs[Long]("est_total"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("p50_est"), r.getAs[Long]("p90_est"),
+        r.getAs[Long]("p50_exact"), r.getAs[Long]("p90_exact")) === e,
+        s"${r.getAs[String]("event_type")}: replay mismatch")
+    }
+  }
+
+  test("q92: error bounds hold in the real-sketching regime (sf0.01, L > 0)") {
+    // sf0.001 groups fit the k=256 budget whole (L=0, est == exact);
+    // the sketch only sketches from sf0.01 up. Bounds: rank error of
+    // the φ read-off is O(1/√k) ≈ 6% — assert ≤ 15%; est_total is a
+    // 2^L-granule estimate — assert within 35% (observed ≤ 24%).
+    val sf001 = "/root/testdata/sf0.01"
+    val vals = graft.io.Tables(spark, sf001).events
+      .select(col("event_type"), floor(col("value") * 1000000).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = graft.queries.Catalog.queries("q92_quantile_sketch_ladder")(spark, sf001)
+      .collect()
+    got.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val vs = vals(et)
+      val n = vs.length.toDouble
+      assert(r.getAs[Long]("l") > 0L, s"$et: expected real sketching at sf0.01")
+      assert(r.getAs[Long]("retained") <= 256L, s"$et: budget exceeded")
+      for ((phi, c) <- Seq((0.5, "p50_est"), (0.9, "p90_est"))) {
+        val est = r.getAs[Long](c)
+        val rankFrac = vs.count(_ <= est) / n
+        assert(math.abs(rankFrac - phi) <= 0.15,
+          s"$et $c: rank fraction $rankFrac vs target $phi")
+      }
+      val estT = r.getAs[Long]("est_total").toDouble
+      assert(math.abs(estT - n) / n <= 0.35, s"$et: est_total $estT vs n $n")
+    }
+  }
+
   test("q65: deletes vanish, inserts appear, updates carry the latest order's balance") {
     val t = graft.io.Tables(spark, sf0001)
     val got = graft.queries.Catalog.queries("q65_merge_upsert")(spark, sf0001)

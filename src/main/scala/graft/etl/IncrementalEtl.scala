@@ -103,15 +103,22 @@ object IncrementalEtl {
       val ev = Tables(spark, dir).events
         .select(col("event_id"), to_date(col("ts")).as("event_date"),
           col("event_type"), floor(col("value") * 1e6).cast("long").as("value_micros"))
-      // ingest shape: ~8 small files per day partition (hash by (day, bucket))
-      ev.repartition(256, col("event_date"), pmod(col("event_id"), lit(8)))
-        .write.partitionBy("event_date").mode("overwrite").parquet(s"$out/v0")
-      // compaction: one task (= one file) per day, committed as a new version
-      spark.read.parquet(s"$out/v0")
-        .repartition(col("event_date"))
-        .write.partitionBy("event_date").mode("overwrite").parquet(s"$out/v1")
+      // ingest shape: ~8 small files per day partition (hash by (day,
+      // bucket)), committed as version 0 of the CommitLog table
+      graft.io.CommitLog.commitNext(out) { p =>
+        ev.repartition(256, col("event_date"), pmod(col("event_id"), lit(8)))
+          .write.partitionBy("event_date").mode("overwrite").parquet(p)
+      }
+      // compaction: one task (= one file) per day, committed as the next
+      // version — the atomic multi-partition pointer move; v0 stays
+      // readable for any concurrent scan (CommitLogSpec pins isolation)
+      graft.io.CommitLog.commitNext(out) { p =>
+        spark.read.parquet(graft.io.CommitLog.versionPath(out, 0L))
+          .repartition(col("event_date"))
+          .write.partitionBy("event_date").mode("overwrite").parquet(p)
+      }
     }
-    val table = spark.read.parquet(s"$out/v1")
+    val table = graft.io.CommitLog.snapshotLatest(spark, out).get
       .select(col("event_id"),
         date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
         col("event_type"), col("value_micros"))
@@ -140,16 +147,20 @@ object IncrementalEtl {
     val out = graft.io.TempLayouts.replacing(
       "ttravel#" + new java.io.File(dir).getCanonicalPath, "graft_time_travel_") { out =>
       val ev = dailyEvents(spark, dir)
-      counts(ev).write.mode("overwrite").parquet(s"$out/v0")
+      graft.io.CommitLog.commitNext(out) { p =>
+        counts(ev).write.mode("overwrite").parquet(p)
+      }
       val maxDate = ev.agg(max(col("event_date"))).head().getDate(0)
       val late = ev.filter(col("event_date") === lit(maxDate)
         && col("event_id") % 13 === 0)
-      counts(ev.unionByName(late)).write.mode("overwrite").parquet(s"$out/v1")
+      graft.io.CommitLog.commitNext(out) { p =>
+        counts(ev.unionByName(late)).write.mode("overwrite").parquet(p)
+      }
     }
-    def snap(v: String, cName: String) = spark.read.parquet(s"$out/$v")
+    def snap(v: Long, cName: String) = graft.io.CommitLog.snapshot(spark, out, v)
       .select(col("event_date"), col("event_type"), col("cnt").as(cName))
-    val diff = snap("v0", "cnt_v0")
-      .join(snap("v1", "cnt_v1"), Seq("event_date", "event_type"))
+    val diff = snap(0L, "cnt_v0")
+      .join(snap(1L, "cnt_v1"), Seq("event_date", "event_type"))
       .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
         col("event_type"), col("cnt_v0"), col("cnt_v1"),
         (col("cnt_v1") - col("cnt_v0")).as("delta"))

@@ -518,27 +518,20 @@ object EventStreams {
       .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
         .as("last"))
 
-  /** Committed version dirs under `base` (have a `_SUCCESS` marker — a
-    * crash mid-write leaves none, so a half-written version is never
-    * mistaken for a predecessor), newest-first by batch id. */
-  private def committedVersions(base: String): Seq[Long] =
-    Option(new java.io.File(base).listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.drop(1).toLong).toSeq.sorted.reverse
-
-  /** One streaming run of the upsert job against `base` (versioned keyed
-    * table) and `ckpt` (streaming checkpoint). RESTART-SAFE BY
-    * CONSTRUCTION: the merge input for batch N is the newest COMMITTED
-    * version with id < N, discovered from DISK — never in-JVM state (the
-    * round-4 shape held `current` in a `@volatile var`, which a restarted
-    * JVM would lose, silently dropping all pre-crash state). A batch
-    * replayed after a failure between sink write and checkpoint commit
-    * therefore re-derives the same predecessor and OVERWRITES its own
-    * version dir with identical content — the foreachBatch idempotence
-    * contract. `failAtBatch` injects a crash before that batch id's sink
-    * write (the recovery spec's lever); the StreamingQueryException it
-    * causes propagates to the caller. */
+  /** One streaming run of the upsert job against `base` (a
+    * [[graft.io.CommitLog]] table) and `ckpt` (streaming checkpoint).
+    * RESTART-SAFE BY CONSTRUCTION: the merge input for batch N is the
+    * newest COMMITTED version with id < N, discovered from the commit
+    * log on DISK — never in-JVM state (the round-4 shape held `current`
+    * in a `@volatile var`, which a restarted JVM would lose, silently
+    * dropping all pre-crash state). A batch replayed after a failure
+    * between sink commit and checkpoint commit therefore re-derives the
+    * same predecessor and re-commits its own version id with identical
+    * content — the foreachBatch idempotence contract, which is exactly
+    * CommitLog's idempotent-replay contract. `failAtBatch` injects a
+    * crash before that batch id's sink write (the recovery spec's
+    * lever); the StreamingQueryException it causes propagates to the
+    * caller. */
   def runUpsertStreaming(spark: SparkSession, dir: String, base: String,
       ckpt: String, statePartitions: Int = 8,
       failAtBatch: Option[Long] = None): Unit = {
@@ -551,16 +544,19 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (failAtBatch.contains(id))
           throw new RuntimeException(s"injected failure before batch $id commit")
-        val merged = committedVersions(base).find(_ < id) match {
+        val merged = graft.io.CommitLog.committedBefore(base, id) match {
           case Some(prev) =>
-            latestPerUser(batch.sparkSession.read.parquet(s"$base/v$prev")
+            latestPerUser(
+              graft.io.CommitLog.snapshot(batch.sparkSession, base, prev)
               .select(col("user_id"), col("last.ts").as("ts"),
                 col("last.event_id").as("event_id"),
                 col("last.event_type").as("event_type"), col("last.value").as("value"))
               .unionByName(batch))
           case None => latestPerUser(batch)
         }
-        merged.write.mode("overwrite").parquet(s"$base/v$id")
+        graft.io.CommitLog.commit(base, id) { p =>
+          merged.write.mode("overwrite").parquet(p)
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -572,10 +568,8 @@ object EventStreams {
   /** The upsert table as of the newest committed version (empty-input
     * fallback keeps the catalog schema). */
   def upsertResult(spark: SparkSession, base: String, dir: String): DataFrame = {
-    val result = committedVersions(base).headOption match {
-      case Some(v) => spark.read.parquet(s"$base/v$v")
-      case None => latestPerUser(spark.read.parquet(dir + "/events.parquet").limit(0))
-    }
+    val result = graft.io.CommitLog.snapshotLatest(spark, base).getOrElse(
+      latestPerUser(spark.read.parquet(dir + "/events.parquet").limit(0)))
     result.select(col("user_id"),
         col("last.ts").as("last_ts"), col("last.event_id").as("last_event_id"),
         col("last.event_type").as("last_type"), col("last.value").as("last_value"))

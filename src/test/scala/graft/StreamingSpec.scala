@@ -389,11 +389,8 @@ class StreamingSpec extends SparkSpecBase {
       assert(chain(failure).exists(t =>
           Option(t.getMessage).exists(_.contains("injected failure"))),
         s"query died for an unexpected reason: $failure")
-      def committed: Seq[String] =
-        Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
-          .map(_.getName).sorted.toSeq
-      assert(committed === Seq("v0"),
+      val committed = graft.io.CommitLog.committedVersions(base)
+      assert(committed === Seq(0L),
         s"expected exactly batch 0's version committed before the crash, got $committed")
       // Run 2: same checkpoint, no failure — the engine must resume from
       // the WAL (re-executing the uncommitted batch 1, then batch 2), NOT

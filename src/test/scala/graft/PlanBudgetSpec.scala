@@ -1,0 +1,72 @@
+package graft
+
+import graft.queries.Catalog
+
+/** Mechanized plan-shape regression for the most expensive catalog
+  * entries (round-9 verdict item 5): PLAN_AUDIT.md documents the plans,
+  * but nothing FAILED when a flagship query silently grew an exchange
+  * or flipped a broadcast join to a sort-merge. This spec pins the
+  * physical-operator budget — (hash exchanges, broadcast-hash joins,
+  * sort-merge joins, broadcast-nested-loop joins, shuffled-hash joins)
+  * — of the ~15 entries that dominate bench cost, read from the FINAL
+  * adaptive plan after execution at sf0.001.
+  *
+  * A failure here means the plan CHANGED, not necessarily broke: if the
+  * change is a deliberate improvement, re-pin the row and say why in
+  * the commit; if it is an accidental hint, a lost broadcast, or a new
+  * shuffle, the budget caught a scale regression before the bench did.
+  *
+  * Notes on the expected values:
+  *  - g01/g06 return a frame over per-round localCheckpoint state, so
+  *    the RETURNED plan is exchange-free — their per-round cost is
+  *    covered by GraphSpec's convergence checksums, and this pin
+  *    guards the read-out plan staying trivial;
+  *  - the BNLJ entries (q89, s12, s14–s16) are tiny-broadcast-side by
+  *    construction (centroid/query-batch cross joins) — the pin holds
+  *    their count DOWN as much as it documents them;
+  *  - streaming entries are excluded: their per-batch plans are not
+  *    reachable from a returned DataFrame (STREAM_COST attributes
+  *    their wall-time instead).
+  */
+class PlanBudgetSpec extends SparkSpecBase {
+
+  /** (hash exchanges, BHJ, SMJ, BNLJ, SHJ) — pinned at HEAD. */
+  private val budgets = Map(
+    "q23_asof_join"                 -> (2, 0, 0, 0, 0),
+    "q78_asof_join_native"          -> (3, 0, 0, 0, 0),
+    "q66_kmv_distinct_rollup"       -> (6, 1, 0, 0, 0),
+    "q89_kmv_set_ops"               -> (13, 9, 0, 6, 0),
+    "q92_quantile_sketch_ladder"    -> (6, 3, 0, 0, 0),
+    "s12_knn_join_cells"            -> (4, 2, 0, 3, 0),
+    "s14_similarity_ivfpq_topk"     -> (8, 6, 0, 3, 0),
+    "s15_similarity_ivfpq_residual" -> (7, 5, 0, 2, 0),
+    "s16_similarity_ivfpq_rerank"   -> (8, 7, 0, 3, 0),
+    "g01_pagerank"                  -> (0, 0, 0, 0, 0),
+    "g04_bfs_distance"              -> (3, 2, 0, 0, 0),
+    "g06_personalized_pagerank"     -> (0, 0, 0, 0, 0),
+    "g09_hyperball_kmv"             -> (3, 2, 0, 0, 0),
+    "d05_dedup_clusters"            -> (3, 1, 0, 0, 0),
+    "d08_dup_span_detect"           -> (1, 2, 0, 0, 0))
+
+  private def finalPlan(name: String): String = {
+    val df = Catalog.queries(name)(spark, sf0001)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) s.substring(0, cut) else s
+    InternalCaches.releaseAll()
+    spark.catalog.clearCache()
+    p
+  }
+
+  budgets.toSeq.sortBy(_._1).foreach { case (name, (exch, bhj, smj, bnlj, shj)) =>
+    test(s"plan budget: $name stays at exch=$exch bhj=$bhj smj=$smj bnlj=$bnlj shj=$shj") {
+      val p = finalPlan(name)
+      def c(pat: String) = pat.r.findAllIn(p).size
+      val got = (c("Exchange hashpartitioning"), c("BroadcastHashJoin"),
+        c("SortMergeJoin"), c("BroadcastNestedLoopJoin"), c("ShuffledHashJoin"))
+      assert(got === ((exch, bhj, smj, bnlj, shj)),
+        s"$name plan budget drifted — deliberate? re-pin with rationale. Plan:\n${p.take(8000)}")
+    }
+  }
+}

@@ -113,9 +113,17 @@ object EventStreams {
   private def eventStreamSource(ss: SparkSession, dir: String): () => DataFrame =
     streamFromSplitDir(ss, splitEventsDir(ss, dir))
 
+  /** Split-dir schema, inferred once per JVM: the footer-read batch job
+    * behind `.read.parquet(srcDir).schema` was re-paid on EVERY source
+    * creation (16 streaming entries × bench iterations) for a layout
+    * that is immutable once staged (TempLayouts.cached). */
+  private val splitSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private def streamFromSplitDir(ss: SparkSession, srcDir: String): () => DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val batchSchema = ss.read.parquet(srcDir).schema
+    val batchSchema = splitSchemas.computeIfAbsent(srcDir,
+      d => ss.read.parquet(d).schema)
     val tsType = batchSchema("ts").dataType
     () => {
       val raw = ss.readStream.schema(batchSchema)

@@ -30,14 +30,21 @@ import graft.queries.Catalog
   */
 class PlanBudgetSpec extends SparkSpecBase {
 
-  /** (hash exchanges, BHJ, SMJ, BNLJ, SHJ) — pinned at HEAD. */
+  /** (hash exchanges, BHJ, SMJ, BNLJ, SHJ) — pinned at HEAD as UPPER
+    * BOUNDS: a plan may legitimately come in under budget when the
+    * shared test session's exchange/cache reuse kicks in (q89 ran at 11
+    * exchanges in-suite vs 13 isolated; s12 at 5 vs 4 — context decides
+    * what gets reused), but exceeding a bound means a NEW shuffle, a
+    * broadcast join flipping to sort-merge, or a nested loop appearing
+    * — the regression classes this spec exists to catch. Values are
+    * the max observed across isolated and in-suite runs. */
   private val budgets = Map(
     "q23_asof_join"                 -> (2, 0, 0, 0, 0),
     "q78_asof_join_native"          -> (3, 0, 0, 0, 0),
     "q66_kmv_distinct_rollup"       -> (6, 1, 0, 0, 0),
     "q89_kmv_set_ops"               -> (13, 9, 0, 6, 0),
     "q92_quantile_sketch_ladder"    -> (6, 3, 0, 0, 0),
-    "s12_knn_join_cells"            -> (4, 2, 0, 3, 0),
+    "s12_knn_join_cells"            -> (5, 2, 0, 3, 0),
     "s14_similarity_ivfpq_topk"     -> (8, 6, 0, 3, 0),
     "s15_similarity_ivfpq_residual" -> (7, 5, 0, 2, 0),
     "s16_similarity_ivfpq_rerank"   -> (8, 7, 0, 3, 0),
@@ -60,13 +67,21 @@ class PlanBudgetSpec extends SparkSpecBase {
   }
 
   budgets.toSeq.sortBy(_._1).foreach { case (name, (exch, bhj, smj, bnlj, shj)) =>
-    test(s"plan budget: $name stays at exch=$exch bhj=$bhj smj=$smj bnlj=$bnlj shj=$shj") {
+    test(s"plan budget: $name stays within exch<=$exch bhj<=$bhj smj<=$smj bnlj<=$bnlj shj<=$shj") {
       val p = finalPlan(name)
       def c(pat: String) = pat.r.findAllIn(p).size
-      val got = (c("Exchange hashpartitioning"), c("BroadcastHashJoin"),
-        c("SortMergeJoin"), c("BroadcastNestedLoopJoin"), c("ShuffledHashJoin"))
-      assert(got === ((exch, bhj, smj, bnlj, shj)),
-        s"$name plan budget drifted — deliberate? re-pin with rationale. Plan:\n${p.take(8000)}")
+      val got = Seq(
+        ("Exchange hashpartitioning", c("Exchange hashpartitioning"), exch),
+        ("BroadcastHashJoin", c("BroadcastHashJoin"), bhj),
+        ("SortMergeJoin", c("SortMergeJoin"), smj),
+        ("BroadcastNestedLoopJoin", c("BroadcastNestedLoopJoin"), bnlj),
+        ("ShuffledHashJoin", c("ShuffledHashJoin"), shj))
+      got.foreach { case (op, n, budget) =>
+        assert(n <= budget,
+          s"$name exceeded its $op budget ($n > $budget) — a new shuffle/" +
+            s"join-strategy regression, or a deliberate change to re-pin. " +
+            s"Plan:\n${p.take(8000)}")
+      }
     }
   }
 }

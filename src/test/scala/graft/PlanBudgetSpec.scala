@@ -45,9 +45,13 @@ class PlanBudgetSpec extends SparkSpecBase {
     "q89_kmv_set_ops"               -> (13, 9, 0, 6, 0),
     "q92_quantile_sketch_ladder"    -> (6, 3, 0, 0, 0),
     "s12_knn_join_cells"            -> (5, 2, 0, 3, 0),
-    "s14_similarity_ivfpq_topk"     -> (8, 6, 0, 3, 0),
-    "s15_similarity_ivfpq_residual" -> (7, 5, 0, 2, 0),
-    "s16_similarity_ivfpq_rerank"   -> (8, 7, 0, 3, 0),
+    // the IVF-PQ family rides InternalCaches-persisted index frames —
+    // whether a cached frame is reused or rebuilt moves their exchange
+    // count by one (s16 measured at both 8 and 9), so these carry the
+    // rebuild-path maximum
+    "s14_similarity_ivfpq_topk"     -> (9, 6, 0, 3, 0),
+    "s15_similarity_ivfpq_residual" -> (8, 5, 0, 2, 0),
+    "s16_similarity_ivfpq_rerank"   -> (9, 7, 0, 3, 0),
     "g01_pagerank"                  -> (0, 0, 0, 0, 0),
     "g04_bfs_distance"              -> (3, 2, 0, 0, 0),
     "g06_personalized_pagerank"     -> (0, 0, 0, 0, 0),

@@ -85,6 +85,52 @@ object CommitLog {
   def commitNext(base: String)(write: String => Unit): Long =
     commit(base, latestCommitted(base).map(_ + 1L).getOrElse(0L))(write)
 
+  // --- optimistic concurrency -------------------------------------------
+
+  private def claimsDir(base: String) = new java.io.File(base, "_claims")
+
+  private def claimedVersions(base: String): Seq[Long] =
+    Option(claimsDir(base).listFiles()).getOrElse(Array.empty[java.io.File])
+      .flatMap(f => f.getName.toLongOption).toSeq
+
+  /** Optimistic multi-writer commit — the concurrent-ingest story of a
+    * real table format, in the same two-file-system-primitive budget:
+    *  1. CLAIM the head version id with an exclusive marker-file create
+    *     in `base/_claims/` ([[java.nio.file.Files.createFile]] throws
+    *     for the loser — the atomic arbiter);
+    *  2. the claim winner alone runs its writer and publishes through
+    *     [[commit]]; losers retry against the new head.
+    * Claims and commits are separate directories on purpose: a claim
+    * reserves an id BEFORE any data exists, so readers (which consult
+    * only `_commits/`) never see a version mid-write, and a writer that
+    * crashes between claim and publish leaves a permanently-skipped id
+    * — a hole in the sequence, not a torn table ([[committedBefore]]
+    * and [[latestCommitted]] are hole-tolerant by construction).
+    *
+    * Conflict semantics are version-level last-claim-wins: two writers
+    * racing produce two consecutive versions in arbitration order.
+    * Content-level conflict validation (abort if a concurrent commit
+    * touched the same rows) is a format-policy layer above this
+    * primitive, same as in the public table-format designs. */
+  def commitNextAtomic(base: String, maxAttempts: Int = 64)
+      (write: String => Unit): Long = {
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val head = (claimedVersions(base) ++ committedVersions(base))
+        .maxOption.map(_ + 1L).getOrElse(0L)
+      val cd = claimsDir(base)
+      cd.mkdirs()
+      val claimed =
+        try { java.nio.file.Files.createFile(new java.io.File(cd, head.toString).toPath); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (claimed) return commit(base, head)(write)
+      // lost the race — re-resolve the head and try again
+    }
+    throw new IllegalStateException(
+      s"commitNextAtomic: gave up after $maxAttempts contended attempts on $base")
+  }
+
   /** Read one committed snapshot. The returned frame's scan is bound to
     * this version's directory — later commits never change what it
     * reads (snapshot isolation). */

@@ -79,6 +79,50 @@ class CommitLogSpec extends SparkSpecBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("optimistic concurrency: racing writers get distinct versions, none torn") {
+    val base = freshTable()
+    try {
+      CommitLog.commitNext(base) { p =>
+        Seq((0L, "seed")).toDF("k", "who").write.parquet(p)
+      }
+      // 8 writers race commitNextAtomic concurrently; the claim file is
+      // the arbiter, so every writer must land a DISTINCT version and
+      // every committed version must hold exactly its writer's rows
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val ids = Await.result(Future.sequence((1 to 8).map { w =>
+        Future {
+          CommitLog.commitNextAtomic(base) { p =>
+            Seq((w.toLong, s"writer$w")).toDF("k", "who").write.parquet(p)
+          }
+        }
+      }), 120.seconds)
+      assert(ids.distinct.length === 8, s"version collision: $ids")
+      assert(!ids.contains(0L), "a racer stole the seed version")
+      // log integrity: seed + 8 racer versions, each readable and intact
+      val committed = CommitLog.committedVersions(base)
+      assert(committed.length === 9)
+      ids.foreach { id =>
+        val rows = CommitLog.snapshot(spark, base, id)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        assert(rows.length === 1 && rows.head._2 === s"writer${rows.head._1}",
+          s"version $id torn or mixed: ${rows.toSeq}")
+      }
+      // a crashed claim (claim exists, no data/marker) leaves a hole the
+      // readers tolerate
+      java.nio.file.Files.createFile(
+        new java.io.File(new java.io.File(base, "_claims"), "99").toPath)
+      val next = CommitLog.commitNextAtomic(base) { p =>
+        Seq((100L, "after-hole")).toDF("k", "who").write.parquet(p)
+      }
+      assert(next === 100L, s"head must skip past the crashed claim, got $next")
+      assert(CommitLog.latestCommitted(base) === Some(100L))
+      assert(CommitLog.committedBefore(base, 100L) === Some(ids.max))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("committedBefore resolves the newest predecessor from disk (the q44 merge lookup)") {
     val base = freshTable()
     try {

@@ -29,6 +29,24 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.getAs[Int]("ws") === 3) // 10 chars → 3 distinct 8-grams
   }
 
+  test("token_chunks Generator works from SQL via LATERAL VIEW and SELECT-list") {
+    // the UDTF surface: both ANSI spellings must fan out identically
+    val lv = spark.sql(
+      """SELECT id, c.chunk_idx, c.chunk_text
+        |FROM VALUES (1, 'a b c d e'), (2, 'x y') AS t(id, txt)
+        |LATERAL VIEW token_chunks(txt, 3, 2) c AS chunk_idx, chunk_text
+        |ORDER BY id, chunk_idx""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(lv.toSeq === Seq(
+      (1, 0L, "a b c"), (1, 1L, "c d e"), (2, 0L, "x y")))
+    val sel = spark.sql(
+      """SELECT id, token_chunks(txt, 3, 2)
+        |FROM VALUES (1, 'a b c d e') AS t(id, txt)
+        |ORDER BY id, chunk_idx""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(sel.toSeq === Seq((1, 0L, "a b c"), (1, 1L, "c d e")))
+  }
+
   test("round-5 native functions resolve from SQL text") {
     // one learned merge: ('h','i') → id 256
     val hi = graft.functions.expressions.BpeCodec.pack('h'.toInt, 'i'.toInt)

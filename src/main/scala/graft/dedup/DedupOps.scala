@@ -1127,6 +1127,155 @@ object DedupOps {
           |       CASE WHEN c.doc_id = w.kept_id THEN 'keep' ELSE 'purge' END AS verdict
           |FROM cl c JOIN win w USING (cluster_id) JOIN sz s USING (cluster_id)
           |ORDER BY c.cluster_id, c.doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // d17: incremental NEAR-DUP ingest — d15's fuzzy twin, closing the
+    // maintenance story for the LSH family: d15 serves a persisted
+    // EXACT-fingerprint index, but a continuously-fed corpus also needs
+    // its near-dup decision per batch, and re-running d02 over
+    // base ∪ batch would re-band and re-pair the full history every day
+    // (old×old pairs are re-derived and re-verified for no reason). The
+    // durable asset here is the LSH index itself: the base corpus'
+    // PRUNED band table (hot buckets dropped at build — the cap is an
+    // index property, like s24's tombstones) plus its shingle-hash sets
+    // (the verification payload, the ANN-index analog of storing
+    // vectors). A batch then costs O(batch): shingle + sign + band the
+    // new docs, drop batch-side hot buckets, probe the index bands for
+    // new×old candidates, self-join the batch bands for new×new, and
+    // verify both against exact shingle Jaccard — base TEXT is never
+    // rescanned and old×old pairs never exist. Verdicts are d15's:
+    // dup_index (any index match ≥ t; canonical = argmax-Jaccard match,
+    // min-id tie-break, as a partial max(struct) — no window),
+    // dup_batch (matches an EARLIER batch doc — first-wins), else new
+    // (whose bands/shingles are exactly what an accepting ingest
+    // appends to the index, the s17 pattern).
+    //
+    // FULLY ORACLED: per-doc signatures are independent, so DuckDB
+    // re-bands base ∪ incoming in one minhashBandSql chain, splits by
+    // id space, applies each side's hot-bucket cap independently (the
+    // d07 convention), and replays candidates, Jaccard, and both
+    // argmaxes. Jaccard is a ratio of exact ints — bit-identical
+    // doubles.
+    GraftQuery(
+      "d17_incremental_neardup",
+      "new-batch near-dup verdicts against a persisted LSH band index (no base rescan, no old-pair regen)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val truncate3 = regexp_replace(col("text"), "(\\s+\\S+){3}$", "")
+        val idxDir = graft.io.TempLayouts.cached(
+          "d17_index#" + new java.io.File(dir).getCanonicalPath,
+          "graft_d17_idx_") { out =>
+          val base = t.documents.filter(col("doc_id") % 5 =!= 0)
+            .select(col("doc_id"), col("text"))
+          val sh = shingled(base).persist(StorageLevel.MEMORY_AND_DISK)
+          val bands = banded(withSignature(sh))
+          val small = bands.groupBy(col("band"), col("band_sig"))
+            .agg(count(lit(1)).as("n")).filter(col("n") <= MaxBucket)
+            .select(col("band"), col("band_sig"))
+          bands.join(small, Seq("band", "band_sig"), "left_semi")
+            .write.mode("overwrite").parquet(s"$out/bands")
+          sh.write.mode("overwrite").parquet(s"$out/shingles")
+          sh.unpersist()
+        }
+        // incoming batch: the held-out 1/5, plus planted index-dups
+        // (truncations of base docs) and within-batch dups (truncations
+        // of batch docs) — the d15 batch composition, fuzzied
+        val docs = t.documents
+        val incoming = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 1)
+            .select((col("doc_id") + lit(100000L)).as("doc_id"),
+              truncate3.as("text")))
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + lit(200000L)).as("doc_id"),
+              truncate3.as("text")))
+        incrementalNearDupVerdicts(
+          spark.read.parquet(s"$idxDir/bands"),
+          spark.read.parquet(s"$idxDir/shingles"),
+          incoming, threshold = 0.5)
+      },
+      Some(
+        s"""WITH base AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+          |inc AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id,
+          |         regexp_replace(text, '(\\s+\\S+){3}$$', '') AS text
+          |  FROM documents WHERE doc_id % 10 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 200000 AS doc_id,
+          |         regexp_replace(text, '(\\s+\\S+){3}$$', '') AS text
+          |  FROM documents WHERE doc_id % 10 = 0),
+          |allc AS (SELECT * FROM base UNION ALL SELECT * FROM inc),
+          |${minhashBandSqlOver("allc")},
+          |bi AS (SELECT * FROM bands WHERE doc_id < 100000 AND doc_id % 5 <> 0),
+          |bb AS (SELECT * FROM bands WHERE doc_id >= 100000 OR doc_id % 5 = 0),
+          |bip AS (
+          |  SELECT bi.* FROM bi JOIN (
+          |    SELECT band, bkey FROM bi GROUP BY band, bkey
+          |    HAVING count(*) <= ${MaxBucket}) ki USING (band, bkey)),
+          |bbp AS (
+          |  SELECT bb.* FROM bb JOIN (
+          |    SELECT band, bkey FROM bb GROUP BY band, bkey
+          |    HAVING count(*) <= ${MaxBucket}) kb USING (band, bkey)),
+          |cio AS (
+          |  SELECT DISTINCT bbp.doc_id AS doc_id, bip.doc_id AS idx_id
+          |  FROM bbp JOIN bip USING (band, bkey)),
+          |cbb AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bbp a JOIN bbp b ON a.band = b.band AND a.bkey = b.bkey
+          |                       AND a.doc_id < b.doc_id),
+          |iio AS (
+          |  SELECT c.doc_id, c.idx_id, count(*) AS inter
+          |  FROM cio c
+          |  JOIN grams gn ON gn.doc_id = c.doc_id
+          |  JOIN grams go ON go.doc_id = c.idx_id AND go.h = gn.h
+          |  GROUP BY c.doc_id, c.idx_id),
+          |vio AS (
+          |  SELECT i.doc_id, i.idx_id,
+          |         CAST(i.inter AS DOUBLE) / CAST(sn.n + so.n - i.inter AS DOUBLE) AS j
+          |  FROM iio i
+          |  JOIN sizes sn ON sn.doc_id = i.doc_id
+          |  JOIN sizes so ON so.doc_id = i.idx_id
+          |  WHERE CAST(i.inter AS DOUBLE) / CAST(sn.n + so.n - i.inter AS DOUBLE) >= 0.5),
+          |ibb AS (
+          |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+          |  FROM cbb c
+          |  JOIN grams ga ON ga.doc_id = c.doc_a
+          |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.h = ga.h
+          |  GROUP BY c.doc_a, c.doc_b),
+          |vbb AS (
+          |  SELECT i.doc_a, i.doc_b,
+          |         CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS j
+          |  FROM ibb i
+          |  JOIN sizes sa ON sa.doc_id = i.doc_a
+          |  JOIN sizes sb ON sb.doc_id = i.doc_b
+          |  WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5),
+          |ri AS (
+          |  SELECT doc_id, idx_id, j,
+          |         row_number() OVER (PARTITION BY doc_id
+          |                            ORDER BY j DESC, idx_id) AS rk
+          |  FROM vio),
+          |rb AS (
+          |  SELECT doc_b AS doc_id, doc_a, j,
+          |         row_number() OVER (PARTITION BY doc_b
+          |                            ORDER BY j DESC, doc_a) AS rk
+          |  FROM vbb)
+          |SELECT i.doc_id,
+          |       CASE WHEN ri.doc_id IS NOT NULL THEN 'dup_index'
+          |            WHEN rb.doc_id IS NOT NULL THEN 'dup_batch'
+          |            ELSE 'new' END AS verdict,
+          |       CAST(CASE WHEN ri.doc_id IS NOT NULL THEN ri.idx_id
+          |                 WHEN rb.doc_id IS NOT NULL THEN rb.doc_a
+          |                 ELSE i.doc_id END AS BIGINT) AS canonical_id,
+          |       CASE WHEN ri.doc_id IS NOT NULL THEN ri.j ELSE rb.j END
+          |         AS best_jaccard
+          |FROM inc i
+          |LEFT JOIN (SELECT * FROM ri WHERE rk = 1) ri USING (doc_id)
+          |LEFT JOIN (SELECT * FROM rb WHERE rk = 1) rb USING (doc_id)
+          |ORDER BY i.doc_id""".stripMargin)
     )
   )
 

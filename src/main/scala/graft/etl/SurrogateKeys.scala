@@ -47,10 +47,19 @@ object SurrogateKeys {
     * reliable checkpoint or writes/reads an intermediate table here
     * (same two-pass plan, durable freeze). Checkpoint blocks are
     * reclaimed by the ContextCleaner once the result is unreachable. */
-  def denseIds(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+  def denseIds(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    denseIdsBy(df, Seq(col(keyCol)), idCol)
+
+  /** [[denseIds]] generalized to a composite sort order (e.g. `tokens
+    * DESC, doc_id ASC` for longest-first shard striping, t30): dense
+    * 1..n ids in the given order at full parallelism — the same
+    * range-partition + local-sort + per-partition prefix-sum two-pass,
+    * never a single-partition window. */
+  def denseIdsBy(df: DataFrame, sortCols: Seq[Column], idCol: String): DataFrame = {
     val spark = df.sparkSession
     val LocalBits = 33 // monotonically_increasing_id's local-index width
-    val parted = df.repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
+    val parted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("_mid", monotonically_increasing_id())
       .localCheckpoint()
     val counts = parted

@@ -3159,6 +3159,82 @@ object CoreQueries {
           |     (SELECT k, count(*) AS n FROM c GROUP BY k) cc
           |   JOIN (SELECT k, count(*) AS n FROM o GROUP BY k) oo
           |     ON cc.k IS NOT DISTINCT FROM oo.k) AS n_nullsafe_pairs""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q93: market-basket pair mining — "frequently bought together" (the
+    // association-rule core: support / confidence / lift per co-ordered
+    // part pair). The reference's dashboard slices single dimensions;
+    // this is the canonical two-item extension every retail OLAP stack
+    // ships (Apriori's k=2 pass — higher k repeats this shape on the
+    // pair survivors).
+    //
+    // Scale shape (100 TB): pair generation is a self-join of the
+    // DISTINCT (order, part) item set on the NATURAL basket key — one
+    // hash shuffle of the item set, then per-order fan-out bounded by
+    // the basket size (TPC-H: ≤ 7 lines/order ⇒ ≤ 21 pairs; a real
+    // deployment caps pathological baskets with a length filter before
+    // pairing, the d02 hot-bucket discipline — a single 10⁶-item basket
+    // would otherwise emit 5·10¹¹ pairs). Pair counts are a
+    // partial+final hash agg (map-side combine), the top-k cut is
+    // TakeOrderedAndProject (no global sort), and ONLY the 40 surviving
+    // pairs join the per-item order counts for confidence/lift — the
+    // metric joins are output-bound, never corpus-bound. All metrics in
+    // integer e6 units (floor division on positive counts — identical
+    // in Spark `DIV` and DuckDB `//`), so the ranking replays exactly.
+    GraftQuery(
+      "q93_basket_pairs",
+      "market-basket pair mining: top-40 co-ordered part pairs with support, confidence, lift",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val items = t.lineitem
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+          .distinct()
+        val pairs = items.select(col("okey"), col("pkey").as("a"))
+          .join(items.select(col("okey"), col("pkey").as("b")), Seq("okey"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(cnt.as("support"))
+        val top = pairs
+          .orderBy(col("support").desc, col("a"), col("b"))
+          .limit(40)
+        val itemN = items.groupBy(col("pkey")).agg(cnt.as("n"))
+        val baskets = items.select(col("okey")).distinct()
+          .agg(cnt.as("n_baskets"))
+        top
+          .join(itemN.select(col("pkey").as("a"), col("n").as("n_a")), Seq("a"))
+          .join(itemN.select(col("pkey").as("b"), col("n").as("n_b")), Seq("b"))
+          .crossJoin(broadcast(baskets)) // single-row global count
+          .select(col("a"), col("b"), col("support"),
+            expr("support * 1000000L DIV n_a").as("conf_ab_e6"),
+            expr("support * 1000000L DIV n_b").as("conf_ba_e6"),
+            expr("support * n_baskets * 1000000L DIV (n_a * n_b)").as("lift_e6"))
+          .orderBy(col("support").desc, col("a"), col("b"))
+      },
+      Some(
+        """WITH items AS (
+          |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
+          |pairs AS (
+          |  SELECT x.pkey AS a, y.pkey AS b, CAST(count(*) AS BIGINT) AS support
+          |  FROM items x JOIN items y ON x.okey = y.okey AND x.pkey < y.pkey
+          |  GROUP BY 1, 2),
+          |top AS (
+          |  SELECT a, b, support FROM pairs
+          |  ORDER BY support DESC, a, b LIMIT 40),
+          |itemn AS (SELECT pkey, CAST(count(*) AS BIGINT) AS n FROM items
+          |          GROUP BY pkey),
+          |tot AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_baskets
+          |        FROM items)
+          |SELECT t.a, t.b, t.support,
+          |       CAST((t.support * 1000000) // na.n AS BIGINT) AS conf_ab_e6,
+          |       CAST((t.support * 1000000) // nb.n AS BIGINT) AS conf_ba_e6,
+          |       CAST((t.support * tot.n_baskets * 1000000) // (na.n * nb.n)
+          |            AS BIGINT) AS lift_e6
+          |FROM top t
+          |JOIN itemn na ON na.pkey = t.a
+          |JOIN itemn nb ON nb.pkey = t.b
+          |CROSS JOIN tot
+          |ORDER BY t.support DESC, t.a, t.b""".stripMargin)
     )
   )
 

@@ -25,6 +25,13 @@ object IvfIndex {
 
   private def cellsPath(path: String) = s"$path/cells"
   private def centroidsPath(path: String) = s"$path/centroids"
+  private def tombstonesPath(path: String) = s"$path/tombstones"
+
+  private def hasTombstones(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
 
   /** Assign every vector to its nearest centroid and persist the layout.
     * `refine > 0` runs that many integer k-means rounds first
@@ -69,6 +76,41 @@ object IvfIndex {
       .parquet(cellsPath(path))
   }
 
+  /** Logical delete — the third index-maintenance verb (build / add /
+    * delete): append the ids to a tombstone set instead of rewriting
+    * cell files. O(batch) like [[add]] — a delete batch is one tiny
+    * parquet append; the 100 TB cell layout is never touched (rewriting
+    * a cell to remove one vector would re-pay the build shuffle for
+    * that cell on every delete). Probes subtract the tombstone set
+    * merge-on-read ([[topK]]); [[compactTo]] folds tombstones back into
+    * a clean layout when the deleted fraction justifies the rewrite —
+    * the FAISS `remove_ids` split into the cheap logical half and the
+    * expensive physical half, decided separately (exactly the
+    * tombstone/compaction split every LSM/lakehouse table runs on). */
+  def delete(ids: DataFrame, path: String): Unit =
+    ids.select(col("vec_id")).distinct()
+      .write.mode(SaveMode.Append).parquet(tombstonesPath(path))
+
+  /** Physical compaction: materialize `cells ∖ tombstones` as a NEW
+    * index at `outPath` (same frozen centroids, empty tombstone set).
+    * One partitioned write of the surviving vectors — cell assignments
+    * are already known, so no centroid argmin re-runs; readers switch
+    * paths atomically (the CommitLog pattern governs the switch when
+    * the index lives inside a versioned table). */
+  def compactTo(spark: SparkSession, path: String, outPath: String): Unit = {
+    val cells = spark.read.parquet(cellsPath(path))
+    val live =
+      if (hasTombstones(spark, path))
+        cells.join(spark.read.parquet(tombstonesPath(path)),
+          Seq("vec_id"), "left_anti")
+      else cells
+    live.select(col("vec_id"), col("embedding"), col("cell_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell_id")
+      .parquet(cellsPath(outPath))
+    spark.read.parquet(centroidsPath(path))
+      .write.mode(SaveMode.Overwrite).parquet(centroidsPath(outPath))
+  }
+
   /** Exact-rerank top-k over the persisted index: pick the `nprobe`
     * cells nearest the query from the (driver-held) centroid matrix,
     * scan only those partitions, re-rank with exact cosine. Probe-cell
@@ -97,8 +139,20 @@ object IvfIndex {
       .sortBy { case (id, d) => (d, id) }
       .take(nprobe).map(_._1)
     val q = array(queryVec.map(v => lit(v)): _*)
-    spark.read.parquet(cellsPath(path))
+    val probed = spark.read.parquet(cellsPath(path))
       .filter(col("cell_id").isin(probeCells: _*))
+    // merge-on-read: subtract the tombstone set AFTER partition pruning
+    // (only the probed cells pay the anti-join) and BEFORE the top-k
+    // heap (a tombstoned vector must not occupy a result slot). The
+    // tombstone side carries no broadcast hint — AQE broadcasts it
+    // while small and degrades to a shuffled anti-join when the deleted
+    // set grows SF-proportional.
+    val live =
+      if (hasTombstones(spark, path))
+        probed.join(spark.read.parquet(tombstonesPath(path)),
+          Seq("vec_id"), "left_anti")
+      else probed
+    live
       .select(col("vec_id"),
         (round(cosineSimilarity(col("embedding"), q) * 10000))
           .cast("long").as("sim_e4"))

@@ -2425,6 +2425,70 @@ object SimilarityOps {
           |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, rrf_e6
           |FROM rk2 WHERE rk <= 10
           |ORDER BY query_id, rk""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s24: IVF DELETE + merge-on-read probe — the maintenance verb s17
+    // leaves out, completing the index lifecycle (build / add / delete /
+    // compact). Embeddings leave a corpus as often as they enter it
+    // (takedowns, dedup sweeps, refreshed re-embeds); rewriting cell
+    // files per delete batch would re-pay the build shuffle, so deletes
+    // are LOGICAL: an O(batch) tombstone append ([[IvfIndex.delete]]),
+    // subtracted at probe time AFTER partition pruning (only the nprobe
+    // probed cells pay the anti-join) and BEFORE the top-k heap (a
+    // deleted vector must not occupy a result slot). Physical cleanup is
+    // a separate, deliberate [[IvfIndex.compactTo]] — the
+    // tombstone/compaction split every LSM and lakehouse table runs on
+    // (the spec proves compact(probe) ≡ merge-on-read(probe)).
+    //
+    // The entry deletes vec_id % 7 == 3 and probes with the embedding
+    // of DELETED vector 3: the result is right only if the tombstone
+    // subtraction reached the probe (its own top-1 would otherwise be
+    // itself at sim 1.0). Frozen seed centroids ⇒ cell assignment and
+    // probe choice replay exactly in the oracle (integer argmin), and
+    // the survivors' exact-cosine rerank is the same e4 quantization as
+    // s03/s08/s17.
+    GraftQuery(
+      "s24_similarity_ivf_delete",
+      "IVF tombstone delete: probe with a deleted vector's embedding, merge-on-read top-10",
+      (spark, dir) => {
+        val emb = Tables(spark, dir).embeddings
+        val path = graft.io.TempLayouts.cached(
+          "s24_index#" + new java.io.File(dir).getCanonicalPath,
+          "graft_ivf_del_") { p =>
+          IvfIndex.build(emb, p, nCells = 16)
+          IvfIndex.delete(emb.filter(col("vec_id") % 7 === 3)
+            .select(col("vec_id")), p)
+        }
+        val qVec = emb.filter(col("vec_id") === 3L).head().getSeq[Float](1).toArray
+        IvfIndex.topK(spark, path, qVec, k = 10, nprobe = 4)
+      },
+      Some(
+        s"""WITH qe AS (SELECT vec_id, ${quantSql("embedding")} AS q FROM embeddings),
+          |cent AS (
+          |  SELECT vec_id AS cell_id, q AS c FROM qe WHERE vec_id < 16),
+          |asg AS (
+          |  SELECT vec_id, cell_id FROM (
+          |    SELECT e.vec_id, c.cell_id,
+          |           row_number() OVER (PARTITION BY e.vec_id
+          |             ORDER BY ${intDistSql("e.q", "c.c")} ASC, c.cell_id ASC) AS rn
+          |    FROM qe e CROSS JOIN cent c) WHERE rn = 1),
+          |qv AS (SELECT q FROM qe WHERE vec_id = 3),
+          |probe AS (
+          |  SELECT cell_id FROM (
+          |    SELECT c.cell_id, ${intDistSql("c.c", "qv.q")} AS d
+          |    FROM cent c CROSS JOIN qv)
+          |  ORDER BY d ASC, cell_id ASC LIMIT 4),
+          |qemb AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 3)
+          |SELECT a.vec_id,
+          |       CAST(round(${cosSql("e.embedding", "qemb.q_emb")} * 10000) AS BIGINT) AS sim_e4
+          |FROM asg a
+          |JOIN probe USING (cell_id)
+          |JOIN embeddings e ON e.vec_id = a.vec_id
+          |CROSS JOIN qemb
+          |WHERE a.vec_id % 7 <> 3
+          |ORDER BY sim_e4 DESC, a.vec_id
+          |LIMIT 10""".stripMargin)
     )
   )
 

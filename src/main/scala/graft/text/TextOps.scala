@@ -1380,6 +1380,60 @@ object TextOps {
           |         AS shuf
           |FROM documents CROSS JOIN cuts
           |ORDER BY stage, shuf, doc_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t30: token-balanced shard assignment — the step BETWEEN p04's mix
+    // selection and t20's sequence packing: the chosen corpus must be
+    // split across N training shards (data-parallel input streams) with
+    // near-equal token mass, or the slowest shard gates every epoch.
+    // Deterministic striping of the longest-first order (rank by tokens
+    // DESC, shard = (rank-1) mod N) is the classic LPT-style
+    // approximation with a PROVABLE bound: because ranks r and r+N-1
+    // bracket each round and the per-round deficits telescope, max
+    // shard load − min shard load ≤ max single-doc tokens (asserted in
+    // the spec alongside an exact driver recompute). True greedy
+    // least-loaded-bin is sequential (each placement depends on all
+    // previous); striping is its order-free twin — the reason it is THE
+    // sharder used at corpus scale.
+    //
+    // Scale shape: the global longest-first rank is the q09 prefix-sum
+    // technique (range-partition by (tokens DESC, doc_id) + local sort
+    // + per-partition offsets broadcast back) — never a
+    // single-partition window; the per-shard rollup is one map-side-
+    // combined hash agg on N keys. Nothing in the plan holds more than
+    // one partition's rows.
+    GraftQuery(
+      "t30_shard_assignment",
+      "token-balanced striped sharding: longest-first rank mod 8, per-shard doc/token totals",
+      (spark, dir) => {
+        val toks = Tables(spark, dir).documents
+          .select(col("doc_id"),
+            regexp_count(col("text"), lit(wsToken)).cast("long").as("n_tok"))
+        graft.etl.SurrogateKeys
+          .denseIdsBy(toks, Seq(col("n_tok").desc, col("doc_id").asc), "rk")
+          .groupBy(((col("rk") - 1) % 8).as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("tokens_total"),
+            max(col("n_tok")).as("max_doc_tokens"))
+          .orderBy(col("shard"))
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |ranked AS (
+          |  SELECT doc_id, n_tok,
+          |         row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rk
+          |  FROM toks)
+          |SELECT CAST((rk - 1) % 8 AS BIGINT) AS shard,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+          |       CAST(max(n_tok) AS BIGINT) AS max_doc_tokens
+          |FROM ranked
+          |GROUP BY 1
+          |ORDER BY shard""".stripMargin)
     )
   )
 

@@ -718,4 +718,34 @@ class CoreOperatorsSpec extends SparkSpecBase {
     assert(got.size === custs.size - custs.keys.count(k =>
       latest.contains(k) && k % 10 == 7) + nSupp.toInt + missingU.size)
   }
+
+  test("q93: basket pairs match an exact driver recompute of support/confidence/lift") {
+    val t = graft.io.Tables(spark, sf0001)
+    val items = t.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byOrder = items.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted)
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        support((ps(i), ps(j))) = support.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    val itemN = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nBaskets = byOrder.size.toLong
+    val expected = support.toSeq
+      .sortBy { case ((a, b), s) => (-s, a, b) }.take(40)
+      .map { case ((a, b), s) =>
+        (a, b, s, s * 1000000L / itemN(a), s * 1000000L / itemN(b),
+          s * nBaskets * 1000000L / (itemN(a) * itemN(b)))
+      }
+    val got = graft.queries.Catalog.queries("q93_basket_pairs")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("support"),
+        r.getAs[Long]("conf_ab_e6"), r.getAs[Long]("conf_ba_e6"),
+        r.getAs[Long]("lift_e6"))).toSeq
+    assert(got === expected)
+    // sanity: confidence never exceeds 1.0 and lift is symmetric input-wise
+    got.foreach { case (_, _, s, cab, cba, _) =>
+      assert(s >= 1L && cab <= 1000000L && cba <= 1000000L)
+    }
+  }
 }

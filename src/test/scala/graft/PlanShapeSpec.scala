@@ -262,7 +262,7 @@ class PlanShapeSpec extends SparkSpecBase {
     // subtree must read only nation/region/bounded frames.
     val swept = Seq("q01_topk_filter_agg", "q06_anti_join",
       "q07_semi_join_topk", "q08_star_denormalize", "q13_window_rank",
-      "q26_grouped_topk_agg")
+      "q26_grouped_topk_agg", "q93_basket_pairs")
     for (name <- swept) {
       val analyzed = Catalog.queries(name)(spark, sf0001).queryExecution.analyzed
       val hinted = analyzed.collect {
@@ -282,6 +282,36 @@ class PlanShapeSpec extends SparkSpecBase {
           s"$name force-broadcasts an SF-proportional table (cols=$cols)")
       }
     }
+  }
+
+  test("q93: pair counts map-side combined, top-40 via TakeOrderedAndProject, no cartesian") {
+    val p = planOf("q93_basket_pairs")
+    // the support cut must be a bounded heap (TakeOrderedAndProject),
+    // never a global sort of the full pair space
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+    // pair counting is partial+final hash agg (map-side combine)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"pair counts not hash-aggregated:\n$p")
+    // the only nested-loop join allowed is the single-row basket-total
+    // crossJoin — no CartesianProduct anywhere
+    assert(!p.contains("CartesianProduct"), s"cartesian product in q93:\n$p")
+  }
+
+  test("t30: global longest-first rank has no Window; rollup is one hash agg") {
+    // the rank is the q09 prefix-sum technique — a row_number window
+    // over the whole corpus would serialize it through one partition
+    val p = planOf("t30_shard_assignment")
+    assert(!p.contains("Window"), s"single-partition window in t30:\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"longest-first order not range-partitioned:\n$p")
+  }
+
+  test("s24: tombstone anti-join sits above the partition-pruned probe scan") {
+    val p = planOf("s24_similarity_ivf_delete")
+    // partition pruning must survive the merge-on-read subtraction
+    assert(p.contains("PartitionFilters: [cell_id"),
+      s"probe does not prune cell partitions:\n$p")
+    assert(p.contains("LeftAnti"), s"tombstone subtraction missing:\n$p")
   }
 
   test("t29: native token_chunks runs as a Generate node — no shuffle, no HOF lambdas") {

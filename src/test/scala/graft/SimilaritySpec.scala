@@ -621,4 +621,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(fusedDocs.exists(k => lex.contains(k) && !dense.contains(k)),
       "no lexical-only doc reached the fused top-10")
   }
+
+  test("s24: tombstoned vectors never surface; compaction is probe-equivalent") {
+    import graft.similarity.IvfIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_delspec").toString
+    IvfIndex.build(emb, dir, nCells = 16)
+    val qVec = emb.filter(col("vec_id") === 3L).head().getSeq[Float](1).toArray
+    // before any delete: the query vector IS vec 3 — top hit is itself
+    val before = IvfIndex.topK(spark, dir, qVec, k = 10, nprobe = 4).collect()
+    assert(before.head.getLong(0) === 3L && before.head.getLong(1) === 10000L)
+    IvfIndex.delete(emb.filter(col("vec_id") % 7 === 3).select("vec_id"), dir)
+    val after = IvfIndex.topK(spark, dir, qVec, k = 10, nprobe = 4).collect()
+    assert(after.nonEmpty)
+    assert(after.forall(_.getLong(0) % 7 != 3), "a tombstoned vector surfaced")
+    // merge-on-read ≡ the same probe over an index built WITHOUT them:
+    // physical compaction must not change a single result row
+    val compacted = java.nio.file.Files.createTempDirectory("graft_ivf_delspec_c").toString
+    IvfIndex.compactTo(spark, dir, compacted)
+    val viaCompact = IvfIndex.topK(spark, compacted, qVec, k = 10, nprobe = 4).collect()
+    assert(viaCompact.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      after.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // compaction folded the tombstones in: the compacted cells physically
+    // lack the deleted ids (not just hide them)
+    val cells = spark.read.parquet(s"$compacted/cells")
+    assert(cells.filter(col("vec_id") % 7 === 3).count() === 0L)
+    // second delete batch appends (delete is incremental like add)
+    IvfIndex.delete(emb.filter(col("vec_id") === after.head.getLong(0)).select("vec_id"), dir)
+    val after2 = IvfIndex.topK(spark, dir, qVec, k = 10, nprobe = 4).collect()
+    assert(after2.forall(_.getLong(0) !== after.head.getLong(0)),
+      "second delete batch was not merged on read")
+  }
 }

@@ -679,4 +679,33 @@ class TextSpec extends SparkSpecBase {
     assert(genMs <= hofMs,
       s"native token_chunks slower than the HOF: $genMs ms vs $hofMs ms")
   }
+
+  test("t30: striping matches an exact driver recompute of longest-first rank mod 8") {
+    val got = graft.queries.Catalog.queries("t30_shard_assignment")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("tokens_total"), r.getAs[Long]("max_doc_tokens"))))
+      .toMap
+    val toks = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), "\\S+".r.findAllIn(r.getString(1)).size.toLong))
+    val expected = toks.sortBy { case (id, n) => (-n, id) }.zipWithIndex
+      .map { case ((_, n), i) => (i.toLong % 8, n) }
+      .groupBy(_._1)
+      .map { case (shard, rows) =>
+        shard -> (rows.length.toLong, rows.map(_._2).sum, rows.map(_._2).max)
+      }
+    assert(got === expected)
+  }
+
+  test("t30: striped imbalance is bounded by the largest single document") {
+    val got = graft.queries.Catalog.queries("t30_shard_assignment")(spark, sf0001)
+      .collect()
+    val loads = got.map(_.getAs[Long]("tokens_total"))
+    val maxDoc = got.map(_.getAs[Long]("max_doc_tokens")).max
+    // longest-first striping telescopes: per round, shard i's doc is no
+    // smaller than shard i+1's, and round r's smallest is no smaller
+    // than round r+1's largest — so Σ(round deficits) ≤ largest doc.
+    assert(loads.max - loads.min <= maxDoc,
+      s"imbalance ${loads.max - loads.min} exceeds max doc $maxDoc")
+  }
 }

@@ -636,4 +636,49 @@ class DedupSpec extends SparkSpecBase {
     assert(byCluster.exists(_._2.length == 1),
       "singletons must appear as their own kept clusters")
   }
+
+  test("d17: planted structure resolved; every dup verdict exact-Jaccard sound; no base rescan") {
+    val frame = graft.queries.Catalog.queries("d17_incremental_neardup")(spark, sf0001)
+    val got = frame.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[String]("verdict"), r.getAs[Long]("canonical_id"))).toSeq
+    // planted index-dups (truncations of BASE docs): all caught, and the
+    // canonical is the planted source unless a strictly-better natural
+    // near-dup exists (checked below via exact Jaccard)
+    val bClass = got.filter(r => r._1 >= 100000L && r._1 < 200000L)
+    assert(bClass.nonEmpty && bClass.forall(_._2 == "dup_index"),
+      s"planted index-dup missed: ${bClass.filter(_._2 != "dup_index")}")
+    // planted batch-dups (truncations of BATCH docs): never 'new' —
+    // dup_batch against their in-batch source, or dup_index when the
+    // source itself has a natural near-dup in the base (index wins)
+    val cClass = got.filter(_._1 >= 200000L)
+    assert(cClass.nonEmpty && cClass.forall(_._2 != "new"),
+      s"planted batch-dup missed: ${cClass.filter(_._2 == "new")}")
+    assert(cClass.filter(_._2 == "dup_batch").forall(r => r._3 == r._1 - 200000L),
+      "a dup_batch canonical is not the planted in-batch source")
+    // exact STRING-shingle Jaccard soundness of every dup verdict (the
+    // d02 convention: no hashing anywhere in the truth computation)
+    def truncate3(s: String) = s.replaceAll("(\\s+\\S+){3}$", "")
+    val baseTexts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val texts: Map[Long, String] =
+      baseTexts ++
+        baseTexts.collect { case (id, tx) if id % 10 == 1 => (id + 100000L, truncate3(tx)) } ++
+        baseTexts.collect { case (id, tx) if id % 10 == 0 => (id + 200000L, truncate3(tx)) }
+    def shingleSet(s: String): Set[String] = {
+      val tk = "\\S+".r.findAllIn(s).toVector
+      if (tk.length <= 5) Set(tk.mkString(" "))
+      else tk.sliding(5).map(_.mkString(" ")).toSet
+    }
+    got.filter(_._2 != "new").foreach { case (id, verdict, canon) =>
+      val (a, b) = (shingleSet(texts(id)), shingleSet(texts(canon)))
+      val j = a.intersect(b).size.toDouble / a.union(b).size.toDouble
+      assert(j >= 0.5, s"$verdict $id -> $canon has exact Jaccard $j < 0.5")
+    }
+    // incrementality: the probe plan reads the persisted index parquet —
+    // base documents are never re-shingled (only `incoming` scans the
+    // documents table)
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_d17_idx_"),
+      s"d17 plan does not read the persisted index:\n${plan.take(2000)}")
+  }
 }

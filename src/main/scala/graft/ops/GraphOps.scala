@@ -361,6 +361,84 @@ object GraphOps {
       .orderBy(col("node_id"))
   }
 
+  /** g10: single-source-set WEIGHTED shortest paths — g04's BFS measures
+    * hops; the business question is usually weighted ("how close is
+    * this supplier through STRONG trading relationships"). Edge weight
+    * is derived from relationship intensity: w = max(1, 100 div n_txn)
+    * for n_txn lineitems between the pair — heavy trading ⇒ short edge;
+    * exact integer arithmetic so every relaxation replays in SQL.
+    *
+    * Algorithm: distributed Bellman-Ford with a DELTA frontier — only
+    * nodes whose tentative distance IMPROVED this round re-expand next
+    * round (the weighted generalization of g04's discovered-set
+    * frontier; unlike BFS a settled node can re-enter the frontier when
+    * a shorter many-hop path arrives later). One exchange per round
+    * (the frontier⋈edges arrival agg); the running dist table updates
+    * by anti-join + union of the improved rows, localCheckpoint-frozen
+    * per round (the g01/g04 iterative-fixed-point discipline: lineage
+    * must not grow with rounds).
+    *
+    * `distCap` is a DECLARED horizon, part of the semantics: arrivals
+    * beyond it are pruned in-flight (at corpus scale this bounds both
+    * the frontier and — in the oracle — the recursive walk's state,
+    * exactly like g04's hop bound), and nodes beyond it report -1
+    * alongside the genuinely unreachable. Termination: every frontier
+    * row strictly decreases an integer distance bounded below, so the
+    * improved set empties in ≤ distCap/min_w rounds; `maxRounds` is the
+    * same loud-failure hint as g04's. */
+  def weightedSssp(t: Tables, distCap: Long = 300L,
+      maxRounds: Int = 64): DataFrame = {
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val half = pairs.select(col("src"), col("dst"),
+      greatest(lit(1L), expr("100 DIV n")).as("w"))
+    val edges = graft.InternalCaches.track {
+      half.unionByName(
+          half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val sources = nodes
+      .filter(col("node") % 2 === 1 && expr("((node - 1) div 2) % 4") === 0)
+    var dist = sources.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      val arrivals = edges
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+        .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+        .filter(col("cand") <= distCap)
+      val improved = arrivals
+        .join(dist.withColumnRenamed("dist", "cur"), Seq("node"), "left")
+        .filter(col("cur").isNull || col("cand") < col("cur"))
+        .select(col("node"), col("cand").as("dist"))
+        .localCheckpoint(true)
+      if (improved.isEmpty) converged = true
+      else {
+        dist = dist.join(improved.select(col("node")), Seq("node"), "left_anti")
+          .unionByName(improved).localCheckpoint(true)
+        frontier = improved
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"weightedSssp: frontier still improving after $maxRounds rounds — " +
+          "raise maxRounds (bounded by distCap/min_w)")
+    nodes.join(dist, Seq("node"), "left")
+      .select(col("node").as("node_id"),
+        when(col("node") % 2 === 1, "supplier").otherwise("customer").as("kind"),
+        coalesce(col("dist"), lit(-1L)).as("wdist"))
+      .orderBy(col("node_id"))
+  }
+
   /** g05's supplier-hub cap: common-neighbor evidence through a
     * supplier trading with more customers than this is discounted to
     * zero outright (its 1/ln(deg) weight is already near-noise) and,
@@ -904,6 +982,43 @@ object GraphOps {
            |       CAST(coalesce(s3.deg, 0) AS BIGINT) AS core_degree
            |FROM s0 n LEFT JOIN s3 USING (node)
            |ORDER BY node_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // g10: weighted shortest paths from the seed suppliers — see
+    // [[weightedSssp]]. FULLY ORACLED: integer weights and integer
+    // relaxations mean DuckDB's recursive walk (UNION-deduped
+    // (node, dist) states, pruned at the same declared horizon) reaches
+    // the identical fixed point; min-per-node reads off the answer.
+    GraftQuery(
+      "g10_weighted_sssp",
+      "weighted shortest paths (Bellman-Ford delta frontier, w = max(1, 100 div n_txn), horizon 300)",
+      (spark, dir) => weightedSssp(Tables(spark, dir)),
+      Some(
+        """WITH RECURSIVE p0 AS (
+          |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+          |         count(*) AS n
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |  GROUP BY 1, 2),
+          |e0 AS (SELECT src, dst, greatest(1, 100 // n) AS w FROM p0),
+          |eraw AS (SELECT src, dst, w FROM e0
+          |         UNION ALL SELECT dst, src, w FROM e0),
+          |nodes AS (SELECT DISTINCT src AS node FROM eraw),
+          |sources AS (
+          |  SELECT node FROM nodes
+          |  WHERE node % 2 = 1 AND ((node - 1) // 2) % 4 = 0),
+          |walk AS (
+          |  SELECT node, CAST(0 AS BIGINT) AS dist FROM sources
+          |  UNION
+          |  SELECT e.dst AS node, CAST(w.dist + e.w AS BIGINT) AS dist
+          |  FROM walk w JOIN eraw e ON e.src = w.node
+          |  WHERE w.dist + e.w <= 300),
+          |d AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+          |SELECT n.node AS node_id,
+          |       CASE WHEN n.node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS kind,
+          |       CAST(coalesce(d.dist, -1) AS BIGINT) AS wdist
+          |FROM nodes n LEFT JOIN d USING (node)
+          |ORDER BY node_id""".stripMargin)
     )
   )
 }

@@ -401,4 +401,47 @@ class GraphSpec extends SparkSpecBase {
     // every core node really has >= k core neighbors in the last computed round
     surv.foreach(v => assert(lastDeg(v) >= k, s"core node $v below k"))
   }
+
+  test("g10: weighted distances equal an exact driver-side Dijkstra under the same horizon") {
+    val t = Tables(spark, sf0001)
+    val half = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.max(1L, 100L / r.getLong(2))))
+    val adj: Map[Long, Seq[(Long, Long)]] =
+      (half ++ half.map { case (s, d, w) => (d, s, w) })
+        .groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3)).toSeq).toMap
+    val nodes = adj.keySet
+    val sources = nodes.filter(n => n % 2 == 1 && ((n - 1) / 2) % 4 == 0)
+    // multi-source Dijkstra, horizon 300 (the declared semantics)
+    val distM = scala.collection.mutable.Map.empty[Long, Long]
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](
+      Ordering.by[(Long, Long), Long](_._1).reverse)
+    sources.foreach { s => distM(s) = 0L; pq.enqueue((0L, s)) }
+    while (pq.nonEmpty) {
+      val (d, v) = pq.dequeue()
+      if (distM(v) == d)
+        adj.getOrElse(v, Seq.empty[(Long, Long)]).foreach { case (u, w) =>
+          val nd = d + w
+          if (nd <= 300L && nd < distM.getOrElse(u, Long.MaxValue)) {
+            distM(u) = nd; pq.enqueue((nd, u))
+          }
+        }
+    }
+    val got = graft.queries.Catalog.queries("g10_weighted_sssp")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("node_id"), r.getAs[Long]("wdist"))).toMap
+    assert(got.keySet === nodes)
+    nodes.foreach { n =>
+      assert(got(n) === distM.getOrElse(n, -1L), s"node $n wdist")
+    }
+    // the planted structure is non-trivial: weighted order must differ
+    // from hop order somewhere (otherwise g10 degenerates to g04)
+    val hops = graft.queries.Catalog.queries("g04_bfs_distance")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("dist"))).toMap
+    val reach = nodes.filter(n => got(n) >= 0 && hops(n) >= 0).toSeq
+    assert(reach.exists(a => reach.exists(b =>
+        hops(a) < hops(b) && got(a) > got(b))),
+      "weighted and hop distances agree everywhere — weights are inert")
+  }
 }

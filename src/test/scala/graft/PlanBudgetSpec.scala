@@ -57,7 +57,15 @@ class PlanBudgetSpec extends SparkSpecBase {
     "g06_personalized_pagerank"     -> (0, 0, 0, 0, 0),
     "g09_hyperball_kmv"             -> (3, 2, 0, 0, 0),
     "d05_dedup_clusters"            -> (3, 1, 0, 0, 0),
-    "d08_dup_span_detect"           -> (1, 2, 0, 0, 0))
+    "d08_dup_span_detect"           -> (1, 2, 0, 0, 0),
+    // round-10 additions (the new >1.5s bench entries): q93's one BNLJ
+    // is the single-row basket-total cross join; d16/d17/g10 budgets
+    // are the PLAN_AUDIT static counts (their adaptive plans come in at
+    // or under these)
+    "d16_dedup_canonical_keep"      -> (5, 3, 0, 0, 0),
+    "d17_incremental_neardup"       -> (5, 6, 0, 0, 0),
+    "g10_weighted_sssp"             -> (4, 2, 0, 0, 0),
+    "q93_basket_pairs"              -> (8, 3, 0, 1, 1))
 
   private def finalPlan(name: String): String = {
     val df = Catalog.queries(name)(spark, sf0001)

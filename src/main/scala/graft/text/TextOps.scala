@@ -1434,6 +1434,65 @@ object TextOps {
           |FROM ranked
           |GROUP BY 1
           |ORDER BY shard""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // t31: temperature-based source mixing — the multilingual/multi-
+    // source sampling rule (Conneau & Lample 2019: p_s ∝ n_s^(1/T)):
+    // raw proportional sampling starves low-resource sources, uniform
+    // sampling drowns everything in the tail, temperature interpolates.
+    // T = 2 exactly (α = 1/2), because x^(1/2) is the ONE temperature a
+    // cross-engine oracle can carry: IEEE 754 REQUIRES sqrt to be
+    // correctly rounded (a deterministic function of the bits), while
+    // pow/exp/ln are libm-specific (the same reason t16 scores logits
+    // without a sigmoid). floor(sqrt(n)·1000) is therefore bit-identical
+    // in Spark and DuckDB; everything after it is integer floor
+    // division. The outputs a mix designer reads: per-source sampling
+    // probability p_e6 and the implied epochs over each source for a
+    // 1M-token budget (epochs > 1 ⇒ the source is oversampled/repeated
+    // — the quantity temperature sampling exists to control).
+    //
+    // Scale shape: ONE map-side-combined hash agg on source computes
+    // docs + token mass (word-count shape, no explode — regexp_count
+    // per row); the weight/normalize/epoch arithmetic runs on the
+    // dimension-sized per-source table with a single-row total
+    // broadcast. Nothing after the first agg is corpus-bound.
+    GraftQuery(
+      "t31_temperature_mix",
+      "temperature-T=2 source sampling: integer-exact sqrt weights, p_e6, implied epochs per 1M tokens",
+      (spark, dir) => {
+        val per = Tables(spark, dir).documents
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(regexp_count(col("text"), lit(wsToken)).cast("long"))
+              .as("n_tokens"))
+          .withColumn("w_e3",
+            floor(sqrt(col("n_tokens").cast("double")) * 1000).cast("long"))
+        val tot = per.agg(sum(col("w_e3")).as("w_tot"))
+        per.crossJoin(broadcast(tot)) // single-row grand total
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("w_e3"),
+            expr("w_e3 * 1000000L DIV w_tot").as("p_e6"),
+            expr("(w_e3 * 1000000L DIV w_tot) * 1000L DIV n_tokens")
+              .as("epochs_e3"))
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH per AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |         CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+          |           AS n_tokens
+          |  FROM documents GROUP BY source),
+          |w AS (
+          |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT)
+          |              AS w_e3
+          |  FROM per),
+          |tot AS (SELECT CAST(sum(w_e3) AS BIGINT) AS w_tot FROM w)
+          |SELECT source, n_docs, n_tokens, w_e3,
+          |       CAST(w_e3 * 1000000 // w_tot AS BIGINT) AS p_e6,
+          |       CAST((w_e3 * 1000000 // w_tot) * 1000 // n_tokens AS BIGINT)
+          |         AS epochs_e3
+          |FROM w CROSS JOIN tot
+          |ORDER BY source""".stripMargin)
     )
   )
 

@@ -697,6 +697,42 @@ class TextSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("t31: mix equals an exact driver recompute; temperature genuinely flattens the mix") {
+    val got = graft.queries.Catalog.queries("t31_temperature_mix")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[String]("source"), (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("w_e3"),
+        r.getAs[Long]("p_e6"), r.getAs[Long]("epochs_e3"))))
+    // exact recompute: java.lang.Math.sqrt is the same IEEE
+    // correctly-rounded operation both engines use
+    val per = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), "\\S+".r.findAllIn(r.getString(1)).size.toLong))
+      .groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+    val w = per.view.mapValues { case (_, nTok) =>
+      math.floor(math.sqrt(nTok.toDouble) * 1000).toLong
+    }.toMap
+    val wTot = w.values.sum
+    got.foreach { case (src, (nDocs, nTok, wE3, pE6, epochsE3)) =>
+      assert((nDocs, nTok) === per(src), s"$src counts")
+      assert(wE3 === w(src), s"$src weight")
+      assert(pE6 === wE3 * 1000000L / wTot, s"$src probability")
+      assert(epochsE3 === (wE3 * 1000000L / wTot) * 1000L / nTok, s"$src epochs")
+    }
+    // probabilities are a floor-rounded partition of 1
+    val pSum = got.map(_._2._4).sum
+    assert(pSum <= 1000000L && pSum >= 1000000L - got.length)
+    // the temperature genuinely flattens: relative to proportional
+    // sampling, every smaller source is boosted against every larger
+    // one (p_a/p_b > n_a/n_b whenever n_a < n_b)
+    for {
+      (sa, (_, na, _, pa, _)) <- got
+      (sb, (_, nb, _, pb, _)) <- got
+      if na < nb
+    } assert(pa * nb > pb * na,
+      s"temperature did not boost $sa (n=$na) against $sb (n=$nb)")
+  }
+
   test("t30: striped imbalance is bounded by the largest single document") {
     val got = graft.queries.Catalog.queries("t30_shard_assignment")(spark, sf0001)
       .collect()

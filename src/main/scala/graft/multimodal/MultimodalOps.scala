@@ -197,6 +197,29 @@ object MultimodalOps {
         case None => byteStatsFallback(r)
       }
 
+    /** [[decode]]'s STRICT twin for the quarantine path (m06): None when
+      * the payload does not decode as a real image — wrong/zeroed magic
+      * (no reader claims it) or a container that opens but whose pixel
+      * data is truncated/rotten (read(0) throws). The caller decides
+      * policy; this function only guarantees the task never dies on a
+      * poison payload. */
+    def decodeStrict(r: MediaRecord): Option[MediaFeatures] =
+      reader(r.payload) match {
+        case Some(rd) =>
+          try {
+            val first = rd.read(0)
+            val frames =
+              try rd.getNumImages(true)
+              catch { case _: Throwable => 1 }
+            Some(MediaFeatures(r.media_id, r.format, r.payload.length.toLong,
+              first.getWidth, first.getHeight, frames, meanGray(first),
+              graySum(first)))
+          } catch {
+            case _: Exception => None
+          } finally rd.dispose()
+        case None => None
+      }
+
     /** All frames of an animated payload (a still has one frame),
       * decoded to BufferedImages; empty for unrecognized OR corrupt
       * payloads (callers then take their byte-level fallback path). */
@@ -907,6 +930,84 @@ object MultimodalOps {
           |FROM h
           |GROUP BY n_samples, h1, h2
           |ORDER BY canonical_id""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // m06: corrupt-payload QUARANTINE — the production reality m01–m05
+    // idealize away: at 100 TB some payloads are truncated mid-transfer
+    // and some have rotten headers, and ONE poison payload must neither
+    // kill the decode stage nor silently contaminate the features. The
+    // corpus here plants both failure classes deterministically:
+    // id % 9 == 4 → payload truncated to its first 10 bytes (magic
+    // intact, a reader claims it, pixel read throws — the mid-transfer
+    // class), id % 9 == 7 → first byte zeroed (no reader claims it —
+    // the rotten-header class). [[MediaCodec.decodeStrict]] maps each
+    // row to Some(features)/None inside the same mapPartitions batch;
+    // healthy rows aggregate their closed-form pixel digests, corrupt
+    // rows only COUNT (their byte content is encoder-specific, so any
+    // value derived from it would pin the oracle to an encoder — the
+    // m01 payload-bytes exclusion, applied to the quarantine side).
+    //
+    // The oracle knows the corrupt set in closed form and replays the
+    // healthy digests from the pixel formula: a quarantine that drops a
+    // healthy row, passes a corrupt one, or fails the task at all
+    // breaks the hash. Scale shape: unchanged from m01 — payloads never
+    // shuffle; the only exchange carries (format, ok, digest) scalars.
+    GraftQuery(
+      "m06_multimodal_quarantine",
+      "poison-payload quarantine: planted truncation + header rot, per-format ok/quarantined split",
+      (spark, dir) => {
+        import spark.implicits._
+        val media = fakeMediaTable(spark, Tables(spark, dir).documents)
+        val feats = media
+          .map { r =>
+            if (r.media_id % 9 == 4) r.copy(payload = r.payload.take(10))
+            else if (r.media_id % 9 == 7) {
+              val p = r.payload.clone(); p(0) = 0; r.copy(payload = p)
+            } else r
+          }
+          .mapPartitions(_.map { r =>
+            MediaCodec.decodeStrict(r) match {
+              case Some(f) => (r.media_id, r.format, true, f.n_frames.toLong,
+                f.pixel_digest)
+              case None => (r.media_id, r.format, false, 0L, 0L)
+            }
+          })
+          .toDF("media_id", "format", "ok", "n_frames", "pixel_digest")
+        feats.groupBy(col("format"))
+          .agg(count(lit(1)).as("n_media"),
+            sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+            sum(when(col("ok"), 0L).otherwise(1L)).as("n_quarantined"),
+            sum(when(col("ok"), col("n_frames")).otherwise(0L)).as("ok_frames"),
+            sum(when(col("ok"), col("pixel_digest")).otherwise(0L))
+              .as("ok_pixel_digest"))
+          .orderBy(col("format"))
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT doc_id AS id,
+          |         CASE WHEN doc_id % 4 = 3 THEN 'gif' ELSE 'png' END AS format,
+          |         8 + doc_id % 25 AS w,
+          |         8 + (doc_id * 3) % 17 AS h,
+          |         CASE WHEN doc_id % 4 = 3 THEN 2 + doc_id % 7 ELSE 1 END AS nf,
+          |         (doc_id % 9) IN (4, 7) AS corrupt
+          |  FROM documents),
+          |px AS (
+          |  SELECT id, sum((x.x * 31 + y.y * 17 + id * 131) % 256) AS digest
+          |  FROM m, generate_series(0, 31) AS x(x), generate_series(0, 23) AS y(y)
+          |  WHERE x.x < w AND y.y < h AND NOT corrupt
+          |  GROUP BY id)
+          |SELECT m.format AS format,
+          |       CAST(count(*) AS BIGINT) AS n_media,
+          |       CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+          |       CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_quarantined,
+          |       CAST(sum(CASE WHEN corrupt THEN 0 ELSE m.nf END) AS BIGINT)
+          |         AS ok_frames,
+          |       CAST(sum(coalesce(px.digest, 0)) AS BIGINT) AS ok_pixel_digest
+          |FROM m LEFT JOIN px ON m.id = px.id
+          |GROUP BY m.format
+          |ORDER BY format""".stripMargin)
     )
   )
 }

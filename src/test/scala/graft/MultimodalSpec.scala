@@ -304,4 +304,35 @@ class MultimodalSpec extends SparkSpecBase {
       "a re-encode escaped its original's identity group")
     assert(out.forall(_.getAs[Long]("canonical_id") < 100000L))
   }
+
+  test("m06: both poison classes quarantine per-row; healthy rows decode untouched") {
+    // row-level behavior of the strict decoder on BOTH planted classes
+    val good = MediaCodec.encodePng(mediaId = 13L, w = 12, h = 9)
+    assert(MediaCodec.decodeStrict(MediaRecord(13L, "png", good)).isDefined)
+    // truncation: magic intact, pixel data gone
+    assert(MediaCodec.decodeStrict(MediaRecord(13L, "png", good.take(10))).isEmpty)
+    // header rot: first byte zeroed, no reader claims it
+    val rotten = good.clone(); rotten(0) = 0
+    assert(MediaCodec.decodeStrict(MediaRecord(13L, "png", rotten)).isEmpty)
+    // same for the animated container
+    val gif = MediaCodec.encodeGif(mediaId = 31L, w = 10, h = 8, nFrames = 3)
+    assert(MediaCodec.decodeStrict(MediaRecord(31L, "gif", gif)).isDefined)
+    assert(MediaCodec.decodeStrict(MediaRecord(31L, "gif", gif.take(10))).isEmpty)
+    // the catalog aggregate: quarantine counts equal the planted set per
+    // format, and both formats have quarantined members (the planting
+    // is not format-degenerate)
+    val out = graft.queries.Catalog.queries("m06_multimodal_quarantine")(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[String]("format") -> (r.getAs[Long]("n_media"),
+        r.getAs[Long]("n_ok"), r.getAs[Long]("n_quarantined"))).toMap
+    val ids = graft.io.Tables(spark, sf0001).documents
+      .select("doc_id").collect().map(_.getLong(0))
+    def fmt(id: Long) = if (id % 4 == 3) "gif" else "png"
+    val planted = ids.groupBy(fmt).view
+      .mapValues(g => (g.length.toLong,
+        g.count(id => id % 9 != 4 && id % 9 != 7).toLong,
+        g.count(id => id % 9 == 4 || id % 9 == 7).toLong)).toMap
+    assert(out === planted)
+    assert(out("gif")._3 > 0L && out("png")._3 > 0L)
+  }
 }

@@ -44,12 +44,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object CommitLog {
 
   private def commitsDir(base: String) = new java.io.File(base, "_commits")
+  private def checkpointsDir(base: String) = new java.io.File(base, "_checkpoints")
 
-  /** Version ids with a published marker, newest first. */
-  def committedVersions(base: String): Seq[Long] =
+  private def markerVersions(base: String): Seq[Long] =
     Option(commitsDir(base).listFiles()).getOrElse(Array.empty[java.io.File])
-      .flatMap(f => f.getName.toLongOption)
-      .toSeq.sorted.reverse
+      .flatMap(f => f.getName.toLongOption).toSeq
+
+  /** The newest metadata checkpoint: (head id, every version id it
+    * summarizes). Stray `.tmp` files (a checkpoint writer that crashed
+    * before its atomic rename) parse to no id and are ignored. */
+  private def latestCheckpoint(base: String): Option[(Long, Seq[Long])] =
+    Option(checkpointsDir(base).listFiles()).getOrElse(Array.empty[java.io.File])
+      .flatMap(f => f.getName.toLongOption.map(_ -> f))
+      .sortBy(-_._1).headOption
+      .map { case (id, f) =>
+        val ids = java.nio.file.Files.readAllLines(f.toPath)
+          .toArray(Array.empty[String]).toSeq
+          .flatMap(_.trim.toLongOption)
+        (id, ids)
+      }
+
+  /** Version ids with a published marker OR listed in the newest
+    * metadata checkpoint, newest first. With periodic [[checkpoint]] +
+    * [[vacuumMarkers]] this listing is O(1 + Δ) — one checkpoint file
+    * plus only the markers newer than it — instead of O(#versions)
+    * marker files for the table's whole history (the reason every
+    * log-structured format checkpoints its log). */
+  def committedVersions(base: String): Seq[Long] =
+    (markerVersions(base) ++
+      latestCheckpoint(base).map(_._2).getOrElse(Seq.empty))
+      .distinct.sorted.reverse
 
   def latestCommitted(base: String): Option[Long] =
     committedVersions(base).headOption
@@ -130,6 +154,53 @@ object CommitLog {
     throw new IllegalStateException(
       s"commitNextAtomic: gave up after $maxAttempts contended attempts on $base")
   }
+
+  // --- metadata checkpointing -------------------------------------------
+
+  /** Summarize the full committed-version history into ONE checkpoint
+    * file, so discovery stops being O(#versions): after a checkpoint at
+    * head H, [[vacuumMarkers]] may delete every marker ≤ H and readers
+    * resolve from the checkpoint plus only the Δ markers committed
+    * since — the log-compaction move of every production table format
+    * (public Delta/Iceberg designs), in one file and one atomic rename.
+    *
+    * Write protocol mirrors [[commit]]'s publish-last discipline: the
+    * id list lands in `_checkpoints/<H>.tmp` (invisible — discovery
+    * ignores non-numeric names), then one ATOMIC_MOVE rename publishes
+    * `_checkpoints/<H>`. A crash before the rename leaves a `.tmp`
+    * stray that never resolves. Checkpoints are themselves versioned by
+    * head id; discovery reads only the newest, so an old checkpoint is
+    * dead weight, not a hazard. Returns the checkpointed head, or None
+    * on an empty log. */
+  def checkpoint(base: String): Option[Long] =
+    committedVersions(base).maxOption.map { head =>
+      val cd = checkpointsDir(base)
+      cd.mkdirs()
+      val tmp = new java.io.File(cd, s"$head.tmp").toPath
+      java.nio.file.Files.write(tmp,
+        committedVersions(base).sorted.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, new java.io.File(cd, head.toString).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      head
+    }
+
+  /** Delete every marker the newest checkpoint already summarizes. Safe
+    * at any time: discovery is the UNION of checkpoint and markers, so
+    * a vacuum racing a reader can only remove redundancy. Data dirs are
+    * untouched — vacuum compacts metadata, not history; every
+    * checkpointed version stays readable ([[snapshot]]). Returns the
+    * number of markers removed. */
+  def vacuumMarkers(base: String): Int =
+    latestCheckpoint(base) match {
+      case None => 0
+      case Some((head, _)) =>
+        val removable = Option(commitsDir(base).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.toLongOption.exists(_ <= head))
+        removable.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+        removable.length
+    }
 
   /** Read one committed snapshot. The returned frame's scan is bound to
     * this version's directory — later commits never change what it

@@ -322,6 +322,39 @@ object SimilarityOps {
       .orderBy(col("qid"), col("sim_e4").desc, col("vec_id"))
   }
 
+  /** s25: the ANN quality gauge AS A QUERY — per-query recall@k of the
+    * IVF probe against the exact scan, both sides computed in one plan.
+    * Production ANN serving tracks exactly this number (recall at the
+    * deployed nprobe) on a sampled query set; here the sample is the
+    * standard batch-query set and the whole measurement — probe-cell
+    * argmin, both rankings, the intersection count — is integer/
+    * deterministic, so the REPORT carries a full oracle (RecallProbe
+    * remains the ad-hoc measurement tool; this is the continuously-
+    * verifiable pipeline artifact). Cost shape: one probed-cells scan +
+    * one exact scan over the query batch — the exact side is the
+    * ground-truth price any recall measurement pays, bounded by |Q|. */
+  def ivfRecallReport(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nCells: Int, nprobe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val topk = graft.functions.expressions.GroupedTopK.topK(k)
+    val ivf = ivfRangeSearchBatch(emb, queryIds, minSimE4 = -20000L,
+        nCells, nprobe)
+      .groupBy(col("qid"))
+      .agg(topk(col("sim_e4").cast("double"), col("vec_id")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), col("col").getField("id").as("vec_id"))
+    val exact = bruteForceTopKBatch(emb, queryIds, k)
+      .select(col("qid"), col("vec_id"))
+    val hits = ivf.join(exact, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    spark.createDataFrame(queryIds.map(Tuple1(_))).toDF("qid")
+      .join(hits, Seq("qid"), "left")
+      .withColumn("n_hit", coalesce(col("hits"), lit(0L)))
+      .select(col("qid"), col("n_hit"),
+        expr(s"n_hit * 1000000L DIV ${k}L").as("recall_e6"))
+      .orderBy(col("qid"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", 2023): cluster embeddings with k-means, then flag
@@ -2489,6 +2522,62 @@ object SimilarityOps {
           |WHERE a.vec_id % 7 <> 3
           |ORDER BY sim_e4 DESC, a.vec_id
           |LIMIT 10""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // s25: recall@10 report — see [[ivfRecallReport]]. The oracle
+    // replays BOTH rankings (probed-cell IVF and exact) with the shared
+    // integer conventions and counts the per-query intersection, so the
+    // quality number itself is hash-verified, not asserted.
+    GraftQuery(
+      "s25_similarity_recall_report",
+      "per-query recall@10 of the IVF probe vs the exact scan, as one oracled plan",
+      (spark, dir) =>
+        ivfRecallReport(Tables(spark, dir).embeddings, BatchQueryIds,
+          k = 10, nCells = 16, nprobe = 4),
+      Some(
+        s"""WITH ${kmeansCteSql(16, 0)},
+          |qv AS (SELECT vec_id AS qid, q FROM qe WHERE vec_id IN ${batchIdsSql}),
+          |probe AS (
+          |  SELECT qid, cell_id FROM (
+          |    SELECT qv.qid, c.cell_id,
+          |           row_number() OVER (PARTITION BY qv.qid
+          |             ORDER BY ${intDistSql("c.c", "qv.q")} ASC, c.cell_id ASC) AS rn
+          |    FROM cent c CROSS JOIN qv) WHERE rn <= 4),
+          |qf AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+          |       WHERE vec_id IN ${batchIdsSql}),
+          |scored AS (
+          |  SELECT p.qid, a.vec_id,
+          |         CAST(round(${cosSql("e.embedding", "qf.q_emb")} * 10000) AS BIGINT)
+          |           AS sim_e4
+          |  FROM asg a
+          |  JOIN probe p USING (cell_id)
+          |  JOIN embeddings e ON e.vec_id = a.vec_id
+          |  JOIN qf ON qf.qid = p.qid
+          |  WHERE a.vec_id <> p.qid),
+          |ivf AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id,
+          |           row_number() OVER (PARTITION BY qid
+          |                              ORDER BY sim_e4 DESC, vec_id) AS rn
+          |    FROM scored) WHERE rn <= 10),
+          |ex AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT q.qid, e.vec_id,
+          |           row_number() OVER (PARTITION BY q.qid
+          |             ORDER BY CAST(round(${cosSql("e.embedding", "q.q_emb")} * 10000)
+          |                           AS BIGINT) DESC, e.vec_id) AS rn
+          |    FROM embeddings e CROSS JOIN qf q
+          |    WHERE e.vec_id <> q.qid) WHERE rn <= 10),
+          |hit AS (
+          |  SELECT i.qid, count(*) AS n_hit
+          |  FROM ivf i JOIN ex ON ex.qid = i.qid AND ex.vec_id = i.vec_id
+          |  GROUP BY i.qid)
+          |SELECT q.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+          |       CAST(coalesce(h.n_hit, 0) * 1000000 // 10 AS BIGINT) AS recall_e6
+          |FROM (SELECT DISTINCT qid FROM qf) q
+          |LEFT JOIN hit h USING (qid)
+          |ORDER BY q.qid""".stripMargin)
     )
   )
 

@@ -136,4 +136,52 @@ class CommitLogSpec extends SparkSpecBase {
       assert(CommitLog.committedBefore(base, 99L) === Some(5L))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
+
+  test("checkpoint + vacuum: discovery unchanged, marker count drops to the delta") {
+    val base = freshTable()
+    try {
+      def markerCount: Int =
+        Option(new java.io.File(base, "_commits").listFiles())
+          .map(_.length).getOrElse(0)
+      (0 to 4).foreach { i =>
+        CommitLog.commitNext(base) { p =>
+          Seq((i.toLong, s"v$i")).toDF("k", "s").write.parquet(p)
+        }
+      }
+      val before = CommitLog.committedVersions(base)
+      assert(before === Seq(4L, 3L, 2L, 1L, 0L) && markerCount === 5)
+      // checkpoint the history, drop the summarized markers
+      assert(CommitLog.checkpoint(base) === Some(4L))
+      assert(CommitLog.vacuumMarkers(base) === 5 && markerCount === 0)
+      // every discovery surface resolves exactly as before the vacuum
+      assert(CommitLog.committedVersions(base) === before)
+      assert(CommitLog.latestCommitted(base) === Some(4L))
+      assert(CommitLog.committedBefore(base, 3L) === Some(2L))
+      // checkpointed history stays readable (vacuum compacts metadata,
+      // never data)
+      assert(CommitLog.snapshot(spark, base, 1L).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "v1")))
+      // new commits after the vacuum are the O(Δ) marker tail...
+      (5 to 6).foreach { i =>
+        CommitLog.commitNext(base) { p =>
+          Seq((i.toLong, s"v$i")).toDF("k", "s").write.parquet(p)
+        }
+      }
+      assert(markerCount === 2)
+      assert(CommitLog.committedVersions(base) ===
+        Seq(6L, 5L, 4L, 3L, 2L, 1L, 0L))
+      // ...and a second checkpoint folds checkpoint + delta together
+      assert(CommitLog.checkpoint(base) === Some(6L))
+      assert(CommitLog.vacuumMarkers(base) === 2)
+      assert(CommitLog.committedVersions(base) ===
+        Seq(6L, 5L, 4L, 3L, 2L, 1L, 0L))
+      assert(CommitLog.snapshotLatest(spark, base).get.collect()
+        .map(_.getString(1)).toSeq === Seq("v6"))
+      // a crashed checkpoint writer (stray .tmp) is invisible
+      val cd = new java.io.File(base, "_checkpoints"); cd.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(cd, "999.tmp").toPath, "999".getBytes("UTF-8"))
+      assert(CommitLog.latestCommitted(base) === Some(6L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }

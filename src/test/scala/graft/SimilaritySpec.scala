@@ -622,6 +622,21 @@ class SimilaritySpec extends SparkSpecBase {
       "no lexical-only doc reached the fused top-10")
   }
 
+  test("s25: recall is monotone in nprobe and exactly 1.0 when every cell is probed") {
+    def report(nprobe: Int): Map[Long, Long] =
+      SimilarityOps.ivfRecallReport(emb, SimilarityOps.BatchQueryIds,
+          k = 10, nCells = 16, nprobe = nprobe)
+        .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("n_hit")).toMap
+    val r1 = report(1); val r4 = report(4); val rAll = report(16)
+    SimilarityOps.BatchQueryIds.foreach { q =>
+      assert(r1(q) <= r4(q), s"query $q: recall not monotone in nprobe")
+      assert(r4(q) <= rAll(q), s"query $q: recall not monotone in nprobe")
+      // probing all 16 cells scans the whole corpus — the IVF ranking
+      // collapses to the exact ranking and recall is exactly 1.0
+      assert(rAll(q) === 10L, s"query $q: full probe must recover exact")
+    }
+  }
+
   test("s24: tombstoned vectors never surface; compaction is probe-equivalent") {
     import graft.similarity.IvfIndex
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_delspec").toString

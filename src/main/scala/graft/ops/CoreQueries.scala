@@ -3235,6 +3235,62 @@ object CoreQueries {
           |JOIN itemn nb ON nb.pkey = t.b
           |CROSS JOIN tot
           |ORDER BY t.support DESC, t.a, t.b""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q94: JSON-lines source round-trip — the interchange format event
+    // feeds actually land in (SRC breadth beyond the CSV dialects and
+    // parquet: line-delimited JSON is splittable, so a 100 TB feed scans
+    // at full parallelism, unlike a multi-line JSON document). The
+    // events land as JSONL with every value ALREADY integer-coded
+    // (unix micros, value micros — floor(value·1e6), the q62
+    // convention): JSON longs round-trip exactly, while raw doubles
+    // would ride on shortest-repr printing. The read path uses an
+    // EXPLICIT schema — at corpus scale schema inference is a full
+    // extra pass over the data; it exists for exploration, and
+    // WritersSpec proves it infers this layout losslessly. The verify
+    // aggregate touches every column, so any serialization defect
+    // breaks the hash against the parquet-side oracle.
+    GraftQuery(
+      "q94_jsonl_roundtrip",
+      "events → JSON-lines sink → explicit-schema scan → per-type aggregate (parquet-side oracle)",
+      (spark, dir) => {
+        val layout = graft.io.TempLayouts.cached(
+          "q94_jsonl#" + new java.io.File(dir).getCanonicalPath,
+          "graft_jsonl_") { out =>
+          Tables(spark, dir).events
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"),
+              floor(col("value") * 1e6).cast("long").as("value_micros"))
+            .write.mode("overwrite").json(out)
+        }
+        spark.read
+          .schema("event_id LONG, user_id LONG, event_type STRING, " +
+            "ts_us LONG, value_micros LONG")
+          .json(layout)
+          .groupBy(col("event_type"))
+          .agg(cnt.as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value_micros")).as("sum_value_micros"),
+            min(col("ts_us")).as("min_ts_us"),
+            max(col("ts_us")).as("max_ts_us"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """WITH src AS (
+          |  SELECT event_id, user_id, event_type,
+          |         epoch_ns(ts) // 1000 AS ts_us,
+          |         CAST(floor(value * 1000000) AS BIGINT) AS value_micros
+          |  FROM events)
+          |SELECT event_type,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          |       CAST(sum(value_micros) AS BIGINT) AS sum_value_micros,
+          |       CAST(min(ts_us) AS BIGINT) AS min_ts_us,
+          |       CAST(max(ts_us) AS BIGINT) AS max_ts_us
+          |FROM src
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
     )
   )
 

@@ -381,4 +381,34 @@ class WritersSpec extends SparkSpecBase {
     assert(later.rdd.getNumPartitions === first.rdd.getNumPartitions)
     assert(later.count() === 20000L)
   }
+
+  test("q94: JSONL schema inference recovers the explicit schema losslessly") {
+    // exploration path vs production path: sampling inference over the
+    // q94 layout must land on the exact types the explicit schema
+    // declares (longs as bigint, strings as string), and the inferred
+    // read must agree row-for-row
+    val layout = graft.io.TempLayouts.cached(
+      "q94_jsonl#" + new java.io.File(sf0001).getCanonicalPath,
+      "graft_jsonl_") { out =>
+      graft.io.Tables(spark, sf0001).events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          org.apache.spark.sql.functions.unix_micros(col("ts")).as("ts_us"),
+          floor(col("value") * 1e6).cast("long").as("value_micros"))
+        .write.mode("overwrite").json(out)
+    }
+    val inferred = spark.read.json(layout)
+    val expected = Map("event_id" -> "bigint", "user_id" -> "bigint",
+      "event_type" -> "string", "ts_us" -> "bigint", "value_micros" -> "bigint")
+    inferred.schema.fields.foreach { f =>
+      assert(expected(f.name) === f.dataType.simpleString,
+        s"inferred ${f.name} as ${f.dataType.simpleString}")
+    }
+    val explicitRead = spark.read
+      .schema("event_id LONG, user_id LONG, event_type STRING, " +
+        "ts_us LONG, value_micros LONG")
+      .json(layout)
+    val key = Seq("event_id", "user_id", "event_type", "ts_us", "value_micros")
+    assert(inferred.select(key.map(col): _*).orderBy("event_id").collect().toSeq ===
+      explicitRead.select(key.map(col): _*).orderBy("event_id").collect().toSeq)
+  }
 }

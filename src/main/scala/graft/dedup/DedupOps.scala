@@ -40,6 +40,25 @@ object DedupOps {
   // Universal-hash coefficients live with the native expression
   // (graft.functions.expressions.MinHashSignature, seed 42).
 
+  /** d15/d17's planted-id convention: batch copies take +100000/+200000
+    * offsets, and the ORACLE splits index vs batch rows on
+    * `doc_id < 100000`. That bound is part of the declared semantics —
+    * a corpus whose ids reach it would silently misclassify sides and
+    * collide planted ids with real ones — so entries that ride the
+    * convention assert it LOUDLY here instead. One max() over the
+    * doc-id column, checked once per (entry, dir) per JVM. */
+  private val PlantOffset = 100000L
+  private val idSpaceChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def assertPlantIdSpace(docs: DataFrame, key: String): Unit =
+    if (!idSpaceChecked.contains(key)) {
+      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      require(mx < PlantOffset,
+        s"planted-id convention requires max(doc_id) < $PlantOffset, got " +
+          s"$mx — raise the offset (and the oracle's id-space split) together")
+      idSpaceChecked.add(key)
+    }
+
   /** documents ∪ whitespace-perturbed copies — equal after normalization. */
   def exactDupCorpus(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
@@ -1000,6 +1019,7 @@ object DedupOps {
       "new-batch dedup against a persisted fingerprint index + within-batch first-wins (no base rescan)",
       (spark, dir) => {
         val t = Tables(spark, dir)
+        assertPlantIdSpace(t.documents, "d15#" + dir)
         val perturb = concat(regexp_replace(col("text"), " ", "  "), lit(" "))
         // the durable index: base snapshot = 4/5 of documents, built once
         // per JVM and served from parquet thereafter
@@ -1162,6 +1182,7 @@ object DedupOps {
       "new-batch near-dup verdicts against a persisted LSH band index (no base rescan, no old-pair regen)",
       (spark, dir) => {
         val t = Tables(spark, dir)
+        assertPlantIdSpace(t.documents, "d17#" + dir)
         val truncate3 = regexp_replace(col("text"), "(\\s+\\S+){3}$", "")
         val idxDir = graft.io.TempLayouts.cached(
           "d17_index#" + new java.io.File(dir).getCanonicalPath,

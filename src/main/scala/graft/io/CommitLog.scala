@@ -187,17 +187,26 @@ object CommitLog {
 
   /** Delete every marker the newest checkpoint already summarizes. Safe
     * at any time: discovery is the UNION of checkpoint and markers, so
-    * a vacuum racing a reader can only remove redundancy. Data dirs are
+    * a vacuum racing a reader can only remove redundancy. Removability
+    * is membership in the checkpoint's PARSED id list — never an
+    * `id <= head` range test — because a version can legitimately gain
+    * its marker with an id BELOW the checkpoint head after the
+    * checkpoint was written (the idempotent-replay path of
+    * [[commit]](base, oldId), or a crashed [[commitNextAtomic]]
+    * claimant replaying into its hole); a range vacuum would delete
+    * that marker while the checkpoint never listed it, making a
+    * committed version permanently undiscoverable. Data dirs are
     * untouched — vacuum compacts metadata, not history; every
     * checkpointed version stays readable ([[snapshot]]). Returns the
     * number of markers removed. */
   def vacuumMarkers(base: String): Int =
     latestCheckpoint(base) match {
       case None => 0
-      case Some((head, _)) =>
+      case Some((_, summarized)) =>
+        val ids = summarized.toSet
         val removable = Option(commitsDir(base).listFiles())
           .getOrElse(Array.empty[java.io.File])
-          .filter(_.getName.toLongOption.exists(_ <= head))
+          .filter(_.getName.toLongOption.exists(ids.contains))
         removable.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
         removable.length
     }

@@ -199,18 +199,21 @@ object MultimodalOps {
 
     /** [[decode]]'s STRICT twin for the quarantine path (m06): None when
       * the payload does not decode as a real image — wrong/zeroed magic
-      * (no reader claims it) or a container that opens but whose pixel
-      * data is truncated/rotten (read(0) throws). The caller decides
-      * policy; this function only guarantees the task never dies on a
-      * poison payload. */
+      * (no reader claims it), a container that opens but whose pixel
+      * data is truncated/rotten (read(0) throws), OR a multi-frame
+      * container whose frame directory cannot be walked
+      * (getNumImages(true) throws: later frames truncated even though
+      * frame 0 decoded). Unlike the lenient [[decode]] — which books
+      * such a payload as 1 frame and moves on — strict means strict:
+      * any codec-level failure is corruption and quarantines the row.
+      * The caller decides policy; this function only guarantees the
+      * task never dies on a poison payload. */
     def decodeStrict(r: MediaRecord): Option[MediaFeatures] =
       reader(r.payload) match {
         case Some(rd) =>
           try {
             val first = rd.read(0)
-            val frames =
-              try rd.getNumImages(true)
-              catch { case _: Throwable => 1 }
+            val frames = rd.getNumImages(true)
             Some(MediaFeatures(r.media_id, r.format, r.payload.length.toLong,
               first.getWidth, first.getHeight, frames, meanGray(first),
               graySum(first)))

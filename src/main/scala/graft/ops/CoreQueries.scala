@@ -3182,6 +3182,15 @@ object CoreQueries {
     // metric joins are output-bound, never corpus-bound. All metrics in
     // integer e6 units (floor division on positive counts — identical
     // in Spark `DIV` and DuckDB `//`), so the ranking replays exactly.
+    // Lift is computed by STAGED division — lift_e6 = (conf_ab_e6 ·
+    // n_baskets) DIV n_b — never as support·n_baskets·1e6 in one
+    // product: at corpus cardinalities that single product exceeds 2^63
+    // (silent Long wraparound in non-ANSI Spark vs DuckDB's 128-bit
+    // promotion). The staged form's worst factor is conf_ab_e6 ≤ 1e6 ×
+    // n_baskets, overflow-free for any corpus under ~9.2e12 baskets
+    // (three orders of magnitude past 100 TB TPC-H), at the cost of a
+    // ≤1-ulp-of-e6 floor difference that both engines share by
+    // construction.
     GraftQuery(
       "q93_basket_pairs",
       "market-basket pair mining: top-40 co-ordered part pairs with support, confidence, lift",
@@ -3208,7 +3217,7 @@ object CoreQueries {
           .select(col("a"), col("b"), col("support"),
             expr("support * 1000000L DIV n_a").as("conf_ab_e6"),
             expr("support * 1000000L DIV n_b").as("conf_ba_e6"),
-            expr("support * n_baskets * 1000000L DIV (n_a * n_b)").as("lift_e6"))
+            expr("(support * 1000000L DIV n_a) * n_baskets DIV n_b").as("lift_e6"))
           .orderBy(col("support").desc, col("a"), col("b"))
       },
       Some(
@@ -3228,7 +3237,7 @@ object CoreQueries {
           |SELECT t.a, t.b, t.support,
           |       CAST((t.support * 1000000) // na.n AS BIGINT) AS conf_ab_e6,
           |       CAST((t.support * 1000000) // nb.n AS BIGINT) AS conf_ba_e6,
-          |       CAST((t.support * tot.n_baskets * 1000000) // (na.n * nb.n)
+          |       CAST((((t.support * 1000000) // na.n) * tot.n_baskets) // nb.n
           |            AS BIGINT) AS lift_e6
           |FROM top t
           |JOIN itemn na ON na.pkey = t.a

@@ -384,10 +384,15 @@ object GraphOps {
     * exactly like g04's hop bound), and nodes beyond it report -1
     * alongside the genuinely unreachable. Termination: every frontier
     * row strictly decreases an integer distance bounded below, so the
-    * improved set empties in ≤ distCap/min_w rounds; `maxRounds` is the
-    * same loud-failure hint as g04's. */
+    * improved set empties in ≤ distCap/min_w rounds; `maxRounds`
+    * therefore DEFAULTS to that semantic bound (min edge weight is 1,
+    * so distCap rounds always suffice — a fixed smaller default could
+    * throw on valid data at larger scale factors) and stays overridable
+    * as the same loud-failure hint as g04's. */
   def weightedSssp(t: Tables, distCap: Long = 300L,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = -1): DataFrame = {
+    val roundCap = if (maxRounds > 0) maxRounds
+      else math.min(distCap, Int.MaxValue.toLong).toInt
     val pairs = t.orders
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
       .groupBy((col("o_custkey") * 2).as("src"),
@@ -409,7 +414,7 @@ object GraphOps {
     var frontier = dist
     var round = 0
     var converged = false
-    while (!converged && round < maxRounds) {
+    while (!converged && round < roundCap) {
       round += 1
       val arrivals = edges
         .join(frontier.withColumnRenamed("node", "src"), "src")
@@ -430,7 +435,7 @@ object GraphOps {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"weightedSssp: frontier still improving after $maxRounds rounds — " +
+        s"weightedSssp: frontier still improving after $roundCap rounds — " +
           "raise maxRounds (bounded by distCap/min_w)")
     nodes.join(dist, Seq("node"), "left")
       .select(col("node").as("node_id"),

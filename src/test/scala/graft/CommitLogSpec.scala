@@ -184,4 +184,42 @@ class CommitLogSpec extends SparkSpecBase {
       assert(CommitLog.latestCommitted(base) === Some(6L))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
+
+  test("vacuum never eats a marker the checkpoint does not list (replay into a hole)") {
+    // The hazard: commitNextAtomic claimants can crash between claim and
+    // publish, leaving an id HOLE below the head; the crashed batch may
+    // later replay via commit(base, oldId) — AFTER a checkpoint at a
+    // higher head was already written. A range-based vacuum (id <= head)
+    // would delete that replayed marker even though the checkpoint never
+    // summarized it, making a committed version permanently
+    // undiscoverable. Vacuum must test MEMBERSHIP in the checkpoint's
+    // parsed id list instead.
+    val base = freshTable()
+    try {
+      import java.io.File
+      Seq(0L, 1L, 3L).foreach { i =>                 // hole at id 2
+        CommitLog.commit(base, i) { p =>
+          Seq((i, s"v$i")).toDF("k", "s").write.parquet(p)
+        }
+      }
+      assert(CommitLog.checkpoint(base) === Some(3L)) // summarizes {0,1,3}
+      // the crashed claimant replays into its hole, below the head
+      CommitLog.commit(base, 2L) { p =>
+        Seq((2L, "v2")).toDF("k", "s").write.parquet(p)
+      }
+      assert(CommitLog.vacuumMarkers(base) === 3)     // only {0,1,3} markers
+      // the replayed version stays discoverable and readable
+      assert(CommitLog.committedVersions(base) === Seq(3L, 2L, 1L, 0L))
+      assert(CommitLog.snapshot(spark, base, 2L).collect()
+        .map(_.getString(1)).toSeq === Seq("v2"))
+      def markers: Set[String] =
+        Option(new File(base, "_commits").listFiles())
+          .getOrElse(Array.empty[File]).map(_.getName).toSet
+      assert(markers === Set("2"))
+      // the next checkpoint folds the replay in; only then is it vacuumable
+      assert(CommitLog.checkpoint(base) === Some(3L))
+      assert(CommitLog.vacuumMarkers(base) === 1 && markers.isEmpty)
+      assert(CommitLog.committedVersions(base) === Seq(3L, 2L, 1L, 0L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }

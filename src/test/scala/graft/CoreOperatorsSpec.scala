@@ -735,7 +735,7 @@ class CoreOperatorsSpec extends SparkSpecBase {
       .sortBy { case ((a, b), s) => (-s, a, b) }.take(40)
       .map { case ((a, b), s) =>
         (a, b, s, s * 1000000L / itemN(a), s * 1000000L / itemN(b),
-          s * nBaskets * 1000000L / (itemN(a) * itemN(b)))
+          (s * 1000000L / itemN(a)) * nBaskets / itemN(b))
       }
     val got = graft.queries.Catalog.queries("q93_basket_pairs")(spark, sf0001)
       .collect()

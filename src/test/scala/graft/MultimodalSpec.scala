@@ -335,4 +335,34 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out === planted)
     assert(out("gif")._3 > 0L && out("png")._3 > 0L)
   }
+
+  test("m06: strict decode is honest at EVERY truncation point of a multi-frame container") {
+    // Sweep every prefix of a 3-frame GIF. The strict contract under
+    // test: decodeStrict never dies, and when it accepts a payload its
+    // frame count equals exactly the number of INDEPENDENTLY decodable
+    // frames (the full getNumImages(true) directory walk) — never a
+    // silent frames:=1 default from a swallowed walk failure. The JDK
+    // GIF reader reports only complete frames on truncation; readers
+    // that instead THROW from the walk now quarantine (None) rather
+    // than understate.
+    val gif = MediaCodec.encodeGif(mediaId = 41L, w = 10, h = 8, nFrames = 3)
+    val full = MediaCodec.decodeStrict(MediaRecord(41L, "gif", gif)).get
+    assert(full.n_frames === 3)
+    var accepted = 0
+    (8 until gif.length).foreach { cut =>
+      val p = java.util.Arrays.copyOf(gif, cut)
+      MediaCodec.decodeStrict(MediaRecord(41L, "gif", p)).foreach { f =>
+        accepted += 1
+        assert(f.n_frames === MediaCodec.decodeFrames(p).length,
+          s"cut=$cut: strict frame count disagrees with the decodable frames")
+        assert(f.n_frames >= 1 && f.n_frames <= 3)
+        // the first frame is the same pixels at every accepting cut
+        assert(f.pixel_digest === full.pixel_digest && f.mean_byte === full.mean_byte,
+          s"cut=$cut: first-frame pixels drifted under truncation")
+      }
+    }
+    // the sweep exercises both verdicts: some prefixes quarantine, some
+    // accept with a partial (1- or 2-frame) directory
+    assert(accepted > 0 && accepted < gif.length - 8)
+  }
 }

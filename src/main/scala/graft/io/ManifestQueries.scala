@@ -1,0 +1,186 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.GraftQuery
+
+/** Catalog entries for the manifest table format ([[ManifestLog]]):
+  * plan-time file skipping from manifest statistics (q96) and
+  * file-granular copy-on-write MERGE (q97).
+  */
+object ManifestQueries {
+
+  /** The manifest-committed orders feed both entries read: integer-coded
+    * (the q94/q95 interchange discipline — dates as ISO strings, money as
+    * cents), range-partitioned + sorted so each data file owns a
+    * contiguous slice of its sort column, stats collected at commit. Built
+    * once per (JVM, dataset); returns the table base dir. */
+  private def ordersByDate(spark: SparkSession, dir: String): String =
+    TempLayouts.cached(
+      "manifest_orders_date#" + new java.io.File(dir).getCanonicalPath,
+      "graft_manifest_ord_") { base =>
+      ManifestLog.commitAppend(
+        spark, base,
+        Tables(spark, dir).orders.select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderpriority").as("priority")),
+        statsCols = Seq("odate"), sortCol = Some("odate"), files = 24): Unit
+    }
+
+  private def ordersByKey(spark: SparkSession, dir: String): String =
+    TempLayouts.cached(
+      "manifest_orders_key#" + new java.io.File(dir).getCanonicalPath,
+      "graft_manifest_kv_") { base =>
+      ManifestLog.commitAppend(
+        spark, base,
+        Tables(spark, dir).orders.select(
+          col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderstatus").as("status")),
+        statsCols = Seq("k"), sortCol = Some("k"), files = 16): Unit
+    }
+
+  val all: Seq[GraftQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q96: manifest-stats file skipping — the plan-time half of the
+    // layout-skipping family (q55/q58/q62 skip ROW GROUPS via parquet
+    // footer pushdown, which still opens every file's footer; this skips
+    // whole FILES from one manifest read, the Delta/Iceberg data-skipping
+    // move that matters when a table has 10⁶ files). The scan list is
+    // resolved from [[ManifestLog.pruneRange]] over footer-harvested
+    // min/max — no data file is touched for the skipped ranges — then the
+    // row-level predicate still applies (edge files hold out-of-range
+    // rows). ManifestLogSpec pins soundness (skipped files contain no
+    // matching rows) and effectiveness (most files skipped); the oracle
+    // pins values against the raw parquet table.
+    GraftQuery(
+      "q96_manifest_stats_skipping",
+      "manifest min/max file pruning for a date-range revenue rollup (parquet-side oracle)",
+      (spark, dir) => {
+        val base = ordersByDate(spark, dir)
+        val m = ManifestLog.manifest(base, ManifestLog.latest(base).get)
+        val (keep, _) = ManifestLog.pruneRange(m, "odate", "1996-04-01", "1996-09-30")
+        ManifestLog.read(spark, base, keep)
+          .filter(col("odate") >= "1996-04-01" && col("odate") <= "1996-09-30")
+          .groupBy(substring(col("odate"), 1, 7).as("month"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("rev_cents"),
+            countDistinct(col("priority")).as("n_prio"))
+          .orderBy(col("month"))
+      },
+      Some(
+        """WITH feed AS (
+          |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS odate,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+          |         o_orderpriority AS priority
+          |  FROM orders)
+          |SELECT substr(odate, 1, 7) AS month,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(cents) AS BIGINT) AS rev_cents,
+          |       CAST(count(DISTINCT priority) AS BIGINT) AS n_prio
+          |FROM feed
+          |WHERE odate >= '1996-04-01' AND odate <= '1996-09-30'
+          |GROUP BY 1
+          |ORDER BY 1""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q97: file-granular copy-on-write MERGE — the production upsert
+    // shape (public Delta MERGE semantics): a key-banded update+insert
+    // batch lands by (1) stats-pruning the manifest to the AFFECTED files
+    // (the band's key range), (2) rewriting only those files (anti-join
+    // out the updated keys, union the new row versions), (3) publishing a
+    // new manifest that references every untouched file UNCHANGED plus
+    // the rewritten + inserted files. On a 100 TB table the write cost is
+    // O(affected files + batch), never O(table); q65's merge is the
+    // whole-table logical version, this is the physical-layout one.
+    // ManifestLogSpec pins file reuse across versions (path identity),
+    // bounded rewrite set, and old-snapshot immutability; the oracle pins
+    // the merged STATE (every run re-executes the merge and reads it
+    // back).
+    GraftQuery(
+      "q97_manifest_cow_merge",
+      "copy-on-write MERGE rewriting only stats-affected files; merged state vs SQL oracle",
+      (spark, dir) => {
+        val base = ordersByKey(spark, dir)
+        mergedSnapshot(spark, base)
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("status"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT o_orderkey AS k,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |b AS (SELECT min(k) AS mn, max(k) AS mx FROM base),
+          |band AS (SELECT mn + (mx - mn) // 3 AS lo,
+          |                mn + (mx - mn) // 3 + (mx - mn) // 20 AS hi,
+          |                mx
+          |         FROM b),
+          |upd AS (SELECT k, cents + 100 AS cents, 'X' AS status
+          |        FROM base, band WHERE k BETWEEN lo AND hi),
+          |ins AS (SELECT k + 2 * mx AS k, cents, 'N' AS status
+          |        FROM base, band WHERE k BETWEEN lo AND hi),
+          |merged AS (
+          |  SELECT * FROM base WHERE k NOT IN (SELECT k FROM upd)
+          |  UNION ALL SELECT * FROM upd
+          |  UNION ALL SELECT * FROM ins)
+          |SELECT status,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+          |       CAST(min(k) AS BIGINT) AS min_k,
+          |       CAST(max(k) AS BIGINT) AS max_k
+          |FROM merged
+          |GROUP BY status
+          |ORDER BY status""".stripMargin)
+    )
+  )
+
+  /** Execute the q97 CoW merge against `base`'s latest version and read
+    * back the new snapshot. Split out so ManifestLogSpec drives the same
+    * path the catalog entry runs. Returns the merged snapshot frame.
+    *
+    * The update/insert batch is closed-form from the table itself (a 5%
+    * key band one third into the key space): updates bump cents by 100
+    * and set status 'X'; inserts re-land the band's rows at k + 2·max(k)
+    * with status 'N' (collision-free by construction). */
+  def mergedSnapshot(spark: SparkSession, base: String): DataFrame = {
+    // always merge against VERSION 0 (the original table): re-running the
+    // entry replays the same logical batch, so its output is fixed while
+    // each run still exercises the full CoW path into a fresh version
+    val head = ManifestLog.latest(base).get
+    val m = ManifestLog.manifest(base, 0L)
+    val snap = ManifestLog.read(spark, base, m)
+    // one 2-value driver scalar (the q09/IvfIndex bounded-collect class):
+    // the band bounds parameterize the manifest prune below
+    val Array(mn, mx) = snap.agg(min(col("k")), max(col("k"))).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    val lo = mn + (mx - mn) / 3
+    val hi = lo + (mx - mn) / 20
+    // pruneRange keeps files that MIGHT match — for a merge those are the
+    // AFFECTED files; the pruned-away remainder is reused by reference
+    val (affected, keep) = ManifestLog.pruneRange(m, "k", lo.toString, hi.toString)
+    val upd = snap.filter(col("k").between(lo, hi))
+      .select(col("k"), (col("cents") + 100).as("cents"), lit("X").as("status"))
+    val ins = snap.filter(col("k").between(lo, hi))
+      .select((col("k") + lit(2L * mx)).as("k"), col("cents"), lit("N").as("status"))
+    val rewritten = ManifestLog.read(spark, base, affected)
+      .join(upd.select("k"), Seq("k"), "left_anti")
+      .unionByName(upd)
+    val tag = s"v${head + 1L}"
+    val newEntries =
+      ManifestLog.stage(spark, base, s"$tag-rw", rewritten, Seq("k"), Some("k"),
+        files = math.max(1, affected.size)) ++
+        ManifestLog.stage(spark, base, s"$tag-ins", ins, Seq("k"), Some("k"), files = 1)
+    val v1 = ManifestLog.commitEntries(base, keep ++ newEntries)
+    ManifestLog.snapshot(spark, base, v1)
+  }
+}

@@ -33,6 +33,8 @@ object Catalog {
       graft.dedup.EditJoin.all ++
       graft.similarity.SimilarityOps.all ++
       graft.multimodal.MultimodalOps.all ++
+      graft.sources.SourceQueries.all ++
+      graft.io.ManifestQueries.all ++
       graft.plans.SummaryQueries.all ++
       graft.plans.AsofQueries.all ++
       graft.streaming.EventStreams.catalog

@@ -1,0 +1,513 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** Native DataSource V2 connector for line-delimited JSON — the connector
+  * half of the Catalyst extension matrix (Expression / Generator /
+  * Aggregator / TypedImperativeAggregate / Rule / Strategy / SparkPlan all
+  * have entries; this adds TableProvider → Table → ScanBuilder → Scan →
+  * Batch → PartitionReader, the surface a storage team extends when the
+  * built-in readers can't host their format).
+  *
+  * Usage: `spark.read.format("graft-jsonl")` (registered short name) or
+  * `format("graft.sources.JsonlSource")`, with `.schema(...)` or the
+  * sampling inference below, and `option("path", dir)`.
+  *
+  * Scale design (the reason JSONL and not a JSON document): records are
+  * newline-framed, so a 100 TB feed splits into byte ranges planned ON THE
+  * DRIVER from file lengths alone ([[JsonlScan.planInputPartitions]]) —
+  * no central scan, full cluster parallelism, HDFS block locality hints
+  * carried per split. The split-ownership contract is the public Hadoop
+  * LineRecordReader one: a split reads records whose first byte lies in
+  * `(start, start+length]` — every non-head split discards through its
+  * first newline (that prefix belongs to the predecessor) and reads one
+  * record PAST its end when a record straddles the boundary, so every
+  * record is owned by exactly one split with no coordination.
+  *
+  * Pushdown surfaces (all verified in plan text by JsonlSourceSpec):
+  *  - `SupportsPushDownRequiredColumns` — only requested keys are
+  *    converted (a 2-column projection of a 40-key feed parses 2 fields
+  *    per record; Jackson still tokenizes the line, which is the honest
+  *    floor for a text format — columnar pruning needs a columnar format);
+  *  - `SupportsPushDownFilters` — comparison/IN/null-test predicates are
+  *    absorbed into the scan and evaluated BEFORE row materialization,
+  *    with exact Catalyst semantics (strings compare as unsigned UTF-8
+  *    bytes = `UTF8String` binary order; numeric cross-type compares
+  *    widen long→double exactly like the analyzer's cast). `Not` is NOT
+  *    absorbed: collapsing SQL's three-valued logic to a boolean is only
+  *    sound for the positive connectives (unknown⇒drop commutes with
+  *    AND/OR but not NOT), so it stays a residual Filter node;
+  *  - `SupportsPushDownLimit` — partially pushed: each reader stops after
+  *    N surviving records (a `LIMIT n` over 100 TB opens splits lazily and
+  *    each touched split emits ≤ n), Spark applies the global limit above;
+  *  - `SupportsReportStatistics` — byte size scaled by the pruned-column
+  *    fraction, so the CBO/AQE sees a 2-of-10-column scan as ~20% of the
+  *    file bytes when sizing joins over this source.
+  *
+  * Type system: BOOLEAN / LONG / DOUBLE / STRING (top-level keys only) —
+  * the integer-coded interchange discipline of q94; type-mismatched or
+  * missing values read NULL (PERMISSIVE). Schema inference samples the
+  * head of the FIRST file (`inferLines`, default 200) — at corpus scale
+  * inference is a full extra pass, so production readers pass `.schema`
+  * and inference exists for exploration.
+  *
+  * The reader path is Hadoop-FS (`Path.getFileSystem`), so the same jar
+  * reads file://, hdfs:// or s3a:// URIs; the driver's Hadoop conf rides
+  * to executors via [[SerializableConfiguration]].
+  */
+class JsonlSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-jsonl"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JsonlSource.inferFromHead(
+      JsonlSource.requirePath(options),
+      math.max(1, options.getInt("inferLines", 200)))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    schema.fields.foreach { f =>
+      require(JsonlSource.supported(f.dataType),
+        s"graft-jsonl supports BOOLEAN/LONG/DOUBLE/STRING top-level fields; " +
+          s"got ${f.name}: ${f.dataType.catalogString}")
+    }
+    new JsonlTable(schema)
+  }
+}
+
+object JsonlSource {
+
+  private[sources] def supported(dt: DataType): Boolean = dt match {
+    case BooleanType | LongType | DoubleType | StringType => true
+    case _ => false
+  }
+
+  private[sources] def requirePath(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-jsonl requires option(\"path\", ...) or load(path)")
+    p
+  }
+
+  /** Data files under `path` (itself, or its direct children), sorted by
+    * name for deterministic split numbering; hidden/metadata names
+    * (`_SUCCESS`, `.crc`, checkpoint strays) are skipped — the same
+    * convention as Spark's file index. */
+  private[sources] def listDataFiles(path: String): Seq[FileStatus] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val st = fs.getFileStatus(root)
+    val files =
+      if (st.isDirectory) fs.listStatus(root).toSeq
+      else Seq(st)
+    files
+      .filter(_.isFile)
+      .filterNot { f =>
+        val n = f.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .sortBy(_.getPath.toString)
+  }
+
+  /** Sampling schema inference over the head of the first data file.
+    * Key order is first-appearance; per-key type is the least upper bound
+    * of the observed value kinds in {BOOLEAN, LONG, DOUBLE, STRING}
+    * (LONG∨DOUBLE = DOUBLE — JSON integers embed exactly; anything else
+    * mixes to STRING, the printed form). Nulls carry no type evidence. */
+  private[sources] def inferFromHead(path: String, lines: Int): StructType = {
+    val files = listDataFiles(path)
+    require(files.nonEmpty, s"graft-jsonl: no data files under $path")
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val fs = files.head.getPath.getFileSystem(conf)
+    val in = fs.open(files.head.getPath)
+    val kinds = mutable.LinkedHashMap.empty[String, DataType]
+    try {
+      val rdr = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      var read = 0
+      var line = rdr.readLine()
+      while (line != null && read < lines) {
+        if (line.trim.nonEmpty) {
+          read += 1
+          val node = mapper.readTree(line)
+          node.properties().asScala.foreach { e =>
+            val v = e.getValue
+            val kind: Option[DataType] =
+              if (v == null || v.isNull) None
+              else if (v.isBoolean) Some(BooleanType)
+              else if (v.isIntegralNumber) Some(LongType)
+              else if (v.isNumber) Some(DoubleType)
+              else if (v.isTextual) Some(StringType)
+              else Some(StringType)
+            kind.foreach { k =>
+              val merged = kinds.get(e.getKey) match {
+                case None => k
+                case Some(prev) if prev == k => prev
+                case Some(LongType) if k == DoubleType => DoubleType
+                case Some(DoubleType) if k == LongType => DoubleType
+                case Some(_) => StringType
+              }
+              kinds.update(e.getKey, merged)
+            }
+          }
+        }
+        line = rdr.readLine()
+      }
+    } finally in.close()
+    StructType(kinds.toSeq.map { case (n, t) => StructField(n, t, nullable = true) })
+  }
+}
+
+private[sources] class JsonlTable(tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = "graft-jsonl"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonlScanBuilder(tableSchema, options)
+}
+
+private[sources] class JsonlScanBuilder(
+    tableSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit {
+
+  private val path = JsonlSource.requirePath(options)
+  private val splitBytes =
+    math.max(1L, options.getLong("maxSplitBytes", 128L * 1024 * 1024))
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** A filter is absorbable iff every referenced column exists in the
+    * table schema (with a supported type — guaranteed by getTable) and
+    * its shape is one this scan evaluates with exact Catalyst semantics.
+    * `Not` is excluded on three-valued-logic grounds (see class doc). */
+  private def absorbable(f: Filter): Boolean = {
+    val known = f.references.forall(r => tableSchema.fieldNames.contains(r))
+    known && (f match {
+      case _: sources.EqualTo | _: sources.EqualNullSafe => true
+      case _: sources.GreaterThan | _: sources.GreaterThanOrEqual => true
+      case _: sources.LessThan | _: sources.LessThanOrEqual => true
+      case _: sources.In | _: sources.IsNull | _: sources.IsNotNull => true
+      case _: sources.StringStartsWith | _: sources.StringEndsWith |
+           _: sources.StringContains => true
+      case _: sources.AlwaysTrue | _: sources.AlwaysFalse => true
+      case sources.And(l, r) => absorbable(l) && absorbable(r)
+      case sources.Or(l, r) => absorbable(l) && absorbable(r)
+      case _ => false
+    })
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (in, out) = filters.partition(absorbable)
+    pushed = in
+    out // residual: Spark keeps a Filter node above the scan for these
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed: Boolean = true // per-split limit; Spark applies the global one
+
+  override def build(): Scan =
+    new JsonlScan(tableSchema, required, pushed, limit, path, splitBytes)
+}
+
+private[sources] case class JsonlInputPartition(
+    path: String,
+    start: Long,
+    length: Long,
+    locations: Array[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] = locations
+}
+
+private[sources] class JsonlScan(
+    tableSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    limit: Int,
+    path: String,
+    splitBytes: Long)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String = {
+    val lim = if (limit >= 0) s", PushedLimit: LIMIT $limit" else ""
+    s"graft-jsonl PushedFilters: ${pushed.mkString("[", ", ", "]")}$lim, " +
+      s"ReadSchema: ${required.catalogString}"
+  }
+
+  override def toBatch: Batch = this
+
+  /** Byte-range splits planned from driver-side file lengths alone, with
+    * HDFS block hosts as locality hints — the part that makes a 100 TB
+    * scan embarrassingly parallel. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    JsonlSource.listDataFiles(path).flatMap { f =>
+      val fs = f.getPath.getFileSystem(conf)
+      val len = f.getLen
+      (0L until len by splitBytes).map { off =>
+        val sl = math.min(splitBytes, len - off)
+        val hosts =
+          try fs.getFileBlockLocations(f, off, sl).flatMap(_.getHosts).distinct
+          catch { case _: Exception => Array.empty[String] }
+        JsonlInputPartition(f.getPath.toString, off, sl, hosts)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // parse set = output columns ∪ columns referenced only by absorbed
+    // filters (fully-pushed predicates may reference pruned-away keys)
+    val filterRefs = pushed.flatMap(_.references).distinct
+    val parseNames = (required.fieldNames ++ filterRefs).distinct
+    val parseSchema = StructType(parseNames.flatMap(n => tableSchema.fields.find(_.name == n)))
+    new JsonlReaderFactory(
+      parseSchema, required, pushed, limit,
+      new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf()))
+  }
+
+  override def estimateStatistics(): Statistics = {
+    val total = JsonlSource.listDataFiles(path).map(_.getLen).sum
+    val frac =
+      if (tableSchema.isEmpty) 1.0
+      else math.max(1, required.size).toDouble / tableSchema.size
+    val size = math.max(1L, (total * frac).toLong)
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(size)
+      override def numRows(): OptionalLong = OptionalLong.empty()
+    }
+  }
+}
+
+private[sources] class JsonlReaderFactory(
+    parseSchema: StructType,
+    outputSchema: StructType,
+    pushed: Array[Filter],
+    limit: Int,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val jp = p.asInstanceOf[JsonlInputPartition]
+    new JsonlPartitionReader(jp, parseSchema, outputSchema, pushed, limit, conf.value)
+  }
+}
+
+/** One split's reader: discard-through-first-newline (non-head splits),
+  * then read records while the record's first byte offset ≤ split end —
+  * the ownership contract that loses and duplicates nothing across
+  * splits (JsonlSourceSpec sweeps split sizes down to a few bytes). */
+private[sources] class JsonlPartitionReader(
+    part: JsonlInputPartition,
+    parseSchema: StructType,
+    outputSchema: StructType,
+    pushed: Array[Filter],
+    limit: Int,
+    conf: org.apache.hadoop.conf.Configuration)
+  extends PartitionReader[InternalRow] {
+
+  private val hPath = new Path(part.path)
+  private val stream = hPath.getFileSystem(conf).open(hPath)
+  stream.seek(part.start)
+  private val in = new java.io.BufferedInputStream(stream, 64 * 1024)
+  private var pos: Long = part.start
+  private val end: Long = part.start + part.length
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val parseNames = parseSchema.fieldNames
+  private val parseTypes = parseSchema.fields.map(_.dataType)
+  private val outIdx = outputSchema.fieldNames.map(n => parseNames.indexOf(n))
+  private val preds = pushed.map(JsonlPredicates.compile(_, parseNames))
+
+  private var emitted = 0
+  private var current: InternalRow = _
+
+  if (part.start > 0) discardToNewline()
+
+  /** Bytes of one record, '\n' consumed, trailing '\r' stripped; null at
+    * EOF with nothing read. Advances `pos` by exact bytes consumed. */
+  private def readLine(): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(256)
+    var b = in.read()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
+    if (b == '\n') pos += 1
+    val arr = buf.toByteArray
+    if (arr.nonEmpty && arr(arr.length - 1) == '\r') java.util.Arrays.copyOf(arr, arr.length - 1)
+    else arr
+  }
+
+  private def discardToNewline(): Unit = {
+    var b = in.read()
+    while (b != -1 && b != '\n') { pos += 1; b = in.read() }
+    if (b == '\n') pos += 1
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (limit >= 0 && emitted >= limit) return false
+      val lineStart = pos
+      if (lineStart > end) return false
+      val line = readLine()
+      if (line == null) return false
+      if (!line.forall(b => b == ' ' || b == '\t' || b == '\r')) {
+        val vals = parse(line)
+        if (vals != null && preds.forall(_(vals))) {
+          current = materialize(vals)
+          emitted += 1
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  /** PERMISSIVE conversion: missing key / JSON null / kind mismatch →
+    * null slot; an unparseable line → whole-row null (all-null output),
+    * matching the built-in reader's permissive default. */
+  private def parse(line: Array[Byte]): Array[Any] = {
+    val node =
+      try mapper.readTree(line)
+      catch { case _: Exception => null }
+    val vals = new Array[Any](parseNames.length)
+    if (node == null || !node.isObject) return vals
+    var i = 0
+    while (i < parseNames.length) {
+      val v = node.get(parseNames(i))
+      vals(i) =
+        if (v == null || v.isNull) null
+        else parseTypes(i) match {
+          case BooleanType => if (v.isBoolean) java.lang.Boolean.valueOf(v.booleanValue) else null
+          case LongType => if (v.isIntegralNumber) java.lang.Long.valueOf(v.longValue) else null
+          case DoubleType => if (v.isNumber) java.lang.Double.valueOf(v.doubleValue) else null
+          case StringType => if (v.isTextual) v.textValue else null
+          case _ => null
+        }
+      i += 1
+    }
+    vals
+  }
+
+  private def materialize(vals: Array[Any]): InternalRow = {
+    val out = new Array[Any](outIdx.length)
+    var i = 0
+    while (i < outIdx.length) {
+      out(i) = vals(outIdx(i)) match {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      }
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+/** Compiled predicate evaluation for absorbed filters — exact Catalyst
+  * semantics on the supported types (see [[JsonlSource]] scaladoc):
+  * strings compare as unsigned UTF-8 bytes (= `UTF8String` binary
+  * order), long/double cross-compares widen to double, any null operand
+  * makes a comparison non-satisfying (unknown ⇒ row dropped), AND/OR
+  * compose soundly under that collapse. */
+private[sources] object JsonlPredicates {
+
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: String, y: String) => Some(utf8Cmp(x, y))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) =>
+      Some(java.lang.Boolean.compare(x, y))
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      if (x.isInstanceOf[java.lang.Double] || y.isInstanceOf[java.lang.Double])
+        Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+      else Some(java.lang.Long.compare(x.longValue(), y.longValue()))
+    case _ => None
+  }
+
+  def compile(f: Filter, names: Array[String]): Array[Any] => Boolean = {
+    def slot(attr: String): Int = names.indexOf(attr)
+    f match {
+      case sources.EqualTo(a, v) =>
+        val i = slot(a); vals => cmp(vals(i), v).contains(0)
+      case sources.EqualNullSafe(a, v) =>
+        val i = slot(a); vals =>
+          if (vals(i) == null || v == null) vals(i) == null && v == null
+          else cmp(vals(i), v).contains(0)
+      case sources.GreaterThan(a, v) =>
+        val i = slot(a); vals => cmp(vals(i), v).exists(_ > 0)
+      case sources.GreaterThanOrEqual(a, v) =>
+        val i = slot(a); vals => cmp(vals(i), v).exists(_ >= 0)
+      case sources.LessThan(a, v) =>
+        val i = slot(a); vals => cmp(vals(i), v).exists(_ < 0)
+      case sources.LessThanOrEqual(a, v) =>
+        val i = slot(a); vals => cmp(vals(i), v).exists(_ <= 0)
+      case sources.In(a, vs) =>
+        val i = slot(a); vals => vals(i) != null && vs.exists(v => cmp(vals(i), v).contains(0))
+      case sources.IsNull(a) =>
+        val i = slot(a); vals => vals(i) == null
+      case sources.IsNotNull(a) =>
+        val i = slot(a); vals => vals(i) != null
+      case sources.StringStartsWith(a, p) =>
+        val i = slot(a); vals => vals(i) match { case s: String => s.startsWith(p); case _ => false }
+      case sources.StringEndsWith(a, p) =>
+        val i = slot(a); vals => vals(i) match { case s: String => s.endsWith(p); case _ => false }
+      case sources.StringContains(a, p) =>
+        val i = slot(a); vals => vals(i) match { case s: String => s.contains(p); case _ => false }
+      case sources.And(l, r) =>
+        val lf = compile(l, names); val rf = compile(r, names)
+        vals => lf(vals) && rf(vals)
+      case sources.Or(l, r) =>
+        val lf = compile(l, names); val rf = compile(r, names)
+        vals => lf(vals) || rf(vals)
+      case _: sources.AlwaysTrue => _ => true
+      case _: sources.AlwaysFalse => _ => false
+      case other =>
+        throw new IllegalStateException(s"unabsorbable filter reached the reader: $other")
+    }
+  }
+}

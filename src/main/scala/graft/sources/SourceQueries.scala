@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.queries.GraftQuery
+
+/** Catalog entries for the native DataSource V2 connector ([[JsonlSource]]).
+  */
+object SourceQueries {
+
+  /** Explicit read schema of the q95 feed — production JSONL readers pass
+    * a schema (inference is an extra full pass at corpus scale); the
+    * inference path is spec-covered separately (JsonlSourceSpec). */
+  private val feedSchema =
+    "o_orderkey LONG, o_custkey LONG, o_orderpriority STRING, " +
+      "odate STRING, price_cents LONG"
+
+  val all: Seq[GraftQuery] = Seq(
+    // ------------------------------------------------------------------
+    // q95: DSv2 connector scan with pushdown — orders lands as an
+    // integer-coded JSONL feed (the q94 interchange discipline: dates as
+    // ISO strings, money as cents), then is read back through the NATIVE
+    // TableProvider (graft.sources.JsonlSource) with a 1 MiB split size
+    // so the scan is planned as many byte-range partitions even on one
+    // file. The date-range + priority-IN predicates and the 5-column
+    // projection are absorbed INTO the reader (SupportsPushDownFilters /
+    // RequiredColumns — rows failing the predicate are dropped before
+    // materialization; ISO date strings compare correctly as unsigned
+    // UTF-8 bytes). The aggregate touches every surviving column, so the
+    // parquet-side DuckDB oracle catches any defect in split ownership,
+    // JSON conversion, or pushdown semantics.
+    GraftQuery(
+      "q95_dsv2_jsonl_pushdown",
+      "native DSv2 JSONL source: byte-range splits + filter/column pushdown (parquet-side oracle)",
+      (spark, dir) => {
+        val layout = graft.io.TempLayouts.cached(
+          "q95_jsonl#" + new java.io.File(dir).getCanonicalPath,
+          "graft_dsv2_jsonl_") { out =>
+          Tables(spark, dir).orders
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+              floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+            .write.mode("overwrite").json(out)
+        }
+        spark.read
+          .format("graft.sources.JsonlSource")
+          .schema(feedSchema)
+          .option("maxSplitBytes", 1L << 20)
+          .load(layout)
+          .filter(col("odate") >= "1996-01-01" && col("odate") <= "1996-12-31" &&
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("o_custkey")).as("n_cust"),
+            sum(col("price_cents")).as("sum_cents"),
+            min(col("o_orderkey")).as("min_okey"),
+            max(col("odate")).as("max_odate"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(
+        """WITH feed AS (
+          |  SELECT o_orderkey, o_custkey, o_orderpriority,
+          |         strftime(o_orderdate, '%Y-%m-%d') AS odate,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+          |  FROM orders)
+          |SELECT o_orderpriority,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+          |       CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+          |       CAST(min(o_orderkey) AS BIGINT) AS min_okey,
+          |       max(odate) AS max_odate
+          |FROM feed
+          |WHERE odate >= '1996-01-01' AND odate <= '1996-12-31'
+          |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    )
+  )
+}

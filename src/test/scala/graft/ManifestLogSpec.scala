@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{ManifestLog, ManifestQueries, Tables, TempLayouts}
+
+/** The manifest table format ([[graft.io.ManifestLog]]): footer-harvested
+  * stats correctness, pruning soundness + effectiveness, snapshot
+  * isolation, atomic publish, and the q97 copy-on-write contract (file
+  * reuse by reference, bounded rewrite set, old version immutable).
+  */
+class ManifestLogSpec extends SparkSpecBase {
+  import ManifestLog._
+
+  private def freshBase(): String = TempLayouts.scratch("graft_manifest_spec_")
+
+  private lazy val ordersKv = {
+    val t = Tables(spark, sf0001)
+    t.orders.select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderstatus").as("status"))
+  }
+
+  test("commitAppend: manifest rows/bytes/stats match the data exactly") {
+    val base = freshBase()
+    val v = commitAppend(spark, base, ordersKv, Seq("k"), Some("k"), files = 8)
+    assert(v == 0L)
+    val m = manifest(base, v)
+    assert(m.size == 8)
+    assert(m.map(_.rows).sum == ordersKv.count())
+    assert(m.forall(e => e.bytes > 0 && new java.io.File(base, e.path).length() == e.bytes))
+    // footer stats must equal per-file true min/max
+    val truth = read(spark, base, m)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    m.foreach { e =>
+      val f = "file://" + new java.io.File(base, e.path).getAbsolutePath
+      val (mn, mx) = truth.getOrElse(f, truth(new java.io.File(base, e.path).toURI.toString))
+      val s = e.stats("k")
+      assert(s.kind == "long" && s.min.get.toLong == mn && s.max.get.toLong == mx,
+        s"footer stats ${s.min}/${s.max} vs true $mn/$mx for ${e.path}")
+    }
+  }
+
+  test("pruneRange is sound (skipped files hold no matching rows) and effective") {
+    val base = freshBase()
+    val v = commitAppend(spark, base, ordersKv, Seq("k"), Some("k"), files = 16)
+    val m = manifest(base, v)
+    val Array(mnv, mxv) = ordersKv.agg(min(col("k")), max(col("k"))).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    val lo = mnv + (mxv - mnv) / 2
+    val hi = lo + (mxv - mnv) / 10
+    val (keep, skip) = pruneRange(m, "k", lo.toString, hi.toString)
+    assert(skip.nonEmpty, "sorted 16-file layout must skip most files for a 10% band")
+    assert(keep.size < m.size / 2, s"kept ${keep.size}/${m.size}")
+    // soundness: skipped files contain zero matching rows
+    if (skip.nonEmpty) {
+      val leaked = read(spark, base, skip).filter(col("k").between(lo, hi)).count()
+      assert(leaked == 0L, s"skipped files leaked $leaked matching rows")
+    }
+    // completeness: kept files hold the full matching multiset
+    val full = read(spark, base, m).filter(col("k").between(lo, hi)).count()
+    val kept = read(spark, base, keep).filter(col("k").between(lo, hi)).count()
+    assert(kept == full)
+  }
+
+  test("string stats prune ISO date ranges; all-null files are skippable") {
+    val base = freshBase()
+    import testImplicits._
+    val df = Seq(
+      ("2024-01-05", 1L), ("2024-02-11", 2L), ("2024-03-20", 3L),
+      ("2024-07-01", 4L), ("2024-08-15", 5L), ("2024-12-31", 6L))
+      .toDF("odate", "x")
+    val v0 = commitAppend(spark, base, df, Seq("odate"), Some("odate"), files = 3)
+    // a second, all-null commit gets its own file
+    val nulls = Seq((null.asInstanceOf[String], 7L), (null.asInstanceOf[String], 8L))
+      .toDF("odate", "x")
+    val v = commitAppend(spark, base, nulls, Seq("odate"))
+    assert(v == v0 + 1)
+    val m = manifest(base, v)
+    assert(m.size >= 4)
+    val (keep, skip) = pruneRange(m, "odate", "2024-07-01", "2024-08-31")
+    assert(skip.nonEmpty)
+    assert(read(spark, base, keep).filter(col("odate").between("2024-07-01", "2024-08-31"))
+      .count() == 2)
+    assert(read(spark, base, m).filter(col("odate").between("2024-07-01", "2024-08-31"))
+      .count() == 2)
+    // the all-null file is skipped: a BETWEEN never matches NULL
+    val allNull = m.filter(e => e.stats.get("odate").exists(s => s.min.isEmpty && s.nulls > 0))
+    assert(allNull.nonEmpty, "expected an all-null data file")
+    assert(allNull.forall(e => skip.exists(_.path == e.path)),
+      "all-null file must be skippable for a range predicate")
+  }
+
+  test("snapshot isolation: version 0 reads identically after later commits") {
+    val base = freshBase()
+    import testImplicits._
+    commitAppend(spark, base, Seq((1L, "a"), (2L, "b")).toDF("k", "s"), Seq("k"))
+    val before = snapshot(spark, base, 0L).collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    commitAppend(spark, base, Seq((3L, "c")).toDF("k", "s"), Seq("k"))
+    assert(latest(base).contains(1L))
+    val after = snapshot(spark, base, 0L).collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(after == before)
+    assert(snapshot(spark, base, 1L).count() == 3) // append carried v0's files forward
+  }
+
+  test("atomic publish: a crashed manifest write (.tmp stray) is invisible") {
+    val base = freshBase()
+    import testImplicits._
+    commitAppend(spark, base, Seq((1L, "a")).toDF("k", "s"), Seq("k"))
+    val stray = new java.io.File(new java.io.File(base, "_manifests"), "7.tmp")
+    java.nio.file.Files.write(stray.toPath, "garbage".getBytes("UTF-8"))
+    assert(versions(base) == Seq(0L))
+    assert(latest(base).contains(0L))
+  }
+
+  test("q97 CoW merge: untouched files reused by reference, rewrite set bounded, v0 immutable") {
+    val base = freshBase()
+    commitAppend(spark, base, ordersKv, Seq("k"), Some("k"), files = 16)
+    val v0 = manifest(base, 0L)
+    val v0Rows = snapshot(spark, base, 0L).count()
+    val merged = ManifestQueries.mergedSnapshot(spark, base)
+    val v1Id = latest(base).get
+    assert(v1Id == 1L)
+    val v1 = manifest(base, v1Id)
+    val v0Paths = v0.map(_.path).toSet
+    val reused = v1.map(_.path).toSet.intersect(v0Paths)
+    val rewrittenOrNew = v1.filterNot(e => v0Paths.contains(e.path))
+    // a 5% key band over a 16-file sorted layout touches 1–3 files
+    assert(reused.size >= 13, s"only ${reused.size}/16 base files reused by reference")
+    assert(rewrittenOrNew.nonEmpty && rewrittenOrNew.size <= 5,
+      s"rewrite set not bounded: ${rewrittenOrNew.size}")
+    // reused entries are IDENTICAL manifest entries (same bytes, same stats)
+    v1.filter(e => v0Paths.contains(e.path)).foreach { e =>
+      assert(v0.find(_.path == e.path).contains(e), s"reused entry mutated: ${e.path}")
+    }
+    // merged state: band rows flipped to X, inserts landed as N, total grows by band size
+    val Array(mnv, mxv) = snapshot(spark, base, 0L).agg(min(col("k")), max(col("k")))
+      .collect().flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    val lo = mnv + (mxv - mnv) / 3
+    val hi = lo + (mxv - mnv) / 20
+    val band = snapshot(spark, base, 0L).filter(col("k").between(lo, hi)).count()
+    assert(band > 0, "test band is empty — bounds bug")
+    assert(merged.count() == v0Rows + band)
+    assert(merged.filter(col("status") === "X").count() == band)
+    assert(merged.filter(col("status") === "N").count() == band)
+    assert(merged.filter(col("k").between(lo, hi) && col("status") =!= "X").count() == 0)
+    // v0 unchanged on disk
+    assert(snapshot(spark, base, 0L).count() == v0Rows)
+    assert(manifest(base, 0L) == v0)
+  }
+}

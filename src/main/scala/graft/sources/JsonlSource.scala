@@ -5,13 +5,14 @@ import java.util.OptionalLong
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
@@ -114,7 +115,7 @@ object JsonlSource {
     * convention as Spark's file index. */
   private[sources] def listDataFiles(path: String): Seq[FileStatus] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val root = new Path(path)
+    val root = new HPath(path)
     val fs = root.getFileSystem(conf)
     val st = fs.getFileStatus(root)
     val files =
@@ -179,14 +180,17 @@ object JsonlSource {
   }
 }
 
-private[sources] class JsonlTable(tableSchema: StructType)
-    extends Table with SupportsRead {
+private[graft] class JsonlTable(tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = "graft-jsonl"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlScanBuilder(tableSchema, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new JsonlWriteBuilder(info)
 }
 
 private[sources] class JsonlScanBuilder(
@@ -337,7 +341,7 @@ private[sources] class JsonlPartitionReader(
     conf: org.apache.hadoop.conf.Configuration)
   extends PartitionReader[InternalRow] {
 
-  private val hPath = new Path(part.path)
+  private val hPath = new HPath(part.path)
   private val stream = hPath.getFileSystem(conf).open(hPath)
   stream.seek(part.start)
   private val in = new java.io.BufferedInputStream(stream, 64 * 1024)
@@ -510,4 +514,147 @@ private[sources] object JsonlPredicates {
         throw new IllegalStateException(s"unabsorbable filter reached the reader: $other")
     }
   }
+}
+
+// --- write path -------------------------------------------------------------
+
+/** The distributed sink commit protocol, in its canonical two-phase form
+  * (the public FileCommitProtocol/DSv2 design):
+  *
+  *  1. **Task phase** — every write task streams its rows to a PRIVATE
+  *     staged file `_staging-<queryId>/part-<partition>-<taskId>.jsonl`
+  *     (taskId disambiguates speculative/retried attempts; the underscore
+  *     prefix makes the whole staging dir invisible to readers, which
+  *     filter `_`/`.` names). Task `commit()` returns the staged name as
+  *     its [[WriterCommitMessage]]; task `abort()` deletes the file.
+  *     Spark's commit coordinator (on by default) guarantees at most one
+  *     attempt per partition commits.
+  *  2. **Job phase** — ONLY the driver, holding every committed task's
+  *     message, publishes: for truncate mode it first deletes the visible
+  *     data files, then renames each staged file into the table root, and
+  *     drops the staging dir. Job `abort()` just drops the staging dir —
+  *     a failed or speculatively-duplicated write leaves the table
+  *     byte-identical.
+  *
+  * Publication here is per-file rename, not one atomic pointer move — a
+  * concurrent reader can observe a partially-published table. That is the
+  * documented contract of directory-listing sinks (Spark's own file sink
+  * included); the atomic upgrade is to publish the file list through a
+  * manifest ([[graft.io.ManifestLog]]), which is exactly how the q96/q97
+  * format closes the same gap for parquet.
+  */
+private[graft] class JsonlWriteBuilder(info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new Write {
+    override def description(): String =
+      s"graft-jsonl ${if (overwrite) "overwrite" else "append"}"
+    override def toBatch: BatchWrite =
+      new JsonlBatchWrite(
+        JsonlSource.requirePath(info.options()), info.schema(), info.queryId(), overwrite,
+        new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf()))
+  }
+}
+
+private[graft] case class JsonlCommitMessage(stagedName: String, rows: Long)
+  extends WriterCommitMessage
+
+private[graft] class JsonlBatchWrite(
+    path: String,
+    schema: StructType,
+    queryId: String,
+    overwrite: Boolean,
+    conf: SerializableConfiguration) extends BatchWrite {
+
+  private def root = new HPath(path)
+  private def stagingDir = new HPath(path, s"_staging-$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new JsonlWriterFactory(path, queryId, schema, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = root.getFileSystem(conf.value)
+    if (overwrite && fs.exists(root)) {
+      fs.listStatus(root).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.foreach(s => fs.delete(s.getPath, false))
+    }
+    fs.mkdirs(root)
+    messages.collect { case m: JsonlCommitMessage => m }.foreach { m =>
+      // final name carries the queryId so appends from distinct jobs
+      // never collide
+      val ok = fs.rename(
+        new HPath(stagingDir, m.stagedName),
+        new HPath(root, s"part-$queryId-${m.stagedName.stripPrefix("part-")}"))
+      require(ok, s"failed to publish staged file ${m.stagedName}")
+    }
+    fs.delete(stagingDir, true): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = root.getFileSystem(conf.value)
+    fs.delete(stagingDir, true): Unit
+  }
+}
+
+private[graft] class JsonlWriterFactory(
+    path: String,
+    queryId: String,
+    schema: StructType,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new JsonlDataWriter(path, queryId, schema, partitionId, taskId, conf.value)
+}
+
+/** One task's writer: rows stream straight to the staged file (no
+  * buffering of the dataset — a task writing 10 GB holds one line at a
+  * time). Null fields are omitted (the reader's missing-key ⇒ NULL rule
+  * round-trips them). */
+private[graft] class JsonlDataWriter(
+    path: String,
+    queryId: String,
+    schema: StructType,
+    partitionId: Int,
+    taskId: Long,
+    conf: org.apache.hadoop.conf.Configuration) extends DataWriter[InternalRow] {
+
+  private val stagedName = s"part-$partitionId-$taskId.jsonl"
+  private val staged = new HPath(new HPath(path, s"_staging-$queryId"), stagedName)
+  private val fs = staged.getFileSystem(conf)
+  private val out = new java.io.BufferedOutputStream(fs.create(staged, true), 64 * 1024)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val fields = schema.fields
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val o = mapper.createObjectNode()
+    var i = 0
+    while (i < fields.length) {
+      if (!row.isNullAt(i)) fields(i).dataType match {
+        case LongType => o.put(fields(i).name, row.getLong(i))
+        case DoubleType => o.put(fields(i).name, row.getDouble(i))
+        case BooleanType => o.put(fields(i).name, row.getBoolean(i))
+        case StringType => o.put(fields(i).name, row.getUTF8String(i).toString)
+        case dt => throw new IllegalStateException(s"unsupported sink type $dt")
+      }
+      i += 1
+    }
+    out.write(mapper.writeValueAsString(o).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.write('\n')
+    rows += 1L
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    JsonlCommitMessage(stagedName, rows)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(staged, false): Unit
+  }
+
+  override def close(): Unit = out.close()
 }

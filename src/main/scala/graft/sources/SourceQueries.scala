@@ -75,6 +75,58 @@ object SourceQueries {
           |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
           |GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q98: DSv2 sink round-trip — events flow OUT through the connector's
+    // two-phase-commit write path (task-staged files + driver publish,
+    // overwrite = TRUNCATE capability) and back IN through its scan, so
+    // one oracle hash covers the whole distributed sink protocol: a lost
+    // task file, a double-published speculative attempt, a truncate that
+    // missed a file, or any JSON serialization defect breaks the
+    // parquet-side comparison. Unlike q94 (built-in json writer), both
+    // directions here are the native connector. The write re-executes
+    // EVERY run — the sink is the operator under test.
+    GraftQuery(
+      "q98_dsv2_jsonl_sink",
+      "events out through the DSv2 sink (2-phase commit) and back through its scan (parquet-side oracle)",
+      (spark, dir) => {
+        val out = graft.io.TempLayouts.cached(
+          "q98_dsv2_sink#" + new java.io.File(dir).getCanonicalPath,
+          "graft_dsv2_sink_")(_ => ())
+        Tables(spark, dir).events
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"),
+            floor(col("value") * 1e6).cast("long").as("value_micros"))
+          .write.format("graft.sources.JsonlSource").mode("overwrite").save(out)
+        spark.read
+          .format("graft.sources.JsonlSource")
+          .schema("event_id LONG, user_id LONG, event_type STRING, " +
+            "ts_us LONG, value_micros LONG")
+          .load(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value_micros")).as("sum_value_micros"),
+            min(col("ts_us")).as("min_ts_us"),
+            max(col("ts_us")).as("max_ts_us"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """WITH src AS (
+          |  SELECT event_id, user_id, event_type,
+          |         epoch_ns(ts) // 1000 AS ts_us,
+          |         CAST(floor(value * 1000000) AS BIGINT) AS value_micros
+          |  FROM events)
+          |SELECT event_type,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          |       CAST(sum(value_micros) AS BIGINT) AS sum_value_micros,
+          |       CAST(min(ts_us) AS BIGINT) AS min_ts_us,
+          |       CAST(max(ts_us) AS BIGINT) AS max_ts_us
+          |FROM src
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
     )
   )
 }

@@ -262,6 +262,45 @@ object ManifestLog {
       }
     }
 
+  /** Bin-packing compaction (the OPTIMIZE verb): rewrite every data file
+    * smaller than `smallBytes` into `targetFiles` sorted file(s), reuse
+    * everything else by reference, publish as a new version. Logical
+    * state is untouched (spec-pinned identical multiset); old snapshots
+    * keep reading the small files they reference. Returns the new
+    * version, or None when fewer than two files qualify (nothing to
+    * pack). At 100 TB this is the steady-state maintenance job that
+    * keeps scan task counts bounded after many small incremental
+    * commits — cost O(small files), never O(table). */
+  def optimize(
+      spark: SparkSession,
+      base: String,
+      smallBytes: Long,
+      statsCols: Seq[String],
+      sortCol: Option[String] = None,
+      targetFiles: Int = 1): Option[Long] = {
+    val head = latest(base).getOrElse(return None)
+    val m = manifest(base, head)
+    val (small, big) = m.partition(_.bytes < smallBytes)
+    if (small.size < 2) return None
+    val packed = stage(spark, base, s"v${head + 1L}-opt", read(spark, base, small),
+      statsCols, sortCol, targetFiles)
+    Some(commitEntries(base, big ++ packed))
+  }
+
+  /** Garbage-collect ORPHAN data files: anything under `base/data/` that
+    * no committed manifest references — the residue of a writer that
+    * crashed between [[stage]] and [[commitEntries]]. Every referenced
+    * file stays (historical snapshots remain readable — vacuuming old
+    * VERSIONS is a retention policy above this primitive). Returns the
+    * deleted file names. Safe concurrently with readers: an orphan is by
+    * definition unreachable from any manifest. */
+  def vacuumOrphans(base: String): Seq[String] = {
+    val referenced = versions(base).flatMap(manifest(base, _)).map(_.path).toSet
+    Option(dataDir(base).listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && !referenced.contains(s"data/${f.getName}"))
+      .map { f => Files.deleteIfExists(f.toPath); f.getName }.toSeq
+  }
+
   /** Read exactly these manifest entries (a pruned or full snapshot). */
   def read(spark: SparkSession, base: String, entries: Seq[ManifestEntry]): DataFrame = {
     require(entries.nonEmpty, "empty file list — read at least one file")

@@ -43,6 +43,25 @@ object ManifestQueries {
         statsCols = Seq("k"), sortCol = Some("k"), files = 16): Unit
     }
 
+  /** A deliberately fragmented table — 12 incremental commits of orders
+    * slices (the shape a streaming/incremental ingest leaves behind) —
+    * the q99 OPTIMIZE input. Built once per (JVM, dataset). */
+  private def ordersFragmented(spark: SparkSession, dir: String): String =
+    TempLayouts.cached(
+      "manifest_orders_frag#" + new java.io.File(dir).getCanonicalPath,
+      "graft_manifest_frag_") { base =>
+      val src = Tables(spark, dir).orders.select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderpriority").as("priority"))
+      (0 until 12).foreach { s =>
+        ManifestLog.commitAppend(spark, base,
+          src.filter(pmod(col("o_orderkey"), lit(12)) === s),
+          statsCols = Seq("odate"), sortCol = Some("odate")): Unit
+      }
+    }
+
   val all: Seq[GraftQuery] = Seq(
     // ------------------------------------------------------------------
     // q96: manifest-stats file skipping — the plan-time half of the
@@ -141,6 +160,52 @@ object ManifestQueries {
           |FROM merged
           |GROUP BY status
           |ORDER BY status""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q99: OPTIMIZE (bin-packing compaction) on the manifest format —
+    // the steady-state maintenance verb that undoes incremental-ingest
+    // fragmentation: 12 small per-commit files rewrite into one sorted
+    // file, every already-big file is reused BY REFERENCE, and the swap
+    // publishes as a new manifest version while old snapshots keep
+    // reading the fragments they reference (q52 is the CommitLog
+    // directory-swap version of this; here the swap is one metadata
+    // file, and history survives). The entry re-runs the compaction
+    // every invocation and reads the packed snapshot back through a
+    // full-oracle aggregate, so a row lost or duplicated by the rewrite
+    // breaks the hash. ManifestLogSpec pins the structural contract
+    // (file count drops, multiset identical, old version intact).
+    GraftQuery(
+      "q99_manifest_optimize",
+      "bin-packing compaction of an incrementally-fragmented table; packed snapshot vs oracle",
+      (spark, dir) => {
+        val base = ordersFragmented(spark, dir)
+        // a re-run on the already-packed head is a no-op (None) — read it
+        val v = ManifestLog.optimize(spark, base, smallBytes = Long.MaxValue,
+          statsCols = Seq("odate"), sortCol = Some("odate"))
+          .getOrElse(ManifestLog.latest(base).get)
+        ManifestLog.snapshot(spark, base, v)
+          .groupBy(col("priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents"),
+            min(col("odate")).as("min_odate"),
+            max(col("odate")).as("max_odate"))
+          .orderBy(col("priority"))
+      },
+      Some(
+        """WITH feed AS (
+          |  SELECT o_orderpriority AS priority,
+          |         strftime(o_orderdate, '%Y-%m-%d') AS odate,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+          |  FROM orders)
+          |SELECT priority,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+          |       min(odate) AS min_odate,
+          |       max(odate) AS max_odate
+          |FROM feed
+          |GROUP BY priority
+          |ORDER BY priority""".stripMargin)
     )
   )
 

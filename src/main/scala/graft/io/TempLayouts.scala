@@ -37,9 +37,25 @@ object TempLayouts {
     java.nio.file.Files.createTempDirectory(prefix).toString
 
   /** Build-once cache: the first call for `key` pays `build` into a fresh
-    * temp dir; every later call returns the same dir. */
-  def cached(key: String, prefix: String)(build: String => Unit): String =
-    live.computeIfAbsent(key, _ => { val out = mk(prefix); build(out); out })
+    * temp dir; every later call returns the same dir. The build runs
+    * OUTSIDE the map's compute (under a plain reentrant lock): builds
+    * routinely nest [[scratch]]/[[cached]] calls, and a nested mutation
+    * inside `computeIfAbsent` throws `Recursive update` whenever the keys
+    * share a hash bin (observed on the manifest-format builds). */
+  def cached(key: String, prefix: String)(build: String => Unit): String = {
+    val hit = live.get(key)
+    if (hit != null) return hit
+    buildLock.synchronized {
+      val again = live.get(key)
+      if (again != null) return again
+      val out = mk(prefix)
+      build(out)
+      live.put(key, out)
+      out
+    }
+  }
+
+  private val buildLock = new Object
 
   /** Build FRESH and swap in as `key`'s live dir; the displaced dir is
     * deleted AFTER the swap, so a concurrent reader that resolved the old

@@ -116,6 +116,51 @@ class ManifestLogSpec extends SparkSpecBase {
     assert(latest(base).contains(0L))
   }
 
+  test("optimize: small files pack, big files reused by reference, state and history intact") {
+    val base = freshBase()
+    import testImplicits._
+    // one big commit + four single-row fragments
+    commitAppend(spark, base, ordersKv, Seq("k"), Some("k"), files = 2)
+    (0 until 4).foreach { i =>
+      commitAppend(spark, base, Seq((10000000L + i, i.toLong, "F")).toDF("k", "cents", "status"),
+        Seq("k")): Unit
+    }
+    val head = latest(base).get
+    val m0 = manifest(base, head)
+    assert(m0.size == 6)
+    val bigPaths = manifest(base, 0L).map(_.path).toSet
+    val smallCut = m0.filter(e => !bigPaths.contains(e.path)).map(_.bytes).max + 1
+    val before = snapshot(spark, base, head)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+
+    val vOpt = optimize(spark, base, smallCut, Seq("k"), Some("k"))
+    assert(vOpt.contains(head + 1))
+    val m1 = manifest(base, vOpt.get)
+    assert(m1.size == 3, s"expected 2 big + 1 packed, got ${m1.size}")
+    assert(bigPaths.subsetOf(m1.map(_.path).toSet), "big files must be reused by reference")
+    val after = snapshot(spark, base, vOpt.get)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(after == before, "OPTIMIZE changed the logical state")
+    // the fragmented version still reads (history intact)
+    assert(snapshot(spark, base, head).count() == before.size.toLong)
+    // a second pass has a single small file left → no-op
+    assert(optimize(spark, base, smallCut, Seq("k"), Some("k")).isEmpty)
+  }
+
+  test("vacuumOrphans deletes only unreferenced data files") {
+    val base = freshBase()
+    import testImplicits._
+    commitAppend(spark, base, Seq((1L, "a"), (2L, "b")).toDF("k", "s"), Seq("k"))
+    // plant an orphan: a crashed stage() that never reached commitEntries
+    stage(spark, base, "crashed", Seq((9L, "x")).toDF("k", "s"), Seq("k"))
+    val orphan = new java.io.File(base, "data/crashed-0.parquet")
+    assert(orphan.isFile)
+    val deleted = vacuumOrphans(base)
+    assert(deleted == Seq("crashed-0.parquet"), deleted.mkString(","))
+    assert(!orphan.exists())
+    assert(snapshot(spark, base, 0L).count() == 2, "vacuum touched a referenced file")
+  }
+
   test("q97 CoW merge: untouched files reused by reference, rewrite set bounded, v0 immutable") {
     val base = freshBase()
     commitAppend(spark, base, ordersKv, Seq("k"), Some("k"), files = 16)

@@ -186,7 +186,8 @@ private[graft] class JsonlTable(tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlScanBuilder(tableSchema, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -204,6 +205,7 @@ private[sources] class JsonlScanBuilder(
   private val path = JsonlSource.requirePath(options)
   private val splitBytes =
     math.max(1L, options.getLong("maxSplitBytes", 128L * 1024 * 1024))
+  private val maxFilesPerTrigger = options.getInt("maxFilesPerTrigger", 0)
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
@@ -244,7 +246,7 @@ private[sources] class JsonlScanBuilder(
   override def isPartiallyPushed: Boolean = true // per-split limit; Spark applies the global one
 
   override def build(): Scan =
-    new JsonlScan(tableSchema, required, pushed, limit, path, splitBytes)
+    new JsonlScan(tableSchema, required, pushed, limit, path, splitBytes, maxFilesPerTrigger)
 }
 
 private[sources] case class JsonlInputPartition(
@@ -261,7 +263,8 @@ private[sources] class JsonlScan(
     pushed: Array[Filter],
     limit: Int,
     path: String,
-    splitBytes: Long)
+    splitBytes: Long,
+    maxFilesPerTrigger: Int = 0)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -273,6 +276,10 @@ private[sources] class JsonlScan(
   }
 
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new JsonlMicroBatchStream(path, createReaderFactory(), maxFilesPerTrigger)
 
   /** Byte-range splits planned from driver-side file lengths alone, with
     * HDFS block hosts as locality hints — the part that makes a 100 TB
@@ -514,6 +521,97 @@ private[sources] object JsonlPredicates {
         throw new IllegalStateException(s"unabsorbable filter reached the reader: $other")
     }
   }
+}
+
+// --- streaming read ---------------------------------------------------------
+
+/** Stream offset = the set of data files already processed, JSON-encoded
+  * sorted — the public FileStreamSource design (an offset must describe
+  * progress durably and totally; for a file feed that IS the seen-file
+  * set). At production scale the seen-set is compacted into the
+  * checkpoint exactly like Spark's own file source log; here it rides
+  * whole in each offset, the honest bounded-backlog form. */
+private[graft] case class JsonlStreamOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = m.createArrayNode()
+    files.sorted.foreach(arr.add)
+    m.writeValueAsString(arr)
+  }
+}
+
+/** Micro-batch streaming read over a JSONL directory: each batch is the
+  * set of files that appeared since the last committed offset (whole
+  * files — the connector's batch sink publishes files ATOMICALLY via
+  * rename, so a visible file is complete; that pairing is what makes
+  * file-granular streaming exactly-once end to end). Column pruning and
+  * filter pushdown ride the same [[JsonlReaderFactory]] as the batch
+  * scan. Admission control: `maxFilesPerTrigger`-style rate limiting via
+  * [[ReadLimit.maxFiles]], and `Trigger.AvailableNow` pins the backlog
+  * bound at query start ([[SupportsTriggerAvailableNow]]) so the run
+  * terminates even while a writer keeps appending.
+  */
+private[graft] class JsonlMicroBatchStream(
+    path: String,
+    readerFactory: PartitionReaderFactory,
+    maxFilesPerTrigger: Int = 0)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset, ReadLimit, ReadMaxFiles}
+
+  @volatile private var availableNowBound: Option[Seq[String]] = None
+
+  private def currentFiles(): Seq[String] =
+    JsonlSource.listDataFiles(path).map(_.getPath.getName).sorted
+
+  override def initialOffset(): StreamOffset = JsonlStreamOffset(Seq.empty)
+
+  override def deserializeOffset(json: String): StreamOffset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    JsonlStreamOffset((0 until node.size()).map(node.get(_).textValue()))
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(currentFiles())
+
+  /** `maxFilesPerTrigger` is a SOURCE-declared limit for a custom
+    * connector (the engine passes this limit back into [[latestOffset]]
+    * each micro-batch; only the built-in file source spells it as a
+    * generic reader option). */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
+
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val seen = start.asInstanceOf[JsonlStreamOffset].files.toSet
+    val visible = availableNowBound.getOrElse(currentFiles())
+    val fresh = visible.filterNot(seen)
+    val admitted = limit match {
+      case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
+      case _ => fresh
+    }
+    JsonlStreamOffset((seen ++ admitted).toSeq.sorted)
+  }
+
+  override def planInputPartitions(start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[JsonlStreamOffset].files.toSet
+    val batch = end.asInstanceOf[JsonlStreamOffset].files.filterNot(seen).sorted
+    val byName = JsonlSource.listDataFiles(path).map(f => f.getPath.getName -> f).toMap
+    batch.flatMap(byName.get).map { f =>
+      JsonlInputPartition(f.getPath.toString, 0L, f.getLen, Array.empty): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
+
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 // --- write path -------------------------------------------------------------

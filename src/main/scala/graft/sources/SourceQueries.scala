@@ -127,6 +127,73 @@ object SourceQueries {
           |FROM src
           |GROUP BY event_type
           |ORDER BY event_type""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q100: the connector's STREAMING read — a real readStream over the
+    // native MicroBatchStream: the backlog (three separately-committed
+    // sink jobs → ≥3 files) is consumed file-granularly under
+    // Trigger.AvailableNow with maxFilesPerTrigger-style admission
+    // control (ReadLimit.maxFiles(1) → one file per micro-batch, so the
+    // run provably iterates the offset loop instead of swallowing the
+    // backlog in one batch), aggregated complete-mode into a memory
+    // sink. Deterministic on bounded input → the exact batch oracle.
+    // Completes the connector matrix: batch read, batch write (2-phase
+    // commit), streaming read — all three on one TableProvider.
+    GraftQuery(
+      "q100_stream_dsv2_source",
+      "readStream over the native DSv2 source, 1-file micro-batches (parquet-side oracle)",
+      (spark, dir) => {
+        val feedSchema = "event_id LONG, user_id LONG, event_type STRING, " +
+          "value_micros LONG"
+        val out = graft.io.TempLayouts.cached(
+          "q100_dsv2_stream#" + new java.io.File(dir).getCanonicalPath,
+          "graft_dsv2_stream_") { o =>
+          val ev = Tables(spark, dir).events
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              floor(col("value") * 1e6).cast("long").as("value_micros"))
+          // three separate single-file sink jobs → a 3-file backlog, so
+          // the 1-file admission cap below yields exactly 3 micro-batches
+          // (each micro-batch pays a fixed state-store commit; a backlog
+          // of N tiny files costs N commits — production feeds size files
+          // to the trigger interval for the same reason)
+          (0 until 3).foreach { s =>
+            ev.filter(pmod(col("event_id"), lit(3)) === s).coalesce(1)
+              .write.format("graft.sources.JsonlSource").mode("append").save(o)
+          }
+        }
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = ss.readStream
+          .format("graft.sources.JsonlSource")
+          .schema(feedSchema)
+          .option("maxFilesPerTrigger", "1")
+          .load(out)
+          .groupBy(col("event_type"))
+          // distinct aggregates are (correctly) unsupported on streams —
+          // the distinct story is q22/q66's sketches; here min/max/sum
+          .agg(count(lit(1)).as("n"),
+            sum(col("value_micros")).as("sum_value_micros"),
+            min(col("event_id")).as("min_event_id"),
+            max(col("event_id")).as("max_event_id"))
+          .writeStream
+          .format("memory").queryName("q100_sink")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ss.table("q100_sink").orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+          |         AS sum_value_micros,
+          |       CAST(min(event_id) AS BIGINT) AS min_event_id,
+          |       CAST(max(event_id) AS BIGINT) AS max_event_id
+          |FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
     )
   )
 }

@@ -51,9 +51,13 @@ object ManifestLog {
     * "string"); both None ⇔ the column is all-null in this file. */
   final case class ColStat(kind: String, min: Option[String], max: Option[String], nulls: Long)
 
-  /** One immutable data file: path relative to the table base, exact row
-    * count and byte size (query-planning inputs), declared-column stats. */
-  final case class ManifestEntry(path: String, rows: Long, bytes: Long, stats: Map[String, ColStat])
+  /** One immutable file of a snapshot: path relative to the table base,
+    * exact row count and byte size (query-planning inputs),
+    * declared-column stats, and its role — `"data"`, or `"delete"` for a
+    * merge-on-read tombstone file (its columns name the key whose rows
+    * are deleted; see [[commitDelete]]). */
+  final case class ManifestEntry(path: String, rows: Long, bytes: Long,
+      stats: Map[String, ColStat], kind: String = "data")
 
   private def manifestsDir(base: String) = new File(base, "_manifests")
   private def dataDir(base: String) = new File(base, "data")
@@ -72,6 +76,7 @@ object ManifestLog {
     val m = mapper
     val o = m.createObjectNode()
     o.put("path", e.path); o.put("rows", e.rows); o.put("bytes", e.bytes)
+    if (e.kind != "data") o.put("kind", e.kind)
     val st = o.putObject("stats")
     e.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
       val n = st.putObject(c)
@@ -96,7 +101,8 @@ object ManifestLog {
       }.toMap
     }.getOrElse(Map.empty)
     ManifestEntry(n.get("path").textValue(), n.get("rows").longValue(),
-      n.get("bytes").longValue(), stats)
+      n.get("bytes").longValue(), stats,
+      Option(n.get("kind")).map(_.textValue()).getOrElse("data"))
   }
 
   def manifest(base: String, id: Long): Seq[ManifestEntry] = {
@@ -307,6 +313,40 @@ object ManifestLog {
     spark.read.parquet(entries.map(e => new File(base, e.path).getPath): _*)
   }
 
-  def snapshot(spark: SparkSession, base: String, id: Long): DataFrame =
-    read(spark, base, manifest(base, id))
+  /** Read one committed snapshot with merge-on-read semantics: data
+    * files minus any tombstoned keys. The tombstone files' own columns
+    * define the delete key (single or composite), so the reader needs no
+    * side metadata; a table without deletes reads as a plain union. At
+    * scale the tombstone side is tiny → the anti-join broadcasts, so a
+    * delete costs NO data-file rewrite at write time and one broadcast
+    * probe at read time; when tombstones accumulate, a q97-style CoW
+    * rewrite (or [[optimize]]) folds them back in. */
+  def snapshot(spark: SparkSession, base: String, id: Long): DataFrame = {
+    val m = manifest(base, id)
+    val (dels, data) = m.partition(_.kind == "delete")
+    val df = read(spark, base, data)
+    if (dels.isEmpty) df
+    else {
+      val keys = read(spark, base, dels).distinct()
+      df.join(keys, keys.columns.toSeq, "left_anti")
+    }
+  }
+
+  /** Merge-on-read DELETE (the deletion-vector strategy, public
+    * Iceberg/Delta design): commit a new version whose only novelty is a
+    * tombstone file holding the deleted KEYS — O(deleted keys) write
+    * cost, zero data files touched (q97's CoW merge is the
+    * write-amplified/read-cheap dual; a format needs both). `keysDf`'s
+    * column set IS the delete key. Returns the new version id. */
+  def commitDelete(spark: SparkSession, base: String, keysDf: DataFrame,
+      statsCols: Seq[String] = Seq.empty, ofVersion: Option[Long] = None): Long = {
+    val head = latest(base).getOrElse(
+      throw new IllegalStateException(s"no committed version under $base"))
+    // ofVersion pins the snapshot the delete applies to (a replayed batch
+    // deletes against the same state it first saw); default is the head
+    val prev = manifest(base, ofVersion.getOrElse(head))
+    val tomb = stage(spark, base, s"v${head + 1L}-del", keysDf.distinct(), statsCols)
+      .map(_.copy(kind = "delete"))
+    commitEntries(base, prev ++ tomb)
+  }
 }

@@ -206,6 +206,59 @@ object ManifestQueries {
           |FROM feed
           |GROUP BY priority
           |ORDER BY priority""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q101: merge-on-read DELETE (deletion vectors) — q97's dual. A
+    // key-banded delete batch commits as ONE tombstone file of keys plus
+    // a manifest line: zero data files touched at write time (the spec
+    // pins path-identity of every data file across the delete), and the
+    // read side anti-joins the broadcast-small tombstones. CoW (q97)
+    // pays write amplification for clean reads; MoR pays a read-side
+    // probe for O(batch) writes — a production format offers both and
+    // compacts MoR tables back through OPTIMIZE/CoW when tombstones
+    // accumulate. The delete is pinned to version 0 so every run
+    // produces the same state; the oracle is the base minus the band.
+    GraftQuery(
+      "q101_manifest_delete_vectors",
+      "merge-on-read delete: tombstone keys file, zero data-file rewrites (parquet-side oracle)",
+      (spark, dir) => {
+        val base = ordersByKey(spark, dir)
+        val v0 = ManifestLog.read(spark, base, ManifestLog.manifest(base, 0L))
+        val Array(mn, mx) = v0.agg(min(col("k")), max(col("k"))).collect()
+          .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+        val lo = mn + 2L * (mx - mn) / 3L
+        val hi = lo + (mx - mn) / 25L
+        val v = ManifestLog.commitDelete(spark, base,
+          v0.filter(col("k").between(lo, hi)).select(col("k")),
+          statsCols = Seq("k"), ofVersion = Some(0L))
+        ManifestLog.snapshot(spark, base, v)
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("status"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT o_orderkey AS k,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |b AS (SELECT min(k) AS mn, max(k) AS mx FROM base),
+          |band AS (SELECT mn + 2 * (mx - mn) // 3 AS lo,
+          |                mn + 2 * (mx - mn) // 3 + (mx - mn) // 25 AS hi
+          |         FROM b)
+          |SELECT status,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+          |       CAST(min(k) AS BIGINT) AS min_k,
+          |       CAST(max(k) AS BIGINT) AS max_k
+          |FROM base, band
+          |WHERE NOT (k BETWEEN lo AND hi)
+          |GROUP BY status
+          |ORDER BY status""".stripMargin)
     )
   )
 

@@ -161,6 +161,35 @@ class ManifestLogSpec extends SparkSpecBase {
     assert(snapshot(spark, base, 0L).count() == 2, "vacuum touched a referenced file")
   }
 
+  test("merge-on-read delete: tombstones compose, zero data rewrites, history intact") {
+    val base = freshBase()
+    commitAppend(spark, base, ordersKv, Seq("k"), Some("k"), files = 8)
+    val v0 = manifest(base, 0L)
+    val n0 = snapshot(spark, base, 0L).count()
+    val someKeys = snapshot(spark, base, 0L).select("k").orderBy(col("k")).limit(10)
+    val v1 = commitDelete(spark, base, someKeys, Seq("k"))
+    val m1 = manifest(base, v1)
+    // data files untouched and reused by reference; one tombstone added
+    assert(m1.filter(_.kind == "data") == v0)
+    val tombs = m1.filter(_.kind == "delete")
+    assert(tombs.size == 1 && tombs.head.rows == 10)
+    assert(snapshot(spark, base, v1).count() == n0 - 10)
+    // a second (head-based) delete composes with the first
+    val moreKeys = snapshot(spark, base, 0L).select("k").orderBy(col("k").desc).limit(5)
+    val v2 = commitDelete(spark, base, moreKeys, Seq("k"))
+    assert(snapshot(spark, base, v2).count() == n0 - 15)
+    // deleting already-deleted keys is idempotent in effect
+    val v3 = commitDelete(spark, base, someKeys, Seq("k"))
+    assert(snapshot(spark, base, v3).count() == n0 - 15)
+    // history intact
+    assert(snapshot(spark, base, 0L).count() == n0)
+    assert(snapshot(spark, base, v1).count() == n0 - 10)
+    // plan shape: the tombstone side broadcasts (no shuffle for the probe)
+    val plan = snapshot(spark, base, v3).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"MoR probe should be a broadcast anti-join:\n${plan.take(2000)}")
+  }
+
   test("q97 CoW merge: untouched files reused by reference, rewrite set bounded, v0 immutable") {
     val base = freshBase()
     commitAppend(spark, base, ordersKv, Seq("k"), Some("k"), files = 16)

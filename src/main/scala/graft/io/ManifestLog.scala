@@ -124,6 +124,45 @@ object ManifestLog {
     id
   }
 
+  /** Optimistic multi-writer commit. [[commitEntries]] is single-writer:
+    * POSIX rename REPLACES silently, so two writers racing to the same
+    * next id would silently lose one manifest. The multi-writer arbiter
+    * here is atomic put-if-absent of the FULLY-WRITTEN manifest — the
+    * content lands in a writer-private `.tmp`, then one hard-link
+    * creation publishes it under the final version name ([[Files.createLink]]
+    * fails atomically if the name exists → the loser re-reads the new
+    * head and retries with its `entries` callback against the REAL
+    * predecessor). This is the public Delta design (put-if-absent on the
+    * log entry itself): no claim files, no holes, readers can never see
+    * a half-written manifest, and a loser's retry always builds on the
+    * published state it lost to. On object stores the same contract
+    * comes from the store's conditional-put primitive. Content-level
+    * conflict validation (abort when a concurrent commit touched the
+    * same files) remains a policy layer above, as in the public formats. */
+  def commitEntriesAtomic(base: String, maxAttempts: Int = 64)
+      (entries: Seq[ManifestEntry] => Seq[ManifestEntry]): Long = {
+    val dir = manifestsDir(base); dir.mkdirs()
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val head = latest(base)
+      val next = head.map(_ + 1L).getOrElse(0L)
+      val prev = head.map(manifest(base, _)).getOrElse(Seq.empty)
+      val tmp = new File(dir, s"$next.${java.util.UUID.randomUUID()}.tmp").toPath
+      Files.write(tmp, entries(prev).map(entryToJson).mkString("\n").getBytes("UTF-8"))
+      try {
+        Files.createLink(new File(dir, next.toString).toPath, tmp)
+        Files.deleteIfExists(tmp)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) // lost the race — retry on the new head
+      }
+    }
+    throw new IllegalStateException(
+      s"commitEntriesAtomic: gave up after $maxAttempts contended attempts on $base")
+  }
+
   // --- staging data files -------------------------------------------------
 
   /** Write `df` as immutable data files under `base/data/` (no manifest —

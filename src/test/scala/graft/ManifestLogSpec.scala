@@ -161,6 +161,35 @@ class ManifestLogSpec extends SparkSpecBase {
     assert(snapshot(spark, base, 0L).count() == 2, "vacuum touched a referenced file")
   }
 
+  test("commitEntriesAtomic: 8 racing writers, no lost manifests, final state is the union") {
+    val base = freshBase()
+    import testImplicits._
+    commitAppend(spark, base, Seq((0L, "base")).toDF("k", "s"), Seq("k"))
+    // pre-stage one data file per writer (driver-side Spark writes can't
+    // race from bare threads; the COMMIT is what's under test)
+    val staged = (1 to 8).map { i =>
+      i -> stage(spark, base, s"w$i", Seq((i.toLong, s"w$i")).toDF("k", "s"), Seq("k"))
+    }.toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            commitEntriesAtomic(base)(prev => prev ++ staged(i))
+        })
+      }
+      val ids = futs.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(ids.distinct.size == 8, s"collided version ids: $ids")
+    } finally pool.shutdownNow()
+    assert(versions(base) == (0L to 8L), s"lost a version: ${versions(base)}")
+    // every writer's entry survives: each retry rebuilt on the real head
+    val finalRows = snapshot(spark, base, 8L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(finalRows == ((0L, "base") +: (1 to 8).map(i => (i.toLong, s"w$i"))).sorted)
+    // no stray tmp files remain visible to discovery
+    assert(latest(base).contains(8L))
+  }
+
   test("merge-on-read delete: tombstones compose, zero data rewrites, history intact") {
     val base = freshBase()
     commitAppend(spark, base, ordersKv, Seq("k"), Some("k"), files = 8)

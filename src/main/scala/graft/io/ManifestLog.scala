@@ -289,7 +289,9 @@ object ManifestLog {
       if (r != 0) r else x.length - y.length
   }
 
-  /** File skipping for `col BETWEEN lo AND hi` (inclusive): keep a file
+  /** File skipping for `col BETWEEN lo AND hi` (inclusive) over DATA
+    * entries (callers split tombstones out first — [[snapshot]] does;
+    * a tombstone entry passed here is kept conservatively): keep a file
     * iff it MIGHT hold a matching row — no usable stats (conservative) or
     * [min,max] intersects [lo,hi]. An all-null file is skippable: a range
     * predicate never matches NULL. Returns (keep, skip). Soundness is
@@ -325,11 +327,14 @@ object ManifestLog {
       targetFiles: Int = 1): Option[Long] = {
     val head = latest(base).getOrElse(return None)
     val m = manifest(base, head)
-    val (small, big) = m.partition(_.bytes < smallBytes)
+    // tombstones ride through untouched: they still apply to the packed
+    // files at read time (folding them in is a q97-style CoW, not a pack)
+    val (dataEntries, tombs) = m.partition(_.kind == "data")
+    val (small, big) = dataEntries.partition(_.bytes < smallBytes)
     if (small.size < 2) return None
     val packed = stage(spark, base, s"v${head + 1L}-opt", read(spark, base, small),
       statsCols, sortCol, targetFiles)
-    Some(commitEntries(base, big ++ packed))
+    Some(commitEntries(base, big ++ tombs ++ packed))
   }
 
   /** Garbage-collect ORPHAN data files: anything under `base/data/` that

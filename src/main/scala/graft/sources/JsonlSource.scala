@@ -60,7 +60,12 @@ import org.apache.spark.util.SerializableConfiguration
   *    each touched split emits ≤ n), Spark applies the global limit above;
   *  - `SupportsReportStatistics` — byte size scaled by the pruned-column
   *    fraction, so the CBO/AQE sees a 2-of-10-column scan as ~20% of the
-  *    file bytes when sizing joins over this source.
+  *    file bytes when sizing joins over this source;
+  *  - `SupportsRuntimeFiltering` — a broadcast-join subquery result
+  *    (DPP-style `In` on a join key) arrives at runtime and is admitted
+  *    into the same reader-side predicate path as static pushdown, so a
+  *    selective dim join skips fact rows before materialization
+  *    (`RuntimeFilters:` on the BatchScan, spec-pinned end to end).
   *
   * Type system: BOOLEAN / LONG / DOUBLE / STRING (top-level keys only) —
   * the integer-coded interchange discipline of q94; type-mismatched or
@@ -265,7 +270,8 @@ private[sources] class JsonlScan(
     path: String,
     splitBytes: Long,
     maxFilesPerTrigger: Int = 0)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
 
@@ -274,6 +280,27 @@ private[sources] class JsonlScan(
     s"graft-jsonl PushedFilters: ${pushed.mkString("[", ", ", "]")}$lim, " +
       s"ReadSchema: ${required.catalogString}"
   }
+
+  // --- runtime (DPP-style) filtering --------------------------------------
+  // A broadcast-join subquery result arrives AFTER planning as In(col,
+  // values); the engine calls filter() before the Batch plans its
+  // partitions, so admitted filters reach every reader exactly like
+  // statically-pushed ones (row-level skip before materialization). A
+  // filter the scan can't evaluate is simply ignored — the contract says
+  // runtime filtering is best-effort; the join still applies it above.
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns that survived pruning: the engine resolves these
+    // against the scan OUTPUT (a pruned-away name fails analysis)
+    required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter {
+      case f: sources.In => f.references.forall(tableSchema.fieldNames.contains)
+      case f: sources.EqualTo => f.references.forall(tableSchema.fieldNames.contains)
+      case _ => false
+    }
 
   override def toBatch: Batch = this
 
@@ -301,12 +328,14 @@ private[sources] class JsonlScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // parse set = output columns ∪ columns referenced only by absorbed
-    // filters (fully-pushed predicates may reference pruned-away keys)
-    val filterRefs = pushed.flatMap(_.references).distinct
+    // (static or runtime) filters — fully-pushed predicates may
+    // reference pruned-away keys
+    val effective = pushed ++ runtime
+    val filterRefs = effective.flatMap(_.references).distinct
     val parseNames = (required.fieldNames ++ filterRefs).distinct
     val parseSchema = StructType(parseNames.flatMap(n => tableSchema.fields.find(_.name == n)))
     new JsonlReaderFactory(
-      parseSchema, required, pushed, limit,
+      parseSchema, required, effective, limit,
       new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf()))
   }
 

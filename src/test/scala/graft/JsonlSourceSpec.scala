@@ -49,6 +49,20 @@ class JsonlSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("multi-byte UTF-8 survives byte-range splits landing mid-character") {
+    // 0x0A can never occur inside a UTF-8 continuation sequence, so byte
+    // splitting is sound — prove it with 2/3/4-byte code points and
+    // splits small enough to land inside them
+    val lines = (0 until 12).map(i => s"""{"a": $i, "b": "é中🙂-$i"}""")
+    val dir = writeFixture(lines)
+    for (split <- Seq(5L, 11L, 23L)) {
+      val got = readWith(dir, abSchema, split)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got == (0 until 12).map(i => (i.toLong, s"é中🙂-$i")),
+        s"split=$split corrupted multi-byte text")
+    }
+  }
+
   test("final record without trailing newline is owned by exactly one split") {
     val dir = writeFixture(sweepLines, trailingNewline = false)
     for (split <- Seq(5L, 50L, 1L << 20)) {
@@ -152,6 +166,31 @@ class JsonlSourceSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
     assert(ours == builtin)
     graft.io.TempLayouts.discard(dir)
+  }
+
+  test("runtime filtering: a broadcast-join subquery reaches the DSv2 scan as a runtime filter") {
+    val t = graft.io.Tables(spark, sf0001)
+    val dir = graft.io.TempLayouts.scratch("graft_jsonl_dpp_")
+    t.orders.select(col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .write.format("graft-jsonl").mode("overwrite").save(dir)
+    val fact = spark.read.format("graft-jsonl")
+      .schema("o_orderkey LONG, o_custkey LONG, cents LONG").load(dir)
+    val dim = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val joined = fact.join(dim, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val row = joined.collect().head
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"runtime filter did not reach the scan:\n${plan.take(4000)}")
+    // values agree with the parquet-side computation
+    val expect = t.orders.join(
+        t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey"),
+        col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)), sum(floor(col("o_totalprice") * 100).cast("long")))
+      .collect().head
+    assert(row.getLong(0) == expect.getLong(0) && row.getLong(1) == expect.getLong(1))
   }
 
   test("statistics: CBO sees byte size scaled by the pruned-column fraction") {

@@ -21,6 +21,9 @@ object GraftSession {
     * driver-contract mains too, so Verify/Bench and tests agree). */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    // V2 FunctionCatalog: SQL resolves graft_fn.fn.<name>(...) through
+    // the catalog plugin (magic-method codegen — see GraftFunctionCatalog)
+    .config("spark.sql.catalog.graft_fn", "graft.sources.GraftFunctionCatalog")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -194,6 +194,58 @@ object SourceQueries {
           |FROM events
           |GROUP BY event_type
           |ORDER BY event_type""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q102: V2 FunctionCatalog — SQL resolves graft_fn.fn.cents /
+    // graft_fn.fn.dot_f through the catalog plugin, and the magic-method
+    // binding compiles both call sites to direct Invoke inside
+    // whole-stage codegen (FunctionCatalogSpec pins no
+    // ApplyFunctionExpression fallback in the plan). Two branches tag a
+    // union so ONE oracle hash covers both functions: money coding over
+    // orders, and consecutive-pair embedding dots floored at e4 BEFORE
+    // summing (per-pair doubles are deterministic — index-ordered double
+    // accumulation, list_dot_product's exact twin per the s01
+    // precedent — while a double SUM across rows would be
+    // order-dependent).
+    GraftQuery(
+      "q102_function_catalog",
+      "catalog-registered SQL functions (magic-method codegen): cents + pairwise dot (oracle)",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.orders.createOrReplaceTempView("q102_orders")
+        t.embeddings.createOrReplaceTempView("q102_emb")
+        spark.sql(
+          """SELECT 'cents' AS fn, o_orderpriority AS grp,
+            |       CAST(count(*) AS BIGINT) AS n,
+            |       CAST(sum(graft_fn.fn.cents(o_totalprice)) AS BIGINT) AS val
+            |FROM q102_orders
+            |GROUP BY o_orderpriority
+            |UNION ALL
+            |SELECT 'dot' AS fn, CAST(e1.label AS STRING) AS grp,
+            |       CAST(count(*) AS BIGINT) AS n,
+            |       CAST(sum(CAST(floor(
+            |         graft_fn.fn.dot_f(e1.embedding, e2.embedding) * 10000)
+            |         AS BIGINT)) AS BIGINT) AS val
+            |FROM q102_emb e1 JOIN q102_emb e2 ON e2.vec_id = e1.vec_id + 1
+            |GROUP BY e1.label
+            |ORDER BY fn, grp""".stripMargin)
+      },
+      Some(
+        """SELECT 'cents' AS fn, o_orderpriority AS grp,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS val
+          |FROM orders
+          |GROUP BY o_orderpriority
+          |UNION ALL
+          |SELECT 'dot' AS fn, CAST(e1.label AS VARCHAR) AS grp,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(CAST(floor(
+          |         list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[])
+          |         * 10000) AS BIGINT)) AS BIGINT) AS val
+          |FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1
+          |GROUP BY e1.label
+          |ORDER BY fn, grp""".stripMargin)
     )
   )
 }

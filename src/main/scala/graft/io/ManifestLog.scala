@@ -342,8 +342,12 @@ object ManifestLog {
     * crashed between [[stage]] and [[commitEntries]]. Every referenced
     * file stays (historical snapshots remain readable — vacuuming old
     * VERSIONS is a retention policy above this primitive). Returns the
-    * deleted file names. Safe concurrently with readers: an orphan is by
-    * definition unreachable from any manifest. */
+    * deleted file names. Safe concurrently with READERS (an orphan is by
+    * definition unreachable from any manifest) but NOT with in-flight
+    * WRITERS: a file staged but not yet committed is indistinguishable
+    * from crash residue, so run vacuum only with no live writers — or,
+    * as production formats do, only on files older than a retention
+    * window that bounds any writer's stage→commit gap. */
   def vacuumOrphans(base: String): Seq[String] = {
     val referenced = versions(base).flatMap(manifest(base, _)).map(_.path).toSet
     Option(dataDir(base).listFiles()).getOrElse(Array.empty[File])

@@ -527,7 +527,21 @@ private[sources] object JsonlPredicates {
       case sources.LessThanOrEqual(a, v) =>
         val i = slot(a); vals => cmp(vals(i), v).exists(_ <= 0)
       case sources.In(a, vs) =>
-        val i = slot(a); vals => vals(i) != null && vs.exists(v => cmp(vals(i), v).contains(0))
+        // hash-set membership for homogeneous lists: a DPP-pushed In can
+        // carry thousands of keys, and a linear scan per ROW would turn
+        // the runtime filter into the bottleneck it exists to remove
+        val i = slot(a)
+        if (vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Long])) {
+          val set = vs.map(_.asInstanceOf[java.lang.Long]).toSet
+          vals => vals(i) match { case l: java.lang.Long => set.contains(l); case _ => false }
+        } else if (vs.nonEmpty && vs.forall(_.isInstanceOf[String])) {
+          val set = vs.map(_.asInstanceOf[String]).toSet
+          // String.equals == UTF-8 byte equality, so set membership is
+          // exactly the cmp(...)==0 semantics
+          vals => vals(i) match { case t: String => set.contains(t); case _ => false }
+        } else {
+          vals => vals(i) != null && vs.exists(v => cmp(vals(i), v).contains(0))
+        }
       case sources.IsNull(a) =>
         val i = slot(a); vals => vals(i) == null
       case sources.IsNotNull(a) =>
@@ -588,7 +602,7 @@ private[graft] class JsonlMicroBatchStream(
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset, ReadLimit, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => StreamOffset, ReadLimit, ReadMaxFiles}
 
   @volatile private var availableNowBound: Option[Seq[String]] = None
 
@@ -623,6 +637,11 @@ private[graft] class JsonlMicroBatchStream(
     val fresh = visible.filterNot(seen)
     val admitted = limit match {
       case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
+      case c: CompositeReadLimit =>
+        // AvailableNow can wrap the source's own limit in a composite;
+        // honor the file cap if one is present
+        c.getReadLimits.collectFirst { case mf: ReadMaxFiles => fresh.take(mf.maxFiles()) }
+          .getOrElse(fresh)
       case _ => fresh
     }
     JsonlStreamOffset((seen ++ admitted).toSeq.sorted)

@@ -52,7 +52,9 @@ object DedupOps {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def assertPlantIdSpace(docs: DataFrame, key: String): Unit =
     if (!idSpaceChecked.contains(key)) {
-      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val head = docs.agg(max(col("doc_id"))).head
+      // empty / all-null id column → nothing planted can collide
+      val mx = if (head.isNullAt(0)) Long.MinValue else head.getLong(0)
       require(mx < PlantOffset,
         s"planted-id convention requires max(doc_id) < $PlantOffset, got " +
           s"$mx — raise the offset (and the oracle's id-space split) together")

@@ -70,7 +70,10 @@ object ManifestLog {
 
   // --- manifest JSON (one entry per line, Jackson) ------------------------
 
-  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  // ONE mapper for the module: ObjectMapper is thread-safe after
+  // construction and expensive to build — a per-line def would construct
+  // one per manifest entry parsed, defeating the one-metadata-read story
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def entryToJson(e: ManifestEntry): String = {
     val m = mapper
@@ -280,13 +283,9 @@ object ManifestLog {
     case "long" => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
     case _ =>
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      val n = math.min(x.length, y.length)
-      var r = 0
-      while (i < n && r == 0) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
-      if (r != 0) r else x.length - y.length
+      // unsigned UTF-8 byte order — Spark's own binary string comparator
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(b))
   }
 
   /** File skipping for `col BETWEEN lo AND hi` (inclusive) over DATA
@@ -385,14 +384,17 @@ object ManifestLog {
     * tombstone file holding the deleted KEYS — O(deleted keys) write
     * cost, zero data files touched (q97's CoW merge is the
     * write-amplified/read-cheap dual; a format needs both). `keysDf`'s
-    * column set IS the delete key. Returns the new version id. */
+    * column set IS the delete key. Always composes with the CURRENT
+    * head (a delete against an older snapshot would have to rebase the
+    * table and silently drop later commits — callers needing a pinned
+    * replay compose `manifest(base, v) ++ tombstone` with
+    * [[commitEntries]] explicitly, as q101 does). Returns the new
+    * version id. */
   def commitDelete(spark: SparkSession, base: String, keysDf: DataFrame,
-      statsCols: Seq[String] = Seq.empty, ofVersion: Option[Long] = None): Long = {
+      statsCols: Seq[String] = Seq.empty): Long = {
     val head = latest(base).getOrElse(
       throw new IllegalStateException(s"no committed version under $base"))
-    // ofVersion pins the snapshot the delete applies to (a replayed batch
-    // deletes against the same state it first saw); default is the head
-    val prev = manifest(base, ofVersion.getOrElse(head))
+    val prev = manifest(base, head)
     val tomb = stage(spark, base, s"v${head + 1L}-del", keysDf.distinct(), statsCols)
       .map(_.copy(kind = "delete"))
     commitEntries(base, prev ++ tomb)

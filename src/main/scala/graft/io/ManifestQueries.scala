@@ -229,9 +229,17 @@ object ManifestQueries {
           .flatMap(r => Array(r.getLong(0), r.getLong(1)))
         val lo = mn + 2L * (mx - mn) / 3L
         val hi = lo + (mx - mn) / 25L
-        val v = ManifestLog.commitDelete(spark, base,
-          v0.filter(col("k").between(lo, hi)).select(col("k")),
-          statsCols = Seq("k"), ofVersion = Some(0L))
+        // deterministic replay: compose version 0's DATA entries with
+        // this run's tombstone explicitly (commitDelete itself is
+        // head-based — rebasing a live table onto an old snapshot would
+        // drop later commits, so the API refuses to offer it)
+        val head = ManifestLog.latest(base).get
+        val tomb = ManifestLog.stage(spark, base, s"v${head + 1L}-del",
+            v0.filter(col("k").between(lo, hi)).select(col("k")).distinct(),
+            statsCols = Seq("k"))
+          .map(_.copy(kind = "delete"))
+        val v = ManifestLog.commitEntries(base,
+          ManifestLog.manifest(base, 0L) ++ tomb)
         ManifestLog.snapshot(spark, base, v)
           .groupBy(col("status"))
           .agg(count(lit(1)).as("n"),

@@ -45,7 +45,11 @@ object TempLayouts {
   def cached(key: String, prefix: String)(build: String => Unit): String = {
     val hit = live.get(key)
     if (hit != null) return hit
-    buildLock.synchronized {
+    // per-KEY lock (computeIfAbsent on the lock map is safe — it never
+    // nests a build): unrelated builds stay concurrent, same-key builds
+    // serialize, and a nested same-key cached() re-enters its own monitor
+    val lock = buildLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
       val again = live.get(key)
       if (again != null) return again
       val out = mk(prefix)
@@ -55,7 +59,7 @@ object TempLayouts {
     }
   }
 
-  private val buildLock = new Object
+  private val buildLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Build FRESH and swap in as `key`'s live dir; the displaced dir is
     * deleted AFTER the swap, so a concurrent reader that resolved the old

@@ -484,18 +484,10 @@ private[sources] class JsonlPartitionReader(
   * compose soundly under that collapse. */
 private[sources] object JsonlPredicates {
 
-  private def utf8Cmp(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+  private def utf8Cmp(a: String, b: String): Int =
+    // unsigned UTF-8 byte order, delegated to Spark's own comparator so
+    // this path and ManifestLog.cmpTyped can never diverge
+    UTF8String.fromString(a).binaryCompare(UTF8String.fromString(b))
 
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None

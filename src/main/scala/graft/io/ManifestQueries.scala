@@ -267,8 +267,89 @@ object ManifestQueries {
           |WHERE NOT (k BETWEEN lo AND hi)
           |GROUP BY status
           |ORDER BY status""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q103: the round's pieces composed end to end — a medallion
+    // pipeline where every storage hop is native: events land as a
+    // JSONL bronze feed through the DSv2 SINK (two-phase commit), come
+    // back through the DSv2 SCAN (explicit schema), and commit to the
+    // manifest format as a time-sorted silver table with footer stats;
+    // the gold aggregate then stats-prunes the silver manifest to a
+    // closed-form time band (middle quarter of the event-time range)
+    // before the row-level filter and rollup. One oracle hash therefore
+    // covers sink protocol + scan conversion + manifest commit + file
+    // pruning + aggregation in a single plan. Bronze/silver build once
+    // per JVM (the ingest legs are q98/q96's own entries); the PRUNED
+    // READ re-executes every run.
+    GraftQuery(
+      "q103_jsonl_manifest_pipeline",
+      "DSv2 sink → DSv2 scan → manifest silver → stats-pruned gold rollup (parquet-side oracle)",
+      (spark, dir) => {
+        val base = eventsSilver(spark, dir)
+        val m = ManifestLog.manifest(base, 0L)
+        val snap = ManifestLog.read(spark, base, m)
+        val Array(mn, mx) = snap.agg(min(col("ts_us")), max(col("ts_us"))).collect()
+          .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+        val lo = mn + (mx - mn) / 4
+        val hi = mn + (mx - mn) / 2
+        val (keep, _) = ManifestLog.pruneRange(m, "ts_us", lo.toString, hi.toString)
+        ManifestLog.read(spark, base, keep)
+          .filter(col("ts_us").between(lo, hi))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value_micros")).as("sum_value_micros"),
+            min(col("ts_us")).as("min_ts_us"),
+            max(col("ts_us")).as("max_ts_us"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """WITH src AS (
+          |  SELECT event_type, user_id,
+          |         epoch_ns(ts) // 1000 AS ts_us,
+          |         CAST(floor(value * 1000000) AS BIGINT) AS value_micros
+          |  FROM events),
+          |b AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM src),
+          |band AS (SELECT mn + (mx - mn) // 4 AS lo,
+          |                mn + (mx - mn) // 2 AS hi
+          |         FROM b)
+          |SELECT event_type,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          |       CAST(sum(value_micros) AS BIGINT) AS sum_value_micros,
+          |       CAST(min(ts_us) AS BIGINT) AS min_ts_us,
+          |       CAST(max(ts_us) AS BIGINT) AS max_ts_us
+          |FROM src, band
+          |WHERE ts_us BETWEEN lo AND hi
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
     )
   )
+
+  /** q103's silver table: the bronze JSONL feed (written through the
+    * DSv2 sink) read back through the DSv2 scan and committed to the
+    * manifest format sorted by event time with stats — the
+    * bronze→silver leg of a medallion pipeline, built once per
+    * (JVM, dataset). */
+  private def eventsSilver(spark: SparkSession, dir: String): String = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val bronze = TempLayouts.cached(s"q103_bronze#$canon", "graft_q103_bronze_") { o =>
+      Tables(spark, dir).events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"),
+          floor(col("value") * 1e6).cast("long").as("value_micros"))
+        .write.format("graft.sources.JsonlSource").mode("overwrite").save(o)
+    }
+    TempLayouts.cached(s"q103_silver#$canon", "graft_q103_silver_") { base =>
+      val feed = spark.read.format("graft.sources.JsonlSource")
+        .schema("event_id LONG, user_id LONG, event_type STRING, " +
+          "ts_us LONG, value_micros LONG")
+        .load(bronze)
+      ManifestLog.commitAppend(spark, base, feed,
+        statsCols = Seq("ts_us"), sortCol = Some("ts_us"), files = 12): Unit
+    }
+  }
 
   /** Execute the q97 CoW merge against `base`'s latest version and read
     * back the new snapshot. Split out so ManifestLogSpec drives the same

@@ -219,6 +219,14 @@ class ManifestLogSpec extends SparkSpecBase {
       s"MoR probe should be a broadcast anti-join:\n${plan.take(2000)}")
   }
 
+  test("q103 pipeline: the gold rollup reads a pruned subset of the 12 silver files") {
+    val df = graft.queries.Catalog.queries("q103_jsonl_manifest_pipeline")(spark, sf0001)
+    val files = df.inputFiles
+    assert(files.nonEmpty && files.length < 12,
+      s"middle-quarter band should prune most of 12 time-sorted files, read ${files.length}")
+    assert(df.collect().nonEmpty)
+  }
+
   test("q97 CoW merge: untouched files reused by reference, rewrite set bounded, v0 immutable") {
     val base = freshBase()
     commitAppend(spark, base, ordersKv, Seq("k"), Some("k"), files = 16)

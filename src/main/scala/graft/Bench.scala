@@ -104,7 +104,7 @@ object Bench {
       (w0 < 0 || wRef < 0 || w0 >= wRef * IoGateFrac)
 
   private[graft] def timeCatalog(spark: SparkSession, sfDir: String,
-      only: Set[String] = Set.empty): Seq[QueryTiming] = {
+      only: Set[String] = Set.empty, wRefSeed: Double = -1.0): Seq[QueryTiming] = {
     def loadNow: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // One iteration's context: seconds, loadavg at start/end, and the
@@ -121,8 +121,14 @@ object Bench {
     // this run (the box's demonstrated capability — self-correcting if
     // the run STARTS contended); an iteration probing under half of it
     // ran in a collapsed-I/O window and is not evidence about the plan.
+    // wRef starts from the persisted clean-disk baseline when the caller
+    // provides one (round-11 fix): best-probe-this-run self-normalizes
+    // when the ENTIRE run is degraded (r11: every probe ≤117 MB/s vs the
+    // box's demonstrated 322, so all iterations gated "clean" at 1/3
+    // throughput). Seeding pins the reference to demonstrated capability;
+    // a faster in-run probe still raises it.
     final case class Iter(sec: Double, l0: Double, l1: Double, w0: Double)
-    var wRef = -1.0
+    var wRef = wRefSeed
     def probe(): Double = {
       val w = diskWriteMbps(IterProbeMb)
       if (w > wRef) wRef = w
@@ -212,6 +218,44 @@ object Bench {
       math.round(mb / sec * 10) / 10.0
     } catch { case _: Throwable => -1.0 }
 
+  /** The box's demonstrated clean-disk write throughput (MB/s), persisted
+    * in the repo so a run that STARTS degraded still knows what healthy
+    * looks like (the best in-run probe can't — r11's official artifact
+    * gated against its own collapsed 117 MB/s). Absent file → -1 (no
+    * cross-run signal; gate falls back to best-probe-this-run only). */
+  private[graft] def ioBaseline(): Double =
+    try {
+      val p = java.nio.file.Paths.get("docs", "io_baseline.json")
+      val s = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val m = """"wmbps_clean"\s*:\s*([0-9.]+)""".r
+      m.findFirstMatchIn(s).map(_.group(1).toDouble).getOrElse(-1.0)
+    } catch { case _: Throwable => -1.0 }
+
+  /** Startup I/O gate (round-11 verdict item 2): the official r11 run
+    * measured 117 MB/s against a 322 MB/s recorded clean value and still
+    * published. Block — bounded — until the probe recovers to
+    * [[StartGateFrac]] of the baseline, then proceed; if it never does,
+    * proceed anyway but mark the artifact `io_degraded` so the number is
+    * self-annotating rather than silently noise. Returns
+    * (finalProbe, waitedSec, degraded). */
+  private[graft] val StartGateFrac = 0.6
+  private val StartGateAttempts = 12
+  private val StartGatePauseSec = 30
+  private def startupIoGate(baseline: Double): (Double, Long, Boolean) = {
+    var w = diskWriteMbps()
+    if (baseline <= 0 || w < 0) return (w, 0L, false)
+    val t0 = System.nanoTime()
+    var attempts = 0
+    while (w >= 0 && w < baseline * StartGateFrac && attempts < StartGateAttempts) {
+      attempts += 1
+      Thread.sleep(StartGatePauseSec * 1000L)
+      w = diskWriteMbps()
+    }
+    val waited = (System.nanoTime() - t0) / 1000000000L
+    (w, waited, w >= 0 && w < baseline * StartGateFrac)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional args = run only the named queries (local iteration aid,
@@ -236,9 +280,10 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val wmbps = diskWriteMbps()
+    val baseline = ioBaseline()
+    val (wmbps, ioWaitSec, ioDegraded) = startupIoGate(baseline)
     warmUp(spark, sfDir)
-    val results = timeCatalog(spark, sfDir, only)
+    val results = timeCatalog(spark, sfDir, only, wRefSeed = baseline)
     val wmbpsEnd = diskWriteMbps()
     val qs = results.map(r => s"\"" + r.name + "\":" + r.sec)
       .mkString("{", ",", "}")
@@ -269,17 +314,27 @@ object Bench {
         s""""sf":"$sfDir","iters":$Iters,"agg":"min","failed":$failed,""" +
         s""""load1":$load1,"otherJvms":$otherJvms,""" +
         s""""wmbps":$wmbps,"wmbps_end":$wmbpsEnd,""" +
+        s""""io_baseline":$baseline,"io_wait_sec":$ioWaitSec,""" +
+        s""""io_degraded":$ioDegraded,""" +
         s""""load_gate":$LoadGate,"io_gate_frac":$IoGateFrac,""" +
         s""""gate_retries":$gateRetries,""" +
         s""""unclean":$unclean,"qclean":$qclean,""" +
         s""""qload1":$qloads,"qload1_end":$qloadsEnd,""" +
         s""""qsecs":$qsecs,"qiters":$qiters,"qwmbps":$qwmbps}"""
-    try {
-      val out = java.nio.file.Paths.get("target", "bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () }
+    // The per-query detail goes to target/bench.json (local iteration) AND
+    // to a repo-root copy OUTSIDE .gitignore: the official BENCH_r{N}
+    // artifact captures only a bounded stdout tail (too small for 197
+    // queries × iteration series), and the round driver commits leftover
+    // work tree files — so the committed copy is how per-query evidence
+    // reaches the round artifact trail (round-11 verdict item 2).
+    for (out <- Seq(java.nio.file.Paths.get("target", "bench.json"),
+        java.nio.file.Paths.get("bench_detail_latest.json"))) {
+      try {
+        Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(out,
+          fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      } catch { case _: Throwable => () }
+    }
     // Compact summary is the LAST stdout line and the only JSON on stdout:
     // it must survive the driver's bounded tail capture intact, and a
     // partially-captured earlier line must not shadow it.
@@ -288,10 +343,12 @@ object Bench {
         s""""failed":$failed,"sf":"$sfDir","iters":$Iters,"agg":"min",""" +
         s""""load1":$load1,"otherJvms":$otherJvms,""" +
         s""""wmbps":$wmbps,"wmbps_end":$wmbpsEnd,""" +
+        s""""io_baseline":$baseline,"io_wait_sec":$ioWaitSec,""" +
+        s""""io_degraded":$ioDegraded,""" +
         s""""load_gate":$LoadGate,"io_gate_frac":$IoGateFrac,""" +
         s""""gate_retries":$gateRetries,""" +
         s""""unclean":$unclean,""" +
-        s""""queries_detail":"target/bench.json"}"""
+        s""""queries_detail":"bench_detail_latest.json"}"""
     println(summary)
     spark.stop()
   }

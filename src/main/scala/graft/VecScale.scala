@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve measurement for the ANN / dedup families on LARGE
+  * synthetic fixtures — round-12 answer to the round-11 verdict caveat
+  * that "the embeddings fixture tops out at 2,000 vectors and documents
+  * at 5,000 docs, so the ANN/dedup scaling evidence is thinner than the
+  * lineitem-backed entries' 100×".
+  *
+  *   runMain graft.VecScale [outMd]
+  *
+  * Generates deterministic synthetic splits that follow the TESTDATA.md
+  * schemas exactly (so every catalog entry runs against them unchanged):
+  *
+  *   embeddings.parquet  (vec_id BIGINT, embedding FLOAT[64], label INT)
+  *       at 4k / 20k / 100k vectors — a 25× measured range. Vectors
+  *       carry 32 planted Gaussian-ish clusters (cluster base + small
+  *       per-vector displacement) so IVF cells and LSH buckets have the
+  *       structure they exist to exploit.
+  *   documents.parquet   (doc_id, text, lang, source, n_chars)
+  *       at 2k / 10k / 50k docs — 25×. Texts are word-pool sentences
+  *       seeded by doc_id; every doc_id ≡ 1 (mod 10) is a NEAR-DUP of
+  *       its predecessor (one appended token), and the first 1,500 docs
+  *       share ONE identical text — a hot cluster bigger than
+  *       [[graft.dedup.DedupOps.MaxBlock]] (1,024), so the LSH
+  *       hot-bucket drop demonstrably fires instead of expanding a
+  *       1,500² pair block.
+  *
+  * Timing discipline is [[Bench.timeCatalog]]'s (min-of-3, -1 failure
+  * sentinel), smallest size first; the artifact reports the full-range
+  * time ratio against the 25× data ratio and flags super-linear entries
+  * exactly as [[Scaling]] does.
+  *
+  * Exclusions (documented in the artifact): s11 (exact all-pairs kNN
+  * join) and s12 (per-vector kNN within cells) are O(N²)-class CONTROL
+  * entries whose oracle-pinned parameters (nCells = 16) do not grow
+  * with N — at 100k vectors they would measure the fixture's deliberate
+  * quadratic, not the engine; their scale paths (s12's cell bucketing
+  * with N-proportional cell counts, s14's ADC scan) are in the sweep.
+  */
+object VecScale {
+
+  private[graft] val Dim = 64
+  private[graft] val EmbSizes = Seq(4000L, 20000L, 100000L)
+  private[graft] val DocSizes = Seq(2000L, 10000L, 50000L)
+
+  /** 200-word deterministic pool (letters only — pure ASCII, matching
+    * the corpus contract the BPE oracle documents). */
+  private[graft] val WordPool: Seq[String] = {
+    val syll = Seq("ta", "re", "mo", "vi", "ku", "sel", "dor", "pan",
+      "lum", "gra", "fen", "osh", "bri", "cal", "nex", "tol", "mir",
+      "zan", "qua", "hep")
+    for (a <- syll; b <- syll.take(10)) yield a + b
+  }
+
+  /** Deterministic synthetic embeddings with planted cluster structure.
+    * Pure column expressions of vec_id — no RNG state, identical on
+    * every run and partitioning. */
+  private[graft] def genEmbeddings(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(Dim - 1)), i =>
+        (sin(pmod(col("id"), lit(32)) * lit(1.7) + i * lit(0.61)) +
+          sin(col("id") * lit(0.913) + i * lit(2.17)) * lit(0.15))
+          .cast("float")).as("embedding"),
+      pmod(col("id"), lit(20)).cast("int").as("label"))
+
+  /** Deterministic synthetic documents: word-pool sentences seeded by
+    * doc_id, 10% planted near-dups (predecessor text + one token), one
+    * 1,500-doc identical hot cluster. */
+  private[graft] def genDocuments(spark: SparkSession, n: Long): DataFrame = {
+    val pool = array(WordPool.map(lit): _*)
+    val langs = array(Seq("en", "de", "fr", "es", "it").map(lit): _*)
+    val sources = array(Seq("web", "book", "wiki", "forum").map(lit): _*)
+    // near-dup rule: doc_id ≡ 1 (mod 10) re-derives its predecessor's
+    // sentence (same seed) and appends one token
+    val isDup = pmod(col("id"), lit(10)) === 1 && col("id") >= lit(1500L)
+    val seed = when(isDup, col("id") - 1).otherwise(col("id"))
+    val nWords = (pmod(seed, lit(40)) + 30).cast("int")
+    val sentence = concat_ws(" ",
+      transform(sequence(lit(1), nWords), j =>
+        element_at(pool,
+          (pmod(seed * lit(31) + j * j * lit(17) + j * lit(7), lit(200)) + 1)
+            .cast("int"))))
+    val hotText = lit(("hot cluster " * 20).trim)
+    val text = when(col("id") < 1500L, hotText)
+      .otherwise(when(isDup, concat(sentence, lit(" extra"))).otherwise(sentence))
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      text.as("text"),
+      element_at(langs, (pmod(col("id"), lit(5)) + 1).cast("int")).as("lang"),
+      element_at(sources, (pmod(col("id"), lit(4)) + 1).cast("int")).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** Generate (once — skipped when the dir already holds both tables)
+    * one fixture dir with both tables at the given sizes. */
+  private def ensureFixture(spark: SparkSession, dir: String,
+      nEmb: Long, nDoc: Long): Unit = {
+    val d = new java.io.File(dir)
+    if (new java.io.File(d, "embeddings.parquet").exists() &&
+      new java.io.File(d, "documents.parquet").exists()) return
+    d.mkdirs()
+    genEmbeddings(spark, nEmb).repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    genDocuments(spark, nDoc).repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  /** The s/d entries measured here: everything embeddings/documents-
+    * backed except the O(N²) fixed-parameter controls. */
+  private[graft] def sweepEntries: Set[String] =
+    SparkEntry.queries.keySet.filter(n =>
+      (n.startsWith("s") || n.startsWith("d")) &&
+        n != "s11_knn_join_exact" && n != "s12_knn_join_cells")
+
+  def main(args: Array[String]): Unit = {
+    val outMd = args.headOption.getOrElse("docs/SCALING_VEC.md")
+    val cpus = GraftSession.cpus
+    val spark = GraftSession.tune(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sizes = EmbSizes.zip(DocSizes)
+    val dirs = sizes.map { case (ne, nd) => s"target/vecscale/e${ne}_d$nd" }
+    sizes.zip(dirs).foreach { case ((ne, nd), d) => ensureFixture(spark, d, ne, nd) }
+
+    val only = sweepEntries
+    val timed = dirs.map { d =>
+      Bench.warmUp(spark, d)
+      Bench.timeCatalog(spark, d, only).map(r => r.name -> r).toMap
+    }
+    val names = timed.last.keys.toSeq.sorted
+    val dataRatio = EmbSizes.last.toDouble / EmbSizes.head // 25× both families
+    val flagAt = 1.3 * dataRatio
+
+    def f(d: Double): String = if (d.isNaN) "–" else f"$d%.2f"
+    val rows = names.map { n =>
+      val secs = timed.map(m => m.get(n).map(_.sec).getOrElse(-1.0))
+      val full =
+        if (secs.head <= 0 || secs.last < 0) Double.NaN else secs.last / secs.head
+      val flag = if (!full.isNaN && full > flagAt) " **SUPER-LINEAR**" else ""
+      s"| $n | ${secs.map(s => f(s)).mkString(" | ")} | ${f(full)}$flag |"
+    }
+    val superLinear = names.count { n =>
+      val secs = timed.map(m => m.get(n).map(_.sec).getOrElse(-1.0))
+      secs.head > 0 && secs.last >= 0 && secs.last / secs.head > flagAt
+    }
+    val md =
+      s"""# ANN / dedup scaling on large synthetic fixtures
+         |
+         |Generated by `runMain graft.VecScale` (schema-identical synthetic
+         |splits; see the VecScale scaladoc for the fixture design:
+         |32 planted clusters, 10% planted near-dups, one 1,500-doc
+         |identical hot cluster > MaxBlock so the LSH hot-bucket drop
+         |fires). Timing: min-of-3 per entry per size, one warmed JVM,
+         |smallest size first.
+         |
+         |Sizes: embeddings ${EmbSizes.mkString(" / ")} vectors,
+         |documents ${DocSizes.mkString(" / ")} docs — a **${dataRatio.toInt}×
+         |measured range** on both families. Flag threshold:
+         |time ratio > 1.3 × data ratio = ${f(flagAt)}.
+         |
+         |Super-linear entries: **$superLinear**.
+         |
+         || entry | ${sizes.map { case (ne, nd) => s"sec @ ${ne / 1000}k/${nd / 1000}k" }.mkString(" | ")} | full ratio |
+         ||---|---|---|---|---|
+         |${rows.mkString("\n")}
+         |
+         |Exclusions: `s11_knn_join_exact` and `s12_knn_join_cells` are the
+         |O(N²)-class CONTROL entries whose oracle-pinned parameters
+         |(16 cells) do not grow with N; at 100k vectors they would measure
+         |the deliberate quadratic, not the engine. Their scale paths —
+         |cell-bucketed candidate generation with N-proportional cell
+         |counts (s12's design knob) and the IVF-PQ ADC scan (s14) — are in
+         |the sweep. Entries that sample a fixed query batch (s01, s05,
+         |s13, s25 …) are LINEAR in N by construction (5 queries × N
+         |distances) and stay in as the sanity floor.
+         |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(outMd),
+      md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[vecscale] wrote $outMd (superLinear=$superLinear)")
+    spark.stop()
+  }
+}

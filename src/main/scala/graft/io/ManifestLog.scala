@@ -53,11 +53,18 @@ object ManifestLog {
 
   /** One immutable file of a snapshot: path relative to the table base,
     * exact row count and byte size (query-planning inputs),
-    * declared-column stats, and its role — `"data"`, or `"delete"` for a
+    * declared-column stats, its role — `"data"`, or `"delete"` for a
     * merge-on-read tombstone file (its columns name the key whose rows
-    * are deleted; see [[commitDelete]]). */
+    * are deleted; see [[commitDelete]]) — and its commit SEQUENCE
+    * number (the public Iceberg ordering rule): a tombstone applies
+    * only to data files with a STRICTLY SMALLER `seq`, which is what
+    * lets one commit delete a key from old files and re-insert its new
+    * version in the same snapshot (the hybrid MERGE, q104). Legacy
+    * entries carry seq 0; a tombstone committed at version v carries
+    * seq v, so the historical "tombstone applies to everything already
+    * in the table" behavior is unchanged. */
   final case class ManifestEntry(path: String, rows: Long, bytes: Long,
-      stats: Map[String, ColStat], kind: String = "data")
+      stats: Map[String, ColStat], kind: String = "data", seq: Long = 0L)
 
   private def manifestsDir(base: String) = new File(base, "_manifests")
   private def dataDir(base: String) = new File(base, "data")
@@ -80,6 +87,7 @@ object ManifestLog {
     val o = m.createObjectNode()
     o.put("path", e.path); o.put("rows", e.rows); o.put("bytes", e.bytes)
     if (e.kind != "data") o.put("kind", e.kind)
+    if (e.seq != 0L) o.put("seq", e.seq)
     val st = o.putObject("stats")
     e.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
       val n = st.putObject(c)
@@ -105,7 +113,8 @@ object ManifestLog {
     }.getOrElse(Map.empty)
     ManifestEntry(n.get("path").textValue(), n.get("rows").longValue(),
       n.get("bytes").longValue(), stats,
-      Option(n.get("kind")).map(_.textValue()).getOrElse("data"))
+      Option(n.get("kind")).map(_.textValue()).getOrElse("data"),
+      Option(n.get("seq")).map(_.longValue()).getOrElse(0L))
   }
 
   def manifest(base: String, id: Long): Seq[ManifestEntry] = {
@@ -114,16 +123,22 @@ object ManifestLog {
     Files.readAllLines(f.toPath).asScala.toSeq.filter(_.nonEmpty).map(entryFromJson)
   }
 
-  /** Publish `entries` as the next version: write `_manifests/<id>.tmp`,
-    * then one ATOMIC_MOVE rename — the [[CommitLog]] publish-last
-    * discipline with the manifest itself as the marker. */
+  /** Publish `entries` as the next version: write a writer-private
+    * `.tmp`, then one put-if-absent hard-link — the [[CommitLog]]
+    * publish-last discipline with the manifest itself as the marker.
+    * Single-writer by contract ON THE VERSION ID: if another writer
+    * published the same id first this FAILS LOUDLY (a POSIX
+    * ATOMIC_MOVE rename would silently replace the committed manifest,
+    * losing its files forever — [[Files.createLink]] instead fails
+    * atomically when the name exists). Racing writers that want
+    * retry-on-conflict semantics use [[commitEntriesAtomic]]. */
   def commitEntries(base: String, entries: Seq[ManifestEntry]): Long = {
     val id = latest(base).map(_ + 1L).getOrElse(0L)
     val dir = manifestsDir(base); dir.mkdirs()
-    val tmp = new File(dir, s"$id.tmp").toPath
+    val tmp = new File(dir, s"$id.${java.util.UUID.randomUUID()}.tmp").toPath
     Files.write(tmp, entries.map(entryToJson).mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, new File(dir, id.toString).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    try Files.createLink(new File(dir, id.toString).toPath, tmp)
+    finally Files.deleteIfExists(tmp)
     id
   }
 
@@ -205,7 +220,10 @@ object ManifestLog {
   }
 
   /** Stage + publish in one call; with a prior version, the new manifest
-    * is append-semantics (previous entries carried over by reference). */
+    * is append-semantics (previous entries carried over by reference).
+    * Race-safe: the staged file names carry a writer-unique suffix and
+    * publication goes through [[commitEntriesAtomic]], so a concurrent
+    * appender costs a retry against the real head, never a lost commit. */
   def commitAppend(
       spark: SparkSession,
       base: String,
@@ -213,9 +231,14 @@ object ManifestLog {
       statsCols: Seq[String],
       sortCol: Option[String] = None,
       files: Int = 1): Long = {
-    val prev = latest(base).map(manifest(base, _)).getOrElse(Seq.empty)
-    val tag = s"v${latest(base).map(_ + 1L).getOrElse(0L)}"
-    commitEntries(base, prev ++ stage(spark, base, tag, df, statsCols, sortCol, files))
+    val next = latest(base).map(_ + 1L).getOrElse(0L)
+    val tag = s"v$next-" + java.util.UUID.randomUUID().toString.take(8)
+    // seq = the commit's version estimate: appended data outranks every
+    // tombstone already in the table (a file added after a delete is
+    // never subject to it — the Iceberg ordering rule)
+    val staged = stage(spark, base, tag, df, statsCols, sortCol, files)
+      .map(_.copy(seq = next))
+    commitEntriesAtomic(base)(prev => prev ++ staged)
   }
 
   /** One file's manifest entry from its parquet FOOTER only. Row-group
@@ -251,8 +274,19 @@ object ManifestLog {
             val st = ss.flatten
             val nulls = st.map(s => math.max(0L, s.getNumNulls)).sum
             val withVals = st.filter(_.hasNonNullValue)
-            if (withVals.isEmpty) Some(c -> ColStat(kind, None, None, nulls))
-            else {
+            if (withVals.isEmpty) {
+              // `hasNonNullValue == false` does NOT prove the row group is
+              // all-null: parquet-mr drops binary min/max (but keeps
+              // null_count) when values exceed its max-stats size. Only
+              // commit the skippable all-null ColStat when the summed null
+              // count provably equals the file's rows AND every row group
+              // recorded a non-negative null count; otherwise leave the
+              // column un-statted so pruneRange keeps the file.
+              val provablyAllNull =
+                st.forall(_.getNumNulls >= 0L) && st.map(_.getNumNulls).sum == rows
+              if (provablyAllNull) Some(c -> ColStat(kind, None, None, nulls))
+              else None
+            } else {
               val mins: Seq[String] =
                 withVals.map(s => encode(kind, s.genericGetMin.asInstanceOf[AnyRef]))
               val maxs: Seq[String] =
@@ -331,9 +365,31 @@ object ManifestLog {
     val (dataEntries, tombs) = m.partition(_.kind == "data")
     val (small, big) = dataEntries.partition(_.bytes < smallBytes)
     if (small.size < 2) return None
-    val packed = stage(spark, base, s"v${head + 1L}-opt", read(spark, base, small),
-      statsCols, sortCol, targetFiles)
-    Some(commitEntries(base, big ++ tombs ++ packed))
+    // Sequence scoping makes cross-generation packing ambiguous when a
+    // live tombstone outranks SOME inputs but not others (the packed
+    // file gets one seq; rows from the newer input would wrongly fall
+    // under the tombstone, or rows from the older one would escape it).
+    // Fold tombstones first (a q97-style CoW) before packing such a
+    // table; refuse here rather than corrupt.
+    require(tombs.isEmpty || small.map(_.seq).distinct.size == 1,
+      "optimize: cannot pack data files of different seq generations under " +
+        "live tombstones — fold tombstones (CoW) first")
+    val packedSeq = small.map(_.seq).min
+    val tag = s"v${head + 1L}-opt-" + java.util.UUID.randomUUID().toString.take(8)
+    val packed = stage(spark, base, tag, read(spark, base, small),
+      statsCols, sortCol, targetFiles).map(_.copy(seq = packedSeq))
+    val smallPaths = small.map(_.path).toSet
+    Some(commitEntriesAtomic(base) { prev =>
+      // The packed file was rewritten FROM the `small` entries of the head
+      // we read; if a racer removed any of them (its own pack or a CoW
+      // merge), our rewrite is stale — abort rather than resurrect rows.
+      // Concurrent APPENDs are fine: their files ride through untouched.
+      val missing = smallPaths -- prev.filter(_.kind == "data").map(_.path).toSet
+      if (missing.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"optimize: packed source files disappeared from head: ${missing.mkString(",")}")
+      prev.filterNot(e => e.kind == "data" && smallPaths.contains(e.path)) ++ packed
+    })
   }
 
   /** Garbage-collect ORPHAN data files: anything under `base/data/` that
@@ -354,6 +410,22 @@ object ManifestLog {
       .map { f => Files.deleteIfExists(f.toPath); f.getName }.toSeq
   }
 
+  /** Roll a table base back to version `v`: drop every manifest AFTER
+    * `v`, then vacuum the data files only those dropped versions
+    * referenced. Bench-loop hygiene for entries that exercise a WRITE
+    * path against a shared cached base (q97/q101): resetting to the
+    * pristine version before each run keeps the version chain, the data
+    * dir, and the O(versions) listing cost bounded across arbitrarily
+    * many invocations. NOT safe concurrently with a reader of a dropped
+    * version — callers own the same single-writer window a vacuum does. */
+  def resetToVersion(base: String, v: Long): Unit = {
+    versions(base).filter(_ > v).foreach { id =>
+      Files.deleteIfExists(new File(manifestsDir(base), id.toString).toPath): Unit
+      Files.deleteIfExists(schemaFile(base, id).toPath): Unit
+    }
+    vacuumOrphans(base): Unit
+  }
+
   /** Read exactly these manifest entries (a pruned or full snapshot). */
   def read(spark: SparkSession, base: String, entries: Seq[ManifestEntry]): DataFrame = {
     require(entries.nonEmpty, "empty file list — read at least one file")
@@ -371,11 +443,24 @@ object ManifestLog {
   def snapshot(spark: SparkSession, base: String, id: Long): DataFrame = {
     val m = manifest(base, id)
     val (dels, data) = m.partition(_.kind == "delete")
-    val df = read(spark, base, data)
-    if (dels.isEmpty) df
+    if (dels.isEmpty) read(spark, base, data)
     else {
-      val keys = read(spark, base, dels).distinct()
-      df.join(keys, keys.columns.toSeq, "left_anti")
+      // Sequence scoping (Iceberg ordering rule): a tombstone deletes
+      // only from data files with seq < its own, so rows RE-INSERTED in
+      // the same or a later commit survive. One plan branch per distinct
+      // data seq (bounded by the number of mixed-generation commits in
+      // one snapshot, not by table size), each anti-joined against only
+      // the tombstones that outrank it; branches with no applicable
+      // tombstone read clean.
+      data.groupBy(_.seq).toSeq.sortBy(_._1).map { case (s, entries) =>
+        val df = read(spark, base, entries)
+        val applicable = dels.filter(_.seq > s)
+        if (applicable.isEmpty) df
+        else {
+          val keys = read(spark, base, applicable).distinct()
+          df.join(keys, keys.columns.toSeq, "left_anti")
+        }
+      }.reduce(_ unionByName _)
     }
   }
 
@@ -390,13 +475,81 @@ object ManifestLog {
     * replay compose `manifest(base, v) ++ tombstone` with
     * [[commitEntries]] explicitly, as q101 does). Returns the new
     * version id. */
+  // --- schema evolution (column mapping) ----------------------------------
+
+  /** One logical column of a version's schema: the name queries see, the
+    * name stored in the parquet files, and the Spark DDL type. ADD
+    * COLUMN = a new def whose physical name no old file contains (reads
+    * null-fill it); RENAME = logical ≠ physical (metadata-only, zero
+    * files touched) — the public Delta column-mapping / Iceberg field-id
+    * design reduced to a name map. */
+  final case class ColumnDef(logical: String, physical: String, ddl: String)
+
+  private def schemaFile(base: String, id: Long) =
+    new File(manifestsDir(base), s"$id.schema")
+
+  /** Record version `id`'s logical schema (one JSON line per column).
+    * Publish-last is not needed: the schema file is only consulted for
+    * versions whose manifest already committed. */
+  def commitSchema(base: String, id: Long, cols: Seq[ColumnDef]): Unit = {
+    val o = cols.map { c =>
+      val n = mapper.createObjectNode()
+      n.put("logical", c.logical); n.put("physical", c.physical); n.put("ddl", c.ddl)
+      mapper.writeValueAsString(n)
+    }
+    Files.write(schemaFile(base, id).toPath, o.mkString("\n").getBytes("UTF-8")): Unit
+  }
+
+  /** The schema in force at version `id`: the nearest schema commit at
+    * or before it (a version without its own schema file inherits its
+    * ancestor's — schema changes are rare, snapshots are not). None if
+    * the table predates schema tracking entirely. */
+  def schemaOf(base: String, id: Long): Option[Seq[ColumnDef]] = {
+    val committed = versions(base).filter(_ <= id)
+      .filter(v => schemaFile(base, v).isFile)
+    committed.lastOption.map { v =>
+      Files.readAllLines(schemaFile(base, v).toPath).asScala.toSeq
+        .filter(_.nonEmpty).map { line =>
+          val n = mapper.readTree(line)
+          ColumnDef(n.get("logical").textValue(), n.get("physical").textValue(),
+            n.get("ddl").textValue())
+        }
+    }
+  }
+
+  /** Snapshot under the version's LOGICAL schema: every data file is
+    * read with the full physical schema (a file written before an ADD
+    * COLUMN simply lacks that physical column — Spark null-fills it,
+    * which IS the add-column contract), then projected to logical
+    * names (the rename contract, zero data files touched). Falls back
+    * to [[snapshot]] when the version has no schema commit. Tombstones
+    * compose as in [[snapshot]] once their key columns are mapped;
+    * kept out of scope here (require) until an entry needs both. */
+  def snapshotEvolved(spark: SparkSession, base: String, id: Long): DataFrame =
+    schemaOf(base, id) match {
+      case None => snapshot(spark, base, id)
+      case Some(cols) =>
+        val m = manifest(base, id)
+        val (dels, data) = m.partition(_.kind == "delete")
+        require(dels.isEmpty,
+          "snapshotEvolved: tombstones under an evolved schema need their key " +
+            "columns mapped — fold them (CoW) before evolving, or extend here")
+        val physical = org.apache.spark.sql.types.StructType.fromDDL(
+          cols.map(c => s"`${c.physical}` ${c.ddl}").mkString(", "))
+        val paths = data.map(e => new HPath(base, e.path).toString)
+        spark.read.schema(physical).parquet(paths: _*)
+          .select(cols.map(c => col(c.physical).as(c.logical)): _*)
+    }
+
   def commitDelete(spark: SparkSession, base: String, keysDf: DataFrame,
       statsCols: Seq[String] = Seq.empty): Long = {
     val head = latest(base).getOrElse(
       throw new IllegalStateException(s"no committed version under $base"))
-    val prev = manifest(base, head)
-    val tomb = stage(spark, base, s"v${head + 1L}-del", keysDf.distinct(), statsCols)
-      .map(_.copy(kind = "delete"))
-    commitEntries(base, prev ++ tomb)
+    val tag = s"v${head + 1L}-del-" + java.util.UUID.randomUUID().toString.take(8)
+    val tomb = stage(spark, base, tag, keysDf.distinct(), statsCols)
+      .map(_.copy(kind = "delete", seq = head + 1L))
+    // a tombstone is independent of the predecessor's content, so the
+    // atomic retry callback composes it against whatever head wins
+    commitEntriesAtomic(base)(prev => prev ++ tomb)
   }
 }

@@ -43,6 +43,43 @@ object ManifestQueries {
         statsCols = Seq("k"), sortCol = Some("k"), files = 16): Unit
     }
 
+  /** q105's evolved table, built once per (JVM, dataset): v0 commits
+    * orders as (k, cents, status) with that schema recorded; v1 appends
+    * a batch that CARRIES the new physical column `prio` (every ninth
+    * order re-keyed past the key space, priority attached) and commits
+    * the evolved logical schema — `status` renamed to `order_status`
+    * (metadata-only), `prio` added (v0 files never rewritten; reads
+    * null-fill them). */
+  private def ordersEvolved(spark: SparkSession, dir: String): String =
+    TempLayouts.cached(
+      "manifest_orders_evo#" + new java.io.File(dir).getCanonicalPath,
+      "graft_manifest_evo_") { base =>
+      val src = Tables(spark, dir).orders.select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderstatus").as("status"))
+      val v0 = ManifestLog.commitAppend(spark, base, src,
+        statsCols = Seq("k"), sortCol = Some("k"), files = 8)
+      ManifestLog.commitSchema(base, v0, Seq(
+        ManifestLog.ColumnDef("k", "k", "BIGINT"),
+        ManifestLog.ColumnDef("cents", "cents", "BIGINT"),
+        ManifestLog.ColumnDef("status", "status", "STRING")))
+      val Array(mx) = src.agg(max(col("k"))).collect().map(_.getLong(0))
+      val batch = Tables(spark, dir).orders
+        .filter(pmod(col("o_orderkey"), lit(9)) === 0)
+        .select((col("o_orderkey") + lit(2L * mx)).as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio"))
+      val v1 = ManifestLog.commitAppend(spark, base, batch,
+        statsCols = Seq("k"), sortCol = Some("k"))
+      ManifestLog.commitSchema(base, v1, Seq(
+        ManifestLog.ColumnDef("k", "k", "BIGINT"),
+        ManifestLog.ColumnDef("cents", "cents", "BIGINT"),
+        ManifestLog.ColumnDef("order_status", "status", "STRING"),
+        ManifestLog.ColumnDef("prio", "prio", "STRING")))
+    }
+
   /** A deliberately fragmented table — 12 incremental commits of orders
     * slices (the shape a streaming/incremental ingest leaves behind) —
     * the q99 OPTIMIZE input. Built once per (JVM, dataset). */
@@ -224,6 +261,9 @@ object ManifestQueries {
       "merge-on-read delete: tombstone keys file, zero data-file rewrites (parquet-side oracle)",
       (spark, dir) => {
         val base = ordersByKey(spark, dir)
+        // bench-loop hygiene: drop the previous run's tombstone version +
+        // file before replaying (same discipline as mergedSnapshot)
+        ManifestLog.resetToVersion(base, 0L)
         val v0 = ManifestLog.read(spark, base, ManifestLog.manifest(base, 0L))
         val Array(mn, mx) = v0.agg(min(col("k")), max(col("k"))).collect()
           .flatMap(r => Array(r.getLong(0), r.getLong(1)))
@@ -237,7 +277,7 @@ object ManifestQueries {
         val tomb = ManifestLog.stage(spark, base, s"v${head + 1L}-del",
             v0.filter(col("k").between(lo, hi)).select(col("k")).distinct(),
             statsCols = Seq("k"))
-          .map(_.copy(kind = "delete"))
+          .map(_.copy(kind = "delete", seq = head + 1L))
         val v = ManifestLog.commitEntries(base,
           ManifestLog.manifest(base, 0L) ++ tomb)
         ManifestLog.snapshot(spark, base, v)
@@ -267,6 +307,119 @@ object ManifestQueries {
           |WHERE NOT (k BETWEEN lo AND hi)
           |GROUP BY status
           |ORDER BY status""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q104: HYBRID MERGE — q97 (copy-on-write) and q101 (merge-on-read
+    // deletion vectors) composed the way a production format actually
+    // runs a MERGE: the strategy is chosen PER FILE from manifest stats
+    // alone (no data read at planning). Files the update band covers
+    // densely (≥50% of the file's key range) are rewritten — they'd pay
+    // a read-side probe on most rows forever; files it merely grazes
+    // get their few affected keys tombstoned and the new row versions
+    // appended — rewriting a 1 GB file to change 2% of it is the write
+    // amplification MoR exists to avoid. Correct coexistence of the two
+    // legs in ONE snapshot rides the sequence-scoping rule
+    // ([[ManifestLog.ManifestEntry.seq]]): the tombstone (seq 1)
+    // deletes the stale versions from the original files (seq 0) but
+    // not the re-inserted updates (seq 1). ManifestLogSpec pins the
+    // structural contract (bounded rewrite set, untouched files reused
+    // by path identity, history intact); the oracle pins the merged
+    // state.
+    GraftQuery(
+      "q104_manifest_merge_hybrid",
+      "hybrid MERGE: stats-dense files rewritten (CoW), grazed files tombstoned (MoR), one snapshot",
+      (spark, dir) => {
+        val base = ordersByKey(spark, dir)
+        hybridMergeSnapshot(spark, base)._1
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("status"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT o_orderkey AS k,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |b AS (SELECT min(k) AS mn, max(k) AS mx FROM base),
+          |band AS (SELECT mn + (mx - mn) // 2 AS lo,
+          |                mn + (mx - mn) // 2 + (mx - mn) // 12 AS hi
+          |         FROM b),
+          |merged AS (
+          |  SELECT k,
+          |         CASE WHEN k BETWEEN lo AND hi THEN cents + 200 ELSE cents END AS cents,
+          |         CASE WHEN k BETWEEN lo AND hi THEN 'M' ELSE status END AS status
+          |  FROM base, band)
+          |SELECT status,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+          |       CAST(min(k) AS BIGINT) AS min_k,
+          |       CAST(max(k) AS BIGINT) AS max_k
+          |FROM merged
+          |GROUP BY status
+          |ORDER BY status""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q105: SCHEMA EVOLUTION through the manifest format — the two
+    // metadata-only DDL verbs a production table lives on, composed in
+    // one version step ([[ManifestLog.commitSchema]] /
+    // [[ManifestLog.snapshotEvolved]]):
+    //   ADD COLUMN `prio`  — only the post-evolution batch's files carry
+    //     it physically; every v0 file is read null-filled, ZERO
+    //     rewrites (the spec pins v0 path identity);
+    //   RENAME `status` → `order_status` — pure column mapping
+    //     (logical ≠ physical name), zero files touched; v0 remains
+    //     readable under its own original schema.
+    // q88 proved the same contract on raw parquet scans; this is the
+    // version where the SCHEMA is table metadata, versioned beside the
+    // manifest — what makes the contract durable rather than
+    // per-reader convention. The oracle replays base ∪ batch with a
+    // NULL-filled prio on the base leg.
+    GraftQuery(
+      "q105_manifest_schema_evolution",
+      "manifest schema evolution: add-column null-fill + metadata-only rename (parquet-side oracle)",
+      (spark, dir) => {
+        val base = ordersEvolved(spark, dir)
+        ManifestLog.snapshotEvolved(spark, base, 1L)
+          .groupBy(col("order_status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents"),
+            count(col("prio")).as("n_prio"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("order_status"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT o_orderkey AS k,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |b AS (SELECT max(k) AS mx FROM base),
+          |batch AS (
+          |  SELECT k + 2 * mx AS k, cents, status, o_orderpriority AS prio
+          |  FROM (SELECT o_orderkey AS k,
+          |               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+          |               o_orderstatus AS status, o_orderpriority
+          |        FROM orders) src, b
+          |  WHERE k % 9 = 0),
+          |evolved AS (
+          |  SELECT k, cents, status, CAST(NULL AS VARCHAR) AS prio FROM base
+          |  UNION ALL SELECT k, cents, status, prio FROM batch)
+          |SELECT status AS order_status,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+          |       CAST(count(prio) AS BIGINT) AS n_prio,
+          |       CAST(min(k) AS BIGINT) AS min_k,
+          |       CAST(max(k) AS BIGINT) AS max_k
+          |FROM evolved
+          |GROUP BY 1
+          |ORDER BY 1""".stripMargin)
     ),
 
     // ------------------------------------------------------------------
@@ -359,10 +512,87 @@ object ManifestQueries {
     * key band one third into the key space): updates bump cents by 100
     * and set status 'X'; inserts re-land the band's rows at k + 2·max(k)
     * with status 'N' (collision-free by construction). */
+  /** q104's hybrid MERGE against version 0 of a `(k, cents, status)`
+    * table: update rows in a closed-form key band (half-way into the
+    * key space, width 1/12 of it) to (cents + 200, status 'M'), with
+    * the per-file strategy chosen from MANIFEST STATS ONLY:
+    *
+    *   coverage(file) = |[min_k,max_k] ∩ band| / |[min_k,max_k]|
+    *   coverage ≥ 0.5 → rewrite the file (CoW, q97's leg)
+    *   coverage <  0.5 → tombstone its band keys + append the updated
+    *                     versions (MoR, q101's leg, seq-scoped)
+    *
+    * Returns (snapshot of the merged version, #rewritten, #tombstoned
+    * files) — the spec asserts the structural split, the entry only the
+    * state. Resets the shared base to version 0 first (bench-loop
+    * hygiene, as [[mergedSnapshot]]). */
+  def hybridMergeSnapshot(spark: SparkSession, base: String): (DataFrame, Int, Int) = {
+    ManifestLog.resetToVersion(base, 0L)
+    val m = ManifestLog.manifest(base, 0L)
+    val snap = ManifestLog.read(spark, base, m)
+    val Array(mn, mx) = snap.agg(min(col("k")), max(col("k"))).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    val lo = mn + (mx - mn) / 2
+    val hi = lo + (mx - mn) / 12
+    val (affected, untouched) = ManifestLog.pruneRange(m, "k", lo.toString, hi.toString)
+    // the stats-only strategy decision: how much of the file's key range
+    // the band covers (a file without usable stats lands in `untouched`
+    // only if pruneRange proved it irrelevant; if kept it has stats here
+    // by construction of the commit path, but default to MoR — the
+    // cheap, always-correct leg — if they were ever absent)
+    def coverage(e: ManifestLog.ManifestEntry): Double =
+      e.stats.get("k") match {
+        case Some(ManifestLog.ColStat(_, Some(mnS), Some(mxS), _)) =>
+          val fMn = mnS.toLong; val fMx = mxS.toLong
+          val span = math.max(1L, fMx - fMn)
+          val overlap = math.min(hi, fMx) - math.max(lo, fMn)
+          math.max(0.0, overlap.toDouble) / span.toDouble
+        case _ => 0.0
+      }
+    val (hot, cold) = affected.partition(coverage(_) >= 0.5)
+    def updated(df: DataFrame): DataFrame =
+      df.filter(col("k").between(lo, hi))
+        .select(col("k"), (col("cents") + 200).as("cents"), lit("M").as("status"))
+    // CoW leg: hot files rewritten in full (stale versions out, updated in)
+    val rewritten =
+      if (hot.isEmpty) Seq.empty[ManifestLog.ManifestEntry]
+      else {
+        val hotDf = ManifestLog.read(spark, base, hot)
+        ManifestLog.stage(spark, base, "v1-rw",
+          hotDf.filter(!col("k").between(lo, hi)).unionByName(updated(hotDf)),
+          Seq("k"), Some("k"), files = math.max(1, hot.size))
+          .map(_.copy(seq = 1L))
+      }
+    // MoR leg: cold files untouched on disk — their band keys tombstone
+    // (seq 1 > data seq 0) and the updated versions append at seq 1, so
+    // the tombstone never swallows the re-inserts
+    val (tomb, inserted) =
+      if (cold.isEmpty)
+        (Seq.empty[ManifestLog.ManifestEntry], Seq.empty[ManifestLog.ManifestEntry])
+      else {
+        val coldDf = ManifestLog.read(spark, base, cold)
+        val t = ManifestLog.stage(spark, base, "v1-del",
+            coldDf.filter(col("k").between(lo, hi)).select(col("k")).distinct(),
+            Seq("k"))
+          .map(_.copy(kind = "delete", seq = 1L))
+        val ins = ManifestLog.stage(spark, base, "v1-ins", updated(coldDf),
+            Seq("k"), Some("k"))
+          .map(_.copy(seq = 1L))
+        (t, ins)
+      }
+    val v = ManifestLog.commitEntries(base,
+      untouched ++ cold ++ rewritten ++ inserted ++ tomb)
+    (ManifestLog.snapshot(spark, base, v), hot.size, cold.size)
+  }
+
   def mergedSnapshot(spark: SparkSession, base: String): DataFrame = {
     // always merge against VERSION 0 (the original table): re-running the
     // entry replays the same logical batch, so its output is fixed while
-    // each run still exercises the full CoW path into a fresh version
+    // each run still exercises the full CoW path into a fresh version.
+    // Roll superseded run artifacts off disk first — the previous run's
+    // rewritten/inserted files were consumed when its result materialized,
+    // so a bench loop stays O(1) in versions and data files.
+    ManifestLog.resetToVersion(base, 0L)
     val head = ManifestLog.latest(base).get
     val m = ManifestLog.manifest(base, 0L)
     val snap = ManifestLog.read(spark, base, m)

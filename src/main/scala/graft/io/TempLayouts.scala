@@ -33,8 +33,31 @@ object TempLayouts {
     rec(new java.io.File(path))
   }
 
-  private def mk(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** The fastest LOCAL volume for run-scoped scratch: tmpfs when present
+    * and writable (`/dev/shm`), else the JVM temp dir. Streaming
+    * checkpoints and state-store commits are run-scoped scratch in this
+    * harness — checkpoint durability across machine loss is an
+    * object-store concern in a cluster deployment, not a local-bench one
+    * — so their fsync traffic should land in RAM instead of competing
+    * with the data disk (the round-11 q79 regression was RocksDB commit
+    * cost under a degraded disk, ~7.1 s of a 9.7 s entry). Data LAYOUTS
+    * (warehouse tables, IVF index, split sources) deliberately stay on
+    * the real disk: scan throughput is part of what the bench measures. */
+  private val fastRoot: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      Some(shm)
+    else None
+  }
+
+  private def mk(prefix: String, fast: Boolean = false): String = {
+    val p =
+      if (fast)
+        fastRoot.map(java.nio.file.Files.createTempDirectory(_, prefix))
+          .getOrElse(java.nio.file.Files.createTempDirectory(prefix))
+      else java.nio.file.Files.createTempDirectory(prefix)
+    p.toString
+  }
 
   /** Build-once cache: the first call for `key` pays `build` into a fresh
     * temp dir; every later call returns the same dir. The build runs
@@ -66,8 +89,9 @@ object TempLayouts {
     * path keeps a consistent (if stale) layout only until the delete
     * lands — the usual non-transactional file-layout caveat; production
     * layouts get real atomicity from a table format. */
-  def replacing(key: String, prefix: String)(build: String => Unit): String = {
-    val out = mk(prefix)
+  def replacing(key: String, prefix: String, fast: Boolean = false)(
+      build: String => Unit): String = {
+    val out = mk(prefix, fast)
     build(out)
     Option(live.put(key, out)).filter(_ != out).foreach(delete)
     out
@@ -76,8 +100,8 @@ object TempLayouts {
   /** Unkeyed scratch dir, registered for shutdown cleanup under its own
     * path. Pair with [[discard]] to reclaim it as soon as the caller is
     * done instead of at exit. */
-  def scratch(prefix: String): String = {
-    val out = mk(prefix)
+  def scratch(prefix: String, fast: Boolean = false): String = {
+    val out = mk(prefix, fast)
     live.put(out, out)
     out
   }

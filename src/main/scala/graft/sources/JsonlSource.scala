@@ -538,12 +538,22 @@ private[sources] object JsonlPredicates {
         val i = slot(a); vals => vals(i) == null
       case sources.IsNotNull(a) =>
         val i = slot(a); vals => vals(i) != null
+      // evaluated on UTF8String BYTES, not Java chars: Catalyst's
+      // StartsWith/EndsWith/Contains compare UTF-8 byte sequences, and the
+      // two diverge for ill-formed patterns (lone surrogates) — the absorbed
+      // filter must admit exactly the rows the residual expression would
       case sources.StringStartsWith(a, p) =>
-        val i = slot(a); vals => vals(i) match { case s: String => s.startsWith(p); case _ => false }
+        val i = slot(a); val pat = UTF8String.fromString(p)
+        vals => vals(i) match {
+          case s: String => UTF8String.fromString(s).startsWith(pat); case _ => false }
       case sources.StringEndsWith(a, p) =>
-        val i = slot(a); vals => vals(i) match { case s: String => s.endsWith(p); case _ => false }
+        val i = slot(a); val pat = UTF8String.fromString(p)
+        vals => vals(i) match {
+          case s: String => UTF8String.fromString(s).endsWith(pat); case _ => false }
       case sources.StringContains(a, p) =>
-        val i = slot(a); vals => vals(i) match { case s: String => s.contains(p); case _ => false }
+        val i = slot(a); val pat = UTF8String.fromString(p)
+        vals => vals(i) match {
+          case s: String => UTF8String.fromString(s).contains(pat); case _ => false }
       case sources.And(l, r) =>
         val lf = compile(l, names); val rf = compile(r, names)
         vals => lf(vals) && rf(vals)

@@ -176,6 +176,22 @@ object EventStreams {
   @volatile private var runStats: Map[String, StreamRunStats] = Map.empty
   def lastRunStats: Map[String, StreamRunStats] = runStats
 
+  /** Run-scoped streaming checkpoint on the fastest local volume (tmpfs
+    * when present): the state store's per-batch commit is delta-file
+    * write + fsync per partition, and on a disk shared with co-tenants
+    * that fixed cost is both slow and NOISY (the round-11 q79 regression
+    * was 7.1 s of RocksDB commit under a degraded disk, zero plan
+    * change). Checkpoint durability is an object-store concern in a
+    * cluster deployment; locally the checkpoint is run-scoped scratch.
+    * Keyed per query tag via [[graft.io.TempLayouts.replacing]]: each run
+    * gets a FRESH dir (a reused one would make the file source skip
+    * already-processed input) and the previous run's dir is deleted at
+    * the swap, so a bench loop holds at most one live checkpoint per
+    * entry. */
+  private def freshCkpt(tag: String): String =
+    graft.io.TempLayouts.replacing(s"ckpt#$tag", s"graft_ckpt_${tag}_",
+      fast = true)(_ => ())
+
   private def recordRun(name: String,
       q: org.apache.spark.sql.streaming.StreamingQuery,
       ss: SparkSession): Unit = {
@@ -232,6 +248,7 @@ object EventStreams {
         max(col("value")).as("max_value"))
     val q = agg.writeStream
       .format("memory").queryName("q27_sink")
+      .option("checkpointLocation", freshCkpt("q27"))
       .outputMode(OutputMode.Complete())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -278,6 +295,7 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
     val q = agg.writeStream
       .format("memory").queryName("q31_sink")
+      .option("checkpointLocation", freshCkpt("q31"))
       .outputMode(OutputMode.Complete())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -322,6 +340,7 @@ object EventStreams {
         sum(floor(col("value") * 1e6).cast("long")).as("value_micros"))
     val q = agg.writeStream
       .format("memory").queryName("q79_sink")
+      .option("checkpointLocation", freshCkpt("q79"))
       .outputMode(OutputMode.Complete())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -350,8 +369,10 @@ object EventStreams {
       statePartitions: Int = 8): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-q71-ckpt-").toString
+    // freshCkpt (not createTempDirectory): fastest local volume, and the
+    // previous run's dir — still referenced by that run's lazy statestore
+    // read, long since consumed — is reclaimed at the swap
+    val ckpt = freshCkpt("q71")
     val agg = eventStreamSource(ss, dir)()
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"))
@@ -399,6 +420,7 @@ object EventStreams {
       .select(col("user_id"), col("v_ts"), col("p_ts"))
     val q = joined.writeStream
       .format("memory").queryName("q36_sink")
+      .option("checkpointLocation", freshCkpt("q36"))
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -443,6 +465,7 @@ object EventStreams {
       .select(col("user_id"), col("v_ts"), col("p_ts"))
     val q = joined.writeStream
       .format("memory").queryName("q69_sink")
+      .option("checkpointLocation", freshCkpt("q69"))
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -485,6 +508,7 @@ object EventStreams {
       "left_semi")
     val q = joined.writeStream
       .format("memory").queryName("q90_sink")
+      .option("checkpointLocation", freshCkpt("q90"))
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -511,7 +535,7 @@ object EventStreams {
   def latestRowUpsertStreaming(spark: SparkSession, dir: String,
       statePartitions: Int = 8): DataFrame = {
     val base = graft.io.TempLayouts.scratch("graft_upsert_")
-    val ckpt = graft.io.TempLayouts.scratch("graft_upsert_ckpt_")
+    val ckpt = graft.io.TempLayouts.scratch("graft_upsert_ckpt_", fast = true)
     try {
       runUpsertStreaming(spark, dir, base, ckpt, statePartitions)
       upsertResult(spark, base, dir).localCheckpoint(true)
@@ -619,6 +643,7 @@ object EventStreams {
         sum(floor(col("value") * 1e6).cast("long")).as("value_micros"))
     val q = agg.writeStream
       .format("memory").queryName("q45_sink")
+      .option("checkpointLocation", freshCkpt("q45"))
       .outputMode(OutputMode.Complete())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -656,6 +681,7 @@ object EventStreams {
         col("user_id"), col("n_events"), col("value_micros"))
     val q = agg.writeStream
       .format("memory").queryName("q50_sink")
+      .option("checkpointLocation", freshCkpt("q50"))
       .outputMode(OutputMode.Complete())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -690,6 +716,7 @@ object EventStreams {
         col("event_type"), col("cnt"), col("value_micros"))
     val q = agg.writeStream
       .format("memory").queryName("q54_sink")
+      .option("checkpointLocation", freshCkpt("q54"))
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -738,6 +765,7 @@ object EventStreams {
         col("event_type"), col("cnt"), col("value_micros"), col("n_buckets"))
     val q = hourly.writeStream
       .format("memory").queryName("q75_sink")
+      .option("checkpointLocation", freshCkpt("q75"))
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -779,6 +807,7 @@ object EventStreams {
         col("event_type"), col("cnt"), col("value_micros"))
     val q = agg.writeStream
       .format("memory").queryName("q67_sink")
+      .option("checkpointLocation", freshCkpt("q67"))
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -889,6 +918,7 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
     val q = out.toDF().writeStream
       .format("memory").queryName("q72_sink")
+      .option("checkpointLocation", freshCkpt("q72"))
       .outputMode(OutputMode.Update())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -941,6 +971,7 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update(), initState)
     val q = out.toDF().writeStream
       .format("memory").queryName("q74_sink")
+      .option("checkpointLocation", freshCkpt("q74"))
       .outputMode(OutputMode.Update())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -1061,6 +1092,7 @@ object EventStreams {
         TimeMode.EventTime(), OutputMode.Append())
     val q = out.toDF().writeStream
       .format("memory").queryName("q73_sink")
+      .option("checkpointLocation", freshCkpt("q73"))
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -30,12 +30,16 @@ import graft.queries.GraftQuery
   *    literal in the plan (~KB — the broadcast-variable pattern without
   *    the ceremony).
   *
-  * The learned-merge list is engine-opaque (greedy merging is not
-  * ANSI-SQL-expressible), so t17/t18/t19 are rows-only entries backed by
-  * BpeSpec: an INDEPENDENT sequential-replay implementation of both
-  * training and encoding (the greedy-rank/sequential-order equivalence
-  * is the cross-check), plus the decode(encode(x)) == x round trip the
-  * lossless pre-tokenizer guarantees.
+  * TRAINING is engine-opaque (the greedy pair-count loop is not
+  * ANSI-SQL-expressible), but the TRAINED ARTIFACT is deterministic
+  * data — so since round 12 every entry here carries a full DuckDB
+  * oracle: the merge table is embedded in the SQL as constants (t21 is
+  * that table verbatim) and encoding is replayed by sequential-order
+  * merge application over fixed-width id strings (see the generator
+  * comment above [[bpeEncodeSqlExpr]]). BpeSpec additionally pins
+  * training itself against an independent sequential-replay trainer and
+  * the decode(encode(x)) == x round trip the lossless pre-tokenizer
+  * guarantees.
   */
 object Bpe {
 
@@ -50,11 +54,25 @@ object Bpe {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
+  /** The dataset most recently trained in this JVM — what the lazy
+    * oracle builders embed (Verify runs every query, which trains for
+    * its one dataset, then dumps `oracleSql`; see [[bpeEncodeSqlExpr]]). */
+  @volatile private var lastTrainedKey: Option[String] = None
+
   /** The frozen merge list for a dataset dir (trained once per JVM). */
-  def merges(spark: SparkSession, dir: String): Array[Long] =
-    cache.computeIfAbsent(
-      new java.io.File(dir).getCanonicalPath,
-      _ => train(sampleTexts(spark, dir), NumMerges))
+  def merges(spark: SparkSession, dir: String): Array[Long] = {
+    val key = new java.io.File(dir).getCanonicalPath
+    val ms = cache.computeIfAbsent(key, _ => train(sampleTexts(spark, dir), NumMerges))
+    lastTrainedKey = Some(key)
+    ms
+  }
+
+  /** The merge list the oracle SQL should replay: the one trained for
+    * the dataset this JVM last ran the BPE queries against. None until
+    * a BPE query has run — [[all]]'s oracles then stay rows-only, which
+    * is exactly right (there is no tokenizer to replay yet). */
+  private def trainedMerges: Option[Array[Long]] =
+    lastTrainedKey.flatMap(k => Option(cache.get(k)))
 
   private def sampleTexts(spark: SparkSession, dir: String): Seq[String] =
     Tables(spark, dir).documents
@@ -119,7 +137,132 @@ object Bpe {
   private val chunkTok = 50
   private val stride = 40 // = chunkTok - overlap(10)
 
-  val all: Seq[GraftQuery] = Seq(
+  // ------------------------------------------------------------------
+  // DuckDB oracle replay of the byte-level BPE encoder (round-12: flips
+  // t17/t18/t19/t21 from rows-only to full-oracle). The merge table is
+  // deterministic given the dataset, so the trained list is embedded in
+  // the SQL as constants and ENCODING is replayed with plain string
+  // machinery:
+  //   1. pre-tokenize with the same regex (RE2 and java.util.regex agree
+  //      on this ASCII-only pattern for the corpus' character set);
+  //   2. render each pre-token's bytes as ';NNN' fixed-width decimal ids
+  //      (the corpus is pure ASCII — octet_length == length for every
+  //      doc, spec-checked — so ascii(char) IS the byte), pre-tokens
+  //      joined with '|' so merges cannot cross the word boundary;
+  //   3. apply each merge in learned-rank order as one global
+  //      left-to-right REPLACE of ';a;b' → ';new' — non-overlapping
+  //      left-to-right replacement is exactly one sequential merge pass,
+  //      fixed-width ids make any ';'-anchored match token-aligned, and
+  //      rank-order sequential application equals the engine's greedy
+  //      lowest-rank loop (later merges only create new ids, so they
+  //      never create a fresh instance of an earlier pair — the same
+  //      equivalence BpeSpec pins);
+  //   4. the final string parses back to the id sequence (length/4 = n).
+  // A corpus change that broke the ASCII assumption would surface as a
+  // loud hash mismatch, never a silent pass.
+
+  private def lp3(i: Int): String = f"$i%03d"
+
+  /** SQL expression: `text` → the post-merge ';'-separated id string
+    * (pre-token boundaries stripped). One nested replace per merge. */
+  private def bpeEncodeSqlExpr(ms: Array[Long]): String = {
+    val base = "array_to_string(list_transform(" +
+      """regexp_extract_all(text, '[A-Za-z0-9]+|\s+|[^A-Za-z0-9\s]'), """ +
+      "tok -> array_to_string(list_transform(range(1, length(tok) + 1), " +
+      "i -> ';' || lpad(CAST(ascii(substr(tok, i, 1)) AS VARCHAR), 3, '0')), '')), '|')"
+    val merged = ms.zipWithIndex.foldLeft(base) { case (e, (p, r)) =>
+      val a = BpeCodec.left(p); val b = BpeCodec.right(p)
+      s"replace($e, ';${lp3(a)};${lp3(b)}', ';${lp3(256 + r)}')"
+    }
+    s"replace($merged, '|', '')"
+  }
+
+  /** Shared CTE: per-document id list (`idl`, VARCHAR ids, 3-digit). */
+  private def encCte(ms: Array[Long]): String =
+    s"""enc AS (
+       |  SELECT doc_id,
+       |         CASE WHEN idstr = '' THEN CAST([] AS VARCHAR[])
+       |              ELSE str_split(substr(idstr, 2), ';') END AS idl
+       |  FROM (SELECT doc_id, ${bpeEncodeSqlExpr(ms)} AS idstr
+       |        FROM documents) raw)""".stripMargin
+
+  /** The id → UTF-8-bytes vocabulary as a SQL hex-string list literal
+    * (index = id + 1), for chunk decode. */
+  private def vocabHexSql(ms: Array[Long]): String = {
+    val vocab = new BpeCodec(ms).vocab
+    vocab.map(bs => "'" + bs.map(b => f"${b & 0xff}%02x").mkString + "'")
+      .mkString("[", ",", "]")
+  }
+
+  private def t17OracleSql(ms: Array[Long]): String =
+    s"""WITH ${encCte(ms)}
+       |SELECT doc_id,
+       |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |       CAST(len(idl) AS BIGINT) AS n_bpe_tokens,
+       |       array_to_string(list_transform(list_slice(idl, 1, 16),
+       |         x -> CAST(CAST(x AS INT) AS VARCHAR)), ',') AS ids_head,
+       |       CAST(octet_length(encode(text)) * 1000
+       |            // greatest(len(idl), 1) AS BIGINT) AS bytes_per_token_e3
+       |FROM enc JOIN documents USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  private def t18OracleSql(ms: Array[Long]): String =
+    s"""WITH ${encCte(ms)},
+       |c AS (SELECT doc_id, idl,
+       |        CASE WHEN len(idl) <= $chunkTok THEN 1
+       |             ELSE (len(idl) - $chunkTok + ${stride - 1}) // $stride + 1
+       |        END AS nc
+       |      FROM enc)
+       |SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx,
+       |       decode(unhex(array_to_string(list_transform(
+       |         list_slice(idl, u.ci * $stride + 1, u.ci * $stride + $chunkTok),
+       |         x -> ${vocabHexSql(ms)}[CAST(x AS INT) + 1]), ''))) AS chunk_text
+       |FROM c, UNNEST(range(0, c.nc)) AS u(ci)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  private def t19OracleSql(ms: Array[Long]): String =
+    s"""WITH ${encCte(ms)},
+       |bt AS (SELECT doc_id, CAST(len(idl) AS BIGINT) AS n_bpe_tokens FROM enc),
+       |q AS (
+       |  SELECT doc_id, lang,
+       |         least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) *
+       |         (CAST(1.0 AS DOUBLE) - CAST(n_punct AS DOUBLE) / CAST(n_chars_calc AS DOUBLE)) *
+       |         (CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) *
+       |          least(CAST(1.0 AS DOUBLE),
+       |                CAST(n_stopwords AS DOUBLE) * CAST(5.0 AS DOUBLE) / CAST(n_tokens AS DOUBLE)))
+       |           AS quality_score
+       |  FROM (SELECT doc_id, lang,
+       |         CAST(length(text) AS BIGINT) AS n_chars_calc,
+       |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+       |         CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a)\\b')) AS BIGINT) AS n_stopwords
+       |  FROM documents) sig),
+       |r AS (
+       |  SELECT q.doc_id, q.lang, bt.n_bpe_tokens,
+       |         CAST(sum(bt.n_bpe_tokens) OVER (PARTITION BY q.lang
+       |              ORDER BY q.quality_score DESC, q.doc_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           AS cum_tokens
+       |  FROM q JOIN bt ON q.doc_id = bt.doc_id)
+       |SELECT doc_id, lang, n_bpe_tokens, cum_tokens
+       |FROM r
+       |WHERE cum_tokens <= 12000
+       |ORDER BY lang, cum_tokens""".stripMargin
+
+  private def t21OracleSql(ms: Array[Long]): String = {
+    val rows = ms.zipWithIndex.map { case (p, r) =>
+      s"($r, ${BpeCodec.left(p)}, ${BpeCodec.right(p)}, $p)"
+    }.mkString(",\n  ")
+    s"""SELECT CAST(merge_rank AS BIGINT) AS merge_rank,
+       |       CAST(left_id AS BIGINT) AS left_id,
+       |       CAST(right_id AS BIGINT) AS right_id,
+       |       CAST(packed AS BIGINT) AS packed
+       |FROM (VALUES
+       |  $rows) AS t(merge_rank, left_id, right_id, packed)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  def all: Seq[GraftQuery] = Seq(
     // ------------------------------------------------------------------
     // t17: the tokenizer itself — per-document BPE token ids + the
     // byte-per-token compression the merges buy. `ids` is persisted as
@@ -146,7 +289,7 @@ object Bpe {
               .cast("long"))
           .orderBy(col("doc_id"))
       },
-      None
+      trainedMerges.map(t17OracleSql)
     ),
 
     // ------------------------------------------------------------------
@@ -181,7 +324,7 @@ object Bpe {
             col("col").as("chunk_text"))
           .orderBy(col("doc_id"), col("chunk_idx"))
       },
-      None
+      trainedMerges.map(t18OracleSql)
     ),
 
     // ------------------------------------------------------------------
@@ -211,7 +354,7 @@ object Bpe {
           .select(col("doc_id"), col("lang"), col("n_bpe_tokens"), col("cum_tokens"))
           .orderBy(col("lang"), col("cum_tokens"))
       },
-      None
+      trainedMerges.map(t19OracleSql)
     ),
 
     // ------------------------------------------------------------------
@@ -235,7 +378,7 @@ object Bpe {
         rows.toDF("merge_rank", "left_id", "right_id", "packed")
           .orderBy(col("merge_rank"))
       },
-      None
+      trainedMerges.map(t21OracleSql)
     )
   )
 }

@@ -41,4 +41,15 @@ class BenchGateSpec extends AnyFunSuite {
     val w = Bench.diskWriteMbps(Bench.IterProbeMb)
     assert(w > 0, s"probe failed: $w")
   }
+
+  test("persisted clean-disk baseline parses and gates a whole-run collapse") {
+    // docs/io_baseline.json records the box's demonstrated throughput; a
+    // run whose EVERY probe is collapsed (r11: ≤117 MB/s) must come out
+    // unclean against it rather than self-normalizing to its own best probe
+    val base = Bench.ioBaseline()
+    assert(base > 100.0, s"baseline missing or implausible: $base")
+    assert(!Bench.iterClean(1.0, g - 1, g - 1, 117.0, base))
+    // healthy probes clear the seeded reference
+    assert(Bench.iterClean(1.0, g - 1, g - 1, base * 0.9, base))
+  }
 }

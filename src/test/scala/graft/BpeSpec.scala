@@ -194,4 +194,27 @@ class BpeSpec extends SparkSpecBase {
     }.toSet
     assert(got === exp)
   }
+
+  test("oracle SQL materializes after training and embeds this merge table") {
+    // the strong half of CatalogDisciplineSpec's generatedOracles gate:
+    // once this JVM has trained (the `merges` fixture above), every BPE
+    // entry must surface full oracle SQL, and the embedded VALUES table
+    // must be THE trained artifact
+    merges: Unit // force training
+    val oracles = graft.queries.Catalog.oracleSql
+    val names = Seq("t17_bpe_tokenize", "t18_chunk_documents_bpe",
+      "t19_token_budget_bpe", "t21_bpe_merge_table")
+    names.foreach { n =>
+      assert(oracles.contains(n), s"$n has no oracle after training")
+    }
+    // t21's VALUES rows carry each packed merge verbatim
+    val t21 = oracles("t21_bpe_merge_table")
+    merges.zipWithIndex.foreach { case (p, r) =>
+      assert(t21.contains(s"($r, ${graft.functions.expressions.BpeCodec.left(p)}, " +
+        s"${graft.functions.expressions.BpeCodec.right(p)}, $p)"),
+        s"merge rank $r missing from the t21 oracle VALUES table")
+    }
+    // the encode replay appears once per merge in the t17 oracle
+    assert("replace\\(".r.findAllIn(oracles("t17_bpe_tokenize")).size >= merges.length)
+  }
 }

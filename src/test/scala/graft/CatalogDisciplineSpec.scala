@@ -19,35 +19,45 @@ class CatalogDisciplineSpec extends AnyFunSuite {
 
   /** Every declared-rows-only entry with the reason SQL can't replay it.
     * Each is still covered by a dedicated ScalaTest recompute/replay
-    * spec (BpeSpec corpus replay; sketch ≤5%-error bounds). */
+    * spec (sketch ≤5%-error bounds). */
   private val rowsOnlyAllowlist: Map[String, String] = Map(
     "q22_approx_count_distinct" ->
       "HLL sketch binaries are engine-specific (Spark dense/sparse HLL++ layout)",
     "q56_sketch_rollup" ->
-      "mergeable HLL sketch column rides the rollup — same binary-layout argument",
-    "t17_bpe_tokenize" ->
-      "greedy longest-match BPE merge loop is iterative, not SQL-expressible",
-    "t18_chunk_documents_bpe" ->
-      "chunk geometry depends on t17's greedy tokenization",
-    "t19_token_budget_bpe" ->
-      "budget packing depends on t17's greedy tokenization",
-    "t21_bpe_merge_table" ->
-      "BPE training (iterative pair-count merges) is the same loop, run to rank k"
+      "mergeable HLL sketch column rides the rollup — same binary-layout argument"
   )
+
+  /** Entries whose oracle SQL is GENERATED at Verify-dump time from a
+    * runtime-trained artifact (round 12: the BPE family embeds the
+    * trained merge table as constants — see graft.text.Bpe). Static
+    * catalog inspection, before any query has run, sees None for these;
+    * after the queries run, the oracle is present and full. BpeSpec
+    * asserts the post-training half (oracles materialize); here we only
+    * tolerate the pre-training state. */
+  private val generatedOracles: Set[String] = Set(
+    "t17_bpe_tokenize", "t18_chunk_documents_bpe",
+    "t19_token_budget_bpe", "t21_bpe_merge_table")
 
   test("every catalog entry has an oracle or an explicit rows-only exemption") {
     val noOracle = Catalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    val unexplained = noOracle -- rowsOnlyAllowlist.keySet
+    val unexplained = noOracle -- rowsOnlyAllowlist.keySet -- generatedOracles
     assert(unexplained.isEmpty,
       s"catalog entries without oracle SQL and without an allowlist reason: " +
         s"${unexplained.toSeq.sorted.mkString(", ")} — write the DuckDB " +
         "oracle (preferred) or add an allowlist row with the reason")
     // and the allowlist must not hold stale rows (an entry that GAINED
-    // an oracle should drop its exemption so the floor keeps shrinking)
+    // an oracle should drop its exemption so the floor keeps shrinking).
+    // generatedOracles rows are legitimately in EITHER state depending
+    // on whether this JVM has trained the tokenizer yet (test-order
+    // independence), so they are checked by BpeSpec instead.
     val stale = rowsOnlyAllowlist.keySet -- noOracle
     assert(stale.isEmpty,
       s"allowlist rows for entries that now have oracles (remove them): " +
         s"${stale.toSeq.sorted.mkString(", ")}")
+    val ghost = (rowsOnlyAllowlist.keySet ++ generatedOracles) --
+      Catalog.all.map(_.name).toSet
+    assert(ghost.isEmpty, s"allowlist rows for entries that no longer exist: " +
+      s"${ghost.toSeq.sorted.mkString(", ")}")
   }
 
   test("catalog names are unique and well-formed") {

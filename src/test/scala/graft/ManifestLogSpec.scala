@@ -262,4 +262,110 @@ class ManifestLogSpec extends SparkSpecBase {
     assert(snapshot(spark, base, 0L).count() == v0Rows)
     assert(manifest(base, 0L) == v0)
   }
+
+  test("commitEntries fails loudly on a version-id collision instead of replacing") {
+    import testImplicits._
+    val base = freshBase()
+    commitAppend(spark, base, Seq((1L, "a")).toDF("k", "s"), Seq("k"))
+    val head = manifest(base, 0L)
+    // simulate the racing writer that lost: same next id, direct publish
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      // a second publish at the SAME id (0) must not silently replace
+      val dir = new java.io.File(base, "_manifests")
+      val tmp = java.nio.file.Files.createTempFile(dir.toPath, "x", ".tmp")
+      try java.nio.file.Files.createLink(new java.io.File(dir, "0").toPath, tmp)
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    }
+    assert(manifest(base, 0L) == head, "committed manifest must be untouched")
+  }
+
+  test("sequence scoping: a tombstone deletes only from older-seq data files") {
+    import testImplicits._
+    val base = freshBase()
+    // v0: keys 1..4 at seq 0
+    commitAppend(spark, base, Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "s"), Seq("k"))
+    // one commit that deletes keys {2,3} from v0 AND re-inserts key 2's
+    // new version at the same seq — the hybrid-merge MoR shape
+    val prev = manifest(base, 0L)
+    val tomb = stage(spark, base, "v1-del", Seq(2L, 3L).toDF("k"), Seq("k"))
+      .map(_.copy(kind = "delete", seq = 1L))
+    val ins = stage(spark, base, "v1-ins", Seq((2L, "B")).toDF("k", "s"), Seq("k"))
+      .map(_.copy(seq = 1L))
+    val v = commitEntries(base, prev ++ tomb ++ ins)
+    val rows = snapshot(spark, base, v).orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // old 2 and 3 deleted; NEW 2 (seq 1) survives the seq-1 tombstone
+    assert(rows == Seq((1L, "a"), (2L, "B"), (4L, "d")), rows.mkString(","))
+  }
+
+  test("q104 hybrid merge: dense files rewritten, grazed files reused + tombstoned, history intact") {
+    val base = freshBase()
+    commitAppend(spark, base, ordersKv, Seq("k"), Some("k"), files = 16)
+    val v0 = manifest(base, 0L)
+    val v0Rows = snapshot(spark, base, 0L).count()
+    val (merged, nHot, nCold) = ManifestQueries.hybridMergeSnapshot(spark, base)
+    val v1 = manifest(base, latest(base).get)
+    val v0Paths = v0.map(_.path).toSet
+    // both legs actually exercised on the 16-file sorted layout
+    assert(nHot >= 1, "no file was dense enough to rewrite — band/threshold bug")
+    assert(nCold >= 1, "no file was grazed — band/threshold bug")
+    assert(nHot + nCold <= 5, s"affected set not bounded: ${nHot + nCold}")
+    // cold (grazed) files are reused BY REFERENCE; hot files are gone
+    val coldReused = v1.filter(e => e.kind == "data" && v0Paths.contains(e.path))
+    assert(coldReused.size == 16 - nHot,
+      s"${coldReused.size} reused, expected ${16 - nHot}")
+    coldReused.foreach { e =>
+      assert(v0.find(_.path == e.path).contains(e), s"reused entry mutated: ${e.path}")
+    }
+    // exactly one tombstone leg, seq-scoped above the originals
+    val tombs = v1.filter(_.kind == "delete")
+    assert(tombs.nonEmpty && tombs.forall(_.seq == 1L))
+    // merged state equals the band update, row count unchanged (pure update)
+    val Array(mnv, mxv) = snapshot(spark, base, 0L).agg(min(col("k")), max(col("k")))
+      .collect().flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    val lo = mnv + (mxv - mnv) / 2
+    val hi = lo + (mxv - mnv) / 12
+    val band = snapshot(spark, base, 0L).filter(col("k").between(lo, hi)).count()
+    assert(band > 0, "test band is empty — bounds bug")
+    assert(merged.count() == v0Rows)
+    assert(merged.filter(col("status") === "M").count() == band)
+    assert(merged.filter(col("k").between(lo, hi) && col("status") =!= "M").count() == 0)
+    // history intact
+    assert(snapshot(spark, base, 0L).count() == v0Rows)
+    assert(manifest(base, 0L) == v0)
+  }
+
+  test("schema evolution: add-column null-fills old files, rename is metadata-only, v0 intact") {
+    import testImplicits._
+    val base = freshBase()
+    val v0 = commitAppend(spark, base,
+      Seq((1L, 10L, "O"), (2L, 20L, "F")).toDF("k", "cents", "status"),
+      Seq("k"), Some("k"))
+    commitSchema(base, v0, Seq(
+      ColumnDef("k", "k", "BIGINT"), ColumnDef("cents", "cents", "BIGINT"),
+      ColumnDef("status", "status", "STRING")))
+    val v0Entries = manifest(base, v0)
+    val v1 = commitAppend(spark, base,
+      Seq((3L, 30L, "O", "HI")).toDF("k", "cents", "status", "prio"),
+      Seq("k"), Some("k"))
+    commitSchema(base, v1, Seq(
+      ColumnDef("k", "k", "BIGINT"), ColumnDef("cents", "cents", "BIGINT"),
+      ColumnDef("order_status", "status", "STRING"),
+      ColumnDef("prio", "prio", "STRING")))
+    // zero rewrites: v0's files ride into v1 by reference
+    val v1Entries = manifest(base, v1)
+    v0Entries.foreach(e => assert(v1Entries.contains(e), s"v0 file rewritten: ${e.path}"))
+    val rows = snapshotEvolved(spark, base, v1).orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSeq
+    assert(rows == Seq((1L, 10L, "O", None), (2L, 20L, "F", None),
+      (3L, 30L, "O", Some("HI"))), rows.mkString(","))
+    // renamed logical name visible at v1; v0 still reads under ITS schema
+    assert(snapshotEvolved(spark, base, v1).columns.toSeq ==
+      Seq("k", "cents", "order_status", "prio"))
+    assert(snapshotEvolved(spark, base, v0).columns.toSeq ==
+      Seq("k", "cents", "status"))
+    assert(snapshotEvolved(spark, base, v0).count() == 2)
+  }
 }

@@ -96,13 +96,25 @@ object VecScale {
   }
 
   /** Generate (once — skipped when the dir already holds both tables)
-    * one fixture dir with both tables at the given sizes. */
+    * one fixture dir with both tables at the given sizes. The other
+    * eight TESTDATA tables symlink to the smallest driver split:
+    * [[graft.io.Tables]] eagerly resolves every table's schema at
+    * catalog construction, and the s/d entries never scan them. */
   private def ensureFixture(spark: SparkSession, dir: String,
       nEmb: Long, nDoc: Long): Unit = {
     val d = new java.io.File(dir)
+    d.mkdirs()
+    // symlinks first and unconditionally: the early-return below only
+    // covers the generated tables
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events").foreach { t =>
+      val link = new java.io.File(d, s"$t.parquet").toPath
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet")): Unit
+    }
     if (new java.io.File(d, "embeddings.parquet").exists() &&
       new java.io.File(d, "documents.parquet").exists()) return
-    d.mkdirs()
     genEmbeddings(spark, nEmb).repartition(8)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     genDocuments(spark, nDoc).repartition(8)
@@ -170,7 +182,16 @@ object VecScale {
          |
          || entry | ${sizes.map { case (ne, nd) => s"sec @ ${ne / 1000}k/${nd / 1000}k" }.mkString(" | ")} | full ratio |
          ||---|---|---|---|---|
-         |${rows.mkString("\n")}
+         |${rows.mkString("\n|")}
+         |
+         |Caveat honestly owned: the IVF-PQ entries (s14/s15/s16) keep their
+         |oracle-pinned 16-cell coarse quantizer, and the hot-cell skew cap
+         |(MaxBlock = 1,024 rows/cell) drops EVERY cell once N/16 exceeds it
+         |(~16k vectors) — beyond that point these entries measure the skew
+         |guard engaging (tiny, empty result), not the ADC scan. The scan's
+         |own scaling evidence is s07/s08 (cell-partitioned probes) and the
+         |per-row families (s09/s10). A production layout grows nCells with
+         |N, which the fixed oracle cannot.
          |
          |Exclusions: `s11_knn_join_exact` and `s12_knn_join_cells` are the
          |O(N²)-class CONTROL entries whose oracle-pinned parameters

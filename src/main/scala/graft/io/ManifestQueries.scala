@@ -80,6 +80,45 @@ object ManifestQueries {
         ManifestLog.ColumnDef("prio", "prio", "STRING")))
     }
 
+  /** 2×16-bit Morton (Z-order) interleave as a pure column expression —
+    * unrolled at plan-build time (Scala-level loop, so shiftleft/right
+    * take literal bit counts and the whole thing stays one codegen'd
+    * integer expression). Inputs must be pre-normalized to [0, 65535]. */
+  private def zValue(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** q106's Z-ordered table, built once per (JVM, dataset): orders laid
+    * out by the Morton interleave of (order day, cents), both
+    * min-max-normalized to 16 bits, 64 files, stats on BOTH columns.
+    * A 1-D sort gives selective stats on the sort column only; the
+    * space-filling curve keeps each file's bounding BOX small on both
+    * dimensions, which is what makes 2-D predicate file-skipping work
+    * (the public Delta/Databricks OPTIMIZE ZORDER BY design). */
+  private def ordersZOrdered(spark: SparkSession, dir: String): String =
+    TempLayouts.cached(
+      "manifest_orders_z#" + new java.io.File(dir).getCanonicalPath,
+      "graft_manifest_z_") { base =>
+      val src = Tables(spark, dir).orders.select(
+        col("o_orderkey").as("k"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("dday"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderpriority").as("priority"))
+      val Array(mnD, mxD, mnC, mxC) = src.agg(
+        min(col("dday")), max(col("dday")), min(col("cents")), max(col("cents")))
+        .collect().flatMap(r => (0 to 3).map(r.getLong))
+      def norm(c: org.apache.spark.sql.Column, mn: Long, mx: Long) =
+        ((c - mn) * 65535L / math.max(1L, mx - mn)).cast("long")
+      val withZ = src.withColumn("z",
+        zValue(norm(col("dday"), mnD, mxD), norm(col("cents"), mnC, mxC)))
+      val entries = ManifestLog.stage(spark, base, "v0-z", withZ,
+        statsCols = Seq("dday", "cents"), sortCol = Some("z"), files = 64)
+      ManifestLog.commitEntries(base, entries): Unit
+    }
+
   /** A deliberately fragmented table — 12 incremental commits of orders
     * slices (the shape a streaming/incremental ingest leaves behind) —
     * the q99 OPTIMIZE input. Built once per (JVM, dataset). */
@@ -307,6 +346,70 @@ object ManifestQueries {
           |WHERE NOT (k BETWEEN lo AND hi)
           |GROUP BY status
           |ORDER BY status""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q106: Z-ORDER layout + 2-D manifest file skipping — the layout
+    // move that makes MULTI-column predicates prunable. q96's 1-D sort
+    // gives selective per-file [min,max] on the sort column and useless
+    // full-range stats on everything else; laying the table out along a
+    // Morton curve of (order day, cents) keeps every file's bounding
+    // box small on BOTH dimensions, so a conjunctive 2-D band prunes
+    // files via two pruneRange passes over ONE metadata read. Pruning
+    // stays stats-sound (kept ⊇ matching) regardless of the curve — the
+    // curve only buys effectiveness, which the spec pins against the
+    // same band on a 1-D layout (the win needs the band NARROW relative
+    // to the file grid — a ~12% band over 64 files here; a third-wide
+    // band over 16 files measurably favors the 1-D sort, which the spec
+    // development surfaced). Bands are closed-form from the data; the
+    // oracle replays the filtered rollup directly.
+    GraftQuery(
+      "q106_manifest_zorder",
+      "Z-order (Morton) layout: 2-D stats band prunes files on both columns (parquet-side oracle)",
+      (spark, dir) => {
+        val base = ordersZOrdered(spark, dir)
+        val m = ManifestLog.manifest(base, 0L)
+        val snap = ManifestLog.read(spark, base, m)
+        val Array(mnD, mxD, mnC, mxC) = snap.agg(
+          min(col("dday")), max(col("dday")), min(col("cents")), max(col("cents")))
+          .collect().flatMap(r => (0 to 3).map(r.getLong))
+        val (loD, hiD) = (mnD + 7 * (mxD - mnD) / 16,
+          mnD + 7 * (mxD - mnD) / 16 + (mxD - mnD) / 8)
+        val (loC, hiC) = (mnC + 7 * (mxC - mnC) / 16,
+          mnC + 7 * (mxC - mnC) / 16 + (mxC - mnC) / 8)
+        val (keepD, _) = ManifestLog.pruneRange(m, "dday", loD.toString, hiD.toString)
+        val (keep, _) = ManifestLog.pruneRange(keepD, "cents", loC.toString, hiC.toString)
+        ManifestLog.read(spark, base, keep)
+          .filter(col("dday").between(loD, hiD) && col("cents").between(loC, hiC))
+          .groupBy(col("priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents"),
+            min(col("dday")).as("min_dday"),
+            max(col("dday")).as("max_dday"))
+          .orderBy(col("priority"))
+      },
+      Some(
+        """WITH src AS (
+          |  SELECT datediff('day', DATE '1992-01-01', o_orderdate) AS dday,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+          |         o_orderpriority AS priority
+          |  FROM orders),
+          |b AS (SELECT min(dday) AS mnd, max(dday) AS mxd,
+          |             min(cents) AS mnc, max(cents) AS mxc FROM src),
+          |band AS (SELECT mnd + 7 * (mxd - mnd) // 16 AS lod,
+          |                mnd + 7 * (mxd - mnd) // 16 + (mxd - mnd) // 8 AS hid,
+          |                mnc + 7 * (mxc - mnc) // 16 AS loc,
+          |                mnc + 7 * (mxc - mnc) // 16 + (mxc - mnc) // 8 AS hic
+          |         FROM b)
+          |SELECT priority,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+          |       CAST(min(dday) AS BIGINT) AS min_dday,
+          |       CAST(max(dday) AS BIGINT) AS max_dday
+          |FROM src, band
+          |WHERE dday BETWEEN lod AND hid AND cents BETWEEN loc AND hic
+          |GROUP BY priority
+          |ORDER BY priority""".stripMargin)
     ),
 
     // ------------------------------------------------------------------

@@ -661,9 +661,16 @@ object SimilarityOps {
     * AFTER the filter (partition-dir type inference reads it as int). */
   private def prunedCodes(spark: SparkSession, base: String,
       cellIds: Seq[Long]): DataFrame =
-    spark.read.parquet(s"$base/codes")
-      .filter(col("cell_id").isin(cellIds.map(_.toInt): _*))
-      .withColumn("cell_id", col("cell_id").cast("long"))
+    // EXPLICIT schema, two reasons: (1) the partition column reads back
+    // BIGINT directly (dir-name inference would make it INT and a cast
+    // defeats partition pruning); (2) a layout whose every cell was
+    // dropped by the hot-cell cap (under-provisioned nCells at large N)
+    // writes an EMPTY codes table — inference would throw where the
+    // correct semantics is an empty scan.
+    spark.read
+      .schema("vec_id BIGINT, sub INT, code BIGINT, cell_id BIGINT")
+      .parquet(s"$base/codes")
+      .filter(col("cell_id").isin(cellIds: _*))
 
   /** [[ivfPqResidualTopKBatch]]'s query half served from the persisted
     * residual layout: probe choice from the stored centroids

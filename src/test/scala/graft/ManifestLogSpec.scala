@@ -336,6 +336,55 @@ class ManifestLogSpec extends SparkSpecBase {
     assert(manifest(base, 0L) == v0)
   }
 
+  test("z-order layout: the 2-D band prunes files on BOTH columns; 1-D sort cannot") {
+    // same data, same file count, two layouts: Morton(dday, cents) vs
+    // sort-by-dday. The 2-D middle-third band must prune strictly more
+    // files on the z layout (its per-file bounding boxes are small on
+    // both dims), and pruning must stay sound on both.
+    val src = Tables(spark, sf0001).orders.select(
+      col("o_orderkey").as("k"),
+      datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("dday"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val Array(mnD, mxD, mnC, mxC) = src.agg(
+      min(col("dday")), max(col("dday")), min(col("cents")), max(col("cents")))
+      .collect().flatMap(r => (0 to 3).map(r.getLong))
+    def norm(c: org.apache.spark.sql.Column, mn: Long, mx: Long) =
+      ((c - mn) * 65535L / math.max(1L, mx - mn)).cast("long")
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(norm(col("dday"), mnD, mxD), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(norm(col("cents"), mnC, mxC), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    val zBase = freshBase(); val dBase = freshBase()
+    commitEntries(zBase, stage(spark, zBase, "v0-z", src.withColumn("z", z),
+      Seq("dday", "cents"), Some("z"), files = 64))
+    commitEntries(dBase, stage(spark, dBase, "v0-d", src,
+      Seq("dday", "cents"), Some("dday"), files = 64))
+    val (loD, hiD) = (mnD + 7 * (mxD - mnD) / 16,
+      mnD + 7 * (mxD - mnD) / 16 + (mxD - mnD) / 8)
+    val (loC, hiC) = (mnC + 7 * (mxC - mnC) / 16,
+      mnC + 7 * (mxC - mnC) / 16 + (mxC - mnC) / 8)
+    def bothDims(base: String): (Seq[ManifestEntry], Int) = {
+      val m = manifest(base, 0L)
+      val (kd, _) = pruneRange(m, "dday", loD.toString, hiD.toString)
+      val (k2, _) = pruneRange(kd, "cents", loC.toString, hiC.toString)
+      (k2, m.size)
+    }
+    val (zKeep, zTotal) = bothDims(zBase)
+    val (dKeep, _) = bothDims(dBase)
+    assert(zKeep.size < zTotal, "z layout pruned nothing for the 2-D band")
+    assert(zKeep.size < dKeep.size,
+      s"z layout must out-prune the 1-D sort on a 2-D band: z=${zKeep.size} 1d=${dKeep.size}")
+    // soundness both ways: the kept sets still hold the full matching multiset
+    val want = src.filter(col("dday").between(loD, hiD) && col("cents").between(loC, hiC))
+      .count()
+    assert(want > 0, "test band is empty — bounds bug")
+    Seq(zBase -> zKeep, dBase -> dKeep).foreach { case (b, keep) =>
+      val got = read(spark, b, keep)
+        .filter(col("dday").between(loD, hiD) && col("cents").between(loC, hiC)).count()
+      assert(got == want, s"pruned read lost rows: $got vs $want under $b")
+    }
+  }
+
   test("schema evolution: add-column null-fills old files, rename is metadata-only, v0 intact") {
     import testImplicits._
     val base = freshBase()

@@ -71,7 +71,7 @@ object Bench {
   final case class QueryTiming(name: String, sec: Double, qload1: Double,
       qload1End: Double, iters: Int, allSecs: Seq[Double],
       cleanMin: Boolean = true, gateRetries: Int = 0,
-      allWmbps: Seq[Double] = Nil)
+      allWmbps: Seq[Double] = Nil, allSteal: Seq[Double] = Nil)
 
   /** Warm up one-time JVM costs (codegen compiler, parquet reader,
     * broadcast machinery, shuffle system) so they don't land on the
@@ -93,15 +93,45 @@ object Bench {
     *
     * The noop sink forces full evaluation of every operator in the plan
     * (a bare count() would let Catalyst prune projections and sorts). */
-  /** The two-axis iteration gate, factored out for direct spec coverage:
-    * an iteration is evidence about the PLAN only if it succeeded, ran
-    * entirely under the CPU [[LoadGate]], and its write-throughput probe
-    * was not collapsed relative to the run's best probe (`wRef`).
-    * Negative values mean "no signal on that axis" and pass it. */
+  /** The THREE-axis iteration gate, factored out for direct spec
+    * coverage: an iteration is evidence about the PLAN only if it
+    * succeeded, ran entirely under the CPU [[LoadGate]], its
+    * write-throughput probe was not collapsed relative to the reference
+    * (`wRef`), and the HYPERVISOR did not steal more than
+    * [[StealGateFrac]] of the CPU across the iteration (round-12 axis:
+    * a host co-tenant showed as 10–22% steal in /proc/stat while
+    * loadavg sat at 2 and the disk probe read healthy — latency-bound
+    * streaming entries measured 4–6× slow with zero signal on the
+    * first two axes). Negative values mean "no signal" and pass. */
   private[graft] def iterClean(sec: Double, l0: Double, l1: Double,
-      w0: Double, wRef: Double): Boolean =
+      w0: Double, wRef: Double, stealPct: Double = -1.0): Boolean =
     sec >= 0 && l0 <= LoadGate && l1 <= LoadGate &&
-      (w0 < 0 || wRef < 0 || w0 >= wRef * IoGateFrac)
+      (w0 < 0 || wRef < 0 || w0 >= wRef * IoGateFrac) &&
+      (stealPct < 0 || stealPct <= StealGateFrac)
+
+  /** Steal fraction above which an iteration ran on a contended HOST.
+    * Healthy steady state on this box measures ≤2–3%; the observed
+    * co-tenant windows were 10–22%. */
+  private[graft] val StealGateFrac = 0.08
+
+  /** (steal, total) jiffies from the aggregate cpu line of /proc/stat;
+    * (-1, -1) when unavailable (non-Linux). */
+  private[graft] def cpuJiffies(): (Long, Long) =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal [guest guest_nice]
+      (if (f.length > 7) f(7) else -1L, f.sum)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Steal share of the elapsed jiffies between two samples; -1 when
+    * either sample had no signal or no time elapsed. */
+  private[graft] def stealFrac(before: (Long, Long), after: (Long, Long)): Double = {
+    val (s0, t0) = before; val (s1, t1) = after
+    if (s0 < 0 || s1 < 0 || t1 <= t0) -1.0
+    else (s1 - s0).toDouble / (t1 - t0).toDouble
+  }
 
   private[graft] def timeCatalog(spark: SparkSession, sfDir: String,
       only: Set[String] = Set.empty, wRefSeed: Double = -1.0): Seq[QueryTiming] = {
@@ -127,7 +157,8 @@ object Bench {
     // box's demonstrated 322, so all iterations gated "clean" at 1/3
     // throughput). Seeding pins the reference to demonstrated capability;
     // a faster in-run probe still raises it.
-    final case class Iter(sec: Double, l0: Double, l1: Double, w0: Double)
+    final case class Iter(sec: Double, l0: Double, l1: Double, w0: Double,
+        steal: Double)
     var wRef = wRefSeed
     def probe(): Double = {
       val w = diskWriteMbps(IterProbeMb)
@@ -142,6 +173,7 @@ object Bench {
       def runOnce(): Iter = {
         val l0 = loadNow
         val w0 = probe() // outside the timed region
+        val cj0 = cpuJiffies()
         val t0 = System.nanoTime()
         val sec =
           try {
@@ -155,12 +187,12 @@ object Bench {
             InternalCaches.releaseAll()
             spark.catalog.clearCache()
           }
-        Iter(sec, l0, loadNow, w0)
+        Iter(sec, l0, loadNow, w0, stealFrac(cj0, cpuJiffies()))
       }
       // evaluated lazily against the CURRENT wRef: a later, faster probe
       // retroactively tightens what counts as clean (max-seen reference)
       def clean(it: Iter): Boolean =
-        iterClean(it.sec, it.l0, it.l1, it.w0, wRef)
+        iterClean(it.sec, it.l0, it.l1, it.w0, wRef, it.steal)
       val base = (1 to Iters).map(_ => runOnce())
       var iters =
         if (base.forall(_.sec >= 0) && base.map(_.sec).min < 1.0)
@@ -180,7 +212,8 @@ object Bench {
       QueryTiming(name, if (times.exists(_ < 0)) -1.0 else times.min,
         qLoad, loadNow, times.length, times,
         cleanMin = times.exists(_ < 0) || iters.exists(clean),
-        gateRetries = retries, allWmbps = iters.map(_.w0))
+        gateRetries = retries, allWmbps = iters.map(_.w0),
+        allSteal = iters.map(_.steal))
     }
   }
 
@@ -305,6 +338,10 @@ object Bench {
       s"\"" + r.name + "\":" + r.allWmbps.map(w =>
         math.round(w * 10) / 10.0).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
+    val qsteal = results.map(r =>
+      s"\"" + r.name + "\":" + r.allSteal.map(v =>
+        math.round(v * 1000) / 1000.0).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
     val total = results.map(_.sec).filter(_ >= 0).sum
     val failed = results.count(_.sec < 0)
     val gateRetries = results.map(_.gateRetries).sum
@@ -320,7 +357,7 @@ object Bench {
         s""""gate_retries":$gateRetries,""" +
         s""""unclean":$unclean,"qclean":$qclean,""" +
         s""""qload1":$qloads,"qload1_end":$qloadsEnd,""" +
-        s""""qsecs":$qsecs,"qiters":$qiters,"qwmbps":$qwmbps}"""
+        s""""qsecs":$qsecs,"qiters":$qiters,"qwmbps":$qwmbps,"qsteal":$qsteal}"""
     // The per-query detail goes to target/bench.json (local iteration) AND
     // to a repo-root copy OUTSIDE .gitignore: the official BENCH_r{N}
     // artifact captures only a bounded stdout tail (too small for 197
@@ -346,6 +383,7 @@ object Bench {
         s""""io_baseline":$baseline,"io_wait_sec":$ioWaitSec,""" +
         s""""io_degraded":$ioDegraded,""" +
         s""""load_gate":$LoadGate,"io_gate_frac":$IoGateFrac,""" +
+        s""""steal_gate":$StealGateFrac,""" +
         s""""gate_retries":$gateRetries,""" +
         s""""unclean":$unclean,""" +
         s""""queries_detail":"bench_detail_latest.json"}"""

@@ -42,6 +42,23 @@ class BenchGateSpec extends AnyFunSuite {
     assert(w > 0, s"probe failed: $w")
   }
 
+  test("steal axis: hypervisor-contended iterations are unclean; no signal passes") {
+    // round-12 calibration: a host co-tenant measured 10–22% steal while
+    // loadavg sat at 2 and the write probe read healthy — streaming
+    // entries ran 4–6× slow with zero signal on the first two axes
+    assert(!Bench.iterClean(1.0, g - 1, g - 1, 300.0, 350.0, 0.15))
+    assert(Bench.iterClean(1.0, g - 1, g - 1, 300.0, 350.0, 0.02))
+    assert(Bench.iterClean(1.0, g - 1, g - 1, 300.0, 350.0, -1.0))
+    // the jiffies reader yields a usable sample on this box, and the
+    // fraction of two ordered samples is within [0, 1]
+    val a = Bench.cpuJiffies()
+    Thread.sleep(60)
+    val b = Bench.cpuJiffies()
+    assert(a._1 >= 0 && a._2 > 0, s"no /proc/stat signal: $a")
+    val f = Bench.stealFrac(a, b)
+    assert(f >= 0.0 && f <= 1.0, s"steal fraction out of range: $f")
+  }
+
   test("persisted clean-disk baseline parses and gates a whole-run collapse") {
     // docs/io_baseline.json records the box's demonstrated throughput; a
     // run whose EVERY probe is collapsed (r11: ≤117 MB/s) must come out

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Manifest-based table format — the layer [[CommitLog]] deliberately
   * trades away ("a real format adds manifest reuse so snapshots share
@@ -443,15 +443,20 @@ object ManifestLog {
   def snapshot(spark: SparkSession, base: String, id: Long): DataFrame = {
     val m = manifest(base, id)
     val (dels, data) = m.partition(_.kind == "delete")
+    applyTombstones(spark, base, data, dels)
+  }
+
+  /** Read `data` with `dels` applied under sequence scoping (Iceberg
+    * ordering rule): a tombstone deletes only from data files with
+    * seq < its own, so rows RE-INSERTED in the same or a later commit
+    * survive. One plan branch per distinct data seq (bounded by the
+    * number of mixed-generation commits in one snapshot, not by table
+    * size), each anti-joined against only the tombstones that outrank
+    * it; branches with no applicable tombstone read clean. */
+  private def applyTombstones(spark: SparkSession, base: String,
+      data: Seq[ManifestEntry], dels: Seq[ManifestEntry]): DataFrame =
     if (dels.isEmpty) read(spark, base, data)
     else {
-      // Sequence scoping (Iceberg ordering rule): a tombstone deletes
-      // only from data files with seq < its own, so rows RE-INSERTED in
-      // the same or a later commit survive. One plan branch per distinct
-      // data seq (bounded by the number of mixed-generation commits in
-      // one snapshot, not by table size), each anti-joined against only
-      // the tombstones that outrank it; branches with no applicable
-      // tombstone read clean.
       data.groupBy(_.seq).toSeq.sortBy(_._1).map { case (s, entries) =>
         val df = read(spark, base, entries)
         val applicable = dels.filter(_.seq > s)
@@ -462,7 +467,6 @@ object ManifestLog {
         }
       }.reduce(_ unionByName _)
     }
-  }
 
   /** Merge-on-read DELETE (the deletion-vector strategy, public
     * Iceberg/Delta design): commit a new version whose only novelty is a
@@ -475,6 +479,63 @@ object ManifestLog {
     * replay compose `manifest(base, v) ++ tombstone` with
     * [[commitEntries]] explicitly, as q101 does). Returns the new
     * version id. */
+  // --- incremental change reads (CDC-lite) ---------------------------------
+
+  /** KEY-level changes between two committed versions, derived purely
+    * from the MANIFEST DIFF — the incremental-consumption primitive
+    * (public Delta/Iceberg incremental-read design, file-granular):
+    * a downstream job that has processed `fromV` catches up to `toV`
+    * by reading only the files the diff names, never rescanning the
+    * table.
+    *
+    *   inserts = rows of data files present in `toV` but not `fromV`
+    *             (appends, CoW rewrites' new halves), with `toV`'s
+    *             tombstones applied under sequence scoping — a
+    *             physically-carried-but-logically-deleted row is not an
+    *             insert
+    *   deletes = keys of data files REMOVED from the manifest (CoW
+    *             rewrites' old halves) plus tombstone keys ADDED in the
+    *             window — each restricted (semi-join) to keys that
+    *             actually existed in `fromV`'s snapshot, so idempotent
+    *             re-deletes and rewrite-reinserted keys don't produce
+    *             phantom events.
+    *
+    * `keyCols` names the key; output is (change_type, key...). A key
+    * both removed and re-added (a CoW UPDATE) emits one delete and one
+    * insert — the standard file-diff CDC semantics when a change feed
+    * wasn't captured at write time. Cost: O(changed files + tombstones),
+    * never O(table). */
+  def readChanges(spark: SparkSession, base: String, fromV: Long, toV: Long,
+      keyCols: Seq[String]): DataFrame = {
+    require(fromV <= toV, s"readChanges: fromV $fromV > toV $toV")
+    val from = manifest(base, fromV)
+    val to = manifest(base, toV)
+    val fromPaths = from.map(_.path).toSet
+    val toPaths = to.map(_.path).toSet
+    val key = keyCols.map(col)
+    val addedData = to.filter(e => e.kind == "data" && !fromPaths.contains(e.path))
+    val removedData = from.filter(e => e.kind == "data" && !toPaths.contains(e.path))
+    val addedTombs = to.filter(e => e.kind == "delete" && !fromPaths.contains(e.path))
+    val toTombs = to.filter(_.kind == "delete")
+    val baseSnap = snapshot(spark, base, fromV).select(key: _*)
+    def keysOf(entries: Seq[ManifestEntry]): Option[DataFrame] =
+      if (entries.isEmpty) None
+      else Some(read(spark, base, entries).select(key: _*))
+    val inserts =
+      if (addedData.isEmpty) None
+      else Some(applyTombstones(spark, base, addedData, toTombs).select(key: _*)
+        .withColumn("change_type", lit("insert")))
+    val deleteKeys = (keysOf(removedData).toSeq ++ keysOf(addedTombs).toSeq)
+      .reduceOption(_ unionByName _)
+      .map(_.distinct()
+        // effective deletes only: the key must have existed at fromV
+        .join(baseSnap.distinct(), keyCols, "left_semi")
+        .withColumn("change_type", lit("delete")))
+    (inserts.toSeq ++ deleteKeys.toSeq)
+      .reduceOption(_ unionByName _)
+      .getOrElse(baseSnap.limit(0).withColumn("change_type", lit("")))
+  }
+
   // --- schema evolution (column mapping) ----------------------------------
 
   /** One logical column of a version's schema: the name queries see, the

@@ -80,6 +80,30 @@ object ManifestQueries {
         ManifestLog.ColumnDef("prio", "prio", "STRING")))
     }
 
+  /** q107's three-version history, built once per (JVM, dataset):
+    * v0 = orders as (k); v1 = append of every seventh order re-keyed
+    * past the key space; v2 = merge-on-read delete of a closed-form v0
+    * key band (1/15 of the key space, one fifth in). Read-only after
+    * build — readChanges never mutates. */
+  private def ordersChangeFeed(spark: SparkSession, dir: String): String =
+    TempLayouts.cached(
+      "manifest_orders_cdc#" + new java.io.File(dir).getCanonicalPath,
+      "graft_manifest_cdc_") { base =>
+      val src = Tables(spark, dir).orders.select(col("o_orderkey").as("k"))
+      ManifestLog.commitAppend(spark, base, src,
+        statsCols = Seq("k"), sortCol = Some("k"), files = 8): Unit
+      val Array(mn, mx) = src.agg(min(col("k")), max(col("k"))).collect()
+        .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+      val batch = src.filter(pmod(col("k"), lit(7)) === 0)
+        .select((col("k") + lit(2L * mx)).as("k"))
+      ManifestLog.commitAppend(spark, base, batch,
+        statsCols = Seq("k"), sortCol = Some("k")): Unit
+      val lo = mn + (mx - mn) / 5
+      val hi = lo + (mx - mn) / 15
+      ManifestLog.commitDelete(spark, base,
+        src.filter(col("k").between(lo, hi)), statsCols = Seq("k")): Unit
+    }
+
   /** 2×16-bit Morton (Z-order) interleave as a pure column expression —
     * unrolled at plan-build time (Scala-level loop, so shiftleft/right
     * take literal bit counts and the whole thing stays one codegen'd
@@ -346,6 +370,52 @@ object ManifestQueries {
           |WHERE NOT (k BETWEEN lo AND hi)
           |GROUP BY status
           |ORDER BY status""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q107: INCREMENTAL CHANGE READ between manifest versions — the
+    // consumption-side primitive the write verbs (append q96, CoW q97,
+    // MoR q101, hybrid q104) exist to feed: a downstream job that has
+    // processed version F catches up to version T by reading ONLY the
+    // files the manifest DIFF names (added data files → inserts;
+    // removed data files + added tombstones → deletes, semi-joined to
+    // F's snapshot so idempotent re-deletes emit nothing). Cost
+    // O(changed files), never O(table) — at 100 TB this is the
+    // difference between an incremental consumer and a nightly rescan.
+    // The history is append (v1) then MoR delete (v2), so the file-diff
+    // changes are EXACT; the oracle replays both legs in closed form.
+    GraftQuery(
+      "q107_manifest_incremental_read",
+      "manifest-diff change feed v0→v2: appended rows as inserts, tombstoned keys as deletes",
+      (spark, dir) => {
+        val base = ordersChangeFeed(spark, dir)
+        ManifestLog.readChanges(spark, base, 0L, 2L, Seq("k"))
+          .groupBy(col("change_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("change_type"))
+      },
+      Some(
+        """WITH base AS (SELECT o_orderkey AS k FROM orders),
+          |b AS (SELECT min(k) AS mn, max(k) AS mx FROM base),
+          |ins AS (SELECT k + 2 * mx AS k FROM base, b WHERE k % 7 = 0),
+          |band AS (SELECT mn + (mx - mn) // 5 AS lo,
+          |                mn + (mx - mn) // 5 + (mx - mn) // 15 AS hi
+          |         FROM b),
+          |del AS (SELECT k FROM base, band WHERE k BETWEEN lo AND hi),
+          |ch AS (
+          |  SELECT 'insert' AS change_type, k FROM ins
+          |  UNION ALL SELECT 'delete' AS change_type, k FROM del)
+          |SELECT change_type,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(k) AS BIGINT) AS sum_k,
+          |       CAST(min(k) AS BIGINT) AS min_k,
+          |       CAST(max(k) AS BIGINT) AS max_k
+          |FROM ch
+          |GROUP BY 1
+          |ORDER BY 1""".stripMargin)
     ),
 
     // ------------------------------------------------------------------

@@ -385,6 +385,49 @@ class ManifestLogSpec extends SparkSpecBase {
     }
   }
 
+  test("readChanges: per-window exactness, CoW emits delete+insert, re-deletes are phantom-free") {
+    import testImplicits._
+    val base = freshBase()
+    // v0: keys 1..6
+    commitAppend(spark, base,
+      (1L to 6L).map(k => (k, s"v$k")).toDF("k", "s"), Seq("k"), Some("k"))
+    // v1: append keys 7,8
+    commitAppend(spark, base,
+      Seq((7L, "a"), (8L, "b")).toDF("k", "s"), Seq("k"), Some("k"))
+    // v2: MoR delete of {2,3}
+    commitDelete(spark, base, Seq(2L, 3L).toDF("k"), Seq("k"))
+    // v3: idempotent re-delete of {2,3} (already gone at v2)
+    commitDelete(spark, base, Seq(2L, 3L).toDF("k"), Seq("k"))
+    def ch(f: Long, t: Long): Set[(String, Long)] =
+      readChanges(spark, base, f, t, Seq("k")).collect()
+        .map(r => (r.getAs[String]("change_type"), r.getAs[Long]("k"))).toSet
+    assert(ch(0L, 1L) == Set("insert" -> 7L, "insert" -> 8L))
+    assert(ch(1L, 2L) == Set("delete" -> 2L, "delete" -> 3L))
+    // the re-delete window is EMPTY: {2,3} did not exist at v2
+    assert(ch(2L, 3L) == Set.empty[(String, Long)])
+    // the whole window composes: net inserts + effective deletes
+    assert(ch(0L, 3L) == Set("insert" -> 7L, "insert" -> 8L,
+      "delete" -> 2L, "delete" -> 3L))
+    // a CoW rewrite (file replaced) emits delete+insert for its keys —
+    // the standard file-diff semantics without a captured change feed
+    val v3 = manifest(base, 3L)
+    val (dataE, tombE) = v3.partition(_.kind == "data")
+    val firstFile = dataE.minBy(_.path.hashCode).path
+    val rewritten = read(spark, base, dataE.filter(_.path == firstFile))
+      .select(col("k"), concat(col("s"), lit("!")).as("s"))
+    val staged = stage(spark, base, "v4-rw", rewritten, Seq("k"), Some("k"))
+    commitEntries(base,
+      dataE.filterNot(_.path == firstFile) ++ tombE ++ staged)
+    val keysInFile = read(spark, base, dataE.filter(_.path == firstFile))
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    // live keys only (deleted ones can't re-emit)
+    val live = snapshot(spark, base, 3L).select(col("k"))
+      .collect().map(_.getLong(0)).toSet
+    val expect = (keysInFile & live).flatMap(k =>
+      Set("delete" -> k, "insert" -> k))
+    assert(ch(3L, 4L) == expect, s"got ${ch(3L, 4L)}, want $expect")
+  }
+
   test("schema evolution: add-column null-fills old files, rename is metadata-only, v0 intact") {
     import testImplicits._
     val base = freshBase()

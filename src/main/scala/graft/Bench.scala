@@ -53,25 +53,37 @@ object Bench {
 
   /** Per-query cap on gate-triggered re-runs, and a catalog-wide budget
     * so a fully-contended hour degrades to the old behavior (min of the
-    * contended iterations, flagged) instead of doubling wall time. */
-  private val MaxGateRetries = 2
-  private val GateRetryBudget = 80
+    * contended iterations, flagged) instead of doubling wall time.
+    * Round-13 calibration: the r12 official run burned all 80 retry
+    * budget (87 entries never saw a clean iteration under 2 retries
+    * each); 3 retries per entry and a deeper budget let a run that hits
+    * a mid-run contention window keep buying clean iterations instead
+    * of publishing contended minima for the whole tail. */
+  private val MaxGateRetries = 3
+  private val GateRetryBudget = 150
 
-  /** One query's measurement: best-of-N seconds (-1 = failed), loadavg
-    * at query start AND end, iterations actually run, every iteration's
-    * raw seconds, and `cleanMin` — whether at least one (non-failed)
-    * iteration ran entirely under [[LoadGate]] AND above the I/O gate,
-    * i.e. whether the min is trustworthy as a plan measurement. The raw
+  /** One query's measurement: best-of-CLEAN seconds (-1 = failed),
+    * loadavg at query start AND end, iterations actually run, every
+    * iteration's raw seconds, and `cleanMin` — whether at least one
+    * (non-failed) iteration ran entirely under [[LoadGate]], above the
+    * I/O gate, and under the steal gate. Round-13 policy (verdict item
+    * 1): `sec` is the minimum over CLEAN iterations when any exist —
+    * the r12 official artifact published min-of-contended for entries
+    * whose every iteration gated unclean (q58: 9.95 s official vs
+    * 0.28 s clean), which is a contention measurement, not a plan one.
+    * Only when NO iteration is clean does `sec` fall back to min-of-all
+    * (with cleanMin=false so the artifact self-annotates). `cleanN`
+    * counts the clean iterations behind the published min. The raw
     * series is what makes one contended window reconcilable after the
-    * fact: min-of-N with per-iter data shows whether a slow headline
-    * number was one poisoned iteration (iters disagree wildly, load
-    * spiked, write throughput collapsed) or a real plan regression (all
-    * iterations slow at idle load). `allWmbps` carries the per-iteration
-    * buffered-write probe (MB/s, -1 = probe unavailable). */
+    * fact: per-iter seconds + load + write-probe + steal show whether a
+    * slow headline number was contention or a real plan regression.
+    * `allWmbps` carries the per-iteration buffered-write probe (MB/s,
+    * -1 = probe unavailable). */
   final case class QueryTiming(name: String, sec: Double, qload1: Double,
       qload1End: Double, iters: Int, allSecs: Seq[Double],
       cleanMin: Boolean = true, gateRetries: Int = 0,
-      allWmbps: Seq[Double] = Nil, allSteal: Seq[Double] = Nil)
+      allWmbps: Seq[Double] = Nil, allSteal: Seq[Double] = Nil,
+      cleanN: Int = 0)
 
   /** Warm up one-time JVM costs (codegen compiler, parquet reader,
     * broadcast machinery, shuffle system) so they don't land on the
@@ -122,7 +134,10 @@ object Bench {
         java.nio.file.Paths.get("/proc/stat")).get(0)
       val f = line.trim.split("\\s+").drop(1).map(_.toLong)
       // user nice system idle iowait irq softirq steal [guest guest_nice]
-      (if (f.length > 7) f(7) else -1L, f.sum)
+      // — total = first 8 fields ONLY: guest/guest_nice are already
+      // counted inside user/nice on Linux, so summing them double-counts
+      // guest time and under-reports the steal fraction on VM hosts
+      (if (f.length > 7) f(7) else -1L, f.take(8).sum)
     } catch { case _: Throwable => (-1L, -1L) }
 
   /** Steal share of the elapsed jiffies between two samples; -1 when
@@ -208,14 +223,35 @@ object Bench {
         iters = iters :+ runOnce()
       }
       val times = iters.map(_.sec)
-      // Any failed iteration marks the query failed; otherwise best-of-N.
-      QueryTiming(name, if (times.exists(_ < 0)) -1.0 else times.min,
+      val (sec, isClean, cleanN) = publishedMin(times, iters.map(clean))
+      QueryTiming(name, sec,
         qLoad, loadNow, times.length, times,
-        cleanMin = times.exists(_ < 0) || iters.exists(clean),
+        cleanMin = isClean,
         gateRetries = retries, allWmbps = iters.map(_.w0),
-        allSteal = iters.map(_.steal))
+        allSteal = iters.map(_.steal), cleanN = cleanN)
     }
   }
+
+  /** The published-number policy, factored out for direct spec coverage
+    * (round-13 verdict item 1: min-of-clean, not min-of-contended).
+    * Returns (sec, cleanMin, cleanN):
+    *   - any failed iteration → (-1, true-as-failed? no: flagged via -1,
+    *     0) — a failure is never a fast pass and clean accounting is
+    *     moot (cleanMin stays true so "unclean" counts contention, not
+    *     failures, exactly as before);
+    *   - ≥1 clean iteration → min over the CLEAN ones (a contended
+    *     window's minima never become the headline when clean evidence
+    *     exists);
+    *   - 0 clean iterations → min over all, cleanMin = false (the
+    *     artifact self-annotates as contended). */
+  private[graft] def publishedMin(times: Seq[Double],
+      cleanFlags: Seq[Boolean]): (Double, Boolean, Int) =
+    if (times.exists(_ < 0)) (-1.0, true, 0)
+    else {
+      val cleanTimes = times.zip(cleanFlags).collect { case (t, true) => t }
+      if (cleanTimes.nonEmpty) (cleanTimes.min, true, cleanTimes.length)
+      else (times.min, false, 0)
+    }
 
   /** Buffered-write-and-fsync throughput probe (MB/s): the I/O axis of
     * the contention telemetry AND (since round 10) of the iteration
@@ -254,16 +290,34 @@ object Bench {
   /** The box's demonstrated clean-disk write throughput (MB/s), persisted
     * in the repo so a run that STARTS degraded still knows what healthy
     * looks like (the best in-run probe can't — r11's official artifact
-    * gated against its own collapsed 117 MB/s). Absent file → -1 (no
-    * cross-run signal; gate falls back to best-probe-this-run only). */
-  private[graft] def ioBaseline(): Double =
+    * gated against its own collapsed 117 MB/s). No signal → -1 (gate
+    * falls back to best-probe-this-run only).
+    *
+    * PER-HOST (round-13 advisory): the committed figure is one machine's
+    * measurement; on a host whose genuine clean throughput is lower,
+    * seeding it would stall every startup in [[startupIoGate]] and flag
+    * every iteration unclean at the box's healthy steady state. So the
+    * committed value applies only when its recorded `host` matches this
+    * machine's hostname (legacy files without a host field keep applying
+    * — they were written BY this box's round history). Any other host
+    * gets no cross-run signal unless `GRAFT_IO_BASELINE_MBPS` supplies its
+    * own measured figure (the env override also wins over the file). */
+  private[graft] def ioBaseline(): Double = {
+    val env = sys.env.get("GRAFT_IO_BASELINE_MBPS").flatMap(_.toDoubleOption)
+    if (env.isDefined) return env.get
     try {
       val p = java.nio.file.Paths.get("docs", "io_baseline.json")
       val s = new String(java.nio.file.Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8)
+      val hostOk = """"host"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s) match {
+        case Some(m) => m.group(1) == java.net.InetAddress.getLocalHost.getHostName
+        case None => true // legacy file: no host recorded, keep old behavior
+      }
+      if (!hostOk) return -1.0
       val m = """"wmbps_clean"\s*:\s*([0-9.]+)""".r
       m.findFirstMatchIn(s).map(_.group(1).toDouble).getOrElse(-1.0)
     } catch { case _: Throwable => -1.0 }
+  }
 
   /** Startup I/O gate (round-11 verdict item 2): the official r11 run
     * measured 117 MB/s against a 322 MB/s recorded clean value and still
@@ -280,13 +334,17 @@ object Bench {
     if (baseline <= 0 || w < 0) return (w, 0L, false)
     val t0 = System.nanoTime()
     var attempts = 0
-    while (w >= 0 && w < baseline * StartGateFrac && attempts < StartGateAttempts) {
+    var lastValid = w
+    while (lastValid < baseline * StartGateFrac && attempts < StartGateAttempts) {
       attempts += 1
       Thread.sleep(StartGatePauseSec * 1000L)
       w = diskWriteMbps()
+      // a FAILED probe is "no signal", not recovery: keep gating on the
+      // last valid reading instead of exiting as if the disk were healthy
+      if (w >= 0) lastValid = w
     }
     val waited = (System.nanoTime() - t0) / 1000000000L
-    (w, waited, w >= 0 && w < baseline * StartGateFrac)
+    (w, waited, lastValid < baseline * StartGateFrac)
   }
 
   def main(args: Array[String]): Unit = {
@@ -334,6 +392,8 @@ object Bench {
       .mkString("{", ",", "}")
     val qclean = results.map(r => s"\"" + r.name + "\":" + r.cleanMin)
       .mkString("{", ",", "}")
+    val qcleanN = results.map(r => s"\"" + r.name + "\":" + r.cleanN)
+      .mkString("{", ",", "}")
     val qwmbps = results.map(r =>
       s"\"" + r.name + "\":" + r.allWmbps.map(w =>
         math.round(w * 10) / 10.0).mkString("[", ",", "]"))
@@ -355,7 +415,8 @@ object Bench {
         s""""io_degraded":$ioDegraded,""" +
         s""""load_gate":$LoadGate,"io_gate_frac":$IoGateFrac,""" +
         s""""gate_retries":$gateRetries,""" +
-        s""""unclean":$unclean,"qclean":$qclean,""" +
+        s""""unclean":$unclean,"qclean":$qclean,"qclean_n":$qcleanN,""" +
+        s""""agg_policy":"min_of_clean",""" +
         s""""qload1":$qloads,"qload1_end":$qloadsEnd,""" +
         s""""qsecs":$qsecs,"qiters":$qiters,"qwmbps":$qwmbps,"qsteal":$qsteal}"""
     // The per-query detail goes to target/bench.json (local iteration) AND
@@ -385,7 +446,7 @@ object Bench {
         s""""load_gate":$LoadGate,"io_gate_frac":$IoGateFrac,""" +
         s""""steal_gate":$StealGateFrac,""" +
         s""""gate_retries":$gateRetries,""" +
-        s""""unclean":$unclean,""" +
+        s""""unclean":$unclean,"agg_policy":"min_of_clean",""" +
         s""""queries_detail":"bench_detail_latest.json"}"""
     println(summary)
     spark.stop()

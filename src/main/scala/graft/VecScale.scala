@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
   * schemas exactly (so every catalog entry runs against them unchanged):
   *
   *   embeddings.parquet  (vec_id BIGINT, embedding FLOAT[64], label INT)
-  *       at 4k / 20k / 100k vectors — a 25× measured range. Vectors
-  *       carry 32 planted Gaussian-ish clusters (cluster base + small
-  *       per-vector displacement) so IVF cells and LSH buckets have the
+  *       at 4k / 20k / 100k / 1M vectors — a 250× measured range
+  *       (round 13 adds the 1M decade). Vectors carry 32 planted
+  *       Gaussian-ish clusters (cluster base + small per-vector
+  *       displacement) so IVF cells and LSH buckets have the
   *       structure they exist to exploit.
   *   documents.parquet   (doc_id, text, lang, source, n_chars)
-  *       at 2k / 10k / 50k docs — 25×. Texts are word-pool sentences
+  *       at 2k / 10k / 50k / 500k docs — 250×. Texts are word-pool sentences
   *       seeded by doc_id; every doc_id ≡ 1 (mod 10) is a NEAR-DUP of
   *       its predecessor (one appended token), and the first 1,500 docs
   *       share ONE identical text — a hot cluster bigger than
@@ -43,8 +44,11 @@ import org.apache.spark.sql.functions._
 object VecScale {
 
   private[graft] val Dim = 64
-  private[graft] val EmbSizes = Seq(4000L, 20000L, 100000L)
-  private[graft] val DocSizes = Seq(2000L, 10000L, 50000L)
+  // round-13: a fourth decade (1M vectors / 500k docs — 250× measured
+  // range) so the banding/cap story is measured past toy IVF partition
+  // counts; ~1 GB of fixture parquet, well inside the 128 GiB sandbox
+  private[graft] val EmbSizes = Seq(4000L, 20000L, 100000L, 1000000L)
+  private[graft] val DocSizes = Seq(2000L, 10000L, 50000L, 500000L)
 
   /** 200-word deterministic pool (letters only — pure ASCII, matching
     * the corpus contract the BPE oracle documents). */
@@ -95,11 +99,20 @@ object VecScale {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
-  /** Generate (once — skipped when the dir already holds both tables)
-    * one fixture dir with both tables at the given sizes. The other
-    * eight TESTDATA tables symlink to the smallest driver split:
-    * [[graft.io.Tables]] eagerly resolves every table's schema at
-    * catalog construction, and the s/d entries never scan them. */
+  /** The split whose eight untouched tables the fixture symlinks (the
+    * s/d entries never scan them; [[graft.io.Tables]] only resolves
+    * their schemas). Overridable so the fixture follows the harness's
+    * data root instead of hardcoding it (round-13 advisory). */
+  private[graft] def smallSplitRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_SMALL_DIR", "/root/testdata/sf0.001")
+
+  /** Generate (once) one fixture dir with both tables at the given
+    * sizes. The other eight TESTDATA tables symlink to the smallest
+    * driver split. Completion is gated on the writes' own `_SUCCESS`
+    * markers, not directory existence — a run that crashed
+    * mid-generation leaves a partial table dir WITHOUT the marker, and
+    * must regenerate rather than be silently measured (round-13
+    * advisory). */
   private def ensureFixture(spark: SparkSession, dir: String,
       nEmb: Long, nDoc: Long): Unit = {
     val d = new java.io.File(dir)
@@ -111,10 +124,11 @@ object VecScale {
       val link = new java.io.File(d, s"$t.parquet").toPath
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet")): Unit
+          java.nio.file.Paths.get(s"$smallSplitRoot/$t.parquet")): Unit
     }
-    if (new java.io.File(d, "embeddings.parquet").exists() &&
-      new java.io.File(d, "documents.parquet").exists()) return
+    def complete(table: String): Boolean =
+      new java.io.File(new java.io.File(d, s"$table.parquet"), "_SUCCESS").isFile
+    if (complete("embeddings") && complete("documents")) return
     genEmbeddings(spark, nEmb).repartition(8)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     genDocuments(spark, nDoc).repartition(8)
@@ -181,7 +195,7 @@ object VecScale {
          |Super-linear entries: **$superLinear**.
          |
          || entry | ${sizes.map { case (ne, nd) => s"sec @ ${ne / 1000}k/${nd / 1000}k" }.mkString(" | ")} | full ratio |
-         ||---|---|---|---|---|
+         ||---|${sizes.map(_ => "---|").mkString}---|
          |${rows.mkString("\n|")}
          |
          |Caveat honestly owned: the IVF-PQ entries (s14/s15/s16) keep their

@@ -35,6 +35,11 @@ object Verify {
       InternalCaches.releaseAll()
       spark.catalog.clearCache()
     }
+    // The dumped BPE oracles must embed the merge table of the dataset
+    // THIS run verified, not whichever dataset a BPE query last trained
+    // against in this JVM (identical in the driver's one-dir invocation;
+    // diverges in mixed local smoke runs — round-13 advisory).
+    graft.text.Bpe.pinOracleDataset(sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -53,9 +53,13 @@ object ManifestLog {
 
   /** One immutable file of a snapshot: path relative to the table base,
     * exact row count and byte size (query-planning inputs),
-    * declared-column stats, its role — `"data"`, or `"delete"` for a
+    * declared-column stats, its role — `"data"`, `"delete"` for a
     * merge-on-read tombstone file (its columns name the key whose rows
-    * are deleted; see [[commitDelete]]) — and its commit SEQUENCE
+    * are deleted; see [[commitDelete]]), or `"txn"` for a streaming
+    * transaction marker (no file on disk: `path` = `txn/<queryId>`,
+    * `rows` = the last committed epoch — the public Delta
+    * SetTransaction design, what makes a streaming sink's epoch commit
+    * idempotent; see [[commitStreamEpoch]]) — and its commit SEQUENCE
     * number (the public Iceberg ordering rule): a tombstone applies
     * only to data files with a STRICTLY SMALLER `seq`, which is what
     * lets one commit delete a key from old files and re-insert its new
@@ -64,7 +68,8 @@ object ManifestLog {
     * seq v, so the historical "tombstone applies to everything already
     * in the table" behavior is unchanged. */
   final case class ManifestEntry(path: String, rows: Long, bytes: Long,
-      stats: Map[String, ColStat], kind: String = "data", seq: Long = 0L)
+      stats: Map[String, ColStat], kind: String = "data", seq: Long = 0L,
+      ndv: Map[String, Long] = Map.empty)
 
   private def manifestsDir(base: String) = new File(base, "_manifests")
   private def dataDir(base: String) = new File(base, "data")
@@ -96,6 +101,10 @@ object ManifestLog {
       s.max.foreach(n.put("max", _))
       n.put("nulls", s.nulls)
     }
+    if (e.ndv.nonEmpty) {
+      val nv = o.putObject("ndv")
+      e.ndv.toSeq.sortBy(_._1).foreach { case (c, v) => nv.put(c, v) }
+    }
     m.writeValueAsString(o)
   }
 
@@ -111,10 +120,14 @@ object ManifestLog {
           v.get("nulls").longValue())
       }.toMap
     }.getOrElse(Map.empty)
+    val ndv = Option(n.get("ndv")).map { nv =>
+      nv.properties().asScala.map(e => e.getKey -> e.getValue.longValue()).toMap
+    }.getOrElse(Map.empty[String, Long])
     ManifestEntry(n.get("path").textValue(), n.get("rows").longValue(),
       n.get("bytes").longValue(), stats,
       Option(n.get("kind")).map(_.textValue()).getOrElse("data"),
-      Option(n.get("seq")).map(_.longValue()).getOrElse(0L))
+      Option(n.get("seq")).map(_.longValue()).getOrElse(0L),
+      ndv)
   }
 
   def manifest(base: String, id: Long): Seq[ManifestEntry] = {
@@ -198,7 +211,8 @@ object ManifestLog {
       df: DataFrame,
       statsCols: Seq[String],
       sortCol: Option[String] = None,
-      files: Int = 1): Seq[ManifestEntry] = {
+      files: Int = 1,
+      ndvCols: Seq[String] = Nil): Seq[ManifestEntry] = {
     val scratch = TempLayouts.scratch("graft_manifest_stage_")
     val shaped = sortCol match {
       case Some(c) => df.repartitionByRange(files, col(c)).sortWithinPartitions(col(c))
@@ -216,8 +230,71 @@ object ManifestLog {
       footerEntry(spark, base, dest, statsCols)
     }.toSeq
     TempLayouts.discard(scratch)
-    entries
+    attachNdv(spark, base, entries, ndvCols)
   }
+
+  /** Per-file NDV (approx, rsd 2%) for `ndvCols`, harvested with ONE
+    * grouped aggregation over the batch just staged — O(batch), never
+    * O(table); opt-in so write paths that don't feed the CBO pay
+    * nothing. These are the column statistics the cost-based optimizer
+    * needs to reorder joins over manifest tables (surfaced through the
+    * DSv2 Statistics interface by [[graft.sources.ManifestScan]]) —
+    * the production discipline of maintaining stats AT INGEST instead
+    * of a post-hoc ANALYZE scan (the q87 StatsCatalog move, now native
+    * to the format). */
+  private def attachNdv(spark: SparkSession, base: String,
+      entries: Seq[ManifestEntry], ndvCols: Seq[String]): Seq[ManifestEntry] =
+    if (ndvCols.isEmpty || entries.isEmpty) entries
+    else {
+      import org.apache.spark.sql.functions.{approx_count_distinct, input_file_name, max => smax, min => smin, sum => ssum, when}
+      val paths = entries.map(e => new File(base, e.path).getPath)
+      val df = spark.read.parquet(paths: _*)
+      val kinds: Map[String, String] = df.schema.fields.map(f =>
+        f.name -> (f.dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType => "long"
+          case org.apache.spark.sql.types.DoubleType => "double"
+          case org.apache.spark.sql.types.StringType => "string"
+          case _ => ""
+        })).toMap
+      // one O(batch) pass: per-file NDV plus EXACT nulls/min/max, so the
+      // CBO sees complete count stats (its join estimation drops any
+      // column missing a null count) and pruneRange gains sound bounds
+      // for columns outside the footer statsCols
+      val aggs = ndvCols.flatMap(c => Seq(
+        approx_count_distinct(col(c), 0.02).as(s"${c}__ndv"),
+        ssum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        smin(col(c)).as(s"${c}__min"),
+        smax(col(c)).as(s"${c}__max")))
+      val byFile = df
+        .groupBy(input_file_name().as("__file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val name = r.getAs[String]("__file").split('/').last
+          val ndv = ndvCols.map(c => c -> r.getAs[Long](s"${c}__ndv")).toMap
+          val colStats = ndvCols.flatMap { c =>
+            val kind = kinds.getOrElse(c, "")
+            if (kind.isEmpty) None
+            else {
+              def enc(field: String): Option[String] =
+                Option(r.getAs[Any](field)).map(_.toString)
+              Some(c -> ColStat(kind, enc(s"${c}__min"), enc(s"${c}__max"),
+                r.getAs[Long](s"${c}__nulls")))
+            }
+          }.toMap
+          name -> (ndv, colStats)
+        }.toMap
+      entries.map { e =>
+        byFile.get(e.path.split('/').last) match {
+          case None => e
+          case Some((ndv, colStats)) =>
+            // footer-derived stats win where both exist (identical values
+            // — both are exact; the footer walk came first)
+            e.copy(ndv = ndv, stats = colStats ++ e.stats)
+        }
+      }
+    }
 
   /** Stage + publish in one call; with a prior version, the new manifest
     * is append-semantics (previous entries carried over by reference).
@@ -230,13 +307,14 @@ object ManifestLog {
       df: DataFrame,
       statsCols: Seq[String],
       sortCol: Option[String] = None,
-      files: Int = 1): Long = {
+      files: Int = 1,
+      ndvCols: Seq[String] = Nil): Long = {
     val next = latest(base).map(_ + 1L).getOrElse(0L)
     val tag = s"v$next-" + java.util.UUID.randomUUID().toString.take(8)
     // seq = the commit's version estimate: appended data outranks every
     // tombstone already in the table (a file added after a delete is
     // never subject to it — the Iceberg ordering rule)
-    val staged = stage(spark, base, tag, df, statsCols, sortCol, files)
+    val staged = stage(spark, base, tag, df, statsCols, sortCol, files, ndvCols)
       .map(_.copy(seq = next))
     commitEntriesAtomic(base)(prev => prev ++ staged)
   }
@@ -360,9 +438,12 @@ object ManifestLog {
       targetFiles: Int = 1): Option[Long] = {
     val head = latest(base).getOrElse(return None)
     val m = manifest(base, head)
-    // tombstones ride through untouched: they still apply to the packed
-    // files at read time (folding them in is a q97-style CoW, not a pack)
-    val (dataEntries, tombs) = m.partition(_.kind == "data")
+    // tombstones (and metadata kinds like txn markers) ride through
+    // untouched: tombstones still apply to the packed files at read time
+    // (folding them in is a q97-style CoW, not a pack); only DELETE
+    // entries constrain the seq-uniformity requirement below
+    val (dataEntries, rest) = m.partition(_.kind == "data")
+    val tombs = rest.filter(_.kind == "delete")
     val (small, big) = dataEntries.partition(_.bytes < smallBytes)
     if (small.size < 2) return None
     // Sequence scoping makes cross-generation packing ambiguous when a
@@ -442,7 +523,10 @@ object ManifestLog {
     * rewrite (or [[optimize]]) folds them back in. */
   def snapshot(spark: SparkSession, base: String, id: Long): DataFrame = {
     val m = manifest(base, id)
-    val (dels, data) = m.partition(_.kind == "delete")
+    // explicit kind filters, NOT a two-way partition: txn markers (and
+    // any future metadata kinds) are neither data nor tombstones
+    val dels = m.filter(_.kind == "delete")
+    val data = m.filter(_.kind == "data")
     applyTombstones(spark, base, data, dels)
   }
 
@@ -601,6 +685,62 @@ object ManifestLog {
         spark.read.schema(physical).parquet(paths: _*)
           .select(cols.map(c => col(c.physical).as(c.logical)): _*)
     }
+
+  // --- streaming epoch commits (exactly-once sink support) -----------------
+
+  /** One data file's manifest entry from its parquet footer — the
+    * [[footerEntry]] walk exposed for writers that stage files OUTSIDE
+    * [[stage]] (the streaming sink's task writers land parquet directly;
+    * its driver-side epoch commit stats them here). Metadata-only: the
+    * data pages are never read. */
+  def statFile(spark: SparkSession, base: String, file: File,
+      statsCols: Seq[String]): ManifestEntry =
+    footerEntry(spark, base, file, statsCols)
+
+  private def txnPath(queryId: String) = s"txn/$queryId"
+
+  /** The last epoch a streaming query committed to this table, read from
+    * the head manifest's txn marker (None = never committed, or the
+    * marker was superseded by a full rewrite). */
+  def lastStreamEpoch(base: String, queryId: String): Option[Long] =
+    latest(base).flatMap { v =>
+      manifest(base, v)
+        .find(e => e.kind == "txn" && e.path == txnPath(queryId))
+        .map(_.rows)
+    }
+
+  private class EpochAlreadyCommitted extends RuntimeException
+
+  /** Exactly-once streaming epoch commit (the public Delta
+    * txn/SetTransaction design): publish `newEntries` as the next
+    * version IF epoch `epochId` of `queryId` has not already committed;
+    * otherwise do NOTHING and return None. The dedup marker rides IN the
+    * manifest itself (kind "txn", rows = epochId, replacing the query's
+    * previous marker), so marker and data commit in ONE atomic
+    * put-if-absent — there is no crash window where the data landed but
+    * the marker didn't. A sink that re-runs epoch k after a driver crash
+    * (Spark replays the last un-checkpointed micro-batch) hits the
+    * marker and no-ops: re-commit of epoch k is idempotent, which is
+    * what upgrades at-least-once replay to exactly-once table state.
+    * The recheck runs INSIDE the atomic-retry arbiter against the real
+    * head, so the guarantee holds even against a concurrent committer
+    * of the same queryId (Spark runs one driver per query — this is
+    * belt-and-braces, not a supported topology). Data entries should
+    * carry seq = the committed version (callers estimate with
+    * latest+1, the [[commitAppend]] discipline). */
+  def commitStreamEpoch(base: String, queryId: String, epochId: Long,
+      newEntries: Seq[ManifestEntry]): Option[Long] =
+    try {
+      Some(commitEntriesAtomic(base) { prev =>
+        val already = prev.exists(e =>
+          e.kind == "txn" && e.path == txnPath(queryId) && e.rows >= epochId)
+        if (already) throw new EpochAlreadyCommitted
+        val txn = ManifestEntry(txnPath(queryId), epochId, 0L, Map.empty,
+          kind = "txn", seq = 0L)
+        prev.filterNot(e => e.kind == "txn" && e.path == txnPath(queryId)) ++
+          newEntries ++ Seq(txn)
+      })
+    } catch { case _: EpochAlreadyCommitted => None }
 
   def commitDelete(spark: SparkSession, base: String, keysDf: DataFrame,
       statsCols: Seq[String] = Seq.empty): Long = {

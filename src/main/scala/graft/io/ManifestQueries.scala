@@ -30,10 +30,21 @@ object ManifestQueries {
         statsCols = Seq("odate"), sortCol = Some("odate"), files = 24): Unit
     }
 
-  private def ordersByKey(spark: SparkSession, dir: String): String =
+  /** One `(k, cents, status)` orders table PER WRITE-PATH ENTRY
+    * (`variant` ∈ {cow, mor, hybrid}): q97/q101/q104 each reset their
+    * base to version 0 and vacuum the superseded run's files before
+    * replaying their write, so a SHARED base would let entry B's reset
+    * delete the data files entry A's still-lazy result DataFrame reads
+    * (FileNotFoundException or wrong rows for any caller that defers
+    * collection or interleaves entries — round-13 advisory). Isolated
+    * bases make each entry's reset touch only files that entry itself
+    * produced; the remaining caveat — don't hold one entry's result
+    * across two invocations of the SAME entry — is the ordinary
+    * overwrite semantics of a write-path query. */
+  private def ordersByKey(spark: SparkSession, dir: String, variant: String): String =
     TempLayouts.cached(
-      "manifest_orders_key#" + new java.io.File(dir).getCanonicalPath,
-      "graft_manifest_kv_") { base =>
+      s"manifest_orders_key_$variant#" + new java.io.File(dir).getCanonicalPath,
+      s"graft_manifest_kv_${variant}_") { base =>
       ManifestLog.commitAppend(
         spark, base,
         Tables(spark, dir).orders.select(
@@ -224,7 +235,7 @@ object ManifestQueries {
       "q97_manifest_cow_merge",
       "copy-on-write MERGE rewriting only stats-affected files; merged state vs SQL oracle",
       (spark, dir) => {
-        val base = ordersByKey(spark, dir)
+        val base = ordersByKey(spark, dir, "cow")
         mergedSnapshot(spark, base)
           .groupBy(col("status"))
           .agg(count(lit(1)).as("n"),
@@ -323,7 +334,7 @@ object ManifestQueries {
       "q101_manifest_delete_vectors",
       "merge-on-read delete: tombstone keys file, zero data-file rewrites (parquet-side oracle)",
       (spark, dir) => {
-        val base = ordersByKey(spark, dir)
+        val base = ordersByKey(spark, dir, "mor")
         // bench-loop hygiene: drop the previous run's tombstone version +
         // file before replaying (same discipline as mergedSnapshot)
         ManifestLog.resetToVersion(base, 0L)
@@ -503,7 +514,7 @@ object ManifestQueries {
       "q104_manifest_merge_hybrid",
       "hybrid MERGE: stats-dense files rewritten (CoW), grazed files tombstoned (MoR), one snapshot",
       (spark, dir) => {
-        val base = ordersByKey(spark, dir)
+        val base = ordersByKey(spark, dir, "hybrid")
         hybridMergeSnapshot(spark, base)._1
           .groupBy(col("status"))
           .agg(count(lit(1)).as("n"),
@@ -650,8 +661,83 @@ object ManifestQueries {
           |WHERE ts_us BETWEEN lo AND hi
           |GROUP BY event_type
           |ORDER BY event_type""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q109: COST-BASED join reordering over MANIFEST tables — q87's CBO
+    // story without the ANALYZE scan: the per-column NDV/null statistics
+    // the optimizer needs were harvested AT COMMIT TIME (one O(batch)
+    // aggregation in ManifestLog.stage, the production at-ingest stats
+    // discipline) and reach Catalyst through the DSv2 Statistics
+    // interface (sources/ManifestScan.estimateStatistics → row counts +
+    // columnStats), so CostBasedJoinReorder moves the
+    // mktsegment-filtered customer ⋈ orders join INNERMOST out of the
+    // same worst-order SQL as q87 — on a 100 TB manifest table that is
+    // join reordering from ONE metadata read, no table scan ever
+    // ANALYZE'd. The reorder never changes results → the oracle is the
+    // plain join; PlanShapeSpec pins the flip (selective join innermost
+    // with CBO on, text order without).
+    GraftQuery(
+      "q109_manifest_cbo_reorder",
+      "commit-time manifest stats drive CBO join reorder through the DSv2 scan (oracle)",
+      (spark, dir) => {
+        val (cB, oB, lB) = cboManifestTables(spark, dir)
+        val s = spark.newSession()
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        def reg(base: String, view: String): Unit =
+          s.read.format("graft-manifest").load(base).createOrReplaceTempView(view)
+        reg(lB, "q109_li"); reg(oB, "q109_ord"); reg(cB, "q109_cust")
+        s.sql(
+          """SELECT o_orderpriority, count(*) AS cnt,
+            |       sum(l_qty) AS sum_qty
+            |FROM q109_li JOIN q109_ord ON l_orderkey = o_orderkey
+            |             JOIN q109_cust ON o_custkey = c_custkey
+            |WHERE c_mktsegment = 'BUILDING'
+            |GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some(
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |              JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
     )
   )
+
+  /** q109's three manifest tables (customer/orders/lineitem star
+    * projections), committed ONCE per (JVM, dataset) with footer stats
+    * AND per-file NDV on the join/filter columns — the inputs
+    * [[graft.sources.ManifestScan]] surfaces to the CBO. Returns
+    * (customerBase, ordersBase, lineitemBase). Read-only after build. */
+  def cboManifestTables(spark: SparkSession, dir: String): (String, String, String) = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val c = TempLayouts.cached(s"manifest_cbo_cust#$canon", "graft_manifest_cboc_") { base =>
+      ManifestLog.commitAppend(spark, base,
+        Tables(spark, dir).customer.select(col("c_custkey"), col("c_mktsegment")),
+        statsCols = Seq("c_custkey"), sortCol = Some("c_custkey"), files = 4,
+        ndvCols = Seq("c_custkey", "c_mktsegment")): Unit
+    }
+    val o = TempLayouts.cached(s"manifest_cbo_ord#$canon", "graft_manifest_cboo_") { base =>
+      ManifestLog.commitAppend(spark, base,
+        Tables(spark, dir).orders.select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderpriority")),
+        statsCols = Seq("o_orderkey"), sortCol = Some("o_orderkey"), files = 8,
+        ndvCols = Seq("o_orderkey", "o_custkey", "o_orderpriority")): Unit
+    }
+    val l = TempLayouts.cached(s"manifest_cbo_li#$canon", "graft_manifest_cbol_") { base =>
+      ManifestLog.commitAppend(spark, base,
+        Tables(spark, dir).lineitem.select(
+          col("l_orderkey"),
+          floor(col("l_quantity")).cast("long").as("l_qty")),
+        statsCols = Seq("l_orderkey"), sortCol = Some("l_orderkey"), files = 16,
+        ndvCols = Seq("l_orderkey")): Unit
+    }
+    (c, o, l)
+  }
 
   /** q103's silver table: the bronze JSONL feed (written through the
     * DSv2 sink) read back through the DSv2 scan and committed to the

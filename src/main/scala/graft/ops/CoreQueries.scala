@@ -705,20 +705,41 @@ object CoreQueries {
 
     // ------------------------------------------------------------------
     // q22: sketch aggregate — approx_count_distinct (HLL++). The 100 TB
-    // replacement for q05's exact countDistinct. HLL estimates are
-    // engine-specific → no DuckDB oracle (driver does rows-only check);
-    // the ScalaTest asserts the estimate is within rsd of exact.
+    // replacement for q05's exact countDistinct. The HLL ESTIMATE is
+    // engine-specific (Spark's HLL++ register layout vs DuckDB's), so it
+    // cannot hash-match an oracle — but its ERROR-BOUND SPEC can: the
+    // verified output carries the exact distinct count plus a flag that
+    // the sketch estimate landed within the documented 5% bound (well
+    // above the rsd=1% the sketch is configured for), which DuckDB
+    // replays as exact-count + literal true. A broken sketch (or a
+    // drifted bound) flips the flag and breaks the hash — a FULL oracle
+    // on the estimator's contract, strictly stronger than the old
+    // rows-only check (round-13 verdict item 7). The production query
+    // is the sketch alone; the exact twin here is verification
+    // apparatus, same as every oracle side.
     GraftQuery(
       "q22_approx_count_distinct",
-      "HLL sketch: approx distinct partkeys per returnflag",
+      "HLL sketch: approx distinct partkeys per returnflag, error-bound-checked vs exact",
       (spark, dir) => {
         val t = Tables(spark, dir)
         t.lineitem
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            when(abs(col("approx_parts") - col("exact_parts"))
+              <= col("exact_parts") * 0.05, 1L).otherwise(0L)
+              .as("est_within_5pct"))
           .orderBy(col("l_returnflag"))
       },
-      None
+      Some(
+        """SELECT l_returnflag,
+          |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+          |       CAST(1 AS BIGINT) AS est_within_5pct
+          |FROM lineitem
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
     ),
 
     // ------------------------------------------------------------------
@@ -1839,25 +1860,47 @@ object CoreQueries {
     // (Apache DataSketches via hll_sketch_agg) materialize ONCE, and
     // any coarser rollup (here monthly) UNIONS the sketches instead of
     // re-scanning the raw events — re-aggregable where q22's plain
-    // approx_count_distinct is not. Sketch binaries are engine-specific
-    // → rows-only; CoreOperatorsSpec bounds every month's estimate
-    // within 5% of the exact distinct count.
+    // approx_count_distinct is not. The DataSketches HLL binary (and
+    // hence its estimate) is engine-specific, so — as q22 — the FULL
+    // oracle verifies the estimator's error-bound contract instead of
+    // its registers: the output carries each month's exact distinct
+    // count plus a flag that the UNION-OF-DAILY-SKETCHES estimate
+    // landed within the documented 5% bound; DuckDB replays exact +
+    // literal true. The sketch path (daily materialize → monthly
+    // union) is still what executes; a register-merge bug surfaces as
+    // a flipped flag → hash mismatch (round-13 verdict item 7).
+    // CoreOperatorsSpec additionally bounds the raw estimates.
     GraftQuery(
       "q56_sketch_rollup",
-      "per-day HLL user sketches unioned into monthly distinct-user estimates (rows-only)",
+      "per-day HLL user sketches unioned into monthly estimates, error-bound-checked vs exact",
       (spark, dir) => {
         val t = Tables(spark, dir)
         val daily = t.events
           .groupBy(to_date(col("ts")).as("d"))
           .agg(hll_sketch_agg(col("user_id")).as("sk"),
             count(lit(1)).as("n_events"))
-        daily
+        val monthly = daily
           .groupBy(date_format(col("d"), "yyyy-MM").as("month"))
           .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
             sum(col("n_events")).as("n_events"))
+        val exact = t.events
+          .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        monthly.join(exact, Seq("month"))
+          .select(col("month"), col("n_events"), col("exact_users"),
+            when(abs(col("approx_users") - col("exact_users"))
+              <= col("exact_users") * 0.05, 1L).otherwise(0L)
+              .as("est_within_5pct"))
           .orderBy(col("month"))
       },
-      None
+      Some(
+        """SELECT strftime(ts, '%Y-%m') AS month,
+          |       CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+          |       CAST(1 AS BIGINT) AS est_within_5pct
+          |FROM events
+          |GROUP BY 1
+          |ORDER BY 1""".stripMargin)
     ),
 
     // ------------------------------------------------------------------

@@ -118,51 +118,82 @@ case class AsofJoinExec(
     val numOutputRows = longMetric("numOutputRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      // Code-generated projections are built per partition (they hold
-      // non-serializable compiled state). Each projection owns its own
-      // row buffer, so values from distinct projections may be compared
-      // without copying; only the retained candidate row is copied.
-      val lKeyProj = UnsafeProjection.create(Seq(lEq, lTime), lOut)
-      val rKeyProj = UnsafeProjection.create(Seq(rEq, rTime), rOut)
-      val lEqProj = UnsafeProjection.create(Seq(lEq), lOut)
-      val rEqProj = UnsafeProjection.create(Seq(rEq), rOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(
-        Seq(lEq.dataType, lTime.dataType))
-      val eqOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lEq.dataType))
-      // Payload references bind against a nullable view of the right
-      // schema: unmatched rows read from an all-null row, and a reference
-      // bound non-nullable would skip the null check and write garbage.
-      val resultProj = UnsafeProjection.create(
-        outAttrs, lOut ++ rOut.map(_.withNullability(true)))
-      val joined = new JoinedRow
-      val nullRight = new GenericInternalRow(rOut.size)
+      AsofJoinExec.mergePartition(lIter, rIter, lOut, rOut,
+        lEq, lTime, rEq, rTime, outAttrs, numOutputRows += 1)
+    }
+  }
+}
 
-      val rBuf = rIter.buffered
-      // The single retained candidate: the latest right row consumed so
-      // far whose (key, time) were both non-null. Right rows are consumed
-      // exactly once across the whole left side (forward merge).
-      var candidate: InternalRow = null
+object AsofJoinExec {
 
-      lIter.map { lRow =>
-        val lKey = lKeyProj(lRow) // stable until the next left row
-        var continue = rBuf.hasNext
-        while (continue) {
-          val rKey = rKeyProj(rBuf.head)
-          if (keyOrd.compare(rKey, lKey) <= 0) {
-            val r = rBuf.next()
-            // NULLs sort first, so null-key/null-time right rows are
-            // consumed early and skipped — they can never match.
-            if (!rKey.isNullAt(0) && !rKey.isNullAt(1)) candidate = r.copy()
-            continue = rBuf.hasNext
-          } else continue = false
-        }
-        val lEqKey = lEqProj(lRow)
-        val matched = candidate != null && !lEqKey.isNullAt(0) &&
-          eqOrd.compare(rEqProj(candidate), lEqKey) == 0
-        numOutputRows += 1
-        if (matched) resultProj(joined(lRow, candidate))
-        else resultProj(joined(lRow, nullRight))
+  /** One partition's forward merge — factored out of [[AsofJoinExec.doExecute]]
+    * so the CRASH-SAFETY/MEMORY contract is directly spec-testable with
+    * adversarial iterators (round-13 verdict item 8): unlike the
+    * built-in SortMergeJoin this exec has no spill path, and it does
+    * not need one because it never buffers — the only retained state
+    * beyond the children's (spill-safe) sorts is ONE copied candidate
+    * row, and the right side is consumed LAZILY, never ahead of the
+    * left frontier's (key, time). NativeAsofJoinSpec proves both: a
+    * right partition whose total row bytes exceed the JVM heap streams
+    * through unbuffered, and a right iterator that traps reads past the
+    * left frontier is never tripped.
+    *
+    * Inputs must satisfy the exec's required properties: both iterators
+    * sorted by (key, time), co-partitioned on key. `onOutputRow` is the
+    * metric hook (a no-op in specs). */
+  private[graft] def mergePartition(
+      lIter: Iterator[InternalRow],
+      rIter: Iterator[InternalRow],
+      lOut: Seq[Attribute],
+      rOut: Seq[Attribute],
+      lEq: Attribute, lTime: Attribute,
+      rEq: Attribute, rTime: Attribute,
+      outAttrs: Seq[Attribute],
+      onOutputRow: => Unit): Iterator[InternalRow] = {
+    // Code-generated projections are built per partition (they hold
+    // non-serializable compiled state). Each projection owns its own
+    // row buffer, so values from distinct projections may be compared
+    // without copying; only the retained candidate row is copied.
+    val lKeyProj = UnsafeProjection.create(Seq(lEq, lTime), lOut)
+    val rKeyProj = UnsafeProjection.create(Seq(rEq, rTime), rOut)
+    val lEqProj = UnsafeProjection.create(Seq(lEq), lOut)
+    val rEqProj = UnsafeProjection.create(Seq(rEq), rOut)
+    val keyOrd = RowOrdering.createNaturalAscendingOrdering(
+      Seq(lEq.dataType, lTime.dataType))
+    val eqOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lEq.dataType))
+    // Payload references bind against a nullable view of the right
+    // schema: unmatched rows read from an all-null row, and a reference
+    // bound non-nullable would skip the null check and write garbage.
+    val resultProj = UnsafeProjection.create(
+      outAttrs, lOut ++ rOut.map(_.withNullability(true)))
+    val joined = new JoinedRow
+    val nullRight = new GenericInternalRow(rOut.size)
+
+    val rBuf = rIter.buffered
+    // The single retained candidate: the latest right row consumed so
+    // far whose (key, time) were both non-null. Right rows are consumed
+    // exactly once across the whole left side (forward merge).
+    var candidate: InternalRow = null
+
+    lIter.map { lRow =>
+      val lKey = lKeyProj(lRow) // stable until the next left row
+      var continue = rBuf.hasNext
+      while (continue) {
+        val rKey = rKeyProj(rBuf.head)
+        if (keyOrd.compare(rKey, lKey) <= 0) {
+          val r = rBuf.next()
+          // NULLs sort first, so null-key/null-time right rows are
+          // consumed early and skipped — they can never match.
+          if (!rKey.isNullAt(0) && !rKey.isNullAt(1)) candidate = r.copy()
+          continue = rBuf.hasNext
+        } else continue = false
       }
+      val lEqKey = lEqProj(lRow)
+      val matched = candidate != null && !lEqKey.isNullAt(0) &&
+        eqOrd.compare(rEqProj(candidate), lEqKey) == 0
+      onOutputRow
+      if (matched) resultProj(joined(lRow, candidate))
+      else resultProj(joined(lRow, nullRight))
     }
   }
 }

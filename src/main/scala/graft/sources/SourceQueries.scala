@@ -16,6 +16,32 @@ object SourceQueries {
     "o_orderkey LONG, o_custkey LONG, o_orderpriority STRING, " +
       "odate STRING, price_cents LONG"
 
+  /** Explicit read schema of the events backlog ([[eventsBacklog3]]),
+    * shared by the streaming source (q100) and sink (q108) entries. */
+  private val eventsFeedSchema =
+    "event_id LONG, user_id LONG, event_type STRING, value_micros LONG"
+
+  /** A 3-file JSONL events backlog, built once per (JVM, dataset):
+    * three separately-committed single-file sink jobs, so a 1-file
+    * admission cap yields exactly 3 micro-batches (each micro-batch
+    * pays a fixed state-store/commit cost; a backlog of N tiny files
+    * costs N commits — production feeds size files to the trigger
+    * interval for the same reason). Read-only once built — shared by
+    * q100 (streaming READ) and q108 (streaming WRITE). */
+  private def eventsBacklog3(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.io.TempLayouts.cached(
+      "q100_dsv2_stream#" + new java.io.File(dir).getCanonicalPath,
+      "graft_dsv2_stream_") { o =>
+      val ev = Tables(spark, dir).events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 1e6).cast("long").as("value_micros"))
+      (0 until 3).foreach { s =>
+        ev.filter(pmod(col("event_id"), lit(3)) === s).coalesce(1)
+          .write.format("graft.sources.JsonlSource").mode("append").save(o)
+      }
+    }
+
   val all: Seq[GraftQuery] = Seq(
     // ------------------------------------------------------------------
     // q95: DSv2 connector scan with pushdown — orders lands as an
@@ -144,29 +170,12 @@ object SourceQueries {
       "q100_stream_dsv2_source",
       "readStream over the native DSv2 source, 1-file micro-batches (parquet-side oracle)",
       (spark, dir) => {
-        val feedSchema = "event_id LONG, user_id LONG, event_type STRING, " +
-          "value_micros LONG"
-        val out = graft.io.TempLayouts.cached(
-          "q100_dsv2_stream#" + new java.io.File(dir).getCanonicalPath,
-          "graft_dsv2_stream_") { o =>
-          val ev = Tables(spark, dir).events
-            .select(col("event_id"), col("user_id"), col("event_type"),
-              floor(col("value") * 1e6).cast("long").as("value_micros"))
-          // three separate single-file sink jobs → a 3-file backlog, so
-          // the 1-file admission cap below yields exactly 3 micro-batches
-          // (each micro-batch pays a fixed state-store commit; a backlog
-          // of N tiny files costs N commits — production feeds size files
-          // to the trigger interval for the same reason)
-          (0 until 3).foreach { s =>
-            ev.filter(pmod(col("event_id"), lit(3)) === s).coalesce(1)
-              .write.format("graft.sources.JsonlSource").mode("append").save(o)
-          }
-        }
+        val out = eventsBacklog3(spark, dir)
         val ss = spark.newSession()
         ss.conf.set("spark.sql.shuffle.partitions", "8")
         val q = ss.readStream
           .format("graft.sources.JsonlSource")
-          .schema(feedSchema)
+          .schema(eventsFeedSchema)
           .option("maxFilesPerTrigger", "1")
           .load(out)
           .groupBy(col("event_type"))
@@ -182,6 +191,7 @@ object SourceQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        graft.streaming.EventStreams.record("q100_stream_dsv2_source", q, ss)
         ss.table("q100_sink").orderBy(col("event_type"))
       },
       Some(
@@ -246,6 +256,79 @@ object SourceQueries {
           |FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1
           |GROUP BY e1.label
           |ORDER BY fn, grp""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q108: streaming DSv2 SINK into the manifest format — the last seam
+    // in the lakehouse loop (q100 streams OUT of the DSv2 source; q44
+    // upserts via foreachBatch driver glue; nothing committed manifest
+    // versions per-epoch through a StreamingWrite until now). The 3-file
+    // backlog is consumed one file per micro-batch (ReadLimit.maxFiles
+    // admission), and EVERY epoch publishes one atomic manifest version
+    // with footer stats and a txn marker (queryId → epochId), so a
+    // replayed epoch after a crash no-ops — exactly-once table state
+    // over at-least-once micro-batch delivery (the public Delta
+    // SetTransaction design; see graft.sources.ManifestStreamSink).
+    // The verified read is the final snapshot: a lost epoch, a
+    // double-committed replay, a mis-stated footer, or a broken
+    // parquet task write all surface as a hash mismatch against the
+    // batch-side oracle. ManifestStreamSinkSpec additionally pins
+    // epoch-replay idempotence and restart-with-same-checkpoint
+    // no-op directly.
+    GraftQuery(
+      "q108_stream_manifest_sink",
+      "streaming DSv2 sink → manifest format: one atomic version per epoch, exactly-once (oracle)",
+      (spark, dir) => {
+        import graft.io.ManifestLog
+        val backlog = eventsBacklog3(spark, dir)
+        val canon = new java.io.File(dir).getCanonicalPath
+        // fresh table + checkpoint per invocation (the stream IS the
+        // write path under test); `replacing` keeps at most one live
+        // pair per dataset across bench iterations — the usual
+        // write-path-entry overwrite semantics
+        val base = graft.io.TempLayouts.replacing(
+          s"q108_base#$canon", "graft_q108_manifest_")(_ => ())
+        val ckpt = graft.io.TempLayouts.replacing(
+          s"q108_ckpt#$canon", "graft_q108_ckpt_", fast = true)(_ => ())
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = ss.readStream
+          .format("graft.sources.JsonlSource")
+          .schema(eventsFeedSchema)
+          .option("maxFilesPerTrigger", "1")
+          .load(backlog)
+          .writeStream
+          .format("graft.sources.ManifestStreamSink")
+          .option("path", base)
+          .option("statsCols", "event_id")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.EventStreams.record("q108_stream_manifest_sink", q, ss)
+        // one version per 1-file epoch → head is v2; its snapshot must
+        // equal the batch answer over the whole backlog
+        val v = ManifestLog.latest(base).getOrElse(
+          throw new IllegalStateException("stream committed no manifest version"))
+        ManifestLog.snapshot(spark, base, v)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value_micros")).as("sum_value_micros"),
+            min(col("event_id")).as("min_event_id"),
+            max(col("event_id")).as("max_event_id"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+          |         AS sum_value_micros,
+          |       CAST(min(event_id) AS BIGINT) AS min_event_id,
+          |       CAST(max(event_id) AS BIGINT) AS max_event_id
+          |FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
     )
   )
 }

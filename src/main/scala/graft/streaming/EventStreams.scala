@@ -192,6 +192,14 @@ object EventStreams {
     graft.io.TempLayouts.replacing(s"ckpt#$tag", s"graft_ckpt_${tag}_",
       fast = true)(_ => ())
 
+  /** Public recorder for streaming catalog entries that live OUTSIDE
+    * this module (the DSv2 source/sink entries q100/q108 in
+    * graft.sources) so StreamCost's exec/setup attribution covers them
+    * too. */
+  def record(name: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      ss: SparkSession): Unit = recordRun(name, q, ss)
+
   private def recordRun(name: String,
       q: org.apache.spark.sql.streaming.StreamingQuery,
       ss: SparkSession): Unit = {

@@ -55,9 +55,24 @@ object Bpe {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
   /** The dataset most recently trained in this JVM — what the lazy
-    * oracle builders embed (Verify runs every query, which trains for
-    * its one dataset, then dumps `oracleSql`; see [[bpeEncodeSqlExpr]]). */
+    * oracle builders embed when no dataset has been PINNED explicitly
+    * (see [[pinOracleDataset]]). */
   @volatile private var lastTrainedKey: Option[String] = None
+
+  /** The dataset whose merge table the dumped oracles must replay —
+    * set by Verify for the dir it actually verified. Last-trained-wins
+    * is only correct in a single-dataset JVM; a JVM that ran BPE
+    * queries against two dirs (a smoke run then Verify) would otherwise
+    * dump oracle SQL embedding the WRONG dataset's merge table and
+    * surface as a confusing hash mismatch (round-13 advisory). */
+  @volatile private var pinnedKey: Option[String] = None
+
+  /** Pin the dataset whose trained merges the oracle SQL embeds (call
+    * with the dir being verified, BEFORE dumping `oracleSql`). A dir
+    * never trained in this JVM pins to None-equivalent: the oracles
+    * stay rows-only rather than embedding another dataset's table. */
+  def pinOracleDataset(dir: String): Unit =
+    pinnedKey = Some(new java.io.File(dir).getCanonicalPath)
 
   /** The frozen merge list for a dataset dir (trained once per JVM). */
   def merges(spark: SparkSession, dir: String): Array[Long] = {
@@ -67,12 +82,13 @@ object Bpe {
     ms
   }
 
-  /** The merge list the oracle SQL should replay: the one trained for
-    * the dataset this JVM last ran the BPE queries against. None until
-    * a BPE query has run — [[all]]'s oracles then stay rows-only, which
+  /** The merge list the oracle SQL should replay: the pinned dataset's
+    * when one is pinned (and trained), else the one trained for the
+    * dataset this JVM last ran the BPE queries against. None until a
+    * BPE query has run — [[all]]'s oracles then stay rows-only, which
     * is exactly right (there is no tokenizer to replay yet). */
   private def trainedMerges: Option[Array[Long]] =
-    lastTrainedKey.flatMap(k => Option(cache.get(k)))
+    pinnedKey.orElse(lastTrainedKey).flatMap(k => Option(cache.get(k)))
 
   private def sampleTexts(spark: SparkSession, dir: String): Seq[String] =
     Tables(spark, dir).documents

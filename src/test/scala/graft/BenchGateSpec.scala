@@ -59,6 +59,27 @@ class BenchGateSpec extends AnyFunSuite {
     assert(f >= 0.0 && f <= 1.0, s"steal fraction out of range: $f")
   }
 
+  test("published min is min-of-clean, never min-of-contended") {
+    // r12 signature: every base iteration contended (q58 9.95 s) while
+    // the plan's clean time is 0.28 s — once a retry lands clean, the
+    // headline must be the clean minimum, not the contended one
+    val (sec, clean, n) = Bench.publishedMin(
+      Seq(9.95, 10.2, 11.0, 0.31, 0.28), Seq(false, false, false, true, true))
+    assert(sec == 0.31.min(0.28) && clean && n == 2)
+    // no clean iteration within budget → min-of-all, flagged unclean
+    val (sec2, clean2, n2) = Bench.publishedMin(
+      Seq(9.95, 10.2), Seq(false, false))
+    assert(sec2 == 9.95 && !clean2 && n2 == 0)
+    // a contended-but-lucky-fast iteration must NOT beat a clean one
+    val (sec3, _, _) = Bench.publishedMin(
+      Seq(0.20, 0.30), Seq(false, true))
+    assert(sec3 == 0.30)
+    // any failure is the sentinel regardless of clean flags
+    val (sec4, clean4, n4) = Bench.publishedMin(
+      Seq(-1.0, 0.30), Seq(false, true))
+    assert(sec4 == -1.0 && clean4 && n4 == 0)
+  }
+
   test("persisted clean-disk baseline parses and gates a whole-run collapse") {
     // docs/io_baseline.json records the box's demonstrated throughput; a
     // run whose EVERY probe is collapsed (r11: ≤117 MB/s) must come out

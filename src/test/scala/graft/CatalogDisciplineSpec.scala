@@ -18,14 +18,13 @@ import graft.queries.Catalog
 class CatalogDisciplineSpec extends AnyFunSuite {
 
   /** Every declared-rows-only entry with the reason SQL can't replay it.
-    * Each is still covered by a dedicated ScalaTest recompute/replay
-    * spec (sketch ≤5%-error bounds). */
-  private val rowsOnlyAllowlist: Map[String, String] = Map(
-    "q22_approx_count_distinct" ->
-      "HLL sketch binaries are engine-specific (Spark dense/sparse HLL++ layout)",
-    "q56_sketch_rollup" ->
-      "mergeable HLL sketch column rides the rollup — same binary-layout argument"
-  )
+    * EMPTY since round 13: the last two residents (q22/q56, HLL sketch
+    * estimates — engine-specific registers) flipped to full oracles by
+    * verifying the estimator's ERROR-BOUND CONTRACT instead of its
+    * binary (exact count + within-5% flag, replayed by DuckDB as
+    * exact + literal true). The allowlist machinery stays: a future
+    * genuinely-unreplayable entry must still argue its exemption here. */
+  private val rowsOnlyAllowlist: Map[String, String] = Map.empty
 
   /** Entries whose oracle SQL is GENERATED at Verify-dump time from a
     * runtime-trained artifact (round 12: the BPE family embeds the

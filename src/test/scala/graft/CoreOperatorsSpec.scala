@@ -104,9 +104,13 @@ class CoreOperatorsSpec extends SparkSpecBase {
   }
 
   test("q22: HLL++ estimate within error bound of exact count-distinct") {
-    val approx = graft.queries.Catalog.queries("q22_approx_count_distinct")(spark, sf0001)
+    // the raw estimate, recomputed independently of the entry (whose
+    // verified output since round 13 is exact + the bound flag)
+    val approx = graft.io.Tables(spark, sf0001).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("a"))
       .collect()
-      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_parts"))
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("a"))
       .toMap
     val exact = graft.io.Tables(spark, sf0001).lineitem
       .groupBy(col("l_returnflag"))
@@ -121,6 +125,18 @@ class CoreOperatorsSpec extends SparkSpecBase {
     exact.foreach { case (flag, n) =>
       val err = math.abs(approx(flag) - n).toDouble / n
       assert(err <= 0.05, s"flag $flag: approx ${approx(flag)} vs exact $n (err $err)")
+    }
+    // and the ENTRY's own bound flags (what the driver hash-verifies)
+    // agree: exact counts match, every flag is 1
+    val entry = graft.queries.Catalog.queries("q22_approx_count_distinct")(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("exact_parts"), r.getAs[Long]("est_within_5pct")))
+      .toMap
+    assert(entry.keySet === exact.keySet)
+    entry.foreach { case (flag, (ex, ok)) =>
+      assert(ex === exact(flag), s"flag $flag exact mismatch")
+      assert(ok === 1L, s"flag $flag: sketch estimate outside the 5% bound")
     }
   }
 
@@ -335,18 +351,23 @@ class CoreOperatorsSpec extends SparkSpecBase {
   }
 
   test("q56: every monthly HLL estimate is within 5% of the exact distinct count") {
+    // entry output since round 13: (month, n_events, exact_users,
+    // est_within_5pct) — the flag IS the sketch-union bound check the
+    // driver hash-verifies; recompute exact here independently
     val got = graft.queries.Catalog.queries("q56_sketch_rollup")(spark, sf0001)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+      .map(r => r.getAs[String]("month") ->
+        (r.getAs[Long]("exact_users"), r.getAs[Long]("est_within_5pct")))
+      .toMap
     assert(got.nonEmpty)
     val exact = graft.io.Tables(spark, sf0001).events
       .groupBy(date_format(to_date(col("ts")), "yyyy-MM").as("month"))
       .agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got.keySet === exact.keySet)
-    got.foreach { case (m, est) =>
-      val ex = exact(m).toDouble
-      assert(math.abs(est - ex) / ex <= 0.05,
-        s"month $m: estimate $est vs exact ${exact(m)}")
+    got.foreach { case (m, (ex, ok)) =>
+      assert(ex === exact(m), s"month $m exact mismatch")
+      assert(ok === 1L, s"month $m: union-of-daily-sketches estimate outside 5%")
     }
   }
 

@@ -108,6 +108,78 @@ class NativeAsofJoinSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(Row("p50")))
   }
 
+  // --- crash-safety / memory contract (round-13 verdict item 8) ----------
+  // AsofJoinExec has no spill path; it does not need one because the
+  // merge retains ONE copied candidate row beyond the children's
+  // (spill-safe) sorts. The two tests below drive the factored-out merge
+  // (AsofJoinExec.mergePartition) with adversarial iterators — the only
+  // honest way to prove streaming without a cluster-sized heap.
+
+  private def mergeAttrs() = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val lK = AttributeReference("k", LongType)()
+    val lT = AttributeReference("t", LongType)()
+    val rK = AttributeReference("rk", LongType)()
+    val rT = AttributeReference("rt", LongType)()
+    val pay = AttributeReference("p", StringType)()
+    (Seq(lK, lT), Seq(rK, rT, pay), lK, lT, rK, rT,
+      Seq(lK, lT, pay.withNullability(true)))
+  }
+
+  test("merge streams a right partition far larger than the heap (O(1) retained rows)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val (lOut, rOut, lK, lT, rK, rT, outAttrs) = mergeAttrs()
+    // 1M right rows × ~32 KB DISTINCT payload bytes ≈ 32 GB through the
+    // test JVM's single-digit-GB heap: if the merge buffered the
+    // partition (each candidate is .copy()'d, so buffering would retain
+    // every payload), this OOMs; completing proves one-row retention.
+    val n = 1000000
+    val payloadBytes = 32 * 1024
+    val rIter: Iterator[InternalRow] = Iterator.tabulate(n) { i =>
+      new GenericInternalRow(Array[Any](
+        1L, i.toLong, UTF8String.fromBytes(new Array[Byte](payloadBytes))))
+    }
+    val lIter: Iterator[InternalRow] = Iterator.single(
+      new GenericInternalRow(Array[Any](1L, n.toLong)))
+    // copy each produced row: the projection reuses one output buffer
+    // (the exec's consumers copy downstream exactly the same way)
+    val out = graft.plans.AsofJoinExec.mergePartition(
+      lIter, rIter, lOut, rOut, lK, lT, rK, rT, outAttrs, ()).map(_.copy()).toSeq
+    // the single probe at t=n matched the LATEST right row (t=n-1)
+    assert(out.size === 1)
+    assert(out.head.getLong(0) === 1L && out.head.getLong(1) === n.toLong)
+    assert(!out.head.isNullAt(2))
+  }
+
+  test("merge consumes the right side lazily — never past the left frontier (+1 lookahead)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val (lOut, rOut, lK, lT, rK, rT, outAttrs) = mergeAttrs()
+    // a right iterator that DETONATES if materialized beyond the left
+    // frontier: left stops probing at t=10, so with the BufferedIterator's
+    // single-row peek the merge may touch right times <= 11 — a trap at
+    // t=12 proves no eager buffering (a hash/list build would trip it
+    // immediately)
+    val trapAt = 12L
+    val rIter: Iterator[InternalRow] = Iterator.tabulate(1000000) { i =>
+      if (i.toLong >= trapAt)
+        fail(s"merge materialized right row t=$i past the left frontier")
+      new GenericInternalRow(Array[Any](
+        1L, i.toLong, UTF8String.fromString(s"p$i")))
+    }
+    val lIter: Iterator[InternalRow] = Iterator.tabulate(3) { j =>
+      new GenericInternalRow(Array[Any](1L, (j * 5).toLong)) // t = 0, 5, 10
+    }
+    val out = graft.plans.AsofJoinExec.mergePartition(
+      lIter, rIter, lOut, rOut, lK, lT, rK, rT, outAttrs, ()).map(_.copy()).toSeq
+    assert(out.map(r => (r.getLong(1), r.getString(2))) ===
+      Seq((0L, "p0"), (5L, "p5"), (10L, "p10")))
+  }
+
   test("self-source left and right (duplicate base exprIds) are disambiguated") {
     val t = Tables(spark, sf0001)
     val base = t.events.select(col("event_id"), col("user_id"), col("ts"))

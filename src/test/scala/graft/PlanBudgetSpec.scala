@@ -78,6 +78,62 @@ class PlanBudgetSpec extends SparkSpecBase {
     p
   }
 
+  /** Single-partition-window allowlist (round-13 verdict item 5): a
+    * Window with NO partition spec is a one-task total sort — a
+    * scale-killer on fact data, tolerated ONLY on the documented
+    * parity-mode windows over bounded DIMENSION frames (§7.4 policy;
+    * scale path `denseIdsBy`). Keys are catalog entries, values the
+    * bounded frame that justifies them. PLAN_AUDIT.md's `1pW` column is
+    * the audited census; this spec fails when a non-listed entry grows
+    * one (regenerate the audit after plan changes: `runMain
+    * graft.PlanAudit`). */
+  private val onePartWindowAllowlist: Map[String, String] = Map(
+    "q04_trend_pct_change" -> "lag over the ≤8-row quarter dimension",
+    "q09_dim_surrogate_keys" -> "row_number over the ≤7-row parity dimension",
+    "q25_reference_etl" -> "reference-ETL parity replay: 8 windows over the reference's own dimension tables (2,069-row corpus)",
+    "q89_kmv_set_ops" -> "bit assignment over the 5-row event-type dimension")
+
+  test("1pW guard: no catalog entry outside the allowlist has a single-partition window") {
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("docs/PLAN_AUDIT.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rows = audit.linesIterator
+      .filter(l => l.startsWith("| ") && l.count(_ == '|') == 9)
+      .map(_.split('|').map(_.trim))
+      .filter(c => c.length >= 9 && c(1).matches("[a-z].*") && c(8).matches("\\d+"))
+      .map(c => c(1) -> c(8).toInt)
+      .toSeq
+    assert(rows.size > 150, s"PLAN_AUDIT.md parse found only ${rows.size} rows — " +
+      "column layout changed? (expected 9 columns incl. 1pW)")
+    val offenders = rows.filter { case (name, w) =>
+      w > 0 && !onePartWindowAllowlist.contains(name) }
+    assert(offenders.isEmpty,
+      s"entries grew single-partition windows outside the allowlist: " +
+        s"${offenders.mkString(", ")} — partition the window (or argue the " +
+        "bounded-dimension exemption here)")
+    // stale allowlist rows keep the floor shrinking
+    val byName = rows.toMap
+    val stale = onePartWindowAllowlist.keys.filter(n => byName.get(n).exists(_ == 0))
+    assert(stale.isEmpty, s"allowlist rows with 1pW=0 in the audit (remove): $stale")
+  }
+
+  test("1pW mechanism: the tree walk counts windows through AQE stage wrappers") {
+    // live sanity of PlanAudit.onePartitionWindows — the audit column is
+    // only as good as the walker
+    def count(name: String): Int = {
+      val df = Catalog.queries(name)(spark, sf0001)
+      val qe = df.queryExecution
+      qe.executedPlan.execute().count()
+      val n = PlanAudit.onePartitionWindows(qe.executedPlan)
+      InternalCaches.releaseAll(); spark.catalog.clearCache()
+      n
+    }
+    assert(count("q04_trend_pct_change") >= 1,
+      "walker missed q04's documented parity window")
+    assert(count("q01_topk_filter_agg") === 0,
+      "q01 must not carry an unpartitioned window")
+  }
+
   budgets.toSeq.sortBy(_._1).foreach { case (name, (exch, bhj, smj, bnlj, shj)) =>
     test(s"plan budget: $name stays within exch<=$exch bhj<=$bhj smj<=$smj bnlj<=$bnlj shj<=$shj") {
       val p = finalPlan(name)

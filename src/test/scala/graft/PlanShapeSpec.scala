@@ -458,6 +458,54 @@ class PlanShapeSpec extends SparkSpecBase {
       "CBO did not reorder the selective join innermost")
   }
 
+  test("q109: manifest commit-time stats reorder the worst-order join via the DSv2 scan") {
+    def plan(useCbo: Boolean): String = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.cbo.enabled", useCbo.toString)
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", useCbo.toString)
+      val (cB, oB, lB) = graft.io.ManifestQueries.cboManifestTables(s, sf0001)
+      def reg(base: String, view: String): Unit =
+        s.read.format("graft-manifest").load(base).createOrReplaceTempView(view)
+      reg(lB, "ps109_li"); reg(oB, "ps109_ord"); reg(cB, "ps109_cust")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS cnt
+          |FROM ps109_li JOIN ps109_ord ON l_orderkey = o_orderkey
+          |              JOIN ps109_cust ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderpriority""".stripMargin)
+        .queryExecution.optimizedPlan.toString
+    }
+    def topJoin(p: String): String =
+      p.linesIterator.filter(_.contains("Join Inner")).toSeq.headOption
+        .getOrElse(fail(s"no join in plan:\n$p"))
+    // control: without CBO the text order survives — the TOP join is
+    // the customer attach
+    assert(topJoin(plan(useCbo = false)).contains("c_custkey"),
+      "control: without CBO the text order should survive")
+    // with the manifest's commit-time NDV stats surfaced through the
+    // DSv2 Statistics interface, CostBasedJoinReorder moves the
+    // selective customer ⋈ orders join innermost — exactly q87's flip,
+    // with ZERO ANALYZE scan
+    assert(topJoin(plan(useCbo = true)).contains("l_orderkey"),
+      "manifest stats did not drive the CBO reorder")
+  }
+
+  test("q109 premise: the DSv2 manifest relation reports rowCount + column NDV to the optimizer") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    val (cB, _, _) = graft.io.ManifestQueries.cboManifestTables(s, sf0001)
+    val df = s.read.format("graft-manifest").load(cB)
+    val stats = df.queryExecution.optimizedPlan.stats
+    val nCust = graft.io.Tables(s, sf0001).customer.count()
+    assert(stats.rowCount.contains(BigInt(nCust)),
+      s"manifest rowCount missing or wrong: ${stats.rowCount} vs $nCust")
+    val byName = stats.attributeStats.map { case (a, st) => a.name -> st }
+    assert(byName.get("c_custkey").flatMap(_.distinctCount).exists(_ > 0),
+      s"c_custkey NDV missing from relation stats: $byName")
+    assert(byName.get("c_mktsegment").flatMap(_.distinctCount).exists(n => n > 0 && n < 50),
+      s"c_mktsegment NDV missing/implausible: $byName")
+  }
+
   test("q88: the merged scan carries the evolved column; the old generation alone lacks it") {
     val layout = graft.io.WarehouseLayout.eventsTwoGenerationLayout(spark, sf0001)
     // premise: generation 0 really predates the column

@@ -184,6 +184,11 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
+      // progress breadcrumb on stderr (stdout stays one-line-JSON clean):
+      // a run that dies mid-catalog — the r13 VecScale 1M sweep lost its
+      // whole JVM to one entry — is then attributable to the ENTRY from
+      // the log tail instead of a stage number
+      System.err.println(s"[bench] $name @ $sfDir")
       val qLoad = loadNow
       def runOnce(): Iter = {
         val l0 = loadNow

@@ -331,18 +331,33 @@ object DedupOps {
 
   /** Hamming-≤-`maxHamming` pairs over any (id, 64-bit signature) frame
     * via 4×16-bit block LSH — exhaustive for maxHamming ≤ 3 by
-    * pigeonhole (4 blocks, ≤3 differing bits → some block is equal).
-    * Candidate generation is an equi-join on (block, value); exact
-    * Hamming re-verifies with popcount-of-xor. Shared by text SimHash
-    * (d04) and perceptual image hashing (m03) — identical plan shape,
-    * one long per row into the shuffle. */
+    * pigeonhole (4 blocks, ≤3 differing bits → some block is equal)
+    * WHEN no block is dropped. Candidate generation is an equi-join on
+    * (block, value); exact Hamming re-verifies with popcount-of-xor.
+    * Shared by text SimHash (d04) and perceptual image hashing (m03) —
+    * identical plan shape, one long per row into the shuffle.
+    *
+    * Hot-block cap (round 13 — found by the 1M-row VecScale decade, not
+    * guessed): a DEGENERATE block value (an identical-signature cluster,
+    * or a skewed corpus whose signatures concentrate) makes the
+    * (block, value) self-join quadratic — this was the ONE banding
+    * family member without the [[MaxBlock]] guard, and at 500k docs it
+    * took the whole JVM down (driver starved >10 min → executor
+    * heartbeat death). Blocks with more than `cap` members are dropped
+    * WHOLE before the join — the d02/d03/d07/d12/s04 policy — turning
+    * worst case O(n²) into O(n·cap). Recall cost is confined to pairs
+    * ALL of whose ≤3-difference blocks are hot (an identical-signature
+    * mega-cluster is exactly the case a dedup pipeline handles by exact
+    * hash (d01) first); the d04 oracle replays the drop in SQL so the
+    * cap is value-verified, not just bounded. */
   def hamming64Pairs(sig: DataFrame, idCol: String, sigCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, cap: Int = MaxBlock): DataFrame = {
     val blockCols = (0 until 4).map(k =>
       shiftright(col(sigCol), k * 16).bitwiseAND(lit(0xFFFFL)))
-    val blocks = sig.select(col(idCol), col(sigCol), posexplode(array(blockCols: _*)))
+    val blocksAll = sig.select(col(idCol), col(sigCol), posexplode(array(blockCols: _*)))
       .withColumnRenamed("pos", "block")
       .withColumnRenamed("col", "block_val")
+    val blocks = capBlocks(blocksAll, Seq("block", "block_val"), cap)
     val a = blocks.select(col("block"), col("block_val"),
       col(idCol).as("doc_a"), col(sigCol).as("sig_a"))
     val b = blocks.select(col("block"), col("block_val"),
@@ -640,10 +655,23 @@ object DedupOps {
           |sig AS (
           |  SELECT doc_id,
           |         bit_or(CASE WHEN bit = 1 THEN 1::UBIGINT << b ELSE 0::UBIGINT END) AS sig
-          |  FROM bits GROUP BY doc_id)
-          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  FROM bits GROUP BY doc_id),
+          |-- the engine's 4x16-bit block LSH WITH its hot-block drop
+          |-- (blocks over 1024 members are dropped whole) replayed
+          |-- exactly: candidate pairs come only from kept blocks
+          |blk AS (
+          |  SELECT doc_id, sig, k.k AS block,
+          |         (sig >> (16 * k.k)) & 65535::UBIGINT AS block_val
+          |  FROM sig CROSS JOIN range(0, 4) k(k)),
+          |kept AS (
+          |  SELECT doc_id, sig, block, block_val
+          |  FROM blk
+          |  QUALIFY count(*) OVER (PARTITION BY block, block_val) <= 1024)
+          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
           |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          |FROM kept a JOIN kept b
+          |  ON a.block = b.block AND a.block_val = b.block_val
+          | AND a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.sig, b.sig)) <= 3
           |ORDER BY doc_a, doc_b""".stripMargin)
     ),

@@ -80,6 +80,25 @@ class DedupSpec extends SparkSpecBase {
       s"missing ${planted.diff(found).size} of ${planted.size} planted pairs")
   }
 
+  test("simhash hot-block cap: an identical-signature cluster over the cap drops whole; small blocks keep reporting") {
+    import testImplicits._
+    // 1,500 identical texts — one simhash, so all four 16-bit blocks are
+    // 1,500-member hot blocks (> MaxBlock 1,024): without the cap this
+    // corpus alone generates 4 × 1,500² candidate rows (the shape that
+    // killed the 500k-doc VecScale sweep); with it the cluster's blocks
+    // drop WHOLE and contribute zero pairs. Two other identical docs
+    // form a 2-member block → their hamming-0 pair must still report.
+    val hot = (0L until 1500L).map(i => (i, "hot cluster text " * 8))
+    val pair = Seq((900000L, "a singular duplicated sentence kept small"),
+      (900001L, "a singular duplicated sentence kept small"))
+    val corpus = (hot ++ pair).toDF("doc_id", "text")
+    val out = DedupOps.simhashNearDups(corpus, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(out.contains((900000L, 900001L)), s"small-block pair lost: $out")
+    assert(!out.exists(_._1 < 1500L),
+      s"hot-cluster pairs should have been dropped by the block cap: ${out.take(5)}")
+  }
+
   test("minhash verification is sound corpus-wide: brute-force exact Jaccard over all pairs") {
     val corpus = DedupOps.nearDupCorpus(docs)
     val found = DedupOps.minhashNearDups(corpus, threshold = 0.5).collect()

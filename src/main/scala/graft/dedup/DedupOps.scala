@@ -633,11 +633,15 @@ object DedupOps {
         simhashNearDups(nearDupCorpus(t.documents), maxHamming = 3)
       },
       Some(
-        """WITH corpus AS (
+        // raw-interpolated so the engine's ACTUAL hot-block cap
+        // (MaxBlock) lands in the oracle — a hardcoded 1024 would
+        // silently diverge engine and oracle if the cap ever changed
+        // (round-14 advisory); $$ = the literal regex anchor
+        raw"""WITH corpus AS (
           |  SELECT doc_id, text FROM documents
           |  UNION ALL
           |  SELECT doc_id + 100000 AS doc_id,
-          |         regexp_replace(text, '(\s+\S+){3}$', '') AS text
+          |         regexp_replace(text, '(\s+\S+){3}$$', '') AS text
           |  FROM documents),
           |tok AS (
           |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS t
@@ -657,7 +661,7 @@ object DedupOps {
           |         bit_or(CASE WHEN bit = 1 THEN 1::UBIGINT << b ELSE 0::UBIGINT END) AS sig
           |  FROM bits GROUP BY doc_id),
           |-- the engine's 4x16-bit block LSH WITH its hot-block drop
-          |-- (blocks over 1024 members are dropped whole) replayed
+          |-- (blocks over ${MaxBlock} members are dropped whole) replayed
           |-- exactly: candidate pairs come only from kept blocks
           |blk AS (
           |  SELECT doc_id, sig, k.k AS block,
@@ -666,7 +670,7 @@ object DedupOps {
           |kept AS (
           |  SELECT doc_id, sig, block, block_val
           |  FROM blk
-          |  QUALIFY count(*) OVER (PARTITION BY block, block_val) <= 1024)
+          |  QUALIFY count(*) OVER (PARTITION BY block, block_val) <= ${MaxBlock})
           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
           |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
           |FROM kept a JOIN kept b

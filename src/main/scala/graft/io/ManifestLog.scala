@@ -171,7 +171,21 @@ object ManifestLog {
     * conflict validation (abort when a concurrent commit touched the
     * same files) remains a policy layer above, as in the public formats. */
   def commitEntriesAtomic(base: String, maxAttempts: Int = 64)
-      (entries: Seq[ManifestEntry] => Seq[ManifestEntry]): Long = {
+      (entries: Seq[ManifestEntry] => Seq[ManifestEntry]): Long =
+    commitEntriesAtomicV(base, maxAttempts)((prev, _) => entries(prev))
+
+  /** [[commitEntriesAtomic]] with the VERSION BEING COMMITTED passed to
+    * the callback alongside the real predecessor — for commits whose
+    * entries embed the version (seq numbers, version-derived metadata).
+    * Computing `next` OUTSIDE the arbiter and baking it into entries is
+    * the race the round-13 advisory flagged on the streaming sink: a
+    * loser's retry publishes at a HIGHER version while its entries keep
+    * the stale estimate, breaking the Iceberg seq-ordering guarantee if
+    * a tombstone ever commits concurrently. Inside the callback, `next`
+    * is the version this attempt will really publish (recomputed on
+    * every retry against the head it lost to). */
+  def commitEntriesAtomicV(base: String, maxAttempts: Int = 64)
+      (entries: (Seq[ManifestEntry], Long) => Seq[ManifestEntry]): Long = {
     val dir = manifestsDir(base); dir.mkdirs()
     var attempts = 0
     while (attempts < maxAttempts) {
@@ -180,7 +194,7 @@ object ManifestLog {
       val next = head.map(_ + 1L).getOrElse(0L)
       val prev = head.map(manifest(base, _)).getOrElse(Seq.empty)
       val tmp = new File(dir, s"$next.${java.util.UUID.randomUUID()}.tmp").toPath
-      Files.write(tmp, entries(prev).map(entryToJson).mkString("\n").getBytes("UTF-8"))
+      Files.write(tmp, entries(prev, next).map(entryToJson).mkString("\n").getBytes("UTF-8"))
       try {
         Files.createLink(new File(dir, next.toString).toPath, tmp)
         Files.deleteIfExists(tmp)
@@ -457,8 +471,13 @@ object ManifestLog {
         "live tombstones — fold tombstones (CoW) first")
     val packedSeq = small.map(_.seq).min
     val tag = s"v${head + 1L}-opt-" + java.util.UUID.randomUUID().toString.take(8)
+    // compaction must PRESERVE the commit-time column stats the CBO path
+    // (q109) depends on: re-stage with the union of the inputs' ndv
+    // columns, or an OPTIMIZE would silently strip distinctCount from
+    // every column of the packed file (round-14 advisory)
+    val ndvCols = small.flatMap(_.ndv.keys).distinct
     val packed = stage(spark, base, tag, read(spark, base, small),
-      statsCols, sortCol, targetFiles).map(_.copy(seq = packedSeq))
+      statsCols, sortCol, targetFiles, ndvCols).map(_.copy(seq = packedSeq))
     val smallPaths = small.map(_.path).toSet
     Some(commitEntriesAtomic(base) { prev =>
       // The packed file was rewritten FROM the `small` entries of the head
@@ -675,7 +694,12 @@ object ManifestLog {
       case None => snapshot(spark, base, id)
       case Some(cols) =>
         val m = manifest(base, id)
-        val (dels, data) = m.partition(_.kind == "delete")
+        // explicit kind filters as in [[snapshot]] — a two-way partition
+        // would land a streaming txn marker in `data` and hand its fake
+        // path txn/<queryId> to the parquet reader (round-14 advisory:
+        // the snapshot() fix had this twin)
+        val dels = m.filter(_.kind == "delete")
+        val data = m.filter(_.kind == "data")
         require(dels.isEmpty,
           "snapshotEvolved: tombstones under an evolved schema need their key " +
             "columns mapped — fold them (CoW) before evolving, or extend here")
@@ -725,20 +749,24 @@ object ManifestLog {
     * The recheck runs INSIDE the atomic-retry arbiter against the real
     * head, so the guarantee holds even against a concurrent committer
     * of the same queryId (Spark runs one driver per query — this is
-    * belt-and-braces, not a supported topology). Data entries should
-    * carry seq = the committed version (callers estimate with
-    * latest+1, the [[commitAppend]] discipline). */
+    * belt-and-braces, not a supported topology). Data entries' `seq` is
+    * assigned HERE, inside the arbiter, to the version each attempt
+    * really publishes — a caller-side latest+1 estimate would go stale
+    * when a concurrent commit wins the race, leaving streamed files
+    * with a seq BELOW their committed version and wrongly subject to a
+    * concurrently-committed tombstone (round-14 advisory). */
   def commitStreamEpoch(base: String, queryId: String, epochId: Long,
       newEntries: Seq[ManifestEntry]): Option[Long] =
     try {
-      Some(commitEntriesAtomic(base) { prev =>
+      Some(commitEntriesAtomicV(base) { (prev, next) =>
         val already = prev.exists(e =>
           e.kind == "txn" && e.path == txnPath(queryId) && e.rows >= epochId)
         if (already) throw new EpochAlreadyCommitted
         val txn = ManifestEntry(txnPath(queryId), epochId, 0L, Map.empty,
           kind = "txn", seq = 0L)
         prev.filterNot(e => e.kind == "txn" && e.path == txnPath(queryId)) ++
-          newEntries ++ Seq(txn)
+          newEntries.map(e => if (e.kind == "data") e.copy(seq = next) else e) ++
+          Seq(txn)
       })
     } catch { case _: EpochAlreadyCommitted => None }
 

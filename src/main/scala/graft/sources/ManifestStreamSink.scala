@@ -147,12 +147,16 @@ object ManifestStreamSink {
       return None
     }
     val dataDir = new File(base, "data"); dataDir.mkdirs()
-    val next = ManifestLog.latest(base).map(_ + 1L).getOrElse(0L)
+    // destination names derive from (queryId, epochId) alone — unique by
+    // the exactly-once contract, and free of any version estimate that
+    // could go stale under a concurrent commit; `seq` is assigned by
+    // commitStreamEpoch INSIDE the atomic arbiter, where the real
+    // committed version is known (round-14 advisory)
     val entries = staged.sortBy(_.getName).zipWithIndex.map { case (f, i) =>
-      val dest = new File(dataDir, s"v$next-$queryId-e$epochId-$i.parquet")
+      val dest = new File(dataDir, s"$queryId-e$epochId-$i.parquet")
       java.nio.file.Files.move(f.toPath, dest.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ManifestLog.statFile(spark, base, dest, statsCols).copy(seq = next)
+      ManifestLog.statFile(spark, base, dest, statsCols)
     }
     val committed = ManifestLog.commitStreamEpoch(base, queryId, epochId, entries)
     if (committed.isEmpty)

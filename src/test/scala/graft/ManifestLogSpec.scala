@@ -460,4 +460,55 @@ class ManifestLogSpec extends SparkSpecBase {
       Seq("k", "cents", "status"))
     assert(snapshotEvolved(spark, base, v0).count() == 2)
   }
+
+  test("snapshotEvolved reads through a streaming txn marker (kind filter, not 2-way split)") {
+    import testImplicits._
+    // regression (round-14 advisory): snapshotEvolved's old two-way
+    // partition (delete vs everything-else) landed a streaming commit's
+    // txn marker in `data` and passed its fake path txn/<queryId> to the
+    // parquet reader — crashing any evolved-schema table a streaming
+    // query had committed to
+    val base = freshBase()
+    val v0 = commitAppend(spark, base,
+      Seq((1L, 10L, "O"), (2L, 20L, "F")).toDF("k", "cents", "status"),
+      Seq("k"), Some("k"))
+    commitSchema(base, v0, Seq(
+      ColumnDef("k", "k", "BIGINT"), ColumnDef("cents", "cents", "BIGINT"),
+      ColumnDef("status", "status", "STRING")))
+    val staged = stage(spark, base, "stream-e0",
+      Seq((3L, 30L, "O")).toDF("k", "cents", "status"), Seq("k"))
+    val v1 = commitStreamEpoch(base, "query-evo", 0L, staged)
+    assert(v1.contains(1L))
+    assert(manifest(base, 1L).exists(_.kind == "txn"))
+    // data entries committed through the stream carry seq = the version
+    // the arbiter REALLY published, assigned inside the atomic closure
+    assert(manifest(base, 1L).filter(e =>
+      e.kind == "data" && e.path.contains("stream-e0")).forall(_.seq == 1L))
+    val rows = snapshotEvolved(spark, base, 1L).orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq((1L, 10L, "O"), (2L, 20L, "F"), (3L, 30L, "O")), rows.mkString(","))
+  }
+
+  test("optimize preserves commit-time NDV stats on the packed files") {
+    import testImplicits._
+    // regression (round-14 advisory): optimize re-staged packed files
+    // without ndvCols, so compaction silently dropped the per-file NDV
+    // the q109 CBO read depends on
+    val base = freshBase()
+    (0 until 3).foreach { i =>
+      commitAppend(spark, base,
+        (0 until 40).map(j => (i * 40L + j, (i * 40L + j) % 7, s"s${j % 5}"))
+          .toDF("k", "grp", "tag"),
+        Seq("k"), Some("k"), ndvCols = Seq("k", "grp")): Unit
+    }
+    assert(manifest(base, latest(base).get).forall(_.ndv.keySet == Set("k", "grp")))
+    val v = optimize(spark, base, smallBytes = Long.MaxValue,
+      statsCols = Seq("k"), sortCol = Some("k")).get
+    val packed = manifest(base, v).filter(_.kind == "data")
+    assert(packed.size == 1)
+    assert(packed.head.ndv.keySet == Set("k", "grp"),
+      s"packed file lost NDV stats: ${packed.head.ndv}")
+    assert(packed.head.ndv("grp") >= 6L && packed.head.ndv("grp") <= 8L)
+    assert(packed.head.stats.contains("grp"), "ndv-derived ColStat dropped by pack")
+  }
 }

@@ -40,6 +40,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Catalog.queries
 
+  /** Bench-time plans (same key set; differs from [[queries]] only for
+    * entries whose verified output embeds oracle apparatus — see
+    * [[graft.queries.GraftQuery.benchRun]]). */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Catalog.benchQueries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seeded / sketch /
     * mapPartitions ops → driver records a weaker rows-only check. */

@@ -715,8 +715,12 @@ object CoreQueries {
     // drifted bound) flips the flag and breaks the hash — a FULL oracle
     // on the estimator's contract, strictly stronger than the old
     // rows-only check (round-13 verdict item 7). The production query
-    // is the sketch alone; the exact twin here is verification
-    // apparatus, same as every oracle side.
+    // is the sketch alone; the exact twin is verification apparatus,
+    // so it lives ONLY in the verified plan — the benched plan
+    // (benchRun) is the sketch by itself, or the published number
+    // would time the exact-distinct scan the sketch exists to replace
+    // (round-13 verdict item 4: q22 went 1.4→4.9 s measuring its own
+    // oracle).
     GraftQuery(
       "q22_approx_count_distinct",
       "HLL sketch: approx distinct partkeys per returnflag, error-bound-checked vs exact",
@@ -739,7 +743,14 @@ object CoreQueries {
           |       CAST(1 AS BIGINT) AS est_within_5pct
           |FROM lineitem
           |GROUP BY l_returnflag
-          |ORDER BY l_returnflag""".stripMargin)
+          |ORDER BY l_returnflag""".stripMargin),
+      benchRun = Some((spark, dir) => {
+        val t = Tables(spark, dir)
+        t.lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+          .orderBy(col("l_returnflag"))
+      })
     ),
 
     // ------------------------------------------------------------------
@@ -1900,7 +1911,23 @@ object CoreQueries {
           |       CAST(1 AS BIGINT) AS est_within_5pct
           |FROM events
           |GROUP BY 1
-          |ORDER BY 1""".stripMargin)
+          |ORDER BY 1""".stripMargin),
+      // the benched plan is the PRODUCTION rollup alone — daily sketch
+      // materialize + monthly register union — without the exact twin
+      // the oracle side uses to check the error bound (round-13 verdict
+      // item 4: the entry's point is re-aggregability, and its bench
+      // number should price exactly that path)
+      benchRun = Some((spark, dir) => {
+        val t = Tables(spark, dir)
+        t.events
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            count(lit(1)).as("n_events"))
+          .groupBy(date_format(col("d"), "yyyy-MM").as("month"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+            sum(col("n_events")).as("n_events"))
+          .orderBy(col("month"))
+      })
     ),
 
     // ------------------------------------------------------------------

@@ -12,7 +12,16 @@ final case class GraftQuery(
     name: String,
     doc: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String]
+    oracle: Option[String],
+    /** Bench-time plan when the VERIFIED plan carries oracle apparatus
+      * the production query would never run (q22/q56: the exact
+      * count-distinct twin that checks the sketch's error bound).
+      * None (the norm) → [[run]] is both the verified and the benched
+      * plan. The driver's correctness gate always runs [[run]];
+      * [[graft.Bench]] times this when present, so the published
+      * number measures what the entry exists to demonstrate
+      * (round-13 verdict item 4). */
+    benchRun: Option[(SparkSession, String) => DataFrame] = None
 )
 
 /** The full query catalog — SURVEY.md §2 inventory + the LLM-data-pipeline
@@ -41,6 +50,13 @@ object Catalog {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
+
+  /** The plans [[graft.Bench]] times: [[GraftQuery.benchRun]] where an
+    * entry declares a production variant, else [[GraftQuery.run]].
+    * Same key set as [[queries]] — only the PLAN differs, and only for
+    * entries whose verified output embeds oracle apparatus. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.benchRun.getOrElse(q.run)).toMap
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap

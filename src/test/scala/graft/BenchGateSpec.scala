@@ -80,6 +80,25 @@ class BenchGateSpec extends AnyFunSuite {
     assert(sec4 == -1.0 && clean4 && n4 == 0)
   }
 
+  test("published min prefers clean WARM iterations over the cold first run") {
+    // r13 signature (q61): iteration 0 is the once-per-JVM layout BUILD
+    // (4.30 s, gate-clean because the box was quiet) and the warm rate
+    // is 0.53 s but contended — under min-of-clean the build became the
+    // headline, an 8× phantom. Warm-clean must win once it exists.
+    val (sec, clean, n) = Bench.publishedMin(
+      Seq(4.30, 0.55, 0.53), Seq(true, true, true))
+    assert(sec == 0.53 && clean && n == 3)
+    // cold-clean + warm-contended: the cold value is the only clean
+    // evidence — publish it (the gate loop retries for warm first)
+    val (sec2, clean2, n2) = Bench.publishedMin(
+      Seq(4.30, 0.55), Seq(true, false))
+    assert(sec2 == 4.30 && clean2 && n2 == 1)
+    // a warm contended iteration still never beats a warm clean one
+    val (sec3, _, _) = Bench.publishedMin(
+      Seq(4.30, 0.20, 0.60), Seq(true, false, true))
+    assert(sec3 == 0.60)
+  }
+
   test("persisted clean-disk baseline parses and gates a whole-run collapse") {
     // docs/io_baseline.json records the box's demonstrated throughput; a
     // run whose EVERY probe is collapsed (r11: ≤117 MB/s) must come out

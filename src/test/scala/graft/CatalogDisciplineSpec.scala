@@ -72,4 +72,30 @@ class CatalogDisciplineSpec extends AnyFunSuite {
     assert(undocumented.isEmpty,
       s"undocumented catalog entries: ${undocumented.mkString(", ")}")
   }
+
+  /** Entries allowed a bench-only plan variant, each naming the oracle
+    * apparatus the verified plan carries that the production query
+    * would not run. A benchRun on any other entry fails this suite —
+    * the benched plan and the hash-verified plan must otherwise be the
+    * SAME plan, or the bench stops being evidence about verified code. */
+  private val benchVariantAllowlist: Map[String, String] = Map(
+    "q22_approx_count_distinct" ->
+      "exact countDistinct twin checks the HLL error bound; production runs the sketch alone",
+    "q56_sketch_rollup" ->
+      "exact per-month countDistinct twin checks the union-of-daily bound; production runs the rollup alone")
+
+  test("bench-only plan variants are allowlisted and their verified twin keeps a full oracle") {
+    val withVariant = Catalog.all.filter(_.benchRun.isDefined)
+    val unexplained = withVariant.map(_.name).toSet -- benchVariantAllowlist.keySet
+    assert(unexplained.isEmpty,
+      s"entries with an unallowlisted benchRun: ${unexplained.toSeq.sorted.mkString(", ")}")
+    val stale = benchVariantAllowlist.keySet -- withVariant.map(_.name).toSet
+    assert(stale.isEmpty, s"stale benchVariant rows: ${stale.toSeq.sorted.mkString(", ")}")
+    // a bench variant never weakens the correctness gate: the verified
+    // plan must still carry its full oracle
+    withVariant.foreach(q => assert(q.oracle.isDefined,
+      s"${q.name}: benchRun without a full oracle on the verified plan"))
+    // and the bench surface covers exactly the catalog (same key set)
+    assert(Catalog.benchQueries.keySet == Catalog.queries.keySet)
+  }
 }

@@ -705,8 +705,125 @@ object ManifestQueries {
           |WHERE c_mktsegment = 'BUILDING'
           |GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q110: FILTER → FILE PRUNING through the DSv2 connector — the
+    // round-13 verdict's "reports stats but scans every data file"
+    // seam closed: a plain spark.read.format("graft-manifest") with a
+    // date-band filter now plans only the manifest entries whose
+    // footer-harvested [min,max] intersects the band (ManifestScan's
+    // SupportsPushDownFilters → keepEntry), from ONE metadata read and
+    // ZERO parquet footer opens — where q96 called pruneRange by hand,
+    // the connector user writes .filter() and gets the same skip. The
+    // q95 residual discipline applies: every pushed filter is also
+    // re-evaluated row-level, so pruning can never change results (edge
+    // files hold out-of-band rows the residual drops). At 10⁶ files
+    // this is the difference between one metadata read and 10⁶ footer
+    // opens at plan time. ManifestScanSpec pins soundness (pruned scan
+    // ≡ unpruned), effectiveness (most partitions skipped), and the
+    // residual row-level filter.
+    GraftQuery(
+      "q110_manifest_dsv2_pruned_read",
+      "date-band rollup through the DSv2 manifest scan: pushed filters prune files plan-time",
+      (spark, dir) => {
+        val base = ordersByDate(spark, dir)
+        spark.read.format("graft-manifest").load(base)
+          .filter(col("odate") >= "1995-01-01" && col("odate") <= "1995-06-30")
+          .groupBy(substring(col("odate"), 1, 7).as("month"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("rev_cents"),
+            countDistinct(col("priority")).as("n_prio"))
+          .orderBy(col("month"))
+      },
+      Some(
+        """WITH feed AS (
+          |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS odate,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+          |         o_orderpriority AS priority
+          |  FROM orders)
+          |SELECT substr(odate, 1, 7) AS month,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(cents) AS BIGINT) AS rev_cents,
+          |       CAST(count(DISTINCT priority) AS BIGINT) AS n_prio
+          |FROM feed
+          |WHERE odate >= '1995-01-01' AND odate <= '1995-06-30'
+          |GROUP BY 1
+          |ORDER BY 1""".stripMargin)
+    ),
+
+    // ------------------------------------------------------------------
+    // q111: MERGE-ON-READ through the DSv2 connector — the other
+    // round-13 verdict seam: ManifestScan used to reject
+    // tombstone-carrying versions, so a reader of a q101/q104 table had
+    // to fall back to ManifestLog.snapshot. Now the tombstone keys
+    // (O(deleted keys) by the MoR write contract) load once on the
+    // driver and ship to the per-file readers grouped by commit seq;
+    // each reader drops rows a STRICTLY-newer tombstone names (the same
+    // Iceberg sequence scoping ManifestLog.snapshot applies, so
+    // same-commit re-inserts survive — spec-pinned). The table builds
+    // once per JVM (v0 data + v1 tombstone band) and is read-only
+    // after; the benched path is the connector MoR read itself. Oracle:
+    // base minus the tombstoned band.
+    GraftQuery(
+      "q111_manifest_dsv2_mor_read",
+      "tombstone-carrying snapshot read through the DSv2 scan (seq-scoped merge-on-read)",
+      (spark, dir) => {
+        val base = morScanTable(spark, dir)
+        spark.read.format("graft-manifest").load(base)
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("status"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT o_orderkey AS k,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+          |         o_orderstatus AS status
+          |  FROM orders),
+          |b AS (SELECT min(k) AS mn, max(k) AS mx FROM base),
+          |band AS (SELECT mn + (mx - mn) // 5 AS lo,
+          |                mn + (mx - mn) // 5 + (mx - mn) // 30 AS hi
+          |         FROM b)
+          |SELECT status,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+          |       CAST(min(k) AS BIGINT) AS min_k,
+          |       CAST(max(k) AS BIGINT) AS max_k
+          |FROM base, band
+          |WHERE NOT (k BETWEEN lo AND hi)
+          |GROUP BY status
+          |ORDER BY status""".stripMargin)
     )
   )
+
+  /** q111's merge-on-read table: v0 = the (k, cents, status) orders
+    * projection (sorted, 16 files, footer stats), v1 = ONE tombstone
+    * file deleting a closed-form key band (one fifth into the key
+    * space, width 1/30 of it). Built once per (JVM, dataset) and
+    * READ-ONLY after — unlike q97/q101's bases there is no per-run
+    * reset, so the entry benches exactly the connector's MoR read. */
+  private[graft] def morScanTable(spark: SparkSession, dir: String): String =
+    TempLayouts.cached(
+      "manifest_orders_morscan#" + new java.io.File(dir).getCanonicalPath,
+      "graft_manifest_morscan_") { base =>
+      val src = Tables(spark, dir).orders.select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderstatus").as("status"))
+      ManifestLog.commitAppend(spark, base, src,
+        statsCols = Seq("k"), sortCol = Some("k"), files = 16): Unit
+      val Array(mn, mx) = src.agg(min(col("k")), max(col("k"))).collect()
+        .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+      val lo = mn + (mx - mn) / 5L
+      val hi = lo + (mx - mn) / 30L
+      ManifestLog.commitDelete(spark, base,
+        src.filter(col("k").between(lo, hi)).select(col("k")).distinct(),
+        statsCols = Seq("k")): Unit
+    }
 
   /** q109's three manifest tables (customer/orders/lineitem star
     * projections), committed ONCE per (JVM, dataset) with footer stats

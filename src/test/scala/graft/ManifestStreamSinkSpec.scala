@@ -179,6 +179,49 @@ class ManifestStreamSinkSpec extends SparkSpecBase {
     assert(v0.count() === 2L)
   }
 
+  test("sortCol epochs: streamed commits skip at batch-sorted effectiveness") {
+    import testImplicits._
+    // one epoch of 3 task files whose keys INTERLEAVE (k ≡ p mod 3), so
+    // every unsorted task file spans nearly the whole key range — the
+    // worst case for file skipping that a hash-partitioned stream
+    // actually produces
+    def taskFiles(epoch: Long): Seq[java.io.File] =
+      (0 until 3).flatMap { p =>
+        stageFiles((0 until 300).filter(_ % 3 == p)
+          .map(k => (k.toLong, s"r$k")).toDF("k", "s"), epoch)
+      }
+    val unsorted = TempLayouts.scratch("graft_sinkspec_unsorted_")
+    ManifestStreamSink.commitEpoch(spark, unsorted, "q", 0L, taskFiles(0L),
+      Seq("k")): Unit
+    val sorted = TempLayouts.scratch("graft_sinkspec_sorted_")
+    ManifestStreamSink.commitEpoch(spark, sorted, "q", 0L, taskFiles(0L),
+      Seq("k"), sortCol = Some("k")): Unit
+    // identical logical state
+    def state(b: String) = ManifestLog.snapshot(spark, b, 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state(sorted) === state(unsorted))
+    // batch-sorted control: the same rows through commitAppend's
+    // range-sort path — the effectiveness bar the verdict names
+    val batch = TempLayouts.scratch("graft_sinkspec_batch_")
+    ManifestLog.commitAppend(spark, batch,
+      (0 until 300).map(k => (k.toLong, s"r$k")).toDF("k", "s"),
+      Seq("k"), Some("k"), files = 3): Unit
+    def keepCount(b: String): Int =
+      ManifestLog.pruneRange(
+        ManifestLog.manifest(b, 0L).filter(_.kind == "data"),
+        "k", "100", "150")._1.size
+    // every unsorted file intersects [100,150]; the sorted stream must
+    // skip at least as many files as the batch-sorted layout does
+    assert(keepCount(unsorted) == 3, "premise: interleaved task files never skip")
+    assert(keepCount(sorted) <= keepCount(batch),
+      s"sorted stream keeps ${keepCount(sorted)} vs batch ${keepCount(batch)}")
+    assert(keepCount(sorted) == 1)
+    // the replay no-op contract survives the re-staging path
+    val replay = ManifestStreamSink.commitEpoch(spark, sorted, "q", 0L,
+      taskFiles(0L), Seq("k"), sortCol = Some("k"))
+    assert(replay.isEmpty && ManifestLog.latest(sorted).contains(0L))
+  }
+
   test("q108 catalog entry matches the batch aggregate at sf0.001") {
     val got = graft.queries.Catalog.queries("q108_stream_manifest_sink")(spark, sf0001)
       .collect()

@@ -116,8 +116,9 @@ object Bench {
     * streaming entries measured 4–6× slow with zero signal on the
     * first two axes). Negative values mean "no signal" and pass. */
   private[graft] def iterClean(sec: Double, l0: Double, l1: Double,
-      w0: Double, wRef: Double, stealPct: Double = -1.0): Boolean =
-    sec >= 0 && l0 <= LoadGate && l1 <= LoadGate &&
+      w0: Double, wRef: Double, stealPct: Double = -1.0,
+      loadGate: Double = LoadGate): Boolean =
+    sec >= 0 && l0 <= loadGate && l1 <= loadGate &&
       (w0 < 0 || wRef < 0 || w0 >= wRef * IoGateFrac) &&
       (stealPct < 0 || stealPct <= StealGateFrac)
 
@@ -148,8 +149,16 @@ object Bench {
     else (s1 - s0).toDouble / (t1 - t0).toDouble
   }
 
+  /** `loadGate` override: the CPU axis' calibration is the CALLER's
+    * workload class — the sf0.1 catalog sustains load1 ≈ 6–15 on this
+    * box, but VecScale's 1M-vector tier drives all 32 threads to
+    * load ≈ 25–30 BY ITSELF, and gating that self-load as "contention"
+    * would burn every retry and flag the whole tier (the steal and I/O
+    * axes still catch true co-tenants — the r12-class host neighbor
+    * showed 10–22% steal at load 2). */
   private[graft] def timeCatalog(spark: SparkSession, sfDir: String,
-      only: Set[String] = Set.empty, wRefSeed: Double = -1.0): Seq[QueryTiming] = {
+      only: Set[String] = Set.empty, wRefSeed: Double = -1.0,
+      loadGate: Double = LoadGate): Seq[QueryTiming] = {
     def loadNow: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // One iteration's context: seconds, loadavg at start/end, and the
@@ -215,7 +224,7 @@ object Bench {
       // evaluated lazily against the CURRENT wRef: a later, faster probe
       // retroactively tightens what counts as clean (max-seen reference)
       def clean(it: Iter): Boolean =
-        iterClean(it.sec, it.l0, it.l1, it.w0, wRef, it.steal)
+        iterClean(it.sec, it.l0, it.l1, it.w0, wRef, it.steal, loadGate)
       val base = (1 to Iters).map(_ => runOnce())
       var iters =
         if (base.forall(_.sec >= 0) && base.map(_.sec).min < 1.0)
@@ -264,8 +273,12 @@ object Bench {
     *   - clean iterations only at index 0 → that value (cold, but the
     *     only clean evidence — the gate loop retries for a warm one
     *     before accepting this);
-    *   - 0 clean iterations → min over all, cleanMin = false (the
-    *     artifact self-annotates as contended).
+    *   - 0 clean iterations → min over the WARM iterations (index ≥ 1)
+    *     when any exist, else min over all; cleanMin = false either way
+    *     (the artifact self-annotates as contended). The warm fallback
+    *     matters for fully-contended windows AND for self-loaded sweeps:
+    *     min-of-all could pick iteration 0, which is both contended and
+    *     the layout build — the same phantom in the degraded branch.
     * `cleanN` counts ALL clean iterations (cold included), so
     * cleanN ≥ 2 certifies a warm-backed number. */
   private[graft] def publishedMin(times: Seq[Double],
@@ -278,7 +291,10 @@ object Bench {
         val warm = clean.filter(_._2 >= 1)
         val pool = if (warm.nonEmpty) warm else clean
         (pool.map(_._1).min, true, clean.length)
-      } else (times.min, false, 0)
+      } else {
+        val warmAll = times.drop(1)
+        (if (warmAll.nonEmpty) warmAll.min else times.min, false, 0)
+      }
     }
 
   /** Buffered-write-and-fsync throughput probe (MB/s): the I/O axis of

@@ -157,9 +157,18 @@ object VecScale {
     sizes.zip(dirs).foreach { case ((ne, nd), d) => ensureFixture(spark, d, ne, nd) }
 
     val only = sweepEntries
+    // CPU-gate override (round 14): the 1M tier's OWN 32-thread
+    // execution sustains load1 ≈ 25–30 — the default catalog-calibrated
+    // gate (cpus/2) would flag the sweep's self-load as contention,
+    // burn every retry, and let min-of-all publish cold layout builds
+    // at exactly the tier the ratios are measured from. 1.25×cpus
+    // clears demonstrated self-load; TRUE co-tenants still trip the
+    // steal (>8%) and I/O-collapse axes, which are load-independent.
+    val selfLoadGate = 1.25 * Runtime.getRuntime.availableProcessors
     val timed = dirs.map { d =>
       Bench.warmUp(spark, d)
-      Bench.timeCatalog(spark, d, only).map(r => r.name -> r).toMap
+      Bench.timeCatalog(spark, d, only, loadGate = selfLoadGate)
+        .map(r => r.name -> r).toMap
     }
     val names = timed.last.keys.toSeq.sorted
     val dataRatio = EmbSizes.last.toDouble / EmbSizes.head // 25× both families
@@ -184,8 +193,12 @@ object VecScale {
          |splits; see the VecScale scaladoc for the fixture design:
          |32 planted clusters, 10% planted near-dups, one 1,500-doc
          |identical hot cluster > MaxBlock so the LSH hot-bucket drop
-         |fires). Timing: min-of-3 per entry per size, one warmed JVM,
-         |smallest size first.
+         |fires). Timing: min-of-clean-WARM per entry per size (the
+         |Bench gate discipline; iteration 0's once-per-JVM layout
+         |builds never publish), one warmed JVM, smallest size first.
+         |CPU gate calibrated to the sweep's own 32-thread self-load
+         |(1.25×cpus — the 1M tier alone sustains load1 ≈ 25–30);
+         |steal/I/O axes unchanged, so true co-tenants still flag.
          |
          |Sizes: embeddings ${EmbSizes.mkString(" / ")} vectors,
          |documents ${DocSizes.mkString(" / ")} docs — a **${dataRatio.toInt}×

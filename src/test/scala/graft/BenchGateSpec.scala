@@ -66,10 +66,15 @@ class BenchGateSpec extends AnyFunSuite {
     val (sec, clean, n) = Bench.publishedMin(
       Seq(9.95, 10.2, 11.0, 0.31, 0.28), Seq(false, false, false, true, true))
     assert(sec == 0.31.min(0.28) && clean && n == 2)
-    // no clean iteration within budget → min-of-all, flagged unclean
+    // no clean iteration within budget → min over the WARM iterations
+    // (the contended fallback must not publish the cold layout build
+    // either), flagged unclean
     val (sec2, clean2, n2) = Bench.publishedMin(
       Seq(9.95, 10.2), Seq(false, false))
-    assert(sec2 == 9.95 && !clean2 && n2 == 0)
+    assert(sec2 == 10.2 && !clean2 && n2 == 0)
+    // single-iteration degenerate: nothing warm to prefer
+    val (sec2b, clean2b, _) = Bench.publishedMin(Seq(9.95), Seq(false))
+    assert(sec2b == 9.95 && !clean2b)
     // a contended-but-lucky-fast iteration must NOT beat a clean one
     val (sec3, _, _) = Bench.publishedMin(
       Seq(0.20, 0.30), Seq(false, true))

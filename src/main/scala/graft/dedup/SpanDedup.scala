@@ -68,7 +68,17 @@ object SpanDedup {
           .agg(count_distinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2)
           .select(col("h"))
-        val starts = grams.join(dup, "h").select(col("doc_id"), col("pos"))
+        // `dup` is CORPUS-sized (every gram of every shared span), so it
+        // must never broadcast: the static size estimate of the
+        // agg+filter undershot the 64 MB threshold and Spark planned a
+        // broadcast build that collected the multi-GB gram set to the
+        // driver at the 500k-doc sweep tier (found by VecScale round
+        // 14). MERGE forces the spill-safe sort-merge semi join; both
+        // sides arrive hash-clustered on h from the count-distinct
+        // shuffle, so the extra exchange is on the (smaller) dup side
+        // only.
+        val starts = grams.join(dup.hint("merge"), Seq("h"), "left_semi")
+          .select(col("doc_id"), col("pos"))
         val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
         val spans = starts

@@ -57,7 +57,11 @@ class PlanBudgetSpec extends SparkSpecBase {
     "g06_personalized_pagerank"     -> (0, 0, 0, 0, 0),
     "g09_hyperball_kmv"             -> (3, 2, 0, 0, 0),
     "d05_dedup_clusters"            -> (3, 1, 0, 0, 0),
-    "d08_dup_span_detect"           -> (1, 2, 0, 0, 0),
+    // d08's dup-gram probe is MERGE-hinted (round 14): the dup side is
+    // corpus-sized and must never broadcast, so the semi join is a
+    // sort-merge — one more hash exchange (the grams probe side; the
+    // dup side reuses the count-distinct shuffle) and the pinned SMJ
+    "d08_dup_span_detect"           -> (2, 2, 1, 0, 0),
     // round-10 additions (the new >1.5s bench entries): q93's one BNLJ
     // is the single-row basket-total cross join; d16/d17/g10 budgets
     // are the PLAN_AUDIT static counts (their adaptive plans come in at

@@ -62,23 +62,19 @@ object Bench {
   private val MaxGateRetries = 3
   private val GateRetryBudget = 150
 
-  /** One query's measurement: best-of-CLEAN seconds (-1 = failed),
-    * loadavg at query start AND end, iterations actually run, every
-    * iteration's raw seconds, and `cleanMin` — whether at least one
-    * (non-failed) iteration ran entirely under [[LoadGate]], above the
-    * I/O gate, and under the steal gate. Round-13 policy (verdict item
-    * 1): `sec` is the minimum over CLEAN iterations when any exist —
-    * the r12 official artifact published min-of-contended for entries
-    * whose every iteration gated unclean (q58: 9.95 s official vs
-    * 0.28 s clean), which is a contention measurement, not a plan one.
-    * Only when NO iteration is clean does `sec` fall back to min-of-all
-    * (with cleanMin=false so the artifact self-annotates). `cleanN`
-    * counts the clean iterations behind the published min. The raw
-    * series is what makes one contended window reconcilable after the
-    * fact: per-iter seconds + load + write-probe + steal show whether a
-    * slow headline number was contention or a real plan regression.
-    * `allWmbps` carries the per-iteration buffered-write probe (MB/s,
-    * -1 = probe unavailable). */
+  /** One query's measurement: published seconds (-1 = failed; policy in
+    * [[publishedMin]] — min over warm iterations), loadavg at query
+    * start AND end, iterations actually run, every iteration's raw
+    * seconds, and `cleanMin` — whether the published rate is
+    * CORROBORATED by an iteration that ran entirely under [[LoadGate]],
+    * above the I/O gate, and under the steal gate, at a time within
+    * [[CorroborationSlack]] of the published min. `cleanN` counts all
+    * clean iterations. The raw series is what makes one contended
+    * window reconcilable after the fact: per-iter seconds + load +
+    * write-probe + steal show whether a slow headline number was
+    * contention or a real plan regression. `allWmbps` carries the
+    * per-iteration buffered-write probe (MB/s, -1 = probe
+    * unavailable). */
   final case class QueryTiming(name: String, sec: Double, qload1: Double,
       qload1End: Double, iters: Int, allSecs: Seq[Double],
       cleanMin: Boolean = true, gateRetries: Int = 0,
@@ -171,22 +167,25 @@ object Bench {
     // co-tenant — the official r7–r9 artifacts each recorded a mid-run
     // write-throughput collapse (347→84 MB/s in r9) whose iterations
     // passed the CPU gate while running 3–10× slow (q23: 9.29 s official
-    // vs 0.89 s idle). The reference throughput is the best probe seen
-    // this run (the box's demonstrated capability — self-correcting if
-    // the run STARTS contended); an iteration probing under half of it
-    // ran in a collapsed-I/O window and is not evidence about the plan.
-    // wRef starts from the persisted clean-disk baseline when the caller
-    // provides one (round-11 fix): best-probe-this-run self-normalizes
-    // when the ENTIRE run is degraded (r11: every probe ≤117 MB/s vs the
-    // box's demonstrated 322, so all iterations gated "clean" at 1/3
-    // throughput). Seeding pins the reference to demonstrated capability;
-    // a faster in-run probe still raises it.
+    // vs 0.89 s idle). An iteration probing under half the reference ran
+    // in a collapsed-I/O window and its SLOWNESS is not evidence about
+    // the plan. The reference is ROBUST (round 14): max(seeded clean-disk
+    // baseline, p75 of this run's probes) — the previous max-probe-seen
+    // ratchet let ONE lucky page-cache spike (466 MB/s on a box whose
+    // healthy median is ~220) reclassify half of a quiet run's healthy
+    // iterations as collapsed, exhausting the retry budget on probe
+    // noise (r14 baseline run: 60 entries flagged, 150 retries burned,
+    // q87's consistent 0.82–0.92 s warm band all "unclean"). p75 tracks
+    // demonstrated capability without being poisoned by a single spike;
+    // the baseline seed still pins it when the whole run starts degraded
+    // (the r11 failure mode).
     final case class Iter(sec: Double, l0: Double, l1: Double, w0: Double,
         steal: Double)
-    var wRef = wRefSeed
+    var probes = Vector.empty[Double]
+    def wRef: Double = robustRef(wRefSeed, probes)
     def probe(): Double = {
       val w = diskWriteMbps(IterProbeMb)
-      if (w > wRef) wRef = w
+      if (w >= 0) probes :+= w
       w
     }
     var gateBudget = GateRetryBudget
@@ -230,17 +229,17 @@ object Bench {
         if (base.forall(_.sec >= 0) && base.map(_.sec).min < 1.0)
           base ++ (1 to ExtraSubSecondIters).map(_ => runOnce())
         else base
-      // Gate: the published number needs a clean WARM iteration —
-      // clean on all three axes AND not the entry's first run in this
-      // JVM (iteration 0 pays any once-per-JVM layout build:
-      // TempLayouts.cached bucketed tables, IVF layouts — publishing
-      // it is the q61 8× phantom, round-13 verdict item 3). Re-run
-      // (bounded per query and catalog-wide) until one lands; a run
-      // that exhausts the budget publishes what it has, flagged.
-      def hasWarmClean(is: Seq[Iter]): Boolean =
-        is.zipWithIndex.exists { case (it, i) => i >= 1 && clean(it) }
+      // Gate: the published number (min over WARM iterations — see
+      // [[publishedMin]]) wants CORROBORATION by a clean iteration at
+      // that rate: a clean window within [[CorroborationSlack]] of the
+      // published min proves the number is the plan's, not an artifact
+      // of an all-contended series. Re-run (bounded per query and
+      // catalog-wide) until one lands; a run that exhausts the budget
+      // publishes what it has, flagged unclean.
+      def isCorroborated(is: Seq[Iter]): Boolean =
+        publishedMin(is.map(_.sec), is.map(clean))._2
       var retries = 0
-      while (!hasWarmClean(iters) && !iters.exists(_.sec < 0) &&
+      while (!isCorroborated(iters) && !iters.exists(_.sec < 0) &&
           retries < MaxGateRetries && gateBudget > 0) {
         retries += 1; gateBudget -= 1
         iters = iters :+ runOnce()
@@ -257,44 +256,70 @@ object Bench {
     }
   }
 
-  /** The published-number policy, factored out for direct spec coverage
-    * (round-13 verdict item 1: min-of-clean; round-14 verdict item 2:
-    * min-of-clean-WARM). Returns (sec, cleanMin, cleanN):
-    *   - any failed iteration → (-1, true-as-failed? no: flagged via -1,
-    *     0) — a failure is never a fast pass and clean accounting is
-    *     moot (cleanMin stays true so "unclean" counts contention, not
-    *     failures, exactly as before);
-    *   - ≥1 clean iteration at index ≥ 1 → min over THOSE: iteration 0
-    *     pays any once-per-JVM layout build (TempLayouts.cached
-    *     bucketed tables, persisted IVF layouts), and r13 published
-    *     q61's 4.30 s build as the headline over its 0.53 s warm rate
-    *     when the build happened to be the only gate-clean iteration —
-    *     an 8× phantom with an unchanged plan;
-    *   - clean iterations only at index 0 → that value (cold, but the
-    *     only clean evidence — the gate loop retries for a warm one
-    *     before accepting this);
-    *   - 0 clean iterations → min over the WARM iterations (index ≥ 1)
-    *     when any exist, else min over all; cleanMin = false either way
-    *     (the artifact self-annotates as contended). The warm fallback
-    *     matters for fully-contended windows AND for self-loaded sweeps:
-    *     min-of-all could pick iteration 0, which is both contended and
-    *     the layout build — the same phantom in the degraded branch.
-    * `cleanN` counts ALL clean iterations (cold included), so
-    * cleanN ≥ 2 certifies a warm-backed number. */
+  /** A clean iteration within this factor of the published min
+    * corroborates it (same-query healthy iterations jitter ~±10–15%;
+    * the collapse classes the gate exists for are ≥2×). */
+  private[graft] val CorroborationSlack = 1.2
+
+  /** Robust I/O reference: max(seeded clean-disk baseline, p75 of the
+    * probes seen this run). p75 tracks the box's demonstrated
+    * capability while staying immune to a single lucky page-cache
+    * spike (the max-seen ratchet this replaces let one 466 MB/s
+    * reading gate half of a quiet run's healthy ~220 MB/s iterations
+    * as "collapsed"). No probes and no seed → -1 (axis passes, no
+    * signal). */
+  private[graft] def robustRef(seed: Double, probes: Seq[Double]): Double = {
+    val valid = probes.filter(_ >= 0)
+    if (valid.isEmpty) seed
+    else {
+      val s = valid.sorted
+      val p75 = s(math.min(s.length - 1, (s.length * 3) / 4))
+      math.max(seed, p75)
+    }
+  }
+
+  /** The published-number policy, factored out for direct spec coverage.
+    * Round-14 revision (the third iteration of this policy — r13:
+    * min-of-clean; early r14: min-of-clean-warm): **min over the WARM
+    * iterations, with cleanliness as corroboration, not selection.**
+    *
+    * Rationale: contention (CPU, disk, hypervisor steal) can only
+    * INFLATE an iteration's wall time, never deflate it — so the min
+    * over warm iterations is the tightest available upper bound on the
+    * plan's true cost, and discarding a faster iteration because its
+    * gate flags tripped publishes a number known to be looser. Both
+    * prior policies manufactured phantoms by selecting on cleanliness:
+    * r13's min-of-clean published q61's 4.30 s cold layout build over
+    * its 0.53 s warm rate; min-of-clean-warm published q87's 4.83 s
+    * cold iteration over a CONSISTENT 0.82–0.92 s warm band whose every
+    * probe a noisy I/O reference had flagged (r14 baseline run).
+    *
+    * Returns (sec, corroborated, cleanN):
+    *   - any failed iteration → (-1, true, 0) — a failure is never a
+    *     fast pass; corroborated stays true so "unclean" counts
+    *     contention, not failures;
+    *   - sec = min over iterations at index ≥ 1 (iteration 0 pays any
+    *     once-per-JVM layout build — TempLayouts.cached bucketed
+    *     tables, persisted IVF layouts — and must never be the
+    *     headline); single-iteration series degenerate to that value;
+    *   - corroborated = some CLEAN iteration (cold included: for
+    *     entries without a layout build, iteration 0 is a valid sample
+    *     of the plan) ran within [[CorroborationSlack]] of sec — the
+    *     published rate was demonstrated in a provably-quiet window.
+    *     The gate loop retries until this holds; exhausted budget →
+    *     published anyway with corroborated=false (the artifact
+    *     self-annotates: its min may still carry contention tax).
+    * `cleanN` counts ALL clean iterations, corroborating or not. */
   private[graft] def publishedMin(times: Seq[Double],
       cleanFlags: Seq[Boolean]): (Double, Boolean, Int) =
     if (times.exists(_ < 0)) (-1.0, true, 0)
     else {
-      val clean = times.zip(cleanFlags).zipWithIndex
-        .collect { case ((t, true), i) => (t, i) }
-      if (clean.nonEmpty) {
-        val warm = clean.filter(_._2 >= 1)
-        val pool = if (warm.nonEmpty) warm else clean
-        (pool.map(_._1).min, true, clean.length)
-      } else {
-        val warmAll = times.drop(1)
-        (if (warmAll.nonEmpty) warmAll.min else times.min, false, 0)
+      val warm = times.drop(1)
+      val sec = if (warm.nonEmpty) warm.min else times.min
+      val corroborated = times.zip(cleanFlags).exists { case (t, c) =>
+        c && t <= sec * CorroborationSlack
       }
+      (sec, corroborated, cleanFlags.count(identity))
     }
 
   /** Buffered-write-and-fsync throughput probe (MB/s): the I/O axis of
@@ -502,7 +527,7 @@ object Bench {
         s""""load_gate":$LoadGate,"io_gate_frac":$IoGateFrac,""" +
         s""""gate_retries":$gateRetries,""" +
         s""""unclean":$unclean,"qclean":$qclean,"qclean_n":$qcleanN,""" +
-        s""""agg_policy":"min_of_clean_warm",""" +
+        s""""agg_policy":"min_of_warm_corroborated",""" +
         s""""load1_postgate":$load1Post,"load_wait_sec":$loadWaitSec,""" +
         s""""load_degraded":$loadDegraded,"load_start_gate":$StartLoadGate,""" +
         s""""qload1":$qloads,"qload1_end":$qloadsEnd,""" +
@@ -535,7 +560,7 @@ object Bench {
         s""""load_gate":$LoadGate,"io_gate_frac":$IoGateFrac,""" +
         s""""steal_gate":$StealGateFrac,""" +
         s""""gate_retries":$gateRetries,""" +
-        s""""unclean":$unclean,"agg_policy":"min_of_clean_warm",""" +
+        s""""unclean":$unclean,"agg_policy":"min_of_warm_corroborated",""" +
         s""""load1_postgate":$load1Post,"load_wait_sec":$loadWaitSec,""" +
         s""""load_degraded":$loadDegraded,""" +
         s""""queries_detail":"bench_detail_latest.json"}"""

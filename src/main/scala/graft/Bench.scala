@@ -163,31 +163,24 @@ object Bench {
     // loadavg / probe (platform unsupported) counts as clean on that
     // axis — no gating signal exists there.
     //
-    // I/O axis (round-9 verdict item 1): loadavg is blind to a disk
-    // co-tenant — the official r7–r9 artifacts each recorded a mid-run
-    // write-throughput collapse (347→84 MB/s in r9) whose iterations
-    // passed the CPU gate while running 3–10× slow (q23: 9.29 s official
-    // vs 0.89 s idle). An iteration probing under half the reference ran
-    // in a collapsed-I/O window and its SLOWNESS is not evidence about
-    // the plan. The reference is ROBUST (round 14): max(seeded clean-disk
-    // baseline, p75 of this run's probes) — the previous max-probe-seen
-    // ratchet let ONE lucky page-cache spike (466 MB/s on a box whose
-    // healthy median is ~220) reclassify half of a quiet run's healthy
-    // iterations as collapsed, exhausting the retry budget on probe
-    // noise (r14 baseline run: 60 entries flagged, 150 retries burned,
-    // q87's consistent 0.82–0.92 s warm band all "unclean"). p75 tracks
-    // demonstrated capability without being poisoned by a single spike;
-    // the baseline seed still pins it when the whole run starts degraded
-    // (the r11 failure mode).
+    // I/O axis, RETIRED from the per-iteration gate in round 14: since
+    // this round the bench path is disk-free — every run-scoped layout,
+    // streaming checkpoint AND spark.local.dir (shuffle files) lives on
+    // tmpfs (TempLayouts/GraftSession), so a disk co-tenant can no
+    // longer slow a benched iteration, and the historical I/O-collapse
+    // regressions the axis was built for (r9: 347→84 MB/s, streaming
+    // entries 3–10× slow) are structurally impossible. The probe itself
+    // was also the largest disk writer in the harness — ~1,000
+    // iterations × 16 MB + fsync ≈ 16 GB per catalog run, enough to
+    // drain a burst-credit cloud disk by mid-run (both r14 baseline
+    // runs decayed 450→70 MB/s), which then poisoned the axis that was
+    // supposed to be the control. Run-level start/end probes remain as
+    // host telemetry ([[robustRef]] keeps the seeded-p75 reference for
+    // them); per-iteration w0 records -1 (no signal → the I/O term of
+    // [[iterClean]] passes; the load and steal axes still gate).
     final case class Iter(sec: Double, l0: Double, l1: Double, w0: Double,
         steal: Double)
-    var probes = Vector.empty[Double]
-    def wRef: Double = robustRef(wRefSeed, probes)
-    def probe(): Double = {
-      val w = diskWriteMbps(IterProbeMb)
-      if (w >= 0) probes :+= w
-      w
-    }
+    val wRef = wRefSeed
     var gateBudget = GateRetryBudget
     // benchQueries, not queries: identical key set, but entries whose
     // VERIFIED plan embeds oracle apparatus (q22/q56's exact twin) are
@@ -203,7 +196,7 @@ object Bench {
       val qLoad = loadNow
       def runOnce(): Iter = {
         val l0 = loadNow
-        val w0 = probe() // outside the timed region
+        val w0 = -1.0 // per-iteration disk probe retired (see above)
         val cj0 = cpuJiffies()
         val t0 = System.nanoTime()
         val sec =
@@ -418,33 +411,12 @@ object Bench {
     (l, waited, l > StartLoadGate)
   }
 
-  /** Startup I/O gate (round-11 verdict item 2): the official r11 run
-    * measured 117 MB/s against a 322 MB/s recorded clean value and still
-    * published. Block — bounded — until the probe recovers to
-    * [[StartGateFrac]] of the baseline, then proceed; if it never does,
-    * proceed anyway but mark the artifact `io_degraded` so the number is
-    * self-annotating rather than silently noise. Returns
-    * (finalProbe, waitedSec, degraded). */
+  /** io_degraded annotation threshold against the recorded clean-disk
+    * baseline. The r11-era startup I/O WAIT (block until the disk
+    * recovers) is retired with the per-iteration probe — the bench path
+    * is disk-free since round 14, so disk state is telemetry, not a
+    * precondition. */
   private[graft] val StartGateFrac = 0.6
-  private val StartGateAttempts = 12
-  private val StartGatePauseSec = 30
-  private def startupIoGate(baseline: Double): (Double, Long, Boolean) = {
-    var w = diskWriteMbps()
-    if (baseline <= 0 || w < 0) return (w, 0L, false)
-    val t0 = System.nanoTime()
-    var attempts = 0
-    var lastValid = w
-    while (lastValid < baseline * StartGateFrac && attempts < StartGateAttempts) {
-      attempts += 1
-      Thread.sleep(StartGatePauseSec * 1000L)
-      w = diskWriteMbps()
-      // a FAILED probe is "no signal", not recovery: keep gating on the
-      // last valid reading instead of exiting as if the disk were healthy
-      if (w >= 0) lastValid = w
-    }
-    val waited = (System.nanoTime() - t0) / 1000000000L
-    (w, waited, lastValid < baseline * StartGateFrac)
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -477,7 +449,13 @@ object Bench {
       if (only.isEmpty) startupLoadGate()
       else (load1, 0L, load1 > StartLoadGate)
     val baseline = ioBaseline()
-    val (wmbps, ioWaitSec, ioDegraded) = startupIoGate(baseline)
+    // disk telemetry only since round 14 (the bench path is disk-free —
+    // tmpfs scratch/checkpoints/spark.local.dir): one probe, no waiting.
+    // io_degraded still annotates the artifact so host-disk state stays
+    // reconcilable against history, but it gates nothing.
+    val wmbps = diskWriteMbps()
+    val ioWaitSec = 0L
+    val ioDegraded = baseline > 0 && wmbps >= 0 && wmbps < baseline * StartGateFrac
     warmUp(spark, sfDir)
     val results = timeCatalog(spark, sfDir, only, wRefSeed = baseline)
     val wmbpsEnd = diskWriteMbps()

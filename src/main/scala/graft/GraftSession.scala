@@ -17,9 +17,31 @@ object GraftSession {
 
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** Shuffle/broadcast spill directory on tmpfs when available (round
+    * 14): `spark.local.dir` defaults to /tmp, which on this sandbox is
+    * a burst-credit cloud disk whose write throughput decays 450→70
+    * MB/s under sustained load — shuffle-file writes then tax whichever
+    * queries run late in a catalog sweep. Shuffle files are the
+    * definition of run-scoped scratch; a production cluster points this
+    * at fast local SSDs, and tmpfs is this sandbox's equivalent. Lazy
+    * val: one dir per JVM, removed by TempLayouts' shutdown hook.
+    * GRAFT_SPARK_LOCAL_DIR overrides (e.g. to force the disk for an
+    * I/O-sensitivity experiment). */
+  private lazy val localDir: Option[String] =
+    sys.env.get("GRAFT_SPARK_LOCAL_DIR").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        Some(graft.io.TempLayouts.scratch("graft_spark_local_"))
+      else None
+    }
+
   /** Apply graft's standard configuration to any builder (used by the
     * driver-contract mains too, so Verify/Bench and tests agree). */
-  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+  def tune(b: SparkSession.Builder): SparkSession.Builder = {
+    // spark.local.dir only takes effect at SparkContext creation — a
+    // no-op (harmless) when tune() runs against an existing context
+    localDir.foreach(d => b.config("spark.local.dir", d))
+    b
     .config("spark.sql.extensions", "graft.GraftExtensions")
     // V2 FunctionCatalog: SQL resolves graft_fn.fn.<name>(...) through
     // the catalog plugin (magic-method codegen — see GraftFunctionCatalog)
@@ -40,6 +62,7 @@ object GraftSession {
     .config("spark.sql.icu.caseMappings.enabled", "false")
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
     .config("spark.ui.enabled", "false")
+  }
 
   /** Local session for tests / ad-hoc runs. */
   def local(appName: String = "graft"): SparkSession = {

@@ -132,9 +132,9 @@ object Tables {
     if (bytes < CompactMinBytes || bytes > CompactMaxBytes) ""
     else {
       val width = Runtime.getRuntime.availableProcessors
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-compact-")
-        .toString
+      // TempLayouts (not a bare createTempDirectory): tmpfs placement and
+      // shutdown-hook cleanup — the old direct dir leaked on exit
+      val out = TempLayouts.scratch("graft-compact-")
       raw.repartition(width).write.mode("overwrite").parquet(out)
       out
     }

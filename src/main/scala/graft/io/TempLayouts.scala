@@ -34,15 +34,23 @@ object TempLayouts {
   }
 
   /** The fastest LOCAL volume for run-scoped scratch: tmpfs when present
-    * and writable (`/dev/shm`), else the JVM temp dir. Streaming
-    * checkpoints and state-store commits are run-scoped scratch in this
-    * harness — checkpoint durability across machine loss is an
-    * object-store concern in a cluster deployment, not a local-bench one
-    * — so their fsync traffic should land in RAM instead of competing
-    * with the data disk (the round-11 q79 regression was RocksDB commit
-    * cost under a degraded disk, ~7.1 s of a 9.7 s entry). Data LAYOUTS
-    * (warehouse tables, IVF index, split sources) deliberately stay on
-    * the real disk: scan throughput is part of what the bench measures. */
+    * and writable (`/dev/shm`), else the JVM temp dir.
+    *
+    * Round-14 policy change: EVERY TempLayouts dir now lands on tmpfs,
+    * not just streaming checkpoints. Earlier rounds kept data layouts
+    * (warehouse tables, IVF index, split sources) on the real disk on
+    * the theory that scan throughput is part of what the bench
+    * measures — but under min-of-warm benching every layout is read
+    * from the page cache anyway (the disk medium never shows up in a
+    * warm scan), while layout WRITES land on a burst-credit cloud disk
+    * whose throughput this round measured decaying 450→70 MB/s across
+    * a single catalog run, inflating every write-bearing entry that
+    * ran late in the alphabet (q44: warm iterations 2× slower than its
+    * own cold run). Scratch is run-scoped by definition; durability is
+    * a cluster deployment's object-store concern. The sandbox grants
+    * 128 GiB of tmpfs; the full catalog's live scratch peaks well
+    * under 2 GiB (VecScale's 1M-vector tier ~1 GiB more). The `fast`
+    * parameter is retained for source compatibility and ignored. */
   private val fastRoot: Option[java.nio.file.Path] = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
@@ -50,12 +58,10 @@ object TempLayouts {
     else None
   }
 
-  private def mk(prefix: String, fast: Boolean = false): String = {
-    val p =
-      if (fast)
-        fastRoot.map(java.nio.file.Files.createTempDirectory(_, prefix))
-          .getOrElse(java.nio.file.Files.createTempDirectory(prefix))
-      else java.nio.file.Files.createTempDirectory(prefix)
+  private def mk(prefix: String, fast: Boolean = true): String = {
+    val p = fastRoot
+      .map(java.nio.file.Files.createTempDirectory(_, prefix))
+      .getOrElse(java.nio.file.Files.createTempDirectory(prefix))
     p.toString
   }
 

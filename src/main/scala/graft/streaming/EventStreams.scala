@@ -294,8 +294,7 @@ object EventStreams {
       statePartitions: Int = 8, rocksdb: Boolean = true): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    if (rocksdb) ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    if (rocksdb) useRocksDb(ss)
     val src = eventStreamSource(ss, dir)
     val agg = src().unionByName(src())
       .dropDuplicates("event_id")
@@ -335,8 +334,7 @@ object EventStreams {
       statePartitions: Int = 8): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    useRocksDb(ss)
     val src = eventStreamSource(ss, dir)
     val jittered = src().withColumn("ts",
       col("ts") + expr("INTERVAL 2 SECONDS"))
@@ -412,8 +410,7 @@ object EventStreams {
     * [[hourlyCountsStreaming]]. */
   def intervalJoinStreaming(spark: SparkSession, dir: String,
       statePartitions: Int = 4): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val ss = joinSession(spark, statePartitions)
     val src = eventStreamSource(ss, dir)
     val views = src().where(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("v_ts"))
@@ -456,8 +453,7 @@ object EventStreams {
     * be able to emit a single null row. */
   def leftOuterIntervalJoinStreaming(spark: SparkSession, dir: String,
       statePartitions: Int = 4): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val ss = joinSession(spark, statePartitions)
     val src = eventStreamSource(ss, dir)
     val views = src().where(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("v_ts"))
@@ -500,8 +496,7 @@ object EventStreams {
     * view instead of one per (view, purchase) pair. */
   def leftSemiIntervalJoinStreaming(spark: SparkSession, dir: String,
       statePartitions: Int = 4): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val ss = joinSession(spark, statePartitions)
     val src = eventStreamSource(ss, dir)
     val views = src().where(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("v_ts"))
@@ -879,14 +874,51 @@ object EventStreams {
     }
   }
 
+  /** Configure a session's state store as RocksDB WITH CHANGELOG
+    * checkpointing (round-14 optimization, guide §1/§5): without it,
+    * every commit of every partition ZIPS A FULL RocksDB snapshot into
+    * the checkpoint — O(state) per partition per micro-batch.
+    * StreamCost attributed 8–38 s of summed per-partition commit to the
+    * RocksDB entries (q72: 38 s for 1,500 state rows). With changelog
+    * checkpointing the per-commit upload is just that batch's delta
+    * (O(changes)), and full snapshots move to the background
+    * maintenance thread — the production configuration for
+    * high-frequency triggers, and at 100 TB the difference between
+    * commit cost scaling with STATE SIZE vs with BATCH SIZE. State
+    * CONTENT and query results are identical; only the checkpoint file
+    * format changes (checkpoints here are run-scoped scratch). */
+  private def useRocksDb(ss: SparkSession): Unit = {
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ss.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+  }
+
+  /** Stream-stream join sessions. Round-14 measured-and-REJECTED
+    * experiment: join state format v3 (one RocksDB store with virtual
+    * column families instead of v2's four HDFS-backed stores per
+    * partition) benched 1.2–1.6× SLOWER here — q36 4.9→5.9 s,
+    * q69 3.5→5.5 s, q90 3.8→4.9 s (min-of-warm, back-to-back A/B) —
+    * because at this state size (≤ tens of KB per store) the
+    * HDFS-backed provider is a plain in-heap map with a tmpfs delta
+    * write, while each RocksDB instance pays JNI open/load/commit
+    * machinery per partition per batch regardless of size. v3 remains
+    * the right call once per-partition join state outgrows the heap;
+    * the providers' crossover is state size, not store count. */
+  private def joinSession(spark: SparkSession, statePartitions: Int): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss
+  }
+
   /** Isolated session for the transformWithState entries: own shuffle
     * width for the state store, RocksDB provider (the only one the
     * operator supports). */
   private def twsSession(spark: SparkSession, statePartitions: Int): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    useRocksDb(ss)
     ss
   }
 

@@ -4,7 +4,9 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 
-/** Scratch profiling main — not part of the driver contract. */
+/** Scratch profiling main — not part of the driver contract.
+  * Current scratch: phase attribution for the iterative graph entries
+  * (g01 shape): edge build vs per-round cost. */
 object DebugTiming {
   def time[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime()
@@ -17,40 +19,82 @@ object DebugTiming {
     df.write.mode("overwrite").format("noop").save()
 
   def main(args: Array[String]): Unit = {
-    val dir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(2)
     val spark = GraftSession.local("debug")
     val t = Tables(spark, dir)
-    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
-    val snippets = t.documents.filter(col("doc_id") % 4 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        array_join(
-          slice(toks, lit(1), ceil(size(toks) * lit(0.6)).cast("int")), " ")
-          .as("text"))
-    val corpus = t.documents.select(col("doc_id"), col("text"))
-      .unionByName(snippets)
-    println("corpus " + corpus.count())
-    val gramSets = corpus.select(col("doc_id"),
-      call_function("word_ngram_hashes", col("text"), lit(5)).as("gs")).persist()
-    gramSets.select(col("doc_id"), size(col("gs")).as("n")).orderBy("doc_id").show(5)
-    val grams = gramSets.select(col("doc_id"), explode(col("gs")).as("g"))
-    println("gram rows " + grams.count())
-    val dfc = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    dfc.groupBy(col("df")).count().orderBy("df").show(10)
-    val rare = grams.join(dfc.filter(col("df").between(2, 50)), Seq("g"))
-    println("rare rows " + rare.count())
-    val cand = rare.select(col("g"), col("doc_id").as("contained_id"))
-      .join(rare.select(col("g"), col("doc_id").as("container_id")), Seq("g"))
-      .filter(col("contained_id") =!= col("container_id"))
-      .select(col("contained_id"), col("container_id")).distinct()
-    println("cand " + cand.count())
-    val out = cand
-      .join(gramSets.select(col("doc_id").as("contained_id"), col("gs").as("gs_a")), Seq("contained_id"))
-      .join(gramSets.select(col("doc_id").as("container_id"), col("gs").as("gs_b")), Seq("container_id"))
-      .select(col("contained_id"), col("container_id"),
-        size(col("gs_a")).cast("long").as("n_grams"),
-        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long").as("n_shared"))
-    out.orderBy(col("n_shared").desc).show(5)
-    println("pass " + out.filter(col("n_shared") * 5 >= col("n_grams") * 4).count())
+    (1 to reps).foreach { rep =>
+      System.err.println(s"[debug] === rep $rep ===")
+      val edges = time("edge build A (current)") {
+        val pairs = t.orders
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val e = pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val ed = e.join(deg, "src")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ed.count()
+        ed
+      }
+      val edgesB = time("edge build B (pairs persisted once)") {
+        val pairs0 = t.orders
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val e = pairs0.unionByName(pairs0.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val ed = e.join(deg, "src")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ed.count()
+        pairs0.unpersist()
+        ed
+      }
+      edgesB.unpersist()
+      val nodes = time("nodes distinct") {
+        edges.select(col("src").as("node")).distinct().localCheckpoint(true)
+      }
+      val n = time("node count")(nodes.count())
+      val r0 = GraphOpsProbe.scale / n
+      val base = 15L * r0 / 100L
+      var ranks = time("rank init ckpt") {
+        nodes.select(col("node"), lit(r0).as("r")).localCheckpoint(true)
+      }
+      (1 to 5).foreach { i =>
+        ranks = time(s"round $i (shuffle join)") {
+          edges
+            .join(ranks, col("src") === col("node"))
+            .select(col("dst"), expr("r div deg").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("t"))
+            .select(col("dst").as("node"),
+              (lit(base) + expr("85 * t div 100")).as("r"))
+            .localCheckpoint(true)
+        }
+      }
+      (1 to 5).foreach { i =>
+        ranks = time(s"round $i (broadcast ranks)") {
+          edges
+            .join(broadcast(ranks), col("src") === col("node"))
+            .select(col("dst"), expr("r div deg").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("t"))
+            .select(col("dst").as("node"),
+              (lit(base) + expr("85 * t div 100")).as("r"))
+            .localCheckpoint(true)
+        }
+      }
+      time("final sort+noop") {
+        noop(ranks
+          .select(col("node").as("node_id"),
+            when(col("node") % 2 === 1, "supplier").otherwise("customer").as("kind"),
+            col("r").as("rank_scaled"))
+          .orderBy(col("node_id")))
+      }
+      edges.unpersist()
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
+
+private object GraphOpsProbe { val scale = 1000000000000L }

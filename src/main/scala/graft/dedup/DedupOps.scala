@@ -99,12 +99,22 @@ object DedupOps {
     * clustering demo. Same shape as d03: hashed sorted shingle sets,
     * block cap, O(n+m) merge intersect per candidate pair. */
   def shingleJaccardEdges(corpus: DataFrame, threshold: Double): DataFrame = {
-    val g = capBlocks(
+    // The shingled frame is persisted (round-14, guide §2.4): capBlocks
+    // references its input twice (count aggregate + semi-join) and the
+    // block self-join references the capped frame in BOTH arms — left
+    // lazy, the corpus-wide regex + word_ngram_hashes pass re-ran up to
+    // four times per materialization (measured warm: d05 3.5 → 2.1 s).
+    // Both frames are tiny relative to text (ids + hash arrays);
+    // tracked for inter-iteration release.
+    val shingled = graft.InternalCaches.track(
       corpus
         .withColumn("gh",
           call_function("word_ngram_hashes", col("text"), lit(ShingleWords)))
-        .select(col("doc_id"), col("source"), col("gh"), size(col("gh")).as("n")),
-      Seq("source"), MaxBlock)
+        .select(col("doc_id"), col("source"), col("gh"), size(col("gh")).as("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val g = graft.InternalCaches.track(
+      capBlocks(shingled, Seq("source"), MaxBlock)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val a = g.select(col("source"), col("doc_id").as("src"),
       col("gh").as("g_a"), col("n").as("n_a"))
     val b = g.select(col("source"), col("doc_id").as("dst"),
@@ -1139,7 +1149,10 @@ object DedupOps {
       "near-dup clusters → keep the longest member per cluster, purge the rest (total keep/purge verdict)",
       (spark, dir) => {
         val t = Tables(spark, dir)
-        val corpus = clusterCorpus(t.documents)
+        // corpus persisted (round 14): both the edge generator and the
+        // n_words projection re-derive the 3-arm regex corpus otherwise
+        val corpus = graft.InternalCaches.track(
+          clusterCorpus(t.documents).persist(StorageLevel.MEMORY_AND_DISK))
         val edges = shingleJaccardEdges(corpus, threshold = 0.5)
         val assign = ConnectedComponents.components(edges)
         val docs = corpus.select(col("doc_id"),
